@@ -1,13 +1,116 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is declared here as a
+  * `(SparkSession, sfDir) => DataFrame`, with matching ANSI SQL in
+  * [[oracleSql]] for the driver's DuckDB compare (omitted only where the
+  * output is not SQL-expressible; those get rows-only checks plus ScalaTest
+  * coverage). Column names and total ORDER BY are kept identical between
+  * the Spark plan and the SQL so the hash compare is stable.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * A condensed end-to-end analog of the reference's task-1 pipeline
+    * (filtered patient scan → child-records join → enrichment → agg).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir  = "/root/testdata/sf0.001"
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val ords = spark.read.parquet(s"$dir/orders.parquet")
+    cust.join(ords, cust("c_custkey") === ords("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("spend"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // M1 — relational core (SURVEY §2.1–§2.6)
+    "q_scan"            -> (Relational.qScan _),
+    "q_point_lookup"    -> (Relational.qPointLookup _),
+    "q_filtered_search" -> (Relational.qFilteredSearch _),
+    "q_project_nested"  -> (Relational.qProjectNested _),
+    "q_drop_cols"       -> (Relational.qDropCols _),
+    "q_array_filter"    -> (Relational.qArrayFilter _),
+    "q_topk"            -> (Relational.qTopk _),
+    "q_first_per_key"   -> (Relational.qFirstPerKey _),
+    "q_count_by_key"    -> (Relational.qCountByKey _),
+    "q_null_impute"     -> (Relational.qNullImpute _),
+    "q_concat_norm"     -> (Relational.qConcatNorm _),
+    "q_string_shape"    -> (Relational.qStringShape _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_point_lookup" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey = 42 ORDER BY c_custkey""".stripMargin,
+    "q_filtered_search" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000.0
+        |  AND c_name LIKE 'Customer#00000%'
+        |ORDER BY c_custkey""".stripMargin,
+    "q_project_nested" ->
+      """SELECT event_id, event_type,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_drop_cols" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |       l_extendedprice, l_returnflag, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_array_filter" ->
+      """SELECT doc_id,
+        |       len(list_filter(string_split(text, ' '),
+        |           w -> w NOT IN ('a', 'the'))) AS n_clean,
+        |       array_to_string(list_slice(list_filter(string_split(text, ' '),
+        |           w -> w NOT IN ('a', 'the')), 1, 8), ' ') AS head_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_first_per_key" ->
+      """SELECT o_custkey, first_orderkey, first_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey AS first_orderkey,
+        |         o_orderdate AS first_orderdate,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_count_by_key" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |           AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_null_impute" ->
+      """SELECT c_custkey,
+        |       coalesce(nullif(trim(c_mktsegment), 'MACHINERY'),
+        |                'Not found') AS segment_imputed
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_concat_norm" ->
+      """SELECT c_custkey,
+        |       trim(concat_ws(' ', c_name,
+        |            nullif(c_mktsegment, 'AUTOMOBILE'),
+        |            CAST(c_nationkey AS VARCHAR))) AS norm_text
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_string_shape" ->
+      """SELECT o_orderkey,
+        |       upper(substring(o_orderpriority, 1, 1)) AS prio_code,
+        |       strftime(o_orderdate, '%Y%m%d') AS date_str
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+  )
 }

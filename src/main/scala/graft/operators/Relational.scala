@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational core — scans, filters, projections, scalar shaping, simple
+  * aggregates. Each query re-expresses one dataflow op from the reference
+  * (SURVEY.md §2, with /root/reference file:line citations) over the
+  * driver's testdata, Spark-first: declarative plans so Catalyst pushes
+  * filters to the Parquet scan, prunes columns, and keeps everything in
+  * whole-stage codegen.
+  *
+  * Determinism discipline (SURVEY.md §5): every query ends in a total
+  * ORDER BY; double sums either sum integral values (exact, order
+  * independent) or go through an exact DECIMAL sum and a single final cast
+  * back to DOUBLE so partition order can't perturb the result vs DuckDB.
+  */
+object Relational {
+
+  /** S1 — full-collection scan (`get_fhir_resource`,
+    * /root/reference/src/coding_task_1.py:42-50). Projection listed
+    * explicitly so the Parquet `ReadSchema` carries only what's needed.
+    */
+  def qScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** S2 — point lookup by id (`get_fhir_patient`,
+    * /root/reference/src/coding_task_1.py:53-61). The equality predicate is
+    * pushed into the scan (Parquet row-group min/max pruning); at cluster
+    * scale this reads a handful of row groups, not the table.
+    */
+  def qPointLookup(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") === lit(42L))
+      .orderBy(col("c_custkey"))
+
+  /** S3/P4 — server-side filtered search with conjunctive predicates
+    * (name + gender + birthdate>, /root/reference/src/coding_task_1.py:64-83).
+    * Equality + range + prefix predicates all reach `PushedFilters`.
+    */
+  def qFilteredSearch(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING" &&
+        col("c_acctbal") > lit(5000.0) &&
+        col("c_name").startsWith("Customer#00000"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** P1 — nested-field projection (`entry[i].resource.name[0].given[0]`,
+    * /root/reference/src/coding_task_1.py:77-81). The testdata's nested
+    * payload is the JSON `props` column on `events`; extraction stays a
+    * codegen'd expression (GetJsonObject), no UDF.
+    */
+  def qProjectNested(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+      .orderBy(col("event_id"))
+
+  /** P2 — column drop (`pop('id'/'meta'/'extension')`,
+    * /root/reference/src/coding_task_1.py:193-196). Catalyst column pruning
+    * means the dropped columns are never read from Parquet.
+    */
+  def qDropCols(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .drop("l_tax", "l_discount", "l_linestatus")
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** P3/F4 — array-element predicate filter: the SSN-identifier PII scrub
+    * (/root/reference/src/coding_task_1.py:199-204) as a higher-order
+    * `filter(array, x -> ...)` — stays inside codegen, no explode/regroup
+    * shuffle. Here: scrub stop-tokens from each document's token array.
+    */
+  def qArrayFilter(spark: SparkSession, dir: String): DataFrame = {
+    val words   = split(col("text"), " ")
+    val cleaned = filter(words, w => !(w === "a" || w === "the"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(cleaned).as("n_clean"),
+        array_join(slice(cleaned, 1, 8), " ").as("head_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** L1 — deterministic "first entry" / top-k (`entry[0]`,
+    * /root/reference/src/coding_task_1.py:123). Spark plans this as
+    * TakeOrderedAndProject: per-partition top-k, then a k-row merge on the
+    * driver — no full sort at any scale.
+    */
+  def qTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** A3/W1 — first-of-group ("first Condition entry per patient",
+    * /root/reference/src/coding_task_1.py:122-127) with a total tiebreak
+    * (o_orderdate, o_orderkey) so the pick is deterministic, unlike the
+    * reference's server-order dependence.
+    */
+  def qFirstPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
+        col("o_orderdate").as("first_orderdate"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** A1 — grouped counts (`len(data['entry'])`,
+    * /root/reference/src/coding_task_1.py:75). Hash aggregate with map-side
+    * partials; the money sum goes through an exact DECIMAL accumulator so
+    * the result is independent of partition order (see object doc).
+    */
+  def qCountByKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** F1/F2 — null imputation (`district` ← "Not found" when missing/blank,
+    * /root/reference/src/coding_task_1.py:211-212) via
+    * coalesce(nullif(trim(...))) — pure codegen expressions.
+    */
+  def qNullImpute(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        coalesce(nullif(trim(col("c_mktsegment")), lit("MACHINERY")),
+          lit("Not found")).as("segment_imputed"))
+      .orderBy(col("c_custkey"))
+
+  /** F3 — normalized string concat (address text assembly,
+    * /root/reference/src/coding_task_1.py:214-220). concat_ws skips the
+    * null produced by nullif, mirroring the reference's `or ""` defaults.
+    */
+  def qConcatNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        trim(concat_ws(" ", col("c_name"),
+          nullif(col("c_mktsegment"), lit("AUTOMOBILE")),
+          col("c_nationkey").cast("string"))).as("norm_text"))
+      .orderBy(col("c_custkey"))
+
+  /** F5/F6 — string shaping for HL7: gender → first uppercase char
+    * (/root/reference/src/coding_task_5.py:119) and date → YYYYMMDD
+    * (/root/reference/src/coding_task_5.py:120-121).
+    */
+  def qStringShape(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 1, 1)).as("prio_code"),
+        date_format(col("o_orderdate"), "yyyyMMdd").as("date_str"))
+      .orderBy(col("o_orderkey"))
+}

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+
+/** Parquet table readers over the driver's shared testdata
+  * (`/root/repo/TESTDATA.md`). Role mapping to the reference's clinical
+  * data model (see SURVEY.md §7.1, FIXTURES.md §B):
+  *
+  *   - `customer`  → patients       (reference scans: /root/reference/src/coding_task_1.py:42-83)
+  *   - `orders`    → encounters/conditions per patient (coding_task_1.py:85-109)
+  *   - `lineitem`  → observations/components (coding_task_3.py:54-87)
+  *   - `nation`/`region` → two-level SNOMED-ish concept hierarchy
+  *                   (parent/child ECL lookups, coding_task_1.py:137-175)
+  *   - `part`      → code dictionary / concept map (coding_task_5.py:71-94)
+  *   - `supplier`  → practitioners (performer references)
+  *   - `events`    → audit/stream table (insights.md:169-172 scheduled-sync
+  *                   generalization)
+  *   - `documents`/`embeddings` → LLM-pipeline extension tables.
+  *
+  * All reads are plain `spark.read.parquet` so Catalyst applies column
+  * pruning and predicate pushdown to the scan (verified via
+  * `.explain("formatted")` — `PushedFilters`, `ReadSchema`).
+  */
+object Tables {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "lineitem")
+  /** `events.ts` is Parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read it as a long (legacy conf) and truncate to
+    * microsecond timestamps with integer division — same ns→us floor
+    * DuckDB applies, so oracle comparisons stay exact. (Dividing as DOUBLE
+    * would lose precision: 2024 epoch-nanos ≈ 1.7e18 > 2^53.)
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkTestBase {
+
+  test("q_scan returns every customer exactly once, ordered") {
+    val df = Relational.qScan(spark, sfDir)
+    val n  = df.count()
+    assert(n > 0)
+    assert(df.select("c_custkey").distinct().count() == n)
+    val keys = df.select("c_custkey").collect().map(_.getLong(0))
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("q_point_lookup finds exactly the requested key") {
+    val rows = Relational.qPointLookup(spark, sfDir).collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 42L)
+  }
+
+  test("q_filtered_search applies all three predicates") {
+    val rows = Relational.qFilteredSearch(spark, sfDir)
+      .join(spark.read.parquet(s"$sfDir/customer.parquet"), "c_custkey")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("c_mktsegment") == "BUILDING")
+      assert(r.getAs[Double]("c_acctbal") > 5000.0)
+      assert(r.getAs[String]("c_name").startsWith("Customer#00000"))
+    }
+  }
+
+  test("q_project_nested extracts the json int") {
+    val df = Relational.qProjectNested(spark, sfDir)
+    assert(df.filter(col("k_val").isNull).count() == 0)
+    assert(df.schema("k_val").dataType.typeName == "integer")
+  }
+
+  test("q_drop_cols removes exactly the dropped columns") {
+    val cols = Relational.qDropCols(spark, sfDir).columns.toSet
+    assert(!cols.contains("l_tax") && !cols.contains("l_discount") &&
+      !cols.contains("l_linestatus"))
+    assert(cols.contains("l_orderkey") && cols.contains("l_quantity"))
+  }
+
+  test("q_array_filter scrubs stop tokens") {
+    val rows = Relational.qArrayFilter(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val head = r.getAs[String]("head_words").split(" ")
+      assert(!head.contains("a") && !head.contains("the"))
+    }
+  }
+
+  test("q_topk is the global top 10 by totalprice") {
+    val got = Relational.qTopk(spark, sfDir).collect()
+      .map(r => (r.getDouble(2), r.getLong(0)))
+    val want = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_totalprice"), col("o_orderkey")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy { case (p, k) => (-p, k) }.take(10)
+    assert(got.sameElements(want))
+  }
+
+  test("q_first_per_key returns one deterministic row per customer") {
+    val df = Relational.qFirstPerKey(spark, sfDir)
+    val n  = df.count()
+    assert(df.select("o_custkey").distinct().count() == n)
+    // the pick is the min (o_orderdate, o_orderkey) of that customer
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val manual = orders.groupBy("o_custkey")
+      .agg(min(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+      .select(col("o_custkey"), col("m.o_orderkey").as("first_orderkey"))
+    assert(df.select("o_custkey", "first_orderkey")
+      .except(manual).count() == 0)
+  }
+
+  test("q_count_by_key group totals sum to table size") {
+    val df = Relational.qCountByKey(spark, sfDir)
+    val total = df.agg(sum("n")).collect().head.getLong(0)
+    assert(total == spark.read.parquet(s"$sfDir/lineitem.parquet").count())
+  }
+
+  test("q_null_impute never yields null or the sentinel segment") {
+    val vals = Relational.qNullImpute(spark, sfDir)
+      .select("segment_imputed").distinct().collect().map(_.getString(0))
+    assert(!vals.contains(null) && !vals.contains("MACHINERY"))
+    assert(vals.contains("Not found"))
+  }
+
+  test("q_concat_norm skips nulled-out segments") {
+    val auto = Relational.qConcatNorm(spark, sfDir)
+      .join(spark.read.parquet(s"$sfDir/customer.parquet"), "c_custkey")
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select("norm_text").collect().map(_.getString(0))
+    assert(auto.nonEmpty)
+    auto.foreach(t => assert(!t.contains("AUTOMOBILE") && !t.contains("  ")))
+  }
+
+  test("q_string_shape formats prio char and yyyyMMdd") {
+    val rows = Relational.qStringShape(spark, sfDir).limit(50).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("prio_code").matches("[1-5]"))
+      assert(r.getAs[String]("date_str").matches("\\d{8}"))
+    }
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("queries and oracleSql keys line up") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+}

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 correctness gate (builder tooling only;
+the engine itself is pure Scala/Spark — this script is never shipped).
+
+Runs after `graft.Verify <sfDir> <outDir>`: for each query result parquet in
+<outDir>, executes the matching SQL from oracle_sql.json in DuckDB over the
+same testdata tables, sorts columns by name, and compares cell-by-cell
+(exact; NaN==NaN). Exits nonzero on any mismatch.
+
+Usage: python3 tools/compare_oracle.py <sfDir> <outDir> [query ...]
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+
+def norm_cell(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def compare(name, spark_rows, duck_rows, cols):
+    if len(spark_rows) != len(duck_rows):
+        print(f"FAIL {name}: row count spark={len(spark_rows)} duck={len(duck_rows)}")
+        return False
+    for i, (a, b) in enumerate(zip(spark_rows, duck_rows)):
+        for c, (x, y) in zip(cols, zip(a, b)):
+            if norm_cell(x) != norm_cell(y):
+                print(f"FAIL {name}: row {i} col {c}: spark={x!r} duck={y!r}")
+                return False
+    print(f"OK   {name}: {len(spark_rows)} rows")
+    return True
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok, skipped, failed = 0, 0, 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            duck = con.execute(sql)
+            cols_d = [d[0] for d in duck.description]
+            duck_rows = duck.fetchall()
+            spark = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            cols_s = [d[0] for d in spark.description]
+            if sorted(cols_s) != sorted(cols_d):
+                print(f"FAIL {name}: columns spark={sorted(cols_s)} duck={sorted(cols_d)}")
+                failed += 1
+                continue
+            spark_rows = spark.fetchall()
+            # driver sorts columns by name before hashing
+            perm_s = [cols_s.index(c) for c in sorted(cols_s)]
+            perm_d = [cols_d.index(c) for c in sorted(cols_d)]
+            srt = [tuple(r[i] for i in perm_s) for r in spark_rows]
+            drt = [tuple(r[i] for i in perm_d) for r in duck_rows]
+            if compare(name, srt, drt, sorted(cols_s)):
+                ok += 1
+            else:
+                failed += 1
+        except Exception as e:
+            print(f"ERROR {name}: {e}")
+            failed += 1
+    print(f"== {ok} ok, {failed} failed ==")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
