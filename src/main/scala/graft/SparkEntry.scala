@@ -47,6 +47,13 @@ object SparkEntry {
     "q_null_impute"     -> (Relational.qNullImpute _),
     "q_concat_norm"     -> (Relational.qConcatNorm _),
     "q_string_shape"    -> (Relational.qStringShape _),
+    // M2 — joins & enrichment (SURVEY §2.3, §2.4 A2)
+    "q_child_records"   -> (Joins.qChildRecords _),
+    "q_parent_lookup"   -> (Joins.qParentLookup _),
+    "q_child_lookup"    -> (Joins.qChildLookup _),
+    "q_code_map"        -> (Joins.qCodeMap _),
+    "q_anti_missing"    -> (Joins.qAntiMissing _),
+    "q_resource_counts" -> (Joins.qResourceCounts _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -71,7 +78,9 @@ object SparkEntry {
     "q_drop_cols" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         |       l_extendedprice, l_returnflag, l_shipdate
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey,
+        |  l_suppkey, l_quantity, l_extendedprice, l_returnflag,
+        |  l_shipdate""".stripMargin,
     "q_array_filter" ->
       """SELECT doc_id,
         |       len(list_filter(string_split(text, ' '),
@@ -112,5 +121,43 @@ object SparkEntry {
         |       upper(substring(o_orderpriority, 1, 1)) AS prio_code,
         |       strftime(o_orderdate, '%Y%m%d') AS date_str
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_child_records" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderstatus, o_totalprice
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+    "q_parent_lookup" ->
+      """SELECT c_custkey, n_name AS code_name, r_name AS parent_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_child_lookup" ->
+      """WITH fc AS (
+        |  SELECT n_regionkey, min(n_nationkey) AS child_key,
+        |         arg_min(n_name, n_nationkey) AS child_name
+        |  FROM nation GROUP BY n_regionkey)
+        |SELECT c_custkey, n.n_name AS code_name, fc.child_key, fc.child_name
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN fc ON n.n_regionkey = fc.n_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_code_map" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, p_brand AS map_target
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin,
+    "q_anti_missing" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-06-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_resource_counts" ->
+      """SELECT resource_type, code, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT 'orders' AS resource_type, o_orderstatus AS code FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', l_returnflag FROM lineitem) t
+        |GROUP BY resource_type, code
+        |ORDER BY resource_type, code""".stripMargin,
   )
 }

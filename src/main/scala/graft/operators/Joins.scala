@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Join layer — every lookup in the reference is an equi-join
+  * (SURVEY.md §2.3). Role mapping (Tables.scala): customer→patients,
+  * orders→per-patient clinical facts, nation/region→two-level concept
+  * hierarchy, part→concept map.
+  *
+  * Scale posture: dimension sides (nation 25, region 5, part = code
+  * dictionary) stay small at any data scale, so they are broadcast —
+  * the fact side never shuffles for those joins. The one fact⋈fact join
+  * (customer⋈orders) is left to Catalyst/AQE: both sides grow with the
+  * data, so a shuffled hash / sort-merge join on the FK is the correct
+  * 100 TB plan, not a forced broadcast.
+  */
+object Joins {
+
+  /** J1 — child-records FK join: all Conditions *for* a patient
+    * (`Condition?patient=id`, /root/reference/src/coding_task_1.py:85-109,
+    * coding_task_2.py:63-87), plus the P5 code-equality filter on the
+    * child side (`?code=...`, coding_task_3.py:60). Both filters are
+    * pushed to the parquet scans before the join.
+    */
+  def qChildRecords(spark: SparkSession, dir: String): DataFrame = {
+    val patients = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    val records = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    patients
+      .join(records, patients("c_custkey") === records("o_custkey"))
+      .drop("o_custkey")
+      .orderBy(col("c_custkey"), col("o_orderkey"))
+  }
+
+  /** J2 — hierarchy parent lookup: SNOMED code → parent concept via ECL
+    * `>!{code}` (/root/reference/src/coding_task_1.py:137-175, query at
+    * :158). Here: each patient's code (nation) is enriched with its
+    * parent concept (region) through two broadcast joins — zero fact
+    * shuffles at any scale.
+    */
+  def qParentLookup(spark: SparkSession, dir: String): DataFrame = {
+    val facts  = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nation = broadcast(Tables.nation(spark, dir))
+    val region = broadcast(Tables.region(spark, dir))
+    facts
+      .join(nation, facts("c_nationkey") === nation("n_nationkey"))
+      .join(region, col("n_regionkey") === region("r_regionkey"))
+      .select(col("c_custkey"), col("n_name").as("code_name"),
+        col("r_name").as("parent_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** J3 — hierarchy child lookup with deterministic first pick: SNOMED
+    * code → *a* child concept via ECL `<!{code}` then `data[0]`
+    * (/root/reference/src/coding_task_2.py:115-153, query :139, pick
+    * :144-145). The reference trusts server order; we make the pick
+    * deterministic with min(struct(key, name)).
+    *
+    * Scale shape: the first-child-per-parent map is reduced by a partial
+    * hash aggregate on the (tiny) hierarchy table *before* being
+    * broadcast, so the per-fact work is two broadcast probes.
+    */
+  def qChildLookup(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val firstChild = nation
+      .groupBy(col("n_regionkey").as("fc_regionkey"))
+      .agg(min(struct(col("n_nationkey"), col("n_name"))).as("fc"))
+      .select(col("fc_regionkey"), col("fc.n_nationkey").as("child_key"),
+        col("fc.n_name").as("child_name"))
+    val facts = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    facts
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(firstChild), col("n_regionkey") === col("fc_regionkey"))
+      .select(col("c_custkey"), col("n_name").as("code_name"),
+        col("child_key"), col("child_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** J4 — concept-map join: SNOMED → ICD-10 through map refset 447562003
+    * (/root/reference/src/coding_task_5.py:71-94, pick :89-90). The code
+    * dictionary (part) is broadcast; LEFT join keeps unmapped codes with
+    * a null mapTarget exactly like the reference's no-mapping branch
+    * (coding_task_5.py:85-87).
+    */
+  def qCodeMap(spark: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val dict = broadcast(Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand").as("map_target")))
+    facts
+      .join(dict, facts("l_partkey") === dict("p_partkey"), "left")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("map_target"))
+      // (l_orderkey, l_linenumber) is NOT unique in the testdata; adding
+      // l_partkey makes tied rows byte-identical (map_target is a function
+      // of l_partkey), so the hash compare is order-stable.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+  }
+
+  /** J6 — care-gap anti-join: patients with NO recent observation →
+    * create-if-missing (/root/reference/src/coding_task_3.py:54-87 +
+    * main :236-245; the `insights.md:223` "no recent blood pressure
+    * Observation" query verbatim). LEFT ANTI join; the date filter is
+    * pushed into the orders scan so only recent keys shuffle.
+    */
+  def qAntiMissing(spark: SparkSession, dir: String): DataFrame = {
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** A2 — resource-type rollup counts, source-vs-target
+    * (/root/reference/src/insights.py:9-14): union of per-type tallies →
+    * one 2-key hash aggregate. Partial aggregation runs on each union
+    * branch's partitions before the (tiny) shuffle.
+    */
+  def qResourceCounts(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(lit("orders").as("resource_type"),
+        col("o_orderstatus").as("code"))
+    val l = Tables.lineitem(spark, dir)
+      .select(lit("lineitem").as("resource_type"),
+        col("l_returnflag").as("code"))
+    o.unionByName(l)
+      .groupBy(col("resource_type"), col("code"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("resource_type"), col("code"))
+  }
+}

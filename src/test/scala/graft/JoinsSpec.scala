@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+
+class JoinsSpec extends SparkTestBase {
+
+  test("q_child_records matches an independently-computed FK join") {
+    val df = Joins.qChildRecords(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[String]("o_orderstatus") == "O"))
+    // row count = sum over BUILDING customers of their O-status orders
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ords = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderstatus") === "O")
+    val expected = ords.join(cust, col("o_custkey") === col("c_custkey")).count()
+    assert(rows.length.toLong == expected)
+  }
+
+  test("q_child_records broadcasts neither side unforced at scale (plan sanity)") {
+    val plan = Joins.qChildRecords(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // filters must be pushed into the scans, not evaluated post-join
+    assert(plan.contains("PushedFilters"))
+  }
+
+  test("q_parent_lookup resolves every customer to exactly one parent") {
+    val df = Joins.qParentLookup(spark, sfDir)
+    val n = df.count()
+    assert(n == spark.read.parquet(s"$sfDir/customer.parquet").count())
+    assert(df.filter(col("parent_name").isNull).count() == 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q_child_lookup picks the minimal child of each parent region") {
+    val df = Joins.qChildLookup(spark, sfDir)
+    // independently: for each region the child_key must be the min nationkey
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val minPerRegion = nation.groupBy("n_regionkey")
+      .agg(min("n_nationkey").as("mk"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val regionOf = nation.collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap // nationkey -> regionkey
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    df.collect().foreach { r =>
+      val ck = r.getAs[Long]("c_custkey")
+      val expected = minPerRegion(regionOf(cust(ck)))
+      assert(r.getAs[Int]("child_key") == expected)
+    }
+  }
+
+  test("q_code_map maps every lineitem and keeps left rows") {
+    val df = Joins.qCodeMap(spark, sfDir)
+    assert(df.count() ==
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q_anti_missing is the complement of customers with recent orders") {
+    val df = Joins.qAntiMissing(spark, sfDir)
+    val gap = df.select("c_custkey").collect().map(_.getLong(0)).toSet
+    val recent = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp"))
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(gap.intersect(recent).isEmpty)
+    val all = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(gap.union(recent) == all)
+  }
+
+  test("q_resource_counts totals match the table sizes") {
+    val df = Joins.qResourceCounts(spark, sfDir)
+    val byType = df.groupBy("resource_type").agg(sum("n").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("orders") ==
+      spark.read.parquet(s"$sfDir/orders.parquet").count())
+    assert(byType("lineitem") ==
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count())
+  }
+}

@@ -21,7 +21,10 @@ class RelationalSpec extends SparkTestBase {
   }
 
   test("q_filtered_search applies all three predicates") {
-    val rows = Relational.qFilteredSearch(spark, sfDir)
+    // join on the key only — carrying the query's own c_name/c_acctbal into
+    // the join would create duplicate column names and getAs could silently
+    // resolve against the wrong side (round-1 advice)
+    val rows = Relational.qFilteredSearch(spark, sfDir).select("c_custkey")
       .join(spark.read.parquet(s"$sfDir/customer.parquet"), "c_custkey")
       .collect()
     assert(rows.nonEmpty)
