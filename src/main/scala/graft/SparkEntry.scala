@@ -54,6 +54,12 @@ object SparkEntry {
     "q_code_map"        -> (Joins.qCodeMap _),
     "q_anti_missing"    -> (Joins.qAntiMissing _),
     "q_resource_counts" -> (Joins.qResourceCounts _),
+    // M3 — document ops & sinks (SURVEY §2.7, §2.8, §2.1 S6)
+    "q_build_struct"    -> (Documents.qBuildStruct _),
+    "q_struct_patch"    -> (Documents.qStructPatch _),
+    "q_er7_serialize"   -> (Documents.qEr7Serialize _),
+    "q_validate"        -> (Documents.qValidate _),
+    "q_sink_roundtrip"  -> (Documents.qSinkRoundtrip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -159,5 +165,77 @@ object SparkEntry {
         |  SELECT 'lineitem', l_returnflag FROM lineitem) t
         |GROUP BY resource_type, code
         |ORDER BY resource_type, code""".stripMargin,
+    "q_build_struct" ->
+      """SELECT c_custkey, to_json(struct_pack(
+        |  resourceType := 'Patient',
+        |  id := concat('Patient/', CAST(c_custkey AS VARCHAR)),
+        |  "text" := struct_pack(
+        |    status := 'generated',
+        |    div := concat('<div xmlns="http://www.w3.org/1999/xhtml"><p>',
+        |                  c_name, '</p></div>')),
+        |  code := struct_pack(
+        |    coding := list_value(struct_pack(
+        |      system := 'http://terminology.example.org/segment',
+        |      code := c_mktsegment,
+        |      display := concat(upper(substring(c_mktsegment, 1, 1)),
+        |                        lower(substring(c_mktsegment, 2, 100))))),
+        |    "text" := c_mktsegment),
+        |  address := list_value(struct_pack(
+        |    "text" := trim(concat_ws(' ', c_name, n_name)),
+        |    line := string_split(c_name, '#'),
+        |    city := n_name)),
+        |  managingOrganization := struct_pack(
+        |    reference := concat('Organization/', n_name)),
+        |  balance := CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+        |)) AS doc
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_struct_patch" ->
+      """SELECT c_custkey, to_json(struct_pack(
+        |  status := 'final',
+        |  meta := struct_pack(versionId := '1',
+        |    profile := list_value('http://example.org/profile/patient')),
+        |  name := c_name,
+        |  segment := c_mktsegment)) AS doc
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_er7_serialize" ->
+      """WITH fo AS (
+        |  SELECT o_custkey, o_orderkey AS enc_id, o_orderdate AS enc_date,
+        |         o_orderpriority AS diag_code
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate, o_orderkey) AS rn FROM orders) t
+        |  WHERE rn = 1)
+        |SELECT c_custkey, concat_ws(chr(13),
+        |  concat_ws('|', 'MSH', '^~\&', 'GRAFT', n_name, 'PRIMARY', 'FAC',
+        |    strftime(enc_date, '%Y%m%d%H%M%S'), '', 'ADT^A01',
+        |    CAST(c_custkey AS VARCHAR), 'P', '2.5'),
+        |  concat_ws('|', 'PID', '1', '', CAST(c_custkey AS VARCHAR), '',
+        |    concat_ws('^', replace(c_name, '#', ''), c_mktsegment), '',
+        |    strftime(enc_date, '%Y%m%d'),
+        |    upper(substring(c_mktsegment, 1, 1))),
+        |  concat_ws('|', 'PV1', '1', 'I', n_name, CAST(enc_id AS VARCHAR)),
+        |  concat_ws('|', 'DG1', '1', '',
+        |    concat_ws('^', diag_code, 'I10'))) AS er7
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN fo ON c_custkey = fo.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_validate" ->
+      """SELECT c_custkey, violation FROM (
+        |  SELECT c_custkey, unnest(list_filter([
+        |    CASE WHEN c_acctbal < 0 THEN 'negative account balance' END,
+        |    CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE', 'BUILDING',
+        |      'FURNITURE', 'HOUSEHOLD', 'MACHINERY')
+        |      THEN 'unknown market segment' END,
+        |    CASE WHEN NOT starts_with(c_name, 'Customer#')
+        |      THEN 'bad name format' END,
+        |    CASE WHEN c_nationkey < 0 OR c_nationkey > 24
+        |      THEN 'nationkey out of range' END],
+        |    x -> x IS NOT NULL)) AS violation
+        |  FROM customer) t
+        |ORDER BY c_custkey, violation""".stripMargin,
+    "q_sink_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
   )
 }
