@@ -60,6 +60,9 @@ object SparkEntry {
     "q_er7_serialize"   -> (Documents.qEr7Serialize _),
     "q_validate"        -> (Documents.qValidate _),
     "q_sink_roundtrip"  -> (Documents.qSinkRoundtrip _),
+    // M4 — time windows (SURVEY §2.9; streaming duals in graft.streaming)
+    "q_window_tumbling" -> (Windowed.qWindowTumbling _),
+    "q_session_gap"     -> (Windowed.qSessionGap _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -237,5 +240,28 @@ object SparkEntry {
     "q_sink_roundtrip" ->
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier
         |ORDER BY s_suppkey""".stripMargin,
+    "q_window_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q_session_gap" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
   )
 }

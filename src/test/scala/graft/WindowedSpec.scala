@@ -1,0 +1,118 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Windowed
+import graft.streaming.Streams
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+  event_type: String)
+
+class WindowedSpec extends SparkTestBase {
+
+  test("q_window_tumbling counts partition the table") {
+    val df = Windowed.qWindowTumbling(spark, sfDir)
+    val total = df.agg(sum("n")).collect().head.getLong(0)
+    assert(total == graft.sources.Tables.events(spark, sfDir).count())
+    // window starts are whole hours
+    assert(df.filter(minute(col("window_start")) =!= 0).count() == 0)
+  }
+
+  test("q_session_gap sessions cover all events with positive gaps between them") {
+    val df = Windowed.qSessionGap(spark, sfDir).cache()
+    val total = df.agg(sum("n_events")).collect().head.getLong(0)
+    assert(total == graft.sources.Tables.events(spark, sfDir).count())
+    // session ids are 1..k dense per user, and consecutive sessions of the
+    // same user are separated by more than the 30-minute gap
+    val perUser = df.orderBy("user_id", "session_id").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    perUser.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("session_id")).toSeq ==
+        (1L to rows.length).toSeq)
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          val gapUs = b.getAs[Timestamp]("session_start").getTime * 1000 -
+            a.getAs[Timestamp]("session_end").getTime * 1000
+          assert(gapUs > 30L * 60 * 1000000 / 1000 * 1000)
+        case _ => ()
+      }
+    }
+    df.unpersist()
+  }
+
+  test("streaming tumblingCounts agrees with the batch declared query") {
+    // the same transform runs on a batch frame (withWatermark is a no-op)
+    val batch = Streams.tumblingCounts(
+      graft.sources.Tables.events(spark, sfDir))
+      .orderBy("window_start", "event_type")
+    val declared = Windowed.qWindowTumbling(spark, sfDir)
+    assert(batch.except(declared).count() == 0)
+    assert(declared.except(batch).count() == 0)
+  }
+
+  test("streaming tumblingCounts over MemoryStream matches batch counts") {
+    import spark.implicits._
+    val evs = Seq(
+      Ev(1, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "click"),
+      Ev(2, Timestamp.valueOf("2024-01-01 10:45:00"), 1, "click"),
+      Ev(3, Timestamp.valueOf("2024-01-01 11:05:00"), 2, "view"),
+      Ev(4, Timestamp.valueOf("2024-01-01 11:59:59"), 2, "click"))
+    val input = MemoryStream[Ev](spark)
+    input.addData(evs)
+    val q = Streams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumbling_test")
+        .orderBy("window_start", "event_type")
+        .collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString,
+          r.getAs[String]("event_type"), r.getAs[Long]("n")))
+      assert(got.toSeq == Seq(
+        ("2024-01-01 10:00:00.0", "click", 2L),
+        ("2024-01-01 11:00:00.0", "click", 1L),
+        ("2024-01-01 11:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionCounts over MemoryStream sessionizes by gap") {
+    import spark.implicits._
+    // user 1: two events 10 min apart (one session), then one 2h later
+    val evs = Seq(
+      Ev(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click"),
+      Ev(2, Timestamp.valueOf("2024-01-01 10:10:00"), 1, "click"),
+      Ev(3, Timestamp.valueOf("2024-01-01 12:10:00"), 1, "click"))
+    val input = MemoryStream[Ev](spark)
+    input.addData(evs)
+    val q = Streams.sessionCounts(input.toDF())
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("session_test").orderBy("session_start")
+        .collect().map(r => r.getAs[Long]("n_events"))
+      assert(got.toSeq == Seq(2L, 1L))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops replayed event ids") {
+    import spark.implicits._
+    val evs = Seq(
+      Ev(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click"),
+      Ev(1, Timestamp.valueOf("2024-01-01 10:00:30"), 1, "click"), // replay
+      Ev(2, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "view"))
+    val input = MemoryStream[Ev](spark)
+    input.addData(evs)
+    val q = Streams.dedupWithinWatermark(input.toDF())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() == 2)
+    } finally q.stop()
+  }
+}
