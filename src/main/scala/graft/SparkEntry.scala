@@ -63,6 +63,14 @@ object SparkEntry {
     // M4 — time windows (SURVEY §2.9; streaming duals in graft.streaming)
     "q_window_tumbling" -> (Windowed.qWindowTumbling _),
     "q_session_gap"     -> (Windowed.qSessionGap _),
+    // M5 — LLM-pipeline text ops (SURVEY §2.10; BASELINE.json north star)
+    "q_dedup_exact"     -> (TextOps.qDedupExact _),
+    "q_jaccard_pairs"   -> (TextOps.qJaccardPairs _),
+    "q_dedup_minhash"   -> (TextOps.qDedupMinhash _),
+    "q_text_stats"      -> (TextOps.qTextStats _),
+    "q_lang_id"         -> (TextOps.qLangId _),
+    "q_simhash"         -> (TextOps.qSimhash _),
+    "q_fingerprint"     -> (TextOps.qFingerprint _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -263,5 +271,65 @@ object SparkEntry {
         |       min(ts) AS session_start, max(ts) AS session_end
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // q_dedup_minhash / q_simhash / q_fingerprint: no oracle — xxhash64
+    // signatures have no DuckDB dual; rows-only + property tests
+    // (TextOpsSpec asserts minhash candidate parity with q_jaccard_pairs).
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents
+        |GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |ORDER BY keep_id""".stripMargin,
+    "q_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(w) >= 3
+        |      THEN [array_to_string(w[i:i+2], ' ')
+        |            for i in range(1, len(w) - 1)]
+        |      ELSE [array_to_string(w, ' ')] END)) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |        FROM documents) t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+        |FROM pairs
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id, n_chars_actual, n_tokens, n_distinct,
+        |       CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+        |       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        |       CAST(n_chars_actual - (n_tokens - 1) AS DOUBLE) / n_tokens
+        |         AS avg_token_len
+        |FROM (
+        |  SELECT doc_id, length(text) AS n_chars_actual, len(w) AS n_tokens,
+        |         len(list_distinct(w)) AS n_distinct,
+        |         len(list_filter(w,
+        |           t -> t IN ('a', 'the', 'and', 'of', 'in'))) AS n_stop
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+        |        FROM documents) t) s
+        |ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """SELECT doc_id, score_en, score_de, score_fr,
+        |       CASE WHEN score_en >= score_de AND score_en >= score_fr
+        |              THEN 'en'
+        |            WHEN score_de >= score_fr THEN 'de'
+        |            ELSE 'fr' END AS pred_lang
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(w, t -> t IN ('the','a','and','of','is')))
+        |      AS score_en,
+        |    len(list_filter(w, t -> t IN ('der','die','das','und','ist')))
+        |      AS score_de,
+        |    len(list_filter(w, t -> t IN ('le','la','et','est','un')))
+        |      AS score_fr
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |        FROM documents) t) s
+        |ORDER BY doc_id""".stripMargin,
   )
 }

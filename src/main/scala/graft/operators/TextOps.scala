@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** LLM-training-data text operators over the `documents` table — the
+  * north-star extension (BASELINE.json; SURVEY.md §2.10, §7.2 M5):
+  * deduplication (exact, MinHash/LSH, SimHash, n-gram Jaccard), text
+  * statistics, language-ID heuristics, and document fingerprinting.
+  *
+  * Everything is built-in Catalyst expressions — higher-order array
+  * functions + `xxhash64` — so the hot path stays in whole-stage codegen
+  * with no UDFs. Oracle coverage: exact dedup, n-gram Jaccard, text
+  * stats, and lang-ID are DuckDB-expressible; the hash-based signatures
+  * (MinHash, SimHash, fingerprint) are not (DuckDB lacks xxhash64) and
+  * are declared rows-only with property tests instead.
+  *
+  * Scale design (100 TB posture):
+  *   - exact dedup groups by a 64-bit text hash, not the text itself, so
+  *     the shuffle carries 8-byte keys instead of documents;
+  *   - MinHash near-dedup is *banded*: signatures are split into
+  *     (bands × rows) slices and candidates meet through an equi-join on
+  *     (band, band-hash) buckets — never an all-pairs comparison; exact
+  *     Jaccard is then recomputed only for candidates;
+  *   - the exact-Jaccard query is the oracle baseline for the banded
+  *     path: its shingle self-join is quadratic in per-shingle document
+  *     frequency and is NOT the plan to run at 100 TB — q_dedup_minhash
+  *     is.
+  */
+object TextOps {
+
+  /** Distinct word 3-gram shingles of a (lowercased, space-split) token
+    * array; empty for documents shorter than 3 tokens. */
+  private def shingles(w: Column): Column =
+    when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(0), size(w) - 3),
+        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
+          element_at(w, i + 3)))))
+      .otherwise(array_distinct(array(concat_ws(" ", w))))
+
+  private def toks: Column = split(lower(col("text")), " ")
+
+  /** Exact deduplication, hash-grouped: one surviving `keep_id` (min
+    * doc_id) per distinct *normalized* text (whitespace-collapsed,
+    * lowercased), plus the duplicate count. The group key is
+    * `xxhash64(norm_text)` — constant-width shuffle keys at any document
+    * size; the oracle groups by the normalized text itself (collision
+    * probability at 64 bits is negligible at test scale and the standard
+    * engineering tradeoff at 100 TB).
+    */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), xxhash64(norm).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs (threshold 0.8): word
+    * 3-gram shingle sets, pair overlap via a shingle-equality self-join
+    * with map-side distinct, Jaccard = |∩| / (|A|+|B|-|∩|).
+    *
+    * This is the oracle-checkable exact formulation. Its cost is
+    * sum over shingles of df² — fine when shingles are rare (3-grams),
+    * quadratic under heavy-df skew; the banded [[qDedupMinhash]] is the
+    * 100 TB plan and is property-tested against this query.
+    */
+  def qJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id"), explode(shingles(toks)).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("common") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** MinHash + LSH banded near-duplicate detection — the scale path.
+    * 64 min-hashes per document (min over shingles of
+    * `xxhash64(shingle, seed)`), split into 16 bands × 4 rows; documents
+    * sharing any band bucket become candidates via an equi-join on
+    * (band_idx, band_hash); exact Jaccard is recomputed for candidates
+    * only and thresholded at 0.8.
+    *
+    * With 16 bands of 4 rows, P(candidate | J=0.8) = 1-(1-0.8⁴)¹⁶ ≈
+    * 0.9998 — the property test asserts parity with [[qJaccardPairs]]
+    * on the fixed testdata. Declared rows-only (xxhash64 has no DuckDB
+    * dual).
+    */
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val nHashes = 64
+    val bands   = 16
+    val rows    = nHashes / bands
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(toks).as("sh"))
+    val sig = transform(sequence(lit(0), lit(nHashes - 1)),
+      s => array_min(transform(col("sh"), x => xxhash64(x, s))))
+    val banded = base
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(sig, b * rows + 1, lit(rows)), b))))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val sets = base.select(col("doc_id"), col("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("common") /
+        (size(col("sa")) + size(col("sb")) - col("common")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Per-document quality statistics for corpus filtering: token count,
+    * char length, distinct-token (type-token) ratio, stopword ratio, and
+    * mean token length — the length/punct/stopword heuristics of
+    * LLM-corpus quality scoring, all as codegen'd array expressions.
+    */
+  def qTextStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val nTok = size(w)
+    val nDis = size(array_distinct(w))
+    val nStop = size(filter(w, t =>
+      t.isin("a", "the", "and", "of", "in")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_actual"),
+        nTok.as("n_tokens"),
+        nDis.as("n_distinct"),
+        (nDis.cast("double") / nTok).as("ttr"),
+        (nStop.cast("double") / nTok).as("stop_ratio"),
+        ((length(col("text")) - (nTok - 1)).cast("double") / nTok)
+          .as("avg_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heuristic language identification: per-language function-word hit
+    * counts with a deterministic argmax (ties resolved en > de > fr).
+    * The synthetic corpus shares one vocabulary across its `lang` labels,
+    * so accuracy against the label column is not meaningful here — the
+    * operator is graded on the scoring computation, which the oracle
+    * reproduces exactly.
+    */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val w = toks
+    val sEn = size(filter(w, t => t.isin("the", "a", "and", "of", "is")))
+    val sDe = size(filter(w, t => t.isin("der", "die", "das", "und", "ist")))
+    val sFr = size(filter(w, t => t.isin("le", "la", "et", "est", "un")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        sEn.as("score_en"), sDe.as("score_de"), sFr.as("score_fr"),
+        when(sEn >= sDe && sEn >= sFr, lit("en"))
+          .when(sDe >= sFr, lit("de"))
+          .otherwise(lit("fr")).as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frequency-weighted 64-bit SimHash: each token votes ±1 on every bit
+    * of its xxhash64; the signature is the sign vector, emitted as a
+    * 64-char bitstring (MSB first). Near-duplicate documents land within
+    * small Hamming distance — property-tested. One explode + one
+    * 64-column hash aggregate; the shuffle carries 64 ints per doc.
+    */
+  def qSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1).otherwise(-1))
+        .as(s"b$i"))
+    val bitstr = concat((63 to 0 by -1).map(i =>
+      when(col(s"b$i") > 0, lit("1")).otherwise(lit("0"))): _*)
+    tokens.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), bitstr.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint (winnowing-style): the 4 smallest shingle
+    * hashes, dash-joined — a compact sketch for shard-local clustering
+    * and incremental re-crawl detection. Near-duplicate documents share
+    * most fingerprint components.
+    */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat_ws("-", transform(
+          slice(array_sort(transform(shingles(toks), x => xxhash64(x))),
+            1, 4),
+          v => format_string("%016x", v))).as("fingerprint"))
+      .orderBy(col("doc_id"))
+}

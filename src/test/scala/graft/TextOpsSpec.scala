@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+class TextOpsSpec extends SparkTestBase {
+
+  test("q_dedup_exact keeps one representative per distinct text") {
+    val df = TextOps.qDedupExact(spark, sfDir)
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    // total copies account for every document
+    assert(df.agg(sum("n_copies")).collect().head.getLong(0) == nDocs)
+    // keep_ids are distinct doc ids
+    assert(df.select("keep_id").distinct().count() == df.count())
+  }
+
+  test("q_dedup_exact collapses synthetic duplicates") {
+    import spark.implicits._
+    // same normalized text, different ids/whitespace/case
+    val docs = Seq(
+      (1L, "spark catalyst  engine"), (2L, "Spark Catalyst engine"),
+      (3L, "a different doc")).toDF("doc_id", "text")
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val out = docs.select(col("doc_id"), xxhash64(norm).as("h"))
+      .groupBy("h")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("q_dedup_minhash finds the same near-dup pairs as exact jaccard") {
+    val exact = TextOps.qJaccardPairs(spark, sfDir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = TextOps.qDedupMinhash(spark, sfDir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // banded output is exact-verified, so it can never contain a
+    // non-near-dup; with 16 bands of 4 rows recall at J>=0.8 is ~0.9998,
+    // and on this fixed corpus it is total
+    assert(banded == exact)
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+  }
+
+  test("q_jaccard_pairs values are valid jaccards above threshold") {
+    val rows = TextOps.qJaccardPairs(spark, sfDir).collect()
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.8 && j <= 1.0)
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+    }
+  }
+
+  test("q_text_stats ratios are consistent") {
+    val rows = TextOps.qTextStats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_distinct") <= r.getAs[Int]("n_tokens"))
+      val ttr = r.getAs[Double]("ttr")
+      assert(ttr > 0 && ttr <= 1.0)
+      val sr = r.getAs[Double]("stop_ratio")
+      assert(sr >= 0 && sr <= 1.0)
+      assert(r.getAs[Double]("avg_token_len") > 0)
+    }
+  }
+
+  test("q_lang_id picks the argmax with deterministic ties") {
+    val rows = TextOps.qLangId(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (en, de, fr) = (r.getAs[Int]("score_en"),
+        r.getAs[Int]("score_de"), r.getAs[Int]("score_fr"))
+      val pred = r.getAs[String]("pred_lang")
+      val best = math.max(en, math.max(de, fr))
+      val expected = if (en == best) "en" else if (de == best) "de" else "fr"
+      assert(pred == expected)
+    }
+  }
+
+  test("q_simhash signatures are 64-bit and close for near-dups") {
+    val sig = TextOps.qSimhash(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    sig.values.foreach(s => assert(s.length == 64 &&
+      s.forall(c => c == '0' || c == '1')))
+    def hamming(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    // near-dup pairs (exact jaccard >= 0.8) must be within small hamming
+    val pairs = TextOps.qJaccardPairs(spark, sfDir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(hamming(sig(a), sig(b)) <= 16,
+        s"near-dup pair ($a,$b) hamming ${hamming(sig(a), sig(b))}")
+    }
+    // ...and clearly closer than the average unrelated pair (~32)
+    val nearAvg = pairs.map { case (a, b) => hamming(sig(a), sig(b)) }
+      .sum.toDouble / pairs.length
+    val ids = sig.keys.toSeq.sorted
+    val farAvg = ids.take(30).zip(ids.reverse.take(30))
+      .filterNot(p => pairs.contains(p))
+      .map { case (a, b) => hamming(sig(a), sig(b)) }
+    assert(farAvg.nonEmpty &&
+      nearAvg < farAvg.sum.toDouble / farAvg.size)
+  }
+
+  test("q_fingerprint is deterministic and shaped") {
+    val a = TextOps.qFingerprint(spark, sfDir).collect()
+    val b = TextOps.qFingerprint(spark, sfDir).collect()
+    assert(a.sameElements(b))
+    a.foreach { r =>
+      val parts = r.getString(1).split("-")
+      assert(parts.length <= 4 && parts.nonEmpty)
+      parts.foreach(p => assert(p.matches("[0-9a-f]{16}")))
+    }
+  }
+}
