@@ -71,6 +71,9 @@ object SparkEntry {
     "q_lang_id"         -> (TextOps.qLangId _),
     "q_simhash"         -> (TextOps.qSimhash _),
     "q_fingerprint"     -> (TextOps.qFingerprint _),
+    // M5 — similarity search over embeddings
+    "q_cosine_topk"     -> (Vectors.qCosineTopk _),
+    "q_ann_ivf"         -> (Vectors.qAnnIvf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -331,5 +334,29 @@ object SparkEntry {
         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
         |        FROM documents) t) s
         |ORDER BY doc_id""".stripMargin,
+    // q_ann_ivf: no oracle — approximate by design; recall vs the exact
+    // q_cosine_topk is property-tested in VectorsSpec.
+    "q_cosine_topk" ->
+      """WITH base AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x * x),
+        |         (a, b) -> a + b)) AS nrm
+        |  FROM base),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.v, c.v),
+        |        p -> p[1] * p[2]), (a, b) -> a + b) / (q.nrm * c.nrm)
+        |      AS cosine
+        |  FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |ranked AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, neighbor_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
   )
 }
