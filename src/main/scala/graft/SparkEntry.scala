@@ -74,6 +74,9 @@ object SparkEntry {
     // M5 — similarity search over embeddings
     "q_cosine_topk"     -> (Vectors.qCosineTopk _),
     "q_ann_ivf"         -> (Vectors.qAnnIvf _),
+    // M5 — multimodal binary columns
+    "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
+    "q_frame_sample"    -> (Multimodal.qFrameSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -358,5 +361,24 @@ object SparkEntry {
         |  FROM scored)
         |SELECT q_id, rank, neighbor_id, cosine FROM ranked
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id, 'utf8-text' AS format,
+        |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |       md5(text) AS content_md5,
+        |       CAST(320 + octet_length(encode(text)) % 320 AS INTEGER)
+        |         AS probe_width,
+        |       CAST(240 + octet_length(encode(text)) % 240 AS INTEGER)
+        |         AS probe_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_frame_sample" ->
+      """SELECT doc_id, CAST(f.frame_idx AS INTEGER) AS frame_idx,
+        |       CAST(320 + nb % 320 AS INTEGER) AS width,
+        |       CAST(240 + nb % 240 AS INTEGER) AS height,
+        |       doc_id * 1000003 + f.frame_idx * 97 AS pixel_hash
+        |FROM (SELECT doc_id, octet_length(encode(text)) AS nb
+        |      FROM documents) d,
+        |     LATERAL (SELECT unnest(range(least(5, nb // 100 + 1)))
+        |              AS frame_idx) f
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

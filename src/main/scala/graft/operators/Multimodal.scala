@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** A multimodal record: opaque binary payload + typed metadata — the
+  * columnar shape for image/audio/video at 100 TB (binary column stays
+  * opaque to the engine; metadata columns drive pruning/partitioning). */
+case class MediaDoc(doc_id: Long, content: Array[Byte], format: String)
+
+/** One decoded/sampled frame of a media document. */
+case class Frame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
+  pixel_hash: Long)
+
+/** Multimodal column handling — the north-star extension for
+  * image/audio/video corpora (BASELINE.json). The container ships no
+  * codec libraries, so the *decode* step is a clearly-marked
+  * deterministic STUB; everything Spark-side — schema, binary column
+  * construction, metadata extraction, the typed mapPartitions decode
+  * boundary, frame-row expansion — is real and tested.
+  *
+  * Scale design: the binary payload is carried as an opaque
+  * `BinaryType` column (parquet keeps it out of dictionary/stats paths);
+  * metadata extraction is pure codegen'd expressions so corpus-wide
+  * filters (by size/format/hash) never touch a decoder; the decoder
+  * boundary is `Dataset[MediaDoc].mapPartitions` — the documented
+  * last-resort escape hatch (SURVEY §7.3), justified here because a
+  * codec call cannot be a Catalyst expression — and emits a bounded
+  * number of frame rows per document so the expansion factor is capped.
+  */
+object Multimodal {
+
+  /** Binary ingest: wrap each document's text as a UTF-8 binary payload
+    * with a format tag — the stand-in for reading image/audio bytes. */
+  def mediaFrom(spark: SparkSession, dir: String): Dataset[MediaDoc] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"),
+        lit("utf8-text").as("format"))
+      .as[MediaDoc]
+  }
+
+  /** Metadata extraction over the binary column — byte length, content
+    * digest, and deterministic "probe" dimensions — all built-in
+    * expressions (no decode, no UDF), so corpus-scale filtering and
+    * dedup on these columns is a pure columnar scan.
+    */
+  def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val bin = encode(col("text"), "UTF-8")
+    val nb = length(bin)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        lit("utf8-text").as("format"),
+        nb.as("n_bytes"),
+        md5(bin).as("content_md5"),
+        (lit(320) + nb % 320).as("probe_width"),
+        (lit(240) + nb % 240).as("probe_height"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Decode + frame-sample through the typed boundary. A real build
+    * would invoke an image/video codec per record here; the container
+    * has none, so the decode is a STUB: deterministic fake frames whose
+    * count/dimensions/hash are pure arithmetic on the payload — which is
+    * exactly what makes the plumbing (batch iteration, expansion bound,
+    * output schema) testable and oracle-checkable.
+    */
+  def sampleFrames(media: Dataset[MediaDoc]): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { docs =>
+      docs.flatMap { d =>
+        // STUB decode: replace with a codec call (e.g. JavaCV) in a
+        // container that ships one. Deterministic fake below.
+        val nBytes = d.content.length
+        val nFrames = math.min(5, nBytes / 100 + 1)
+        (0 until nFrames).iterator.map { i =>
+          Frame(d.doc_id, i, 320 + nBytes % 320, 240 + nBytes % 240,
+            d.doc_id * 1000003L + i * 97L)
+        }
+      }
+    }
+  }
+
+  /** Declared query: binary ingest → typed decode boundary → frame rows,
+    * ordered for the oracle (the stub's arithmetic is SQL-expressible,
+    * so the whole plumbing path is hash-checked end-to-end).
+    */
+  def qFrameSample(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaFrom(spark, dir))
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+}
