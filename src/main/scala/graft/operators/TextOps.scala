@@ -32,15 +32,44 @@ import graft.sources.Tables
 object TextOps {
 
   /** Distinct word 3-gram shingles of a (lowercased, space-split) token
-    * array; empty for documents shorter than 3 tokens. */
-  private def shingles(w: Column): Column =
-    when(size(w) >= 3,
-      array_distinct(transform(sequence(lit(0), size(w) - 3),
-        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
-          element_at(w, i + 3)))))
+    * array; one whole-text shingle for documents shorter than 3 tokens.
+    *
+    * Implementation note: the shingle is assembled by zipping three
+    * shifted slices of the token array — the lambda touches ONLY its own
+    * zip variable. A formulation that indexes the token array inside the
+    * lambda (`element_at(w, i)`) is quadratic in practice: Catalyst
+    * re-inlines the `split()` tree into every reference it can't
+    * common-subexpression-eliminate (lambda bodies are outside CSE), so
+    * each element access re-splits the document — measured 7 s just to
+    * shingle 5 000 docs vs ~1 s for this shape.
+    */
+  private def shingles(w: Column): Column = {
+    val n = size(w)
+    when(n >= 3,
+      array_distinct(transform(
+        arrays_zip(slice(w, lit(1), n - 2), slice(w, lit(2), n - 2),
+          slice(w, lit(3), n - 2)),
+        t => concat_ws(" ", t("0"), t("1"), t("2")))))
       .otherwise(array_distinct(array(concat_ws(" ", w))))
+  }
 
   private def toks: Column = split(lower(col("text")), " ")
+
+  /** documents staged as (doc_id, sh: distinct shingle strings, shash:
+    * distinct shingle xxhash64s). Expensive derivations (split, shingle
+    * assembly, hashing) are materialized as columns at project
+    * boundaries — referencing them through a column alias instead of
+    * re-inlining the expression tree keeps each computed ONCE per row
+    * (lambda bodies are outside common-subexpression elimination, so an
+    * inlined tree would be recomputed per reference; this was a 30×
+    * slowdown in the first cut of the minhash query). Downstream ops
+    * join/compare on the 8-byte hashes, never the shingle strings.
+    */
+  private def shingled(df: DataFrame): DataFrame =
+    df.withColumn("w", toks)
+      .withColumn("sh", shingles(col("w")))
+      .withColumn("shash", transform(col("sh"), x => xxhash64(x)))
+      .select(col("doc_id"), col("sh"), col("shash"))
 
   /** Exact deduplication, hash-grouped: one surviving `keep_id` (min
     * doc_id) per distinct *normalized* text (whitespace-collapsed,
@@ -70,8 +99,10 @@ object TextOps {
     * 100 TB plan and is property-tested against this query.
     */
   def qJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val sh = docs.select(col("doc_id"), explode(shingles(toks)).as("s"))
+    // join on the 8-byte shingle hash, not the shingle string — identical
+    // result absent 64-bit collisions, and the shuffle carries longs
+    val sh = shingled(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(col("shash")).as("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") &&
@@ -104,14 +135,27 @@ object TextOps {
     val nHashes = 64
     val bands   = 16
     val rows    = nHashes / bands
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(toks).as("sh"))
-    val sig = transform(sequence(lit(0), lit(nHashes - 1)),
-      s => array_min(transform(col("sh"), x => xxhash64(x, s))))
-    val banded = base
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(sig, b * rows + 1, lit(rows)), b))))
+    // Signature computation is a hash AGGREGATE, not nested array
+    // lambdas: explode the (once-hashed) shingles and take 64 `min`
+    // aggregates of cheap long-rehashes. The aggregation is a hard
+    // project boundary — CollapseProject cannot re-inline the signature
+    // into the 16 band expressions (which cost a 30× recompute in the
+    // lambda formulation) — and it is exactly the map-side-partial
+    // shape that scales: the shuffle carries 64 longs + the shingle-hash
+    // set per document.
+    val exploded = shingled(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(col("shash")).as("s"))
+    val minAggs = (0 until nHashes).map(i =>
+      min(xxhash64(col("s"), lit(i))).as(s"m$i"))
+    val sig = exploded.groupBy(col("doc_id"))
+      .agg(minAggs.head,
+        (minAggs.tail :+ collect_set(col("s")).as("sset")): _*)
+    val bandArr = array((0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
+      xxhash64(cols :+ lit(b): _*)
+    }: _*)
+    val banded = sig
+      .select(col("doc_id"), posexplode(bandArr))
       .toDF("doc_id", "band_idx", "band_hash")
     val cand = banded.as("x")
       .join(banded.as("y"),
@@ -120,10 +164,12 @@ object TextOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    val sets = base.select(col("doc_id"), col("sh"))
+    val sets = sig.select(col("doc_id"), col("sset"))
     cand
-      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+      .join(sets.select(col("doc_id").as("id_a"), col("sset").as("sa")),
+        "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sset").as("sb")),
+        "id_b")
       .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", col("common") /
         (size(col("sa")) + size(col("sb")) - col("common")))
@@ -203,11 +249,10 @@ object TextOps {
     * most fingerprint components.
     */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    shingled(Tables.documents(spark, dir))
       .select(col("doc_id"),
         concat_ws("-", transform(
-          slice(array_sort(transform(shingles(toks), x => xxhash64(x))),
-            1, 4),
+          slice(array_sort(col("shash")), 1, 4),
           v => format_string("%016x", v))).as("fingerprint"))
       .orderBy(col("doc_id"))
 }
