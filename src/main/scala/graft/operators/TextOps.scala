@@ -79,9 +79,13 @@ object TextOps {
     * probability at 64 bits is negligible at test scale and the standard
     * engineering tradeoff at 100 TB).
     */
-  def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    dedupExact(Tables.documents(spark, dir))
+
+  /** Core of [[qDedupExact]] over any (doc_id, text) frame. */
+  private[graft] def dedupExact(docs: DataFrame): DataFrame = {
     val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), xxhash64(norm).as("h"))
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -98,10 +102,14 @@ object TextOps {
     * quadratic under heavy-df skew; the banded [[qDedupMinhash]] is the
     * 100 TB plan and is property-tested against this query.
     */
-  def qJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  def qJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(Tables.documents(spark, dir))
+
+  /** Core of [[qJaccardPairs]] over any (doc_id, text) frame. */
+  private[graft] def jaccardPairs(docs: DataFrame): DataFrame = {
     // join on the 8-byte shingle hash, not the shingle string — identical
     // result absent 64-bit collisions, and the shuffle carries longs
-    val sh = shingled(Tables.documents(spark, dir))
+    val sh = shingled(docs)
       .select(col("doc_id"), explode(col("shash")).as("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a")
@@ -131,7 +139,11 @@ object TextOps {
     * on the fixed testdata. Declared rows-only (xxhash64 has no DuckDB
     * dual).
     */
-  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    dedupMinhash(Tables.documents(spark, dir))
+
+  /** Core of [[qDedupMinhash]] over any (doc_id, text) frame. */
+  private[graft] def dedupMinhash(docs: DataFrame): DataFrame = {
     val nHashes = 64
     val bands   = 16
     val rows    = nHashes / bands
@@ -143,7 +155,7 @@ object TextOps {
     // lambda formulation) — and it is exactly the map-side-partial
     // shape that scales: the shuffle carries 64 longs + the shingle-hash
     // set per document.
-    val exploded = shingled(Tables.documents(spark, dir))
+    val exploded = shingled(docs)
       .select(col("doc_id"), explode(col("shash")).as("s"))
     val minAggs = (0 until nHashes).map(i =>
       min(xxhash64(col("s"), lit(i))).as(s"m$i"))
@@ -183,13 +195,17 @@ object TextOps {
     * mean token length — the length/punct/stopword heuristics of
     * LLM-corpus quality scoring, all as codegen'd array expressions.
     */
-  def qTextStats(spark: SparkSession, dir: String): DataFrame = {
+  def qTextStats(spark: SparkSession, dir: String): DataFrame =
+    textStats(Tables.documents(spark, dir))
+
+  /** Core of [[qTextStats]] over any (doc_id, text) frame. */
+  private[graft] def textStats(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
     val nTok = size(w)
     val nDis = size(array_distinct(w))
     val nStop = size(filter(w, t =>
       t.isin("a", "the", "and", "of", "in")))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         length(col("text")).as("n_chars_actual"),
         nTok.as("n_tokens"),
@@ -208,12 +224,16 @@ object TextOps {
     * operator is graded on the scoring computation, which the oracle
     * reproduces exactly.
     */
-  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    langId(Tables.documents(spark, dir))
+
+  /** Core of [[qLangId]] over any (doc_id, text) frame. */
+  private[graft] def langId(docs: DataFrame): DataFrame = {
     val w = toks
     val sEn = size(filter(w, t => t.isin("the", "a", "and", "of", "is")))
     val sDe = size(filter(w, t => t.isin("der", "die", "das", "und", "ist")))
     val sFr = size(filter(w, t => t.isin("le", "la", "et", "est", "un")))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         sEn.as("score_en"), sDe.as("score_de"), sFr.as("score_fr"),
         when(sEn >= sDe && sEn >= sFr, lit("en"))
@@ -228,8 +248,12 @@ object TextOps {
     * small Hamming distance — property-tested. One explode + one
     * 64-column hash aggregate; the shuffle carries 64 ints per doc.
     */
-  def qSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val tokens = Tables.documents(spark, dir)
+  def qSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhash(Tables.documents(spark, dir))
+
+  /** Core of [[qSimhash]] over any (doc_id, text) frame. */
+  private[graft] def simhash(docs: DataFrame): DataFrame = {
+    val tokens = docs
       .select(col("doc_id"), explode(toks).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val bitSums = (0 until 64).map(i =>
@@ -249,7 +273,11 @@ object TextOps {
     * most fingerprint components.
     */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
-    shingled(Tables.documents(spark, dir))
+    fingerprint(Tables.documents(spark, dir))
+
+  /** Core of [[qFingerprint]] over any (doc_id, text) frame. */
+  private[graft] def fingerprint(docs: DataFrame): DataFrame =
+    shingled(docs)
       .select(col("doc_id"),
         concat_ws("-", transform(
           slice(array_sort(col("shash")), 1, 4),

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.TextOps
+
+/** Property tests (SURVEY §5 row 4): the text operators must never throw
+  * and must keep their core invariants on adversarial inputs — empty
+  * strings, single tokens, repeated whitespace, unicode, and empty
+  * partitions — mirroring the reference's defensive empty/error handling
+  * (/root/reference/src/coding_task_1.py:147-149, insights.md:89-99).
+  */
+class RobustnessSpec extends SparkTestBase {
+
+  /** Deterministic ScalaCheck sampling (no scalatest bridge in the
+    * offline cache): n samples from fixed seeds. */
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val token: Gen[String] = Gen.oneOf(
+    Gen.alphaLowerStr.map(_.take(8)),
+    Gen.oneOf("the", "a", "und", "le", "データ", "наука", "☃", ""),
+    Gen.choose(0, 9).map(_.toString))
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    ts <- Gen.listOfN(n, token)
+    sep <- Gen.oneOf(" ", "  ", " \t ")
+  } yield ts.mkString(sep)
+
+  private def docsOf(texts: Seq[String]) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .repartition(7) // force empty partitions for small inputs
+  }
+
+  test("text operators never throw on adversarial corpora") {
+    samples(Gen.listOfN(6, textGen), 8).foreach { texts =>
+      val docs = docsOf(texts)
+      val n = texts.length
+      assert(TextOps.dedupExact(docs).count() <= n)
+      assert(TextOps.textStats(docs).count() == n)
+      assert(TextOps.langId(docs).count() == n)
+      assert(TextOps.fingerprint(docs).count() == n)
+      assert(TextOps.simhash(docs).count() <= n) // groupBy over tokens
+      // pair queries: no self-pairs, ids ordered
+      TextOps.jaccardPairs(docs).collect().foreach { r =>
+        assert(r.getLong(0) < r.getLong(1))
+      }
+      TextOps.dedupMinhash(docs).collect().foreach { r =>
+        assert(r.getLong(0) < r.getLong(1))
+      }
+    }
+  }
+
+  test("identical documents always pair at jaccard 1.0") {
+    samples(textGen.suchThat(_.trim.nonEmpty), 8).foreach { t =>
+      val docs = docsOf(Seq(t, t))
+      val pairs = TextOps.jaccardPairs(docs).collect()
+      assert(pairs.length == 1 && pairs.head.getDouble(2) == 1.0)
+      val cand = TextOps.dedupMinhash(docs).collect()
+      assert(cand.length == 1 && cand.head.getDouble(2) == 1.0)
+    }
+  }
+
+  test("dedupExact partitions the corpus regardless of input shape") {
+    samples(Gen.listOfN(10, textGen), 8).foreach { texts =>
+      val out = TextOps.dedupExact(docsOf(texts)).collect()
+      assert(out.map(_.getLong(1)).sum == texts.length)
+    }
+  }
+
+  test("empty corpus yields empty results, not errors") {
+    val empty = docsOf(Seq.empty)
+    assert(TextOps.dedupExact(empty).count() == 0)
+    assert(TextOps.jaccardPairs(empty).count() == 0)
+    assert(TextOps.dedupMinhash(empty).count() == 0)
+    assert(TextOps.textStats(empty).count() == 0)
+    assert(TextOps.simhash(empty).count() == 0)
+    assert(TextOps.fingerprint(empty).count() == 0)
+  }
+}
