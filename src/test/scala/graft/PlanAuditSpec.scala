@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators._
+
+/** Plan-shape audit (SURVEY §4): the declared queries must keep the
+  * physical-plan properties the 100 TB posture depends on — predicate
+  * pushdown into the parquet scans, broadcast joins on dimension sides,
+  * map-side partial aggregation, top-k via TakeOrderedAndProject, and
+  * whole-stage codegen on hot paths. Asserting them here means a
+  * regression (e.g. a filter that stops reaching the scan) fails CI, not
+  * a cluster run.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters reach the parquet scans") {
+    assert(plan(Relational.qPointLookup(spark, sfDir))
+      .contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)"))
+    assert(plan(Relational.qFilteredSearch(spark, sfDir))
+      .contains("EqualTo(c_mktsegment,BUILDING)"))
+    assert(plan(Joins.qAntiMissing(spark, sfDir))
+      .contains("GreaterThanOrEqual(o_orderdate"))
+  }
+
+  test("dimension joins broadcast; the fact side never does") {
+    val parent = plan(Joins.qParentLookup(spark, sfDir))
+    assert(parent.contains("BroadcastHashJoin"))
+    assert(!parent.contains("SortMergeJoin"))
+    val codeMap = plan(Joins.qCodeMap(spark, sfDir))
+    assert(codeMap.contains("BroadcastHashJoin"))
+    // care-gap anti join stays a real anti join
+    assert(plan(Joins.qAntiMissing(spark, sfDir)).contains("LeftAnti"))
+  }
+
+  test("aggregations take map-side partials") {
+    val p = plan(Relational.qCountByKey(spark, sfDir))
+    assert(p.contains("partial_count") || p.contains("partial"))
+    val f = plan(Relational.qFirstPerKey(spark, sfDir))
+    assert(f.contains("partial_min"))
+    assert(!f.contains("Window")) // the old window plan shuffled every row
+  }
+
+  test("top-k plans as TakeOrderedAndProject") {
+    assert(plan(Relational.qTopk(spark, sfDir))
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("column pruning: scans read only referenced columns") {
+    val p = plan(Relational.qScan(spark, sfDir))
+    assert(p.contains("ReadSchema"))
+    // q_drop_cols must not read the dropped columns
+    val d = plan(Relational.qDropCols(spark, sfDir))
+    assert(!d.contains("l_tax") && !d.contains("l_discount"))
+  }
+
+  test("text/vector hot paths stay in whole-stage codegen") {
+    // codegen spans only appear once AQE finalizes — execute first
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // "*(n)" prefixes mark WholeStageCodegen stages in the compact tree
+    assert(finalPlan(TextOps.qDedupExact(spark, sfDir)).contains("*("))
+    assert(finalPlan(Vectors.qCosineTopk(spark, sfDir)).contains("*("))
+    // metadata extraction never crosses an object boundary
+    assert(!plan(Multimodal.qMultimodalMeta(spark, sfDir))
+      .contains("MapPartitions"))
+  }
+}
