@@ -1,7 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+
+/** Input/output/state records for the custom stateful sessionizer. */
+case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
+case class SessionState(start: Long, end: Long, n: Long)
+case class SessionOut(user_id: Long, session_start: Timestamp,
+  session_end: Timestamp, n_events: Long)
 
 /** Structured Streaming generalization of the reference's scheduled /
   * nightly incremental sync (/root/reference/insights.md:169-172;
@@ -47,4 +57,54 @@ object Streams {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom per-key state machine via `flatMapGroupsWithState` — the
+    * escape hatch for session semantics `session_window` can't express
+    * (here: emit a closed session the moment a new one opens, carrying a
+    * running event count; timeout closes idle sessions when the
+    * watermark passes). State per user is O(1) — three longs — so
+    * executor state scales with active users, not history.
+    */
+  def sessionizeStateful(events: Dataset[SessionEvent],
+    gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val stEnc = Encoders.product[SessionState]
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[SessionEvent],
+          state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, new Timestamp(s.start),
+              new Timestamp(s.end), s.n))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t),
+                    s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(user, new Timestamp(s.start),
+                    new Timestamp(s.end), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

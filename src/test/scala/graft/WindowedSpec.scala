@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.Windowed
-import graft.streaming.Streams
+import graft.streaming.{SessionEvent, Streams}
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
   event_type: String)
@@ -114,5 +114,48 @@ class WindowedSpec extends SparkTestBase {
       q.processAllAvailable()
       assert(spark.table("dedup_test").count() == 2)
     } finally q.stop()
+  }
+
+  test("stateful sessionizer emits closed sessions across batches") {
+    import spark.implicits._
+    val input = MemoryStream[SessionEvent](spark)
+    val q = Streams.sessionizeStateful(input.toDS())
+      .writeStream.format("memory").queryName("stateful_session_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 10 min apart -> one open session
+      input.addData(Seq(
+        SessionEvent(1, 1, Timestamp.valueOf("2024-01-01 10:00:00")),
+        SessionEvent(1, 2, Timestamp.valueOf("2024-01-01 10:10:00"))))
+      q.processAllAvailable()
+      assert(spark.table("stateful_session_test").count() == 0)
+      // batch 2: an event 2h later closes the first session immediately
+      input.addData(Seq(
+        SessionEvent(1, 3, Timestamp.valueOf("2024-01-01 12:10:00"))))
+      q.processAllAvailable()
+      val rows = spark.table("stateful_session_test").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("n_events") == 2L)
+      assert(rows.head.getAs[Timestamp]("session_start") ==
+        Timestamp.valueOf("2024-01-01 10:00:00"))
+      assert(rows.head.getAs[Timestamp]("session_end") ==
+        Timestamp.valueOf("2024-01-01 10:10:00"))
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer matches the batch gap query per-user totals") {
+    import spark.implicits._
+    // run the same state machine in BATCH mode (flatMapGroupsWithState
+    // sees each user's full history in one group call) and compare
+    // session counts with the declared lag-gap query
+    val evs = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[SessionEvent]
+    val stateful = Streams.sessionizeStateful(evs)
+    // batch mode never times out, so the still-open final session per
+    // user is unemitted: closed sessions = total sessions - users
+    val batchTotal = Windowed.qSessionGap(spark, sfDir).count()
+    val users = evs.select(col("user_id")).distinct().count()
+    assert(stateful.count() == batchTotal - users)
   }
 }
