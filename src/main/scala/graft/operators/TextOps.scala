@@ -109,9 +109,11 @@ object TextOps {
   private[graft] def jaccardPairs(docs: DataFrame): DataFrame = {
     // join on the 8-byte shingle hash, not the shingle string — identical
     // result absent 64-bit collisions, and the shuffle carries longs
-    val sh = shingled(docs)
-      .select(col("doc_id"), explode(col("shash")).as("s"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val staged = shingled(docs)
+    val sh = staged.select(col("doc_id"), explode(col("shash")).as("s"))
+    // shingle arrays are already distinct: set size = array size — no
+    // third explode+aggregate pass over the corpus
+    val sizes = staged.select(col("doc_id"), size(col("shash")).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id"))
