@@ -68,11 +68,14 @@ object SparkEntry {
     "q_jaccard_pairs"   -> (TextOps.qJaccardPairs _),
     "q_dedup_minhash"   -> (TextOps.qDedupMinhash _),
     "q_text_stats"      -> (TextOps.qTextStats _),
+    "q_token_count"     -> (TextOps.qTokenCount _),
     "q_lang_id"         -> (TextOps.qLangId _),
     "q_simhash"         -> (TextOps.qSimhash _),
     "q_fingerprint"     -> (TextOps.qFingerprint _),
     // M5 — similarity search over embeddings
     "q_cosine_topk"     -> (Vectors.qCosineTopk _),
+    "q_dedup_embed"     -> (Vectors.qDedupEmbed _),
+    "q_dedup_embed_lsh" -> (Vectors.qDedupEmbedLsh _),
     "q_ann_ivf"         -> (Vectors.qAnnIvf _),
     // M5 — multimodal binary columns
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
@@ -337,8 +340,38 @@ object SparkEntry {
         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
         |        FROM documents) t) s
         |ORDER BY doc_id""".stripMargin,
-    // q_ann_ivf: no oracle — approximate by design; recall vs the exact
-    // q_cosine_topk is property-tested in VectorsSpec.
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |    AS n_bpe_tokens,
+        |  CAST(length(text) AS DOUBLE) /
+        |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |    AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_embed" ->
+      """WITH base AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x * x),
+        |         (a, b) -> a + b)) AS nrm
+        |  FROM base),
+        |un AS (
+        |  SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_reduce(list_transform(list_zip(a.u, b.u),
+        |      p -> p[1] * p[2]), (x, y) -> x + y) AS cosine
+        |FROM un a, un b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_reduce(list_transform(list_zip(a.u, b.u),
+        |      p -> p[1] * p[2]), (x, y) -> x + y) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q_ann_ivf / q_dedup_embed_lsh: no oracle — approximate by design;
+    // recall vs the exact q_cosine_topk / q_dedup_embed is
+    // property-tested in VectorsSpec.
     "q_cosine_topk" ->
       """WITH base AS (
         |  SELECT vec_id,

@@ -219,6 +219,26 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * segmentation (letter runs | digit runs | single non-alnum marks —
+    * the shape of GPT-style pre-tokenizers), plus the chars-per-token
+    * ratio LLM-corpus budgeting uses. The pattern sticks to constructs
+    * with identical semantics in Java regex (Spark) and RE2 (DuckDB).
+    */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    tokenCount(Tables.documents(spark, dir))
+
+  /** Core of [[qTokenCount]] over any (doc_id, text) frame. */
+  private[graft] def tokenCount(docs: DataFrame): DataFrame = {
+    val bpe = size(regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_ws_tokens"),
+      bpe.as("n_bpe_tokens"),
+      (length(col("text")).cast("double") / bpe).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Heuristic language identification: per-language function-word hit
     * counts with a deterministic argmax (ties resolved en > de > fr).
     * The synthetic corpus shares one vocabulary across its `lang` labels,

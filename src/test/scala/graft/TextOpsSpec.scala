@@ -114,4 +114,17 @@ class TextOpsSpec extends SparkTestBase {
       parts.foreach(p => assert(p.matches("[0-9a-f]{16}")))
     }
   }
+
+  test("q_token_count segmentations are consistent") {
+    val rows = TextOps.qTokenCount(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ws = r.getAs[Int]("n_ws_tokens")
+      val bpe = r.getAs[Int]("n_bpe_tokens")
+      // space-free lowercase word corpus: every ws token is a letter run,
+      // so the BPE-ish segmentation can only split further, never merge
+      assert(bpe >= ws)
+      assert(r.getAs[Double]("chars_per_token") > 0)
+    }
+  }
 }

@@ -100,4 +100,40 @@ class VectorsSpec extends SparkTestBase {
       .agg(countDistinct("probe_label").as("nl")).collect()
     labelsPerQ.foreach(r => assert(r.getLong(1) == 1L))
   }
+
+  test("q_dedup_embed matches a driver-side exact all-pairs sweep") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      if cosine(va, vb) >= 0.5
+    } yield (ia, ib)).toSet
+    val got = Vectors.qDedupEmbed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // sf0.001 has no qualifying pair; larger SFs do — both cases valid
+  }
+
+  test("q_dedup_embed_lsh finds the exact sweep's pairs at sf0.01") {
+    // sf0.01 is the smallest SF with a >=0.5 pair; the LSH path must
+    // surface it (fixed data + fixed planes -> deterministic outcome)
+    val dir = "/root/testdata/sf0.01"
+    val exact = Vectors.qDedupEmbed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val lsh = Vectors.qDedupEmbedLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification is exact, so LSH output is always a subset...
+    assert(lsh.subsetOf(exact))
+    // ...and on this corpus the banding catches everything
+    assert(lsh == exact)
+  }
 }
