@@ -54,6 +54,8 @@ object SparkEntry {
     "q_code_map"        -> (Joins.qCodeMap _),
     "q_anti_missing"    -> (Joins.qAntiMissing _),
     "q_resource_counts" -> (Joins.qResourceCounts _),
+    "q_rollup_counts"   -> (Joins.qRollupCounts _),
+    "q_approx_distinct" -> (Joins.qApproxDistinct _),
     // M3 — document ops & sinks (SURVEY §2.7, §2.8, §2.1 S6)
     "q_build_struct"    -> (Documents.qBuildStruct _),
     "q_struct_patch"    -> (Documents.qStructPatch _),
@@ -185,6 +187,14 @@ object SparkEntry {
         |  SELECT 'lineitem', l_returnflag FROM lineitem) t
         |GROUP BY resource_type, code
         |ORDER BY resource_type, code""".stripMargin,
+    // q_approx_distinct: no oracle — HLL estimates are engine-specific;
+    // JoinsSpec bounds the relative error against the exact count.
+    "q_rollup_counts" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "q_build_struct" ->
       """SELECT c_custkey, to_json(struct_pack(
         |  resourceType := 'Patient',

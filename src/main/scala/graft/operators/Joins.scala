@@ -127,6 +127,34 @@ object Joins {
     * one 2-key hash aggregate. Partial aggregation runs on each union
     * branch's partitions before the (tiny) shuffle.
     */
+  /** A2 extension — hierarchical rollup with subtotals and a grand
+    * total (the generalization of insights.py's per-type tallies to the
+    * reporting shape `GROUP BY ROLLUP`): status × priority counts, with
+    * the rollup null markers replaced by 'ALL' for deterministic
+    * ordering. One pass, map-side partials for every grouping set.
+    */
+  def qRollupCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"))
+      .orderBy(col("status"), col("priority"))
+
+  /** §2.10 — approximate distinct at scale: HyperLogLog++ cardinality
+    * per group next to the exact count. The sketch is mergeable, so the
+    * shuffle carries fixed-size HLL buffers instead of value sets — the
+    * 100 TB answer to COUNT(DISTINCT). Declared rows-only (HLL estimates
+    * are engine-specific); the spec bounds relative error at 5%.
+    */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
   def qResourceCounts(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select(lit("orders").as("resource_type"),

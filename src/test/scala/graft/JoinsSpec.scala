@@ -84,4 +84,30 @@ class JoinsSpec extends SparkTestBase {
     assert(byType("lineitem") ==
       spark.read.parquet(s"$sfDir/lineitem.parquet").count())
   }
+
+  test("q_rollup_counts subtotals are consistent at every level") {
+    val rows = Joins.qRollupCounts(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val grand = rows(("ALL", "ALL"))
+    assert(grand == spark.read.parquet(s"$sfDir/orders.parquet").count())
+    // per-status subtotals sum to the grand total
+    val statusTotals = rows.collect {
+      case ((st, "ALL"), n) if st != "ALL" => n }
+    assert(statusTotals.sum == grand)
+    // leaves sum to their status subtotal
+    rows.keys.map(_._1).filter(_ != "ALL").toSet.foreach { st: String =>
+      val leaves = rows.collect {
+        case ((s2, pr), n) if s2 == st && pr != "ALL" => n }
+      assert(leaves.sum == rows((st, "ALL")))
+    }
+  }
+
+  test("q_approx_distinct stays within 5% of exact") {
+    Joins.qApproxDistinct(spark, sfDir).collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(exact > 0 && math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
 }
