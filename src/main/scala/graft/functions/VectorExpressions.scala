@@ -1,0 +1,291 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression,
+  Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
+  FloatType, IntegerType}
+
+/** Native dot product over two `array<double>` columns — the one place
+  * the engine drops below `org.apache.spark.sql.functions`: a custom
+  * Catalyst expression with `doGenCode` (design tier (b) of SURVEY §7.3,
+  * now required for performance rather than parity).
+  *
+  * Why not the built-in higher-order `aggregate(zip_with(...))` fold:
+  * HigherOrderFunction expressions never participate in whole-stage
+  * codegen — each element evaluation walks the interpreter with boxed
+  * lambda variables, measured at ~30 µs per 64-dim dot at sf0.1. This
+  * expression generates a primitive `double` loop over the two
+  * `ArrayData` (and evaluates the same way in `nullSafeEval` when a plan
+  * falls back to interpretation), cutting the per-dot cost by ~2 orders
+  * of magnitude. A flat 64-term `element_at` tree was also tried and
+  * rejected: at 128 planes × 64 dims the expression tree blew up the
+  * driver (OOM in analysis/codegen) before producing a plan.
+  *
+  * Semantics match the HOF fold and DuckDB's `list_reduce` bitwise:
+  * strict left-to-right `+=` over `a(i) * b(i)` from 0.0, so
+  * oracle-checked cosine queries stay hash-identical. Inputs are
+  * engine-produced embedding vectors: equal length, no null elements
+  * (null handling: null array → null result, like every binary
+  * expression; element nulls are undefined, as for the HOF fold).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+    ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+    newRight: Expression): DotProduct = copy(left = newLeft, right = newRight)
+}
+
+/** All LSH band signatures of a unit vector in one expression: for band
+  * b the signature is the `bandBits`-bit integer whose bit j is the sign
+  * of `u · planes(b*bandBits + j)`. Returns `array<int>` of
+  * `planes.length / bandBits` signatures.
+  *
+  * Why one fused expression instead of 128 [[DotProduct]] columns: a
+  * projection with 128 inlined dot loops generates a method past
+  * HotSpot's huge-method JIT threshold (8 KB bytecode), so the whole
+  * stage ran in the bytecode interpreter — measured ~80 µs/dot, the
+  * same order as the interpreted HOF fold it replaced. This expression
+  * is one ~20-line nested loop over a `double[][]` reference — small
+  * enough to JIT, with zero per-row allocations beyond the output
+  * array.
+  *
+  * The plane matrix rides along as a constructor field (not a child
+  * expression): it is query-compile-time constant, ~64 KB, shipped once
+  * per task via the codegen references array.
+  */
+case class LshBandSignatures(child: Expression,
+    planes: Array[Array[Double]], bandBits: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "graft_lsh_band_sigs"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[ArrayData]
+    val nBands = planes.length / bandBits
+    val sigs = new Array[Int](nBands)
+    var p = 0
+    var b = 0
+    while (b < nBands) {
+      var sig = 0
+      var j = 0
+      while (j < bandBits) {
+        val pl = planes(p)
+        val n = math.min(u.numElements(), pl.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += u.getDouble(i) * pl(i); i += 1 }
+        if (s > 0) sig |= (1 << j)
+        j += 1; p += 1
+      }
+      sigs(b) = sig
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sigs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+    ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    val nBands = planes.length / bandBits
+    nullSafeCodeGen(ctx, ev, u => {
+      val sigs = ctx.freshName("sigs")
+      val p = ctx.freshName("p")
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val sig = ctx.freshName("sig")
+      val pl = ctx.freshName("pl")
+      s"""
+         |final int[] $sigs = new int[$nBands];
+         |int $p = 0;
+         |for (int $b = 0; $b < $nBands; $b++) {
+         |  int $sig = 0;
+         |  for (int $j = 0; $j < $bandBits; $j++) {
+         |    final double[] $pl = $planesRef[$p];
+         |    final int $n = java.lang.Math.min($u.numElements(), $pl.length);
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += $u.getDouble($i) * $pl[$i];
+         |    }
+         |    if ($s > 0) $sig |= (1 << $j);
+         |    $p++;
+         |  }
+         |  $sigs[$b] = $sig;
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($sigs);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+    newChild: Expression): LshBandSignatures = copy(child = newChild)
+}
+
+/** Unit-normalize a numeric vector: `v / ‖v‖₂` over `array<float>` or
+  * `array<double>`, in one codegen'd loop (norm pass + divide pass, no
+  * boxed lambda evaluation — the HOF `transform(v, x / sqrt(dot(v,v)))`
+  * formulation is interpreted per element *and* CollapseProject
+  * re-inlines the norm computation into the divide lambda, which is why
+  * round 2 needed a `groupBy(pk).agg(first(...))` optimization barrier
+  * and its SortAggregate + two extra sorts; this expression removes the
+  * barrier and the shuffle entirely).
+  *
+  * A zero-norm input yields NULL (a zero vector has no direction):
+  * downstream cosine predicates evaluate to NULL and filter out, the
+  * same containment the ADVICE zero-denominator note asks for.
+  */
+case class NormalizeVector(child: Expression) extends UnaryExpression {
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_unit"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      out(i) = x
+      s += x * x
+      i += 1
+    }
+    if (s == 0.0) null
+    else {
+      val nrm = math.sqrt(s)
+      var j = 0
+      while (j < n) { out(j) /= nrm; j += 1 }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+    ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val nrm = ctx.freshName("nrm")
+      s"""
+         |final int $n = $v.numElements();
+         |final double[] $out = new double[$n];
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $x = (double) $v.$get($i);
+         |  $out[$i] = $x;
+         |  $s += $x * $x;
+         |}
+         |if ($s == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final double $nrm = java.lang.Math.sqrt($s);
+         |  for (int $j = 0; $j < $n; $j++) { $out[$j] /= $nrm; }
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |      .fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+    newChild: Expression): NormalizeVector = copy(child = newChild)
+}
+
+object VectorFunctions {
+  /** Codegen'd dot product of two `array<double>` columns. */
+  def dotp(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+
+  /** Codegen'd LSH band-signature vector (array<int>, one signature per
+    * band) over a unit-vector column. */
+  def lshBandSigs(u: Column, planes: Seq[Seq[Double]],
+    bandBits: Int): Column =
+    ColumnBridge.column(LshBandSignatures(ColumnBridge.expression(u),
+      planes.map(_.toArray).toArray, bandBits))
+
+  /** Codegen'd unit normalization of an `array<float|double>` column
+    * (NULL for the zero vector). */
+  def unitv(v: Column): Column =
+    ColumnBridge.column(NormalizeVector(ColumnBridge.expression(v)))
+}

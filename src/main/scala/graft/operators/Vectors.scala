@@ -28,18 +28,20 @@ object Vectors {
 
   private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Dot product as `aggregate(zip_with(...))`. Measured on the 2M-pair
-    * sf0.1 sweep this HOF loop is ~4× FASTER than a flat 64-term
-    * `element_at` expression tree (10 s vs 40 s): the flat tree lands in
-    * the broadcast-loop join's interpreted predicate path, while the HOF
-    * evaluates as one tight specialized loop. Left fold from 0.0 matches
-    * DuckDB's `list_reduce` bitwise.
+  /** Native codegen'd dot product ([[graft.functions.DotProduct]]).
+    * History of this hot spot: a flat 64-term `element_at` tree was ~4×
+    * slower than the HOF `aggregate(zip_with(...))` fold when it landed
+    * in the broadcast-loop join's interpreted predicate path (and blew
+    * up the driver at 128-plane width); the HOF fold in turn pays ~30 µs
+    * per 64-dim dot of interpreter overhead because higher-order
+    * functions never enter whole-stage codegen. The custom expression
+    * generates a primitive double loop with the same left-to-right fold
+    * from 0.0, so it still matches DuckDB's `list_reduce` bitwise.
     */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dotp(a, b)
 
-  private def norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+  private def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Normalize any (vec_id, label, embedding) frame into the internal
     * (vec_id, label, v: array<double>, nrm) shape. */
@@ -124,67 +126,140 @@ object Vectors {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Unit-normalized vectors: the per-vector division happens once here
-    * instead of once per scored pair. The trivial `groupBy(pk).first`
-    * aggregate is a deliberate optimization barrier: without it,
-    * CollapseProject re-inlines the cast→norm→divide chain into the
-    * pair-join condition and the whole normalization re-runs per scored
-    * pair (measured 2× on the sf0.1 all-pairs sweep). After the
-    * aggregate, downstream plans reference plain attributes.
+  /** Unit-normalized vectors via the native [[graft.functions
+    * .NormalizeVector]] expression — one codegen'd pass straight off the
+    * parquet scan, no shuffle. (Round 2 used a HOF divide with a
+    * `groupBy(pk).first` optimization barrier against CollapseProject
+    * re-inlining the norm into the divide lambda; the fused expression
+    * removes both the interpreted lambda and the barrier's
+    * SortAggregate chain.) Zero vectors normalize to NULL and drop out
+    * of every cosine predicate downstream.
     */
-  private def unit(spark: SparkSession, dir: String): DataFrame = {
-    val b = base(spark, dir)
-    b.select(col("vec_id"), col("label"),
-      transform(col("v"), x => x / col("nrm")).as("u"))
-      .groupBy(col("vec_id"))
-      .agg(first(col("label")).as("label"), first(col("u")).as("u"))
+  private def unit(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        graft.functions.VectorFunctions.unitv(col("embedding")).as("u"))
+
+  /** LSH band geometry: 16 bands × 8 sign bits = 128 hyperplanes. With
+    * 8-bit band buckets an *uncorrelated* pair collides in a given band
+    * with (1/2)⁸ ≈ 0.4% and in ≥1 of 16 bands with ~6%, so candidate
+    * generation stays far from all-pairs (the round-2 4-bit geometry
+    * collided on ~64% of random pairs — all-pairs with extra steps).
+    * Recall for cosine θ pairs: per-bit agreement p = 1−θ/π, per-band
+    * p⁸, OR of 16 bands ⇒ ≈0.94 at cosine 0.8 and ≈0.996 at 0.9 — the
+    * realistic near-dup regime this path targets. At the 0.5 decision
+    * boundary (p⁸ ≈ 0.04) per-pair recall is only ~0.5: that regime
+    * belongs to the exact [[qDedupEmbed]] verification oracle, not the
+    * banded path.
+    */
+  private val lshBands    = 16
+  private val lshBandBits = 8
+
+  /** Deterministic Gaussian hyperplanes (seed fixed so the declared
+    * query is reproducible). Generated once on the driver — 128×64
+    * doubles — and embedded as literal arrays, so the sign bits are
+    * pure per-row projections: no plane table, no crossJoin, no
+    * per-(vector,plane) shuffle.
+    */
+  private[graft] def lshPlanes(): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(13)
+    Seq.fill(lshBands * lshBandBits)(Seq.fill(64)(rnd.nextGaussian()))
   }
 
-  /** LSH-bucketed embedding near-dup — the scale path for
-    * [[qDedupEmbed]] (same exact-baseline / banded-scale pairing as the
-    * MinHash pair in TextOps): 64 deterministic random-hyperplane sign
-    * bits per vector, packed into 16 bands of 4 bits; vectors sharing a
-    * band bucket become candidates via an equi-join, then the exact
-    * cosine is recomputed on candidates only and thresholded at 0.5.
-    * For cosine θ the per-band collision rate is (1-θ/π)⁴; OR-ing 16
-    * bands catches a 0.51-cosine pair with p≈0.97 while scoring a tiny
-    * fraction of the n² pairs. Declared rows-only (approximate recall by
-    * design); property-tested against the exact sweep.
+  /** Candidate pairs sharing ≥1 LSH band bucket, over any (vec_id, u)
+    * unit-vector frame. Each row computes all 16 band signatures in one
+    * fused codegen'd expression ([[graft.functions.LshBandSignatures]] —
+    * a single JIT-able nested loop; 128 separate dot columns generated a
+    * method past HotSpot's 8 KB JIT limit and ran interpreted), explodes
+    * to (vec_id, band, band_sig), and candidates come from the
+    * (band, band_sig) equi-join — the same banded shape as the MinHash
+    * text path. At scale the bucket width is the knob: expected bucket
+    * size is n/2^bits, so bits grows like log₂(n) to keep buckets O(1).
     */
-  def qDedupEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
-    val nPlanes = 64
-    val bandSz  = 4
-    val rnd = new scala.util.Random(42)
-    val planes = Seq.tabulate(nPlanes)(i =>
-      (i.toLong, Seq.fill(64)(rnd.nextGaussian())))
-    val planesDf = broadcast(spark.createDataFrame(planes)
-      .toDF("plane_id", "pvec"))
-    val u = unit(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-    // one row per (vector, plane): sign bit of the projection
-    val bits = u.crossJoin(planesDf)
-      .select(col("vec_id"),
-        (col("plane_id") / bandSz).cast("int").as("band"),
-        (pow(lit(2.0), (col("plane_id") % bandSz).cast("double"))
-          .cast("int") *
-          when(dot(col("u"), col("pvec")) > 0, 1).otherwise(0)).as("bitval"))
-    val banded = bits.groupBy(col("vec_id"), col("band"))
-      .agg(sum(col("bitval")).as("band_sig"))
-    val cand = banded.as("x")
-      .join(banded.as("y"),
+  /** Candidate pairs (with both unit vectors carried through) from the
+    * banded (band, band_sig) equi-join. Carrying `u` in the banded rows
+    * means the verify stage needs no join-back to the corpus — the dot
+    * runs directly on the join output. The 16× vector replication
+    * through the shuffle is the standard LSH similarity-join layout
+    * (band count × vector bytes per row); the alternative — candidates
+    * then two corpus re-joins — costs two more stages and re-evaluates
+    * the normalized corpus. The SHUFFLE_HASH hint keeps both sides as
+    * shuffle exchanges over the *same* child plan, so Spark's exchange
+    * reuse evaluates the banded projection once instead of
+    * once-per-side (a broadcast side would duplicate it).
+    */
+  private def lshCandidatePairs(u: DataFrame): DataFrame = {
+    val sigExpr = graft.functions.VectorFunctions
+      .lshBandSigs(col("u"), lshPlanes(), lshBandBits)
+    val banded = u
+      .withColumn("sigs", sigExpr)
+      .select(col("vec_id"), col("u"), col("sigs"),
+        posexplode(col("sigs")).as(Seq("band", "band_sig")))
+    // Emit-once predicate: a pair colliding in k bands would surface k
+    // times; requiring that no EARLIER band also collides makes each
+    // pair's emission unique by construction, so no global
+    // dropDuplicates shuffle is needed afterwards (the textbook
+    // "first colliding band" LSH-join dedup). The lambda only touches
+    // the zipped prefix slices, staying clear of the lambda-reinline
+    // trap.
+    val noEarlierCollision = !exists(
+      zip_with(slice(col("x.sigs"), lit(1), col("x.band")),
+        slice(col("y.sigs"), lit(1), col("x.band")),
+        (a, b) => a === b),
+      x => x)
+    banded.as("x")
+      .join(banded.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") &&
           col("x.band_sig") === col("y.band_sig") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-      .distinct()
-    cand
-      .join(u.select(col("vec_id").as("id_a"), col("u").as("ua")), "id_a")
-      .join(u.select(col("vec_id").as("id_b"), col("u").as("ub")), "id_b")
+          col("x.vec_id") < col("y.vec_id") &&
+          noEarlierCollision)
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        col("x.u").as("ua"), col("y.u").as("ub"))
+  }
+
+  /** Candidate id pairs sharing ≥1 LSH band bucket (each pair exactly
+    * once, via the emit-once predicate) — exposed for the
+    * candidate-sparsity property test. At scale the bucket width is the
+    * knob: expected bucket size is n/2^bits, so bits grows like log₂(n)
+    * to keep buckets O(1). */
+  private[graft] def lshCandidates(u: DataFrame): DataFrame =
+    lshCandidatePairs(u)
+      .select(col("id_a"), col("id_b"))
+
+  /** Exact cosine re-verification over candidate pairs only — the
+    * verify stage shared by the declared query and the synthetic-corpus
+    * recall test. Output is always a subset of the exact sweep; the
+    * emit-once join predicate makes pairs unique by construction, so
+    * the verify output needs no dedup shuffle at all.
+    *
+    * No forced repartition here: with the signature projection and the
+    * verify dot both native codegen'd expressions, the per-row work is
+    * cheap enough that the scan's own partitioning (thousands of splits
+    * at real scale, one at sf test sizes) is the right parallelism —
+    * forcing a 32-way shuffle of a corpus that fits one partition only
+    * added two stages. (Contrast [[qDedupEmbed]], where the O(n²)
+    * broadcast-loop *join* is the heavy stage and the explicit
+    * repartition of the stream side is what parallelizes it.)
+    */
+  private[graft] def dedupLsh(u: DataFrame): DataFrame =
+    lshCandidatePairs(u)
       .withColumn("cosine", dot(col("ua"), col("ub")))
       .filter(col("cosine") >= 0.5)
       .select(col("id_a"), col("id_b"), col("cosine"))
       .orderBy(col("id_a"), col("id_b"))
-  }
+
+  /** LSH-bucketed embedding near-dup — the scale path for
+    * [[qDedupEmbed]] (same exact-baseline / banded-scale pairing as the
+    * MinHash pair in TextOps): 128 deterministic random-hyperplane sign
+    * bits per vector packed into 16 bands of 8 bits; vectors sharing a
+    * band bucket become candidates via an equi-join, then the exact
+    * cosine is recomputed on candidates only and thresholded at 0.5.
+    * Declared rows-only (approximate recall by design); subset-of-exact
+    * and candidate-sparsity are property-tested, and recall ≥0.9 is
+    * asserted on a synthetic corpus with cosine≈0.9 planted pairs.
+    */
+  def qDedupEmbedLsh(spark: SparkSession, dir: String): DataFrame =
+    dedupLsh(unit(spark, dir))
 
   /** Core IVF pipeline over any (vec_id, label, v, nrm) frame; rows with
     * vec_id < 10 are the query set. Exposed for property tests. */

@@ -136,4 +136,50 @@ class VectorsSpec extends SparkTestBase {
     // ...and on this corpus the banding catches everything
     assert(lsh == exact)
   }
+
+  test("lsh candidate generation is sparse at sf0.1 (<< all pairs)") {
+    val dir = "/root/testdata/sf0.1"
+    val u = Vectors.prep(spark.read.parquet(s"$dir/embeddings.parquet"))
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("nrm")).as("u"))
+    val n = u.count()
+    val allPairs = n * (n - 1) / 2
+    val cands = Vectors.lshCandidates(u).count()
+    // 16 bands x 8 bits: random pairs collide in >=1 band with ~6%;
+    // assert well under 10% (the round-2 4-bit geometry sat at ~64%)
+    assert(cands < allPairs / 10,
+      s"candidates=$cands vs all pairs=$allPairs (${cands * 100.0 / allPairs}%)")
+    assert(cands > 0)
+  }
+
+  test("lsh recall >= 0.9 on a corpus with cosine~0.9 planted near-dups") {
+    import spark.implicits._
+    // 100 deterministic pseudo-random base vectors; vectors 1000+i are
+    // near-copies of vector i with small perturbation -> pairwise cosine
+    // ~0.9, the realistic near-dup regime the banding targets
+    def base(id: Long): Array[Double] =
+      Array.tabulate(64)(j => math.sin(id * 997.0 + j * 13.7))
+    def perturb(v: Array[Double], id: Long): Array[Double] =
+      v.zipWithIndex.map { case (x, j) =>
+        x + 0.33 * math.cos(id * 31.0 + j * 7.3) }
+    val rows =
+      (0 until 100).map(i => (i.toLong, base(i))) ++
+      (0 until 100).map(i => (1000L + i, perturb(base(i), i)))
+    def unit(v: Array[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n).toSeq
+    }
+    val u = rows.map { case (id, v) => (id, unit(v)) }.toDF("vec_id", "u")
+    // driver-side truth: planted pairs with cosine >= 0.5
+    val um = rows.map { case (id, v) => id -> unit(v).toArray }.toMap
+    val want = (for {
+      (ia, va) <- um.toSeq; (ib, vb) <- um.toSeq if ia < ib
+      if va.zip(vb).map { case (x, y) => x * y }.sum >= 0.5
+    } yield (ia, ib)).toSet
+    assert(want.size >= 90, s"expected ~100 planted pairs, got ${want.size}")
+    val got = Vectors.dedupLsh(u).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(want))
+    val recall = got.size.toDouble / want.size
+    assert(recall >= 0.9, s"lsh recall = $recall")
+  }
 }
