@@ -129,8 +129,8 @@ object SparkEntry {
     "q_count_by_key" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |       sum(l_quantity) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-        |           AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |           AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_null_impute" ->

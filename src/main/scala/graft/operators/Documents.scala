@@ -170,7 +170,11 @@ object Documents {
     * would be `ds.foreachPartition` per SURVEY §2.1 S6.)
     */
   def qSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = "/root/repo/target/tmp/sink_roundtrip"
+    // per-invocation temp dir: concurrent sessions (bench + sbt test)
+    // must not race on one fixed path, and nothing should assume this
+    // container's repo layout (ADVICE round 2)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sink_roundtrip").toString
     Tables.supplier(spark, dir)
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
       .write.mode("overwrite").parquet(out)

@@ -124,7 +124,10 @@ object Relational {
   /** A1 — grouped counts (`len(data['entry'])`,
     * /root/reference/src/coding_task_1.py:75). Hash aggregate with map-side
     * partials; the money sum goes through an exact DECIMAL accumulator so
-    * the result is independent of partition order (see object doc).
+    * the result is independent of partition order (see object doc), and
+    * an explicit round(·, 6) on BOTH the Spark and oracle sides pins the
+    * final double instead of relying on the engines' decimal→double
+    * tie-rounding agreement (ADVICE round 2).
     */
   def qCountByKey(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -132,8 +135,8 @@ object Relational {
       .agg(
         count(lit(1)).as("n"),
         sum(col("l_quantity")).as("sum_qty"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,6)")).cast("double").as("revenue"))
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double"), 6).as("revenue"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** F1/F2 — null imputation (`district` ← "Not found" when missing/blank,

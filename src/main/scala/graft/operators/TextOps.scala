@@ -228,14 +228,19 @@ object TextOps {
   def qTokenCount(spark: SparkSession, dir: String): DataFrame =
     tokenCount(Tables.documents(spark, dir))
 
-  /** Core of [[qTokenCount]] over any (doc_id, text) frame. */
+  /** Core of [[qTokenCount]] over any (doc_id, text) frame.
+    * `try_divide` matters: an empty/whitespace-only document has zero
+    * BPE tokens, and under Spark 4's default ANSI mode a plain `/`
+    * throws DIVIDE_BY_ZERO at runtime; `try_divide` yields NULL — the
+    * exact behavior of the DuckDB oracle's division. */
   private[graft] def tokenCount(docs: DataFrame): DataFrame = {
     val bpe = size(regexp_extract_all(lower(col("text")),
       lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
     docs.select(col("doc_id"),
       size(split(col("text"), " ")).as("n_ws_tokens"),
       bpe.as("n_bpe_tokens"),
-      (length(col("text")).cast("double") / bpe).as("chars_per_token"))
+      try_divide(length(col("text")).cast("double"), bpe)
+        .as("chars_per_token"))
       .orderBy(col("doc_id"))
   }
 

@@ -64,10 +64,13 @@ object Vectors {
     val q = b.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
+    // try_divide: a zero-norm vector would make ANSI `/` throw
+    // DIVIDE_BY_ZERO; NULL (DuckDB's division result for /0) drops the
+    // row from the desc-ordered ranking instead.
     val scored = b.filter(col("vec_id") >= 10)
       .crossJoin(broadcast(q))
       .withColumn("cosine",
-        dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        try_divide(dot(col("qv"), col("v")), col("qn") * col("nrm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored
@@ -278,14 +281,14 @@ object Vectors {
     // nearest centroid per query: min over (negative cosine, label)
     val probe = q.crossJoin(broadcast(centroids))
       .withColumn("ncos",
-        -dot(col("qv"), col("cv")) / (col("qn") * col("c_nrm")))
+        -try_divide(dot(col("qv"), col("cv")), col("qn") * col("c_nrm")))
       .groupBy(col("q_id")).agg(min(struct(col("ncos"), col("c_label"))).as("p"))
       .select(col("q_id"), col("p.c_label").as("probe_label"))
     val qp = q.join(probe, "q_id")
     val scored = b.filter(col("vec_id") >= 10)
       .join(broadcast(qp), col("label") === col("probe_label"))
       .withColumn("cosine",
-        dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        try_divide(dot(col("qv"), col("v")), col("qn") * col("nrm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored

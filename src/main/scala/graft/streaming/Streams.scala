@@ -60,10 +60,22 @@ object Streams {
 
   /** Custom per-key state machine via `flatMapGroupsWithState` — the
     * escape hatch for session semantics `session_window` can't express
-    * (here: emit a closed session the moment a new one opens, carrying a
-    * running event count; timeout closes idle sessions when the
-    * watermark passes). State per user is O(1) — three longs — so
+    * (here: emit a closed session the moment a later one is known,
+    * carrying a running event count; timeout closes idle sessions when
+    * the watermark passes). State per user is O(1) — three longs — so
     * executor state scales with active users, not history.
+    *
+    * Out-of-order handling (ADVICE round 2 — the old gap test
+    * `t - end <= gap` was vacuously true for any in-watermark event
+    * earlier than the session end, silently corrupting session_start):
+    * the trigger's events and the carried state are merged as
+    * *intervals*. An event within `gap` of the active session on
+    * either side extends it (session start CAN move down); an event
+    * more than `gap` before the active session's start forms its own
+    * earlier session, emitted closed immediately — the one divergence
+    * from `session_window`, which could still merge it with even-later
+    * stragglers; keeping one active interval per key is what bounds
+    * state at O(1).
     */
   def sessionizeStateful(events: Dataset[SessionEvent],
     gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
@@ -82,28 +94,25 @@ object Streams {
             Iterator(SessionOut(user, new Timestamp(s.start),
               new Timestamp(s.end), s.n))
           } else {
-            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var cur = state.getOption
-            val closed = Seq.newBuilder[SessionOut]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t),
-                    s.n + 1))
-                case Some(s) =>
-                  closed += SessionOut(user, new Timestamp(s.start),
-                    new Timestamp(s.end), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            closed.result().iterator
+            // carried session + each event as (start, end, n) intervals,
+            // merged where closer than the gap
+            val ivs = (state.getOption.map(s => (s.start, s.end, s.n)).toSeq
+              ++ evs.map(e => (e.ts.getTime, e.ts.getTime, 1L)).toSeq)
+              .sortBy(iv => (iv._1, iv._2))
+            val merged = ivs.foldLeft(List.empty[(Long, Long, Long)]) {
+              case ((hs, he, hn) :: tail, (s2, e2, n2))
+                  if s2 <= he + gapMs =>
+                (hs, math.max(he, e2), hn + n2) :: tail
+              case (acc, iv) => iv :: acc
+            }.reverse
+            // the latest interval stays active; every earlier one is
+            // final (nothing in this trigger can extend it any more)
+            val active = merged.last
+            state.update(SessionState(active._1, active._2, active._3))
+            state.setTimeoutTimestamp(active._2 + gapMs)
+            merged.init.map { case (s2, e2, n2) =>
+              SessionOut(user, new Timestamp(s2), new Timestamp(e2), n2)
+            }.iterator
           }
       }
   }

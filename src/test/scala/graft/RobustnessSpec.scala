@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -45,6 +46,7 @@ class RobustnessSpec extends SparkTestBase {
       assert(TextOps.textStats(docs).count() == n)
       assert(TextOps.langId(docs).count() == n)
       assert(TextOps.fingerprint(docs).count() == n)
+      assert(TextOps.tokenCount(docs).count() == n)
       assert(TextOps.simhash(docs).count() <= n) // groupBy over tokens
       // pair queries: no self-pairs, ids ordered
       TextOps.jaccardPairs(docs).collect().foreach { r =>
@@ -54,6 +56,32 @@ class RobustnessSpec extends SparkTestBase {
         assert(r.getLong(0) < r.getLong(1))
       }
     }
+  }
+
+  test("tokenCount yields NULL chars_per_token on token-free documents") {
+    // empty and whitespace-only docs have 0 BPE tokens: under ANSI mode
+    // a plain division would throw DIVIDE_BY_ZERO; the operator must
+    // return NULL (the DuckDB oracle's division semantics) instead
+    val rows = TextOps.tokenCount(docsOf(Seq("", "   ", "hello world")))
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 3)
+    assert(rows(0).isNullAt(3) && rows(1).isNullAt(3))
+    assert(!rows(2).isNullAt(3))
+  }
+
+  test("vector operators tolerate zero-norm vectors") {
+    import spark.implicits._
+    val u = Seq(
+      (0L, Seq.fill(64)(0.0)),                       // zero vector
+      (1L, Seq.tabulate(64)(j => math.sin(j + 1.0))),
+      (2L, Seq.tabulate(64)(j => math.sin(j + 1.0)))) // dup of 1
+      .toDF("vec_id", "v")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.unitv(col("v")).as("u"))
+    // zero vector normalizes to NULL and silently drops from the pairs
+    assert(u.filter(col("u").isNull).count() == 1)
+    val pairs = graft.operators.Vectors.dedupLsh(u).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
   test("identical documents always pair at jaccard 1.0") {

@@ -143,6 +143,47 @@ class WindowedSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful sessionizer merges out-of-order events across triggers") {
+    import spark.implicits._
+    val input = MemoryStream[SessionEvent](spark)
+    val q = Streams.sessionizeStateful(input.toDS())
+      .writeStream.format("memory").queryName("ooo_session_test")
+      .outputMode("append").start()
+    try {
+      // trigger 1: session [10:30, 10:40]
+      input.addData(Seq(
+        SessionEvent(1, 1, Timestamp.valueOf("2024-01-01 10:30:00")),
+        SessionEvent(1, 2, Timestamp.valueOf("2024-01-01 10:40:00"))))
+      q.processAllAvailable()
+      // trigger 2 (out of order, within watermark): 10:10 is within the
+      // 30-min gap BEFORE the session start -> start must move down to
+      // 10:10; 09:00 is more than a gap earlier -> its own session,
+      // closed immediately
+      input.addData(Seq(
+        SessionEvent(1, 3, Timestamp.valueOf("2024-01-01 10:10:00")),
+        SessionEvent(1, 4, Timestamp.valueOf("2024-01-01 09:00:00"))))
+      q.processAllAvailable()
+      val afterOoo = spark.table("ooo_session_test").collect()
+      assert(afterOoo.length == 1)
+      assert(afterOoo.head.getAs[Timestamp]("session_start") ==
+        Timestamp.valueOf("2024-01-01 09:00:00"))
+      assert(afterOoo.head.getAs[Long]("n_events") == 1L)
+      // trigger 3: 2h later closes the extended [10:10, 10:40] session
+      // with all 3 of its events and the lowered start
+      input.addData(Seq(
+        SessionEvent(1, 5, Timestamp.valueOf("2024-01-01 12:50:00"))))
+      q.processAllAvailable()
+      val rows = spark.table("ooo_session_test")
+        .orderBy("session_start").collect()
+      assert(rows.length == 2)
+      assert(rows(1).getAs[Timestamp]("session_start") ==
+        Timestamp.valueOf("2024-01-01 10:10:00"))
+      assert(rows(1).getAs[Timestamp]("session_end") ==
+        Timestamp.valueOf("2024-01-01 10:40:00"))
+      assert(rows(1).getAs[Long]("n_events") == 3L)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer matches the batch gap query per-user totals") {
     import spark.implicits._
     // run the same state machine in BATCH mode (flatMapGroupsWithState
