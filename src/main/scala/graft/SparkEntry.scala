@@ -62,6 +62,8 @@ object SparkEntry {
     "q_er7_serialize"   -> (Documents.qEr7Serialize _),
     "q_validate"        -> (Documents.qValidate _),
     "q_sink_roundtrip"  -> (Documents.qSinkRoundtrip _),
+    // M3.5 — composed end-to-end pipelines (SURVEY §3 EP1; round-2 verdict)
+    "q_pipeline_etl"    -> (Pipelines.qPipelineEtl _),
     // M4 — time windows (SURVEY §2.9; streaming duals in graft.streaming)
     "q_window_tumbling" -> (Windowed.qWindowTumbling _),
     "q_session_gap"     -> (Windowed.qSessionGap _),
@@ -267,6 +269,52 @@ object SparkEntry {
     "q_sink_roundtrip" ->
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier
         |ORDER BY s_suppkey""".stripMargin,
+    "q_pipeline_etl" ->
+      """WITH fo AS (
+        |  SELECT o_custkey, o_orderkey AS first_orderkey,
+        |         o_orderdate AS first_orderdate,
+        |         o_orderpriority AS first_priority
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate, o_orderkey) AS rn FROM orders) t
+        |  WHERE rn = 1),
+        |p AS (
+        |  SELECT c_custkey, c_name, c_acctbal, n_name, r_name,
+        |         first_orderkey, first_orderdate,
+        |         list_filter(string_split(c_name, '#'),
+        |           x -> NOT regexp_matches(x, '^[0-9]+$')) AS name_parts,
+        |         coalesce(first_priority, 'Not found') AS district
+        |  FROM customer
+        |  LEFT JOIN fo ON c_custkey = fo.o_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |q AS (
+        |  SELECT *, array_to_string(name_parts, ' ') AS name_text,
+        |         trim(concat_ws(' ', array_to_string(name_parts, ' '),
+        |           n_name, district, r_name)) AS addr_text
+        |  FROM p)
+        |SELECT c_custkey, to_json(struct_pack(
+        |  resourceType := 'Patient',
+        |  id := concat('Patient/', CAST(c_custkey AS VARCHAR)),
+        |  "text" := struct_pack(
+        |    status := 'generated',
+        |    div := concat('<div xmlns="http://www.w3.org/1999/xhtml"><p>',
+        |                  name_text, '</p></div>')),
+        |  name := struct_pack("text" := name_text, given := name_parts),
+        |  address := struct_pack("text" := addr_text, city := n_name,
+        |    district := district, state := r_name),
+        |  encounter := struct_pack(
+        |    reference := concat('Encounter/',
+        |      coalesce(CAST(first_orderkey AS VARCHAR), 'none')),
+        |    period := coalesce(strftime(first_orderdate, '%Y%m%d'), 'none'))
+        |)) AS doc,
+        |CAST(len(list_filter([
+        |  CASE WHEN c_acctbal < 0 THEN 'negative account balance' END,
+        |  CASE WHEN first_orderkey IS NULL THEN 'no encounters on file' END,
+        |  CASE WHEN NOT starts_with(c_name, 'Customer#')
+        |    THEN 'bad name format' END],
+        |  x -> x IS NOT NULL)) AS INTEGER) AS n_violations
+        |FROM q ORDER BY c_custkey""".stripMargin,
     "q_window_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       CAST(count(*) AS BIGINT) AS n
