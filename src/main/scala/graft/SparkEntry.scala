@@ -53,6 +53,7 @@ object SparkEntry {
     "q_child_lookup"    -> (Joins.qChildLookup _),
     "q_code_map"        -> (Joins.qCodeMap _),
     "q_anti_missing"    -> (Joins.qAntiMissing _),
+    "q_hierarchy_closure" -> (Joins.qHierarchyClosure _),
     "q_resource_counts" -> (Joins.qResourceCounts _),
     "q_rollup_counts"   -> (Joins.qRollupCounts _),
     "q_approx_distinct" -> (Joins.qApproxDistinct _),
@@ -182,6 +183,34 @@ object SparkEntry {
         |  WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '2000-06-01')
         |ORDER BY c_custkey""".stripMargin,
+    "q_hierarchy_closure" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT c_name AS child, n_name AS parent
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT n_name, r_name
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  UNION ALL
+        |  SELECT r_name, 'WORLD' FROM region
+        |  UNION ALL
+        |  SELECT child, parent FROM (
+        |    SELECT DISTINCT p_brand AS child,
+        |      concat('Mfgr#', CAST(CAST(regexp_extract(p_brand,
+        |        '([0-9]+)', 1) AS INTEGER) % 5 + 1 AS VARCHAR)) AS parent
+        |    FROM part)
+        |  UNION ALL
+        |  SELECT DISTINCT
+        |    concat('Mfgr#', CAST(CAST(regexp_extract(p_brand,
+        |      '([0-9]+)', 1) AS INTEGER) % 5 + 1 AS VARCHAR)), 'WORLD'
+        |  FROM part),
+        |closure AS (
+        |  SELECT child AS descendant, parent AS ancestor, 1 AS depth
+        |  FROM edges
+        |  UNION ALL
+        |  SELECT c.descendant, e.parent, c.depth + 1
+        |  FROM closure c JOIN edges e ON c.ancestor = e.child)
+        |SELECT descendant, ancestor, CAST(depth AS INTEGER) AS depth
+        |FROM closure ORDER BY descendant, depth, ancestor""".stripMargin,
     "q_resource_counts" ->
       """SELECT resource_type, code, CAST(count(*) AS BIGINT) AS n FROM (
         |  SELECT 'orders' AS resource_type, o_orderstatus AS code FROM orders

@@ -155,6 +155,61 @@ object Joins {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** Multi-hop hierarchy closure — the generalization of J2/J3's one-hop
+    * ECL lookups (`>!`/`<!`, /root/reference/src/coding_task_1.py:158,
+    * coding_task_2.py:139) to full SNOMED-style ancestry (SURVEY §4):
+    * every (descendant, ancestor, depth) pair of a derived 4-level
+    * concept tree
+    *
+    *   customer → nation → region → WORLD
+    *   brand    → mfgr (synthesized: Brand#N → Mfgr#(N mod 5 + 1)) → WORLD
+    *
+    * computed by a bounded-depth iterative self-join in driver code (the
+    * SURVEY §7.3 plan — no custom planner rule needed). Scale posture:
+    * the *upper* levels of a concept hierarchy are small at any data
+    * scale, so each iteration extends the frontier by one hop against a
+    * broadcast of the non-leaf edge set — per-hop map-side joins, zero
+    * shuffles until the final presentation sort; the fact-sized leaf
+    * level never self-joins. Every edge level is functional (one parent
+    * per child), so closure rows are unique without a distinct.
+    */
+  def qHierarchyClosure(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir)
+    val nr = nation.join(broadcast(region),
+      col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name").as("child"), col("r_name").as("parent"))
+    val rw = region.select(col("r_name").as("child"),
+      lit("WORLD").as("parent"))
+    val bm = Tables.part(spark, dir).select(col("p_brand")).distinct()
+      .select(col("p_brand").as("child"),
+        concat(lit("Mfgr#"),
+          (pmod(regexp_extract(col("p_brand"), "([0-9]+)", 1).cast("int"),
+            lit(5)) + 1).cast("string")).as("parent"))
+    val mw = bm.select(col("parent").as("child")).distinct()
+      .select(col("child"), lit("WORLD").as("parent"))
+    val cn = Tables.customer(spark, dir).join(broadcast(nation),
+      col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_name").as("child"), col("n_name").as("parent"))
+    val upperEdges = nr.unionByName(rw).unionByName(bm).unionByName(mw)
+
+    val maxDepth = 3
+    var frontier = cn.unionByName(upperEdges)
+      .select(col("child").as("descendant"), col("parent").as("ancestor"),
+        lit(1).as("depth"))
+    var closure = frontier
+    for (d <- 2 to maxDepth) {
+      val up = broadcast(upperEdges
+        .select(col("child").as("u_child"), col("parent").as("u_parent")))
+      frontier = frontier
+        .join(up, frontier("ancestor") === up("u_child"))
+        .select(col("descendant"), col("u_parent").as("ancestor"),
+          lit(d).as("depth"))
+      closure = closure.unionByName(frontier)
+    }
+    closure.orderBy(col("descendant"), col("depth"), col("ancestor"))
+  }
+
   def qResourceCounts(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select(lit("orders").as("resource_type"),

@@ -110,4 +110,40 @@ class JoinsSpec extends SparkTestBase {
         s"${r.getString(0)}: approx=$approx exact=$exact")
     }
   }
+
+  test("q_hierarchy_closure matches a driver-side transitive closure") {
+    val got = Joins.qHierarchyClosure(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // rebuild the edge relation on the driver and close it by brute force
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet").collect()
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet").collect()
+      .map(r => r.getAs[Int]("n_nationkey") ->
+        (r.getAs[String]("n_name"), r.getAs[Int]("n_regionkey"))).toMap
+    val region = spark.read.parquet(s"$sfDir/region.parquet").collect()
+      .map(r => r.getAs[Int]("r_regionkey") -> r.getAs[String]("r_name"))
+      .toMap
+    val brands = spark.read.parquet(s"$sfDir/part.parquet").collect()
+      .map(_.getAs[String]("p_brand")).distinct
+    val parent = scala.collection.mutable.Map[String, String]()
+    cust.foreach { c =>
+      parent(c.getAs[String]("c_name")) =
+        nation(c.getAs[Int]("c_nationkey"))._1
+    }
+    nation.values.foreach { case (n, rk) => parent(n) = region(rk) }
+    region.values.foreach(r => parent(r) = "WORLD")
+    brands.foreach { b =>
+      val m = "Mfgr#" + ("([0-9]+)".r.findFirstIn(b).get.toInt % 5 + 1)
+      parent(b) = m
+      parent(m) = "WORLD"
+    }
+    val want = parent.keys.flatMap { start =>
+      Iterator.iterate(Option(start))(_.flatMap(parent.get))
+        .drop(1).takeWhile(_.isDefined).zipWithIndex
+        .map { case (anc, i) => (start, anc.get, i + 1) }
+    }.toSet
+    assert(got == want)
+    // depth really goes multi-hop: customers reach WORLD at depth 3
+    assert(got.exists { case (d, a, n) =>
+      d.startsWith("Customer#") && a == "WORLD" && n == 3 })
+  }
 }
