@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** One scored candidate row for the bounded top-k aggregate. */
+case class ScoredNeighbor(cosine: Double, vec_id: Long)
+
+/** Bounded top-k-per-group aggregate: the buffer is a sorted array of at
+  * most k (cosine desc, vec_id asc) entries, so *partial aggregation on
+  * the map side* reduces every input partition to ≤ k rows per group
+  * before anything shuffles — the fix for the round-2 note that
+  * `q_cosine_topk`'s rank window funneled the whole scored set through
+  * one task per query (parallelism capped at #queries). The merge is
+  * associative and commutative, and ties are broken by vec_id, so the
+  * result is deterministic regardless of partitioning. (NULL cosines —
+  * zero-norm vectors under try_divide — are filtered out by the caller
+  * before the aggregate; a typed aggregator's input encoder would read
+  * a null double as 0.0.)
+  */
+class TopKByCosine(k: Int)
+    extends Aggregator[ScoredNeighbor, Seq[ScoredNeighbor],
+      Seq[ScoredNeighbor]] {
+
+  private def trim(b: Seq[ScoredNeighbor]): Seq[ScoredNeighbor] =
+    b.sortBy(s => (-s.cosine, s.vec_id)).take(k)
+
+  override def zero: Seq[ScoredNeighbor] = Seq.empty
+
+  override def reduce(b: Seq[ScoredNeighbor],
+    a: ScoredNeighbor): Seq[ScoredNeighbor] =
+    // fast path: skip entries that can't enter a full buffer
+    if (b.size >= k && {
+      val last = b.last
+      a.cosine < last.cosine ||
+        (a.cosine == last.cosine && a.vec_id > last.vec_id)
+    }) b
+    else trim(b :+ a)
+
+  override def merge(x: Seq[ScoredNeighbor],
+    y: Seq[ScoredNeighbor]): Seq[ScoredNeighbor] = trim(x ++ y)
+
+  override def finish(b: Seq[ScoredNeighbor]): Seq[ScoredNeighbor] = trim(b)
+
+  override def bufferEncoder: Encoder[Seq[ScoredNeighbor]] =
+    ExpressionEncoder[Seq[ScoredNeighbor]]()
+
+  override def outputEncoder: Encoder[Seq[ScoredNeighbor]] =
+    ExpressionEncoder[Seq[ScoredNeighbor]]()
+}
+
+object TopKByCosine {
+  /** Column form: `topk(cosine, vec_id)` usable directly in `agg`. */
+  def topk(k: Int)(cosine: Column, vecId: Column): Column =
+    udaf(new TopKByCosine(k)).apply(cosine, vecId)
+}

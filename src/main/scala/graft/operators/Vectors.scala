@@ -56,8 +56,12 @@ object Vectors {
   /** Brute-force cosine top-5 neighbors for each query vector
     * (vec_id < 10) against the rest of the corpus. Exact — the ANN
     * baseline and the DuckDB oracle query. The query side is broadcast;
-    * ranking is a per-query window with a deterministic (cosine desc,
-    * neighbor_id) order.
+    * ranking goes through the bounded [[graft.functions.TopKByCosine]]
+    * aggregate, whose map-side partials reduce every corpus partition
+    * to ≤5 rows per query before the (tiny) shuffle — the round-2 rank
+    * window instead funneled the entire scored set through one task per
+    * query, capping the final stage's parallelism at #queries.
+    * Deterministic (cosine desc, neighbor_id) order, ties included.
     */
   def qCosineTopk(spark: SparkSession, dir: String): DataFrame = {
     val b = base(spark, dir)
@@ -66,18 +70,19 @@ object Vectors {
         col("nrm").as("qn"))
     // try_divide: a zero-norm vector would make ANSI `/` throw
     // DIVIDE_BY_ZERO; NULL (DuckDB's division result for /0) drops the
-    // row from the desc-ordered ranking instead.
+    // row before the ranking instead.
     val scored = b.filter(col("vec_id") >= 10)
       .crossJoin(broadcast(q))
       .withColumn("cosine",
         try_divide(dot(col("qv"), col("v")), col("qn") * col("nrm")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
+      .filter(col("cosine").isNotNull)
     scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        col("cosine"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKByCosine.topk(5)(col("cosine"),
+        col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.vec_id").as("neighbor_id"), col("s.cosine").as("cosine"))
       .orderBy(col("q_id"), col("rank"))
   }
 

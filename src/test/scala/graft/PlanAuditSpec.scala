@@ -47,6 +47,15 @@ class PlanAuditSpec extends SparkTestBase {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("cosine top-k pre-reduces map-side instead of a per-query window") {
+    val p = plan(Vectors.qCosineTopk(spark, sfDir))
+    // bounded TopKByCosine aggregate: partial (map-side) phase present,
+    // no rank window over the full scored set (round-2 verdict item 7)
+    assert(p.contains("partial_topkbycosine"),
+      s"expected partial top-k aggregate in:\n$p")
+    assert(!p.contains("Window"))
+  }
+
   test("column pruning: scans read only referenced columns") {
     val p = plan(Relational.qScan(spark, sfDir))
     assert(p.contains("ReadSchema"))
