@@ -271,6 +271,73 @@ case class NormalizeVector(child: Expression) extends UnaryExpression {
     newChild: Expression): NormalizeVector = copy(child = newChild)
 }
 
+/** Indices of the `k` rows of a constant matrix with the largest dot
+  * product against the input vector (dot desc, index asc on ties) —
+  * the IVF coarse-quantizer probe: `k = 1` assigns a corpus vector to
+  * its bucket, `k = nprobe` lists the buckets a query must scan.
+  * Evaluation is one small selection loop shared verbatim between the
+  * interpreted path and codegen (codegen emits a call to [[compute]] —
+  * a normal JVM method the JIT compiles; inlining nlist dot loops into
+  * the generated source would re-create the huge-method interpreter
+  * fallback the LSH expression hit).
+  */
+case class TopKDotIndices(child: Expression,
+    mat: Array[Array[Double]], k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "graft_topk_dot_idx"
+
+  /** Selection of the k best (dot, index) pairs; public so the codegen
+    * call site and the interpreted path share one implementation. */
+  def compute(input: ArrayData): ArrayData = {
+    val kk = math.min(k, mat.length)
+    val bestS = new Array[Double](kk)
+    val bestI = new Array[Int](kk)
+    var filled = 0
+    var c = 0
+    while (c < mat.length) {
+      val m = mat(c)
+      val n = math.min(input.numElements(), m.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += input.getDouble(i) * m(i); i += 1 }
+      if (filled < kk || s > bestS(kk - 1)) {
+        var pos = if (filled < kk) filled else kk - 1
+        while (pos > 0 && s > bestS(pos - 1)) {
+          bestS(pos) = bestS(pos - 1); bestI(pos) = bestI(pos - 1)
+          pos -= 1
+        }
+        bestS(pos) = s; bestI(pos) = c
+        if (filled < kk) filled += 1
+      }
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(bestI.take(filled))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+    ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("topkDot", this,
+      classOf[TopKDotIndices].getName)
+    nullSafeCodeGen(ctx, ev, u =>
+      s"${ev.value} = $self.compute($u);")
+  }
+
+  override protected def withNewChildInternal(
+    newChild: Expression): TopKDotIndices = copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two `array<double>` columns. */
   def dotp(a: Column, b: Column): Column =
@@ -288,4 +355,10 @@ object VectorFunctions {
     * (NULL for the zero vector). */
   def unitv(v: Column): Column =
     ColumnBridge.column(NormalizeVector(ColumnBridge.expression(v)))
+
+  /** Top-k matrix-row indices by dot product against the input vector
+    * (array<int>, dot desc / index asc). */
+  def topDotIdx(u: Column, mat: Seq[Seq[Double]], k: Int): Column =
+    ColumnBridge.column(TopKDotIndices(ColumnBridge.expression(u),
+      mat.map(_.toArray).toArray, k))
 }
