@@ -33,11 +33,23 @@ object Joins {
       .filter(col("o_orderstatus") === "O")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"))
+    childRecordsJoin(patients, records)
+      .orderBy(col("c_custkey"), col("o_orderkey"))
+  }
+
+  /** The J1 join core over any (c_custkey, …) ⋈ (o_custkey, …) frames —
+    * exposed so JoinsSpec can drive it with a deliberately skewed FK
+    * and observe AQE's skew-join split: at real scale a hot patient
+    * (one FK value owning a large share of the fact rows) would stall
+    * a sort-merge task for the whole stage; AQE splits the oversized
+    * partition into advisory-sized slices at runtime, which is the
+    * engine's answer to FK skew (no manual salting needed for joins).
+    */
+  private[graft] def childRecordsJoin(patients: DataFrame,
+    records: DataFrame): DataFrame =
     patients
       .join(records, patients("c_custkey") === records("o_custkey"))
       .drop("o_custkey")
-      .orderBy(col("c_custkey"), col("o_orderkey"))
-  }
 
   /** J2 — hierarchy parent lookup: SNOMED code → parent concept via ECL
     * `>!{code}` (/root/reference/src/coding_task_1.py:137-175, query at

@@ -111,6 +111,47 @@ class JoinsSpec extends SparkTestBase {
     }
   }
 
+  test("AQE splits a skewed FK partition in the child-records join") {
+    // one hot patient owns ~2/3 of all fact rows — the realistic hot-key
+    // failure mode of the fact-to-fact join at scale. Thresholds are
+    // lowered so the local-size data trips the same AQE skew-split
+    // machinery a 100 TB run relies on; broadcast is disabled so the
+    // join actually sort-merges.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      import spark.implicits._
+      val patients = spark.range(0, 200)
+        .select(col("id").as("c_custkey"),
+          concat(lit("Customer#"), col("id")).as("c_name"))
+      val records = spark.range(0, 300000)
+        .select(col("id").as("o_orderkey"),
+          when(col("id") < 200000, lit(0L))
+            .otherwise(col("id") % 200).as("o_custkey"),
+          lit("O").as("o_orderstatus"),
+          (col("id") % 1000).cast("double").as("o_totalprice"))
+      val joined = graft.operators.Joins.childRecordsJoin(patients, records)
+      // collect() executes THIS queryExecution, letting AQE finalize the
+      // plan we then inspect (a .write would run a separate execution)
+      val n = joined.collect().length
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("SortMergeJoin"), finalPlan.take(2000))
+      assert(finalPlan.contains("skew=true"),
+        s"no skew split observed in final plan:\n${finalPlan.take(2000)}")
+      // and the result is still exactly the FK join
+      assert(n == 300000)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q_hierarchy_closure matches a driver-side transitive closure") {
     val got = Joins.qHierarchyClosure(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet

@@ -42,6 +42,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!f.contains("Window")) // the old window plan shuffled every row
   }
 
+  test("AQE and its skew-join handling stay enabled") {
+    // the fact-to-fact joins rely on runtime skew splitting at scale
+    // (see JoinsSpec's skewed child-records case); pin the configs so a
+    // session-builder change that silently disables them fails CI
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+  }
+
   test("top-k plans as TakeOrderedAndProject") {
     assert(plan(Relational.qTopk(spark, sfDir))
       .contains("TakeOrderedAndProject"))
