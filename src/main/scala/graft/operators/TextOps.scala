@@ -31,45 +31,24 @@ import graft.sources.Tables
   */
 object TextOps {
 
-  /** Distinct word 3-gram shingles of a (lowercased, space-split) token
-    * array; one whole-text shingle for documents shorter than 3 tokens.
-    *
-    * Implementation note: the shingle is assembled by zipping three
-    * shifted slices of the token array — the lambda touches ONLY its own
-    * zip variable. A formulation that indexes the token array inside the
-    * lambda (`element_at(w, i)`) is quadratic in practice: Catalyst
-    * re-inlines the `split()` tree into every reference it can't
-    * common-subexpression-eliminate (lambda bodies are outside CSE), so
-    * each element access re-splits the document — measured 7 s just to
-    * shingle 5 000 docs vs ~1 s for this shape.
-    */
-  private def shingles(w: Column): Column = {
-    val n = size(w)
-    when(n >= 3,
-      array_distinct(transform(
-        arrays_zip(slice(w, lit(1), n - 2), slice(w, lit(2), n - 2),
-          slice(w, lit(3), n - 2)),
-        t => concat_ws(" ", t("0"), t("1"), t("2")))))
-      .otherwise(array_distinct(array(concat_ws(" ", w))))
-  }
-
   private def toks: Column = split(lower(col("text")), " ")
 
-  /** documents staged as (doc_id, sh: distinct shingle strings, shash:
-    * distinct shingle xxhash64s). Expensive derivations (split, shingle
-    * assembly, hashing) are materialized as columns at project
-    * boundaries — referencing them through a column alias instead of
-    * re-inlining the expression tree keeps each computed ONCE per row
-    * (lambda bodies are outside common-subexpression elimination, so an
-    * inlined tree would be recomputed per reference; this was a 30×
-    * slowdown in the first cut of the minhash query). Downstream ops
-    * join/compare on the 8-byte hashes, never the shingle strings.
+  /** documents staged as (doc_id, shash: distinct xxhash64s of the word
+    * 3-gram shingles), via the fused
+    * [[graft.functions.ShingleHashes]] expression — one JIT-compiled
+    * per-row loop. (History: round 2 assembled shingles from three
+    * zipped array slices and hashed them with a HOF `transform`; the
+    * values are identical — same XXH64 over the same shingle strings —
+    * but the lambda chain evaluated interpreted, and an earlier
+    * formulation indexing the token array inside the lambda went
+    * quadratic because lambda bodies are outside CSE and CollapseProject
+    * re-inlined the `split()` per element — a measured 7 s to shingle
+    * 5 000 docs.) Downstream ops join/compare on the 8-byte hashes,
+    * never the shingle strings.
     */
   private def shingled(df: DataFrame): DataFrame =
-    df.withColumn("w", toks)
-      .withColumn("sh", shingles(col("w")))
-      .withColumn("shash", transform(col("sh"), x => xxhash64(x)))
-      .select(col("doc_id"), col("sh"), col("shash"))
+    df.select(col("doc_id"),
+      graft.functions.TextFunctions.shingleHashes(toks, 3).as("shash"))
 
   /** Exact deduplication, hash-grouped: one surviving `keep_id` (min
     * doc_id) per distinct *normalized* text (whitespace-collapsed,
@@ -131,10 +110,17 @@ object TextOps {
 
   /** MinHash + LSH banded near-duplicate detection — the scale path.
     * 64 min-hashes per document (min over shingles of
-    * `xxhash64(shingle, seed)`), split into 16 bands × 4 rows; documents
-    * sharing any band bucket become candidates via an equi-join on
-    * (band_idx, band_hash); exact Jaccard is recomputed for candidates
-    * only and thresholded at 0.8.
+    * `XXH64(shingleHash, seed=i)`), split into 16 bands × 4 rows, all
+    * fused into one per-row expression
+    * ([[graft.functions.MinHashBandHashes]] — round 2 computed the same
+    * signature through an explode → 64-min-aggregate shuffle, which
+    * moved every (doc, shingle) pair plus a collect_set of the shingle
+    * hashes across the wire; the signature is per-row arithmetic and
+    * never needed a shuffle). Documents sharing any 64-bit band bucket
+    * become candidates via the banded equi-join (emit-once predicate —
+    * a pair surfaces only in its first colliding band, so no dedup
+    * shuffle); exact Jaccard is recomputed on candidates only from the
+    * carried shingle-hash sets and thresholded at 0.8.
     *
     * With 16 bands of 4 rows, P(candidate | J=0.8) = 1-(1-0.8⁴)¹⁶ ≈
     * 0.9998 — the property test asserts parity with [[qJaccardPairs]]
@@ -146,44 +132,26 @@ object TextOps {
 
   /** Core of [[qDedupMinhash]] over any (doc_id, text) frame. */
   private[graft] def dedupMinhash(docs: DataFrame): DataFrame = {
-    val nHashes = 64
-    val bands   = 16
-    val rows    = nHashes / bands
-    // Signature computation is a hash AGGREGATE, not nested array
-    // lambdas: explode the (once-hashed) shingles and take 64 `min`
-    // aggregates of cheap long-rehashes. The aggregation is a hard
-    // project boundary — CollapseProject cannot re-inline the signature
-    // into the 16 band expressions (which cost a 30× recompute in the
-    // lambda formulation) — and it is exactly the map-side-partial
-    // shape that scales: the shuffle carries 64 longs + the shingle-hash
-    // set per document.
-    val exploded = shingled(docs)
-      .select(col("doc_id"), explode(col("shash")).as("s"))
-    val minAggs = (0 until nHashes).map(i =>
-      min(xxhash64(col("s"), lit(i))).as(s"m$i"))
-    val sig = exploded.groupBy(col("doc_id"))
-      .agg(minAggs.head,
-        (minAggs.tail :+ collect_set(col("s")).as("sset")): _*)
-    val bandArr = array((0 until bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
-      xxhash64(cols :+ lit(b): _*)
-    }: _*)
-    val banded = sig
-      .select(col("doc_id"), posexplode(bandArr))
-      .toDF("doc_id", "band_idx", "band_hash")
-    val cand = banded.as("x")
-      .join(banded.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-    val sets = sig.select(col("doc_id"), col("sset"))
-    cand
-      .join(sets.select(col("doc_id").as("id_a"), col("sset").as("sa")),
-        "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("sset").as("sb")),
-        "id_b")
+    val banded = shingled(docs)
+      .withColumn("bsigs",
+        graft.functions.TextFunctions.minhashBands(col("shash"), 64, 16))
+      .select(col("doc_id"), col("shash"), col("bsigs"),
+        posexplode(col("bsigs")).as(Seq("band", "bhash")))
+    // emit-once: a pair colliding in k bands surfaces only in the first
+    // one (same construction as the embedding-LSH join)
+    val noEarlierCollision = !exists(
+      zip_with(slice(col("x.bsigs"), lit(1), col("x.band")),
+        slice(col("y.bsigs"), lit(1), col("x.band")),
+        (a, b) => a === b),
+      x => x)
+    banded.as("x")
+      .join(banded.as("y").hint("shuffle_hash"),
+        col("x.band") === col("y.band") &&
+          col("x.bhash") === col("y.bhash") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          noEarlierCollision)
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.shash").as("sa"), col("y.shash").as("sb"))
       .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", col("common") /
         (size(col("sa")) + size(col("sb")) - col("common")))
@@ -272,27 +240,20 @@ object TextOps {
   /** Frequency-weighted 64-bit SimHash: each token votes ±1 on every bit
     * of its xxhash64; the signature is the sign vector, emitted as a
     * 64-char bitstring (MSB first). Near-duplicate documents land within
-    * small Hamming distance — property-tested. One explode + one
-    * 64-column hash aggregate; the shuffle carries 64 ints per doc.
+    * small Hamming distance — property-tested. Fused into the per-row
+    * [[graft.functions.SimHash64]] expression (bit-identical to the
+    * round-2 explode + 64-sum-aggregate formulation — same XXH64 seed-42
+    * token hash, same vote rule — with no shuffle at all; the signature
+    * was always per-row arithmetic).
     */
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
     simhash(Tables.documents(spark, dir))
 
   /** Core of [[qSimhash]] over any (doc_id, text) frame. */
-  private[graft] def simhash(docs: DataFrame): DataFrame = {
-    val tokens = docs
-      .select(col("doc_id"), explode(toks).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1).otherwise(-1))
-        .as(s"b$i"))
-    val bitstr = concat((63 to 0 by -1).map(i =>
-      when(col(s"b$i") > 0, lit("1")).otherwise(lit("0"))): _*)
-    tokens.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), bitstr.as("simhash"))
+  private[graft] def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextFunctions.simhash64(toks).as("simhash"))
       .orderBy(col("doc_id"))
-  }
 
   /** Document fingerprint (winnowing-style): the 4 smallest shingle
     * hashes, dash-joined — a compact sketch for shard-local clustering

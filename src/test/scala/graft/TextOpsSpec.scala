@@ -127,4 +127,42 @@ class TextOpsSpec extends SparkTestBase {
       assert(r.getAs[Double]("chars_per_token") > 0)
     }
   }
+
+  test("fused text expressions are bit-identical to the xxhash64 built-in") {
+    import spark.implicits._
+    val docs = Seq("a b c d e", "one two", "x", "repeat repeat repeat x y",
+      "ä ö ü ß unicode tokens here").toDF("text")
+    val w = split(lower(col("text")), " ")
+    val n = size(w)
+    // round-2 HOF formulation of the shingle hashes
+    val shOld = when(n >= 3,
+      array_distinct(transform(
+        arrays_zip(slice(w, lit(1), n - 2), slice(w, lit(2), n - 2),
+          slice(w, lit(3), n - 2)),
+        t => concat_ws(" ", t("0"), t("1"), t("2")))))
+      .otherwise(array_distinct(array(concat_ws(" ", w))))
+    docs.select(
+      graft.functions.TextFunctions.shingleHashes(w, 3).as("fused"),
+      transform(shOld, x => xxhash64(x)).as("hof"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      }
+    // simhash votes use the same per-token hash as xxhash64(token)
+    val tokenHashes = docs.select(col("text"),
+      transform(w, t => xxhash64(t)).as("th")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    docs.select(col("text"),
+      graft.functions.TextFunctions.simhash64(w).as("sig")).collect()
+      .foreach { r =>
+        val cnt = new Array[Int](64)
+        tokenHashes(r.getString(0)).foreach { h =>
+          (0 until 64).foreach { b =>
+            if (((h >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
+          }
+        }
+        val want = (63 to 0 by -1)
+          .map(b => if (cnt(b) > 0) '1' else '0').mkString
+        assert(r.getString(1) == want, r.getString(0))
+      }
+  }
 }
