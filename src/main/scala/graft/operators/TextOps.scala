@@ -10,12 +10,16 @@ import graft.sources.Tables
   * deduplication (exact, MinHash/LSH, SimHash, n-gram Jaccard), text
   * statistics, language-ID heuristics, and document fingerprinting.
   *
-  * Everything is built-in Catalyst expressions — higher-order array
-  * functions + `xxhash64` — so the hot path stays in whole-stage codegen
-  * with no UDFs. Oracle coverage: exact dedup, n-gram Jaccard, text
-  * stats, and lang-ID are DuckDB-expressible; the hash-based signatures
-  * (MinHash, SimHash, fingerprint) are not (DuckDB lacks xxhash64) and
-  * are declared rows-only with property tests instead.
+  * The relational shell is built-in Catalyst expressions; the sketch
+  * kernels (shingle hashing, minhash banding, simhash) are custom
+  * codegen'd expressions in graft.functions — same XXH64 values as the
+  * `xxhash64` built-in (parity-pinned in TextOpsSpec), but one
+  * JIT-compiled per-row loop instead of interpreted HOF lambdas or an
+  * explode→aggregate shuffle. No UDFs. Oracle coverage: exact dedup,
+  * n-gram Jaccard, text stats, and lang-ID are DuckDB-expressible; the
+  * hash-based signatures (MinHash, SimHash, fingerprint) are not
+  * (DuckDB lacks xxhash64) and are declared rows-only with property
+  * tests instead.
   *
   * Scale design (100 TB posture):
   *   - exact dedup groups by a 64-bit text hash, not the text itself, so
