@@ -63,8 +63,9 @@ object SparkEntry {
     "q_er7_serialize"   -> (Documents.qEr7Serialize _),
     "q_validate"        -> (Documents.qValidate _),
     "q_sink_roundtrip"  -> (Documents.qSinkRoundtrip _),
-    // M3.5 — composed end-to-end pipelines (SURVEY §3 EP1; round-2 verdict)
-    "q_pipeline_etl"    -> (Pipelines.qPipelineEtl _),
+    // M3.5 — composed end-to-end pipelines (SURVEY §3 EP1/EP2; round-2 verdict)
+    "q_pipeline_etl"     -> (Pipelines.qPipelineEtl _),
+    "q_pipeline_caregap" -> (Pipelines.qPipelineCareGap _),
     // M4 — time windows (SURVEY §2.9; streaming duals in graft.streaming)
     "q_window_tumbling" -> (Windowed.qWindowTumbling _),
     "q_session_gap"     -> (Windowed.qSessionGap _),
@@ -344,6 +345,29 @@ object SparkEntry {
         |    THEN 'bad name format' END],
         |  x -> x IS NOT NULL)) AS INTEGER) AS n_violations
         |FROM q ORDER BY c_custkey""".stripMargin,
+    "q_pipeline_caregap" ->
+      """WITH recent AS (
+        |  SELECT o_custkey, o_orderkey AS enc_key, o_orderdate AS enc_date
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate, o_orderkey) AS rn
+        |        FROM orders
+        |        WHERE o_orderdate >= TIMESTAMP '2000-06-01') t
+        |  WHERE rn = 1)
+        |SELECT c_custkey,
+        |  CASE WHEN enc_key IS NULL THEN 'created' ELSE 'existing' END
+        |    AS origin,
+        |  to_json(struct_pack(
+        |    resourceType := 'Observation',
+        |    category := 'vital-signs',
+        |    subject := concat('Patient/', CAST(c_custkey AS VARCHAR)),
+        |    encounter := CASE WHEN enc_key IS NULL THEN 'synthesized'
+        |      ELSE concat('Encounter/', CAST(enc_key AS VARCHAR)) END,
+        |    effectiveDate := coalesce(strftime(enc_date, '%Y-%m-%d'),
+        |      '1900-01-01'),
+        |    component := struct_pack(systolic := '120', diastolic := '80')
+        |  )) AS doc
+        |FROM customer LEFT JOIN recent ON c_custkey = recent.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "q_window_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       CAST(count(*) AS BIGINT) AS n

@@ -102,4 +102,51 @@ object Pipelines {
       size(filter(checks, x => x.isNotNull)).as("n_violations"))
       .orderBy(col("c_custkey"))
   }
+
+  /** EP2 — the task-3 create-if-missing pipeline as ONE declared plan
+    * (/root/reference/src/coding_task_3.py:54-87 + main :236-245; the
+    * `insights.md:223` care-gap query): patients WITHOUT a recent
+    * encounter get a synthesized vitals Observation (the reference's
+    * literal 120/80 build, coding_task_3.py:159,188); patients WITH one
+    * carry their deterministic first recent encounter as the existing
+    * Observation. The anti/semi split is one left join observed two
+    * ways, the build is the D2 struct shape, and the union is implicit
+    * in the CASE'd projection — exactly the imperative
+    * `if entry is None: create` re-expressed declaratively.
+    *
+    * Scale shape: one shuffled first-of-group aggregate over the
+    * date-filtered orders (the filter is pushed to the scan, so only
+    * recent keys shuffle), one shuffled left join on c_custkey, then
+    * per-row expressions.
+    */
+  def qPipelineCareGap(spark: SparkSession, dir: String): DataFrame = {
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(min(struct(col("o_orderdate"), col("o_orderkey"))).as("f"))
+      .select(col("o_custkey"),
+        col("f.o_orderkey").as("enc_key"),
+        col("f.o_orderdate").as("enc_date"))
+    val joined = Tables.customer(spark, dir)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left")
+    val created = col("enc_key").isNull
+    joined.select(
+      col("c_custkey"),
+      when(created, lit("created")).otherwise(lit("existing"))
+        .as("origin"),
+      to_json(struct(
+        lit("Observation").as("resourceType"),
+        lit("vital-signs").as("category"),
+        concat(lit("Patient/"), col("c_custkey").cast("string"))
+          .as("subject"),
+        when(created, lit("synthesized"))
+          .otherwise(concat(lit("Encounter/"),
+            col("enc_key").cast("string"))).as("encounter"),
+        coalesce(date_format(col("enc_date"), "yyyy-MM-dd"),
+          lit("1900-01-01")).as("effectiveDate"),
+        struct(
+          lit("120").as("systolic"),
+          lit("80").as("diastolic")).as("component"))).as("doc"))
+      .orderBy(col("c_custkey"))
+  }
 }

@@ -54,6 +54,30 @@ class PipelinesSpec extends SparkTestBase {
     }
   }
 
+  test("q_pipeline_caregap splits patients into created vs existing exactly") {
+    import spark.implicits._
+    val got = Pipelines.qPipelineCareGap(spark, sfDir)
+      .select("c_custkey", "origin").as[(Long, String)].collect().toMap
+    val withRecent = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp"))
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val all = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+    assert(got.keySet == all.toSet)
+    all.foreach { k =>
+      val expect = if (withRecent.contains(k)) "existing" else "created"
+      assert(got(k) == expect, s"customer $k")
+    }
+    // synthesized docs carry the literal vitals build
+    val docs = Pipelines.qPipelineCareGap(spark, sfDir)
+      .filter(col("origin") === "created").select("doc").collect()
+    assert(docs.nonEmpty)
+    docs.foreach { r =>
+      assert(r.getString(0).contains("\"systolic\":\"120\""))
+      assert(r.getString(0).contains("\"encounter\":\"synthesized\""))
+    }
+  }
+
   test("golden: pipeline output chained through the parquet sink round-trips") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_pipeline_golden").toString
