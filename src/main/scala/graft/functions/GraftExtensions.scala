@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** SQL surface for the engine's custom expressions — the
+  * `SparkSessionExtensions` registration point (design tier (c)):
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
+  *   SELECT graft_dot(a.embedding, b.embedding) FROM ...
+  * }}}
+  *
+  * or, for a session someone else built (the driver's),
+  * [[GraftExtensions.register]] installs the same functions as temp
+  * functions at runtime. Either way the SQL names resolve to the exact
+  * Catalyst expressions the DataFrame API uses — codegen'd, no UDF
+  * indirection.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name, usage),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case _ => throw new IllegalArgumentException(s"$what must be an int literal")
+  }
+
+  /** (name, usage, builder) for every SQL-exposed custom expression. */
+  private[graft] val all: Seq[(String, String,
+    Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      "graft_dot(a, b) - dot product of two array<double> vectors",
+      es => DotProduct(es(0), es(1))),
+    ("graft_unit",
+      "graft_unit(v) - unit-normalize array<float|double> (NULL for zero)",
+      es => NormalizeVector(es(0))),
+    ("graft_simhash64",
+      "graft_simhash64(tokens) - 64-bit simhash bitstring of array<string>",
+      es => SimHash64(es(0))),
+    ("graft_shingle_hashes",
+      "graft_shingle_hashes(tokens, k) - distinct xxhash64 word k-gram shingles",
+      es => ShingleHashes(es(0), intLit(es(1), "k"))))
+
+  /** Install the same functions on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      ColumnBridge.registerTempFunction(spark, name, builder)
+    }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftExtensions
+
+/** SQL surface of the custom expressions: after registration the SQL
+  * names must resolve to the same Catalyst expressions the DataFrame
+  * API uses and agree with the built-in formulations.
+  */
+class FunctionsSpec extends SparkTestBase {
+
+  test("registered SQL functions evaluate the custom expressions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D, 3.0D),
+        |                 array(4.0D, 5.0D, 6.0D)) AS d,
+        |       graft_unit(array(3.0D, 4.0D)) AS u,
+        |       graft_unit(array(0.0D, 0.0D)) AS z,
+        |       graft_simhash64(array('a', 'b', 'a')) AS sh,
+        |       graft_shingle_hashes(array('a','b','c','d'), 3) AS sg
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getSeq[Double](1) == Seq(0.6, 0.8))
+    assert(r.isNullAt(2))
+    assert(r.getString(3).length == 64 &&
+      r.getString(3).forall(c => c == '0' || c == '1'))
+    // 2 distinct 3-gram shingles of 4 tokens, hash-equal to xxhash64
+    val want = spark.sql(
+      "SELECT array(xxhash64('a b c'), xxhash64('b c d'))")
+      .collect().head.getSeq[Long](0)
+    assert(r.getSeq[Long](4) == want)
+  }
+
+  test("SQL graft_dot agrees with the DataFrame-side cosine computation") {
+    GraftExtensions.register(spark)
+    val ds = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(5)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.unitv(col("embedding")).as("u"))
+    ds.createOrReplaceTempView("emb_unit")
+    val sqlDots = spark.sql(
+      """SELECT a.vec_id ia, b.vec_id ib, graft_dot(a.u, b.u) d
+        |FROM emb_unit a JOIN emb_unit b ON a.vec_id < b.vec_id
+        |ORDER BY ia, ib""".stripMargin).collect()
+    val dfDots = ds.as("a").join(ds.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        graft.functions.VectorFunctions.dotp(col("a.u"), col("b.u")))
+      .orderBy(col("a.vec_id"), col("b.vec_id")).collect()
+    assert(sqlDots.map(_.getDouble(2)).toSeq ==
+      dfDots.map(_.getDouble(2)).toSeq)
+  }
+}
