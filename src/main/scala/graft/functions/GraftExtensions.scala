@@ -23,8 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftExtensions.all.foreach { case (name, usage, builder) =>
+      // 5-arg ctor is (className, db, name, usage, examples) — the
+      // 3-arg one reads its third argument as the function NAME
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions", name, usage),
+        new ExpressionInfo("graft.functions", null, name, usage, ""),
         builder))
     }
 }

@@ -170,14 +170,25 @@ object Documents {
     * would be `ds.foreachPartition` per SURVEY §2.1 S6.)
     */
   def qSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    // per-invocation temp dir: concurrent sessions (bench + sbt test)
-    // must not race on one fixed path, and nothing should assume this
-    // container's repo layout (ADVICE round 2)
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_sink_roundtrip").toString
     Tables.supplier(spark, dir)
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
-      .write.mode("overwrite").parquet(out)
-    spark.read.parquet(out).orderBy(col("s_suppkey"))
+      .write.mode("overwrite").parquet(Documents.sinkRoundtripDir)
+    spark.read.parquet(Documents.sinkRoundtripDir).orderBy(col("s_suppkey"))
+  }
+
+  /** One temp sink location per JVM, removed on exit: concurrent
+    * PROCESSES (bench + sbt test) get distinct dirs so they cannot race
+    * on a fixed path (ADVICE round 2), repeated invocations within one
+    * process overwrite the same dir so nothing accumulates, and nothing
+    * assumes this container's repo layout. */
+  private lazy val sinkRoundtripDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_sink_roundtrip")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+    p.toString
   }
 }

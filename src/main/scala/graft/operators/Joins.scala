@@ -206,13 +206,16 @@ object Joins {
     val upperEdges = nr.unionByName(rw).unionByName(bm).unionByName(mw)
 
     val maxDepth = 3
+    // loop-invariant: one broadcast of the renamed upper-edge set,
+    // shared by every hop instead of re-embedding the union-of-edges
+    // subplan per iteration
+    val up = broadcast(upperEdges
+      .select(col("child").as("u_child"), col("parent").as("u_parent")))
     var frontier = cn.unionByName(upperEdges)
       .select(col("child").as("descendant"), col("parent").as("ancestor"),
         lit(1).as("depth"))
     var closure = frontier
     for (d <- 2 to maxDepth) {
-      val up = broadcast(upperEdges
-        .select(col("child").as("u_child"), col("parent").as("u_parent")))
       frontier = frontier
         .join(up, frontier("ancestor") === up("u_child"))
         .select(col("descendant"), col("u_parent").as("ancestor"),

@@ -287,8 +287,11 @@ object Vectors {
     * their previous centroid. Returned centroids are unit-normalized
     * so bucket assignment is argmax cosine.
     */
-  private[graft] def trainCentroids(u: DataFrame, nlist: Int,
+  private[graft] def trainCentroids(u0: DataFrame, nlist: Int,
     iters: Int): Seq[Seq[Double]] = {
+    // zero-norm inputs normalize to NULL u — they have no direction and
+    // must not enter the model (or NPE the init collect)
+    val u = u0.filter(col("u").isNotNull)
     def unitize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
@@ -300,9 +303,14 @@ object Vectors {
     for (_ <- 0 until iters) {
       val bucket = element_at(
         graft.functions.VectorFunctions.topDotIdx(col("u"), cents, 1), 1)
+      // exact DECIMAL accumulation: a double `avg` depends on shuffle
+      // merge order, which would make two "identical" trainings able to
+      // disagree in the last bits and flip a borderline assignment —
+      // the determinism the re-derivation tests rely on
       val sums = u.select(bucket.as("bucket"), posexplode(col("u")))
         .groupBy(col("bucket"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .agg((sum(col("col").cast("decimal(28,18)")) / count(lit(1)))
+          .cast("double").as("m"))
         .collect()
       val byBucket = sums.groupBy(_.getInt(0))
       cents = cents.zipWithIndex.map { case (old, b) =>
@@ -321,9 +329,13 @@ object Vectors {
   /** Core IVF pipeline over any (vec_id, u) unit-vector frame; rows
     * with vec_id < 10 are the query set, the rest the corpus (training
     * runs on the corpus only). Exposed for property tests. */
-  private[graft] def ivfTopk(u: DataFrame, nlist: Int, iters: Int = 3,
-    nprobe: Int = 3): DataFrame = {
-    val corpus0 = u.filter(col("vec_id") >= 10)
+  /** Lloyd's rounds used by [[qAnnIvf]] — shared with the spec's
+    * deterministic re-derivation of the assignment. */
+  private[graft] val ivfIters = 3
+
+  private[graft] def ivfTopk(u: DataFrame, nlist: Int,
+    iters: Int = ivfIters, nprobe: Int = 3): DataFrame = {
+    val corpus0 = u.filter(col("vec_id") >= 10 && col("u").isNotNull)
     val cents = trainCentroids(corpus0, nlist, iters)
     val corpus = corpus0.withColumn("bucket", ivfBucket(cents))
     // nprobe nearest buckets per query — 10 queries × nprobe rows,

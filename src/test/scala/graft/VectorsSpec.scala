@@ -109,7 +109,7 @@ class VectorsSpec extends SparkTestBase {
     val n = u.count()
     val nlist = math.max(2, math.sqrt(n.toDouble).toInt)
     val cents = Vectors.trainCentroids(u.filter(col("vec_id") >= 10),
-      nlist, 4)
+      nlist, Vectors.ivfIters)
     val buckets = u.filter(col("vec_id") >= 10)
       .select(col("vec_id"), Vectors.ivfBucket(cents).as("bucket"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -124,7 +124,7 @@ class VectorsSpec extends SparkTestBase {
   test("ivf corpus written partitionBy(bucket) gives a partition-pruned probe") {
     val (u, _) = clusteredUnit()
     val corpus = u.filter(col("vec_id") >= 10)
-    val cents = Vectors.trainCentroids(corpus, 14, 4)
+    val cents = Vectors.trainCentroids(corpus, 14, Vectors.ivfIters)
     val out = java.nio.file.Files
       .createTempDirectory("graft_ivf_layout").toString
     corpus.withColumn("bucket", Vectors.ivfBucket(cents))
