@@ -88,19 +88,34 @@ object TextOps {
   def qJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(Tables.documents(spark, dir))
 
-  /** Core of [[qJaccardPairs]] over any (doc_id, text) frame. */
+  /** Core of [[qJaccardPairs]] over any (doc_id, text) frame.
+    *
+    * Pair overlap via POSTINGS LISTS rather than a shingle self-join:
+    * group the exploded (shingle-hash, doc_id) rows by hash, keep only
+    * hashes seen in >1 document, and emit each list's (i < j) pairs —
+    * one corpus-sized shuffle instead of a two-sided equi-join of the
+    * full exploded relation (identical result: the per-pair count of
+    * shared shingles is the same sum). Cost remains Σ df² over shingle
+    * document frequencies — quadratic under heavy-df skew, which is why
+    * this stays the documented oracle baseline and [[qDedupMinhash]]
+    * the 100 TB plan; the sorted lists make pair order deterministic.
+    */
   private[graft] def jaccardPairs(docs: DataFrame): DataFrame = {
-    // join on the 8-byte shingle hash, not the shingle string — identical
-    // result absent 64-bit collisions, and the shuffle carries longs
     val staged = shingled(docs)
-    val sh = staged.select(col("doc_id"), explode(col("shash")).as("s"))
     // shingle arrays are already distinct: set size = array size — no
-    // third explode+aggregate pass over the corpus
+    // second explode+aggregate pass over the corpus
     val sizes = staged.select(col("doc_id"), size(col("shash")).as("n"))
-    val common = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val postings = staged
+      .select(explode(col("shash")).as("s"), col("doc_id"))
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairs = postings.select(explode(flatten(
+      transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+    val common = pairs
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .agg(count(lit(1)).as("common"))
     common
       .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
