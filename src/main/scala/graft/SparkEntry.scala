@@ -42,6 +42,7 @@ object SparkEntry {
     "q_drop_cols"       -> (Relational.qDropCols _),
     "q_array_filter"    -> (Relational.qArrayFilter _),
     "q_topk"            -> (Relational.qTopk _),
+    "q_topk_per_group"  -> (Relational.qTopkPerGroup _),
     "q_first_per_key"   -> (Relational.qFirstPerKey _),
     "q_count_by_key"    -> (Relational.qCountByKey _),
     "q_null_impute"     -> (Relational.qNullImpute _),
@@ -123,6 +124,14 @@ object SparkEntry {
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT o_custkey, CAST(rn AS INTEGER) AS rank, o_orderkey,
+        |       o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rank""".stripMargin,
     "q_first_per_key" ->
       """SELECT o_custkey, first_orderkey, first_orderdate FROM (
         |  SELECT o_custkey, o_orderkey AS first_orderkey,

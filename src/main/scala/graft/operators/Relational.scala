@@ -121,6 +121,27 @@ object Relational {
         col("f.o_orderdate").as("first_orderdate"))
       .orderBy(col("o_custkey"))
 
+  /** L1 generalization — bounded top-k PER GROUP (top-3 orders per
+    * patient by totalprice): the [[graft.functions.TopKByCosine]] typed
+    * aggregator in an oracle-hash-checked relational setting. Unlike a
+    * `row_number` window — which shuffles every fact row into its
+    * group's partition before ranking — the aggregate's map-side
+    * partials reduce each input partition to ≤k rows per group first,
+    * so the shuffle carries at most k·groups·partitions rows. The
+    * buffer orders by (value desc, key asc), exactly the window's
+    * deterministic tie rule.
+    */
+  def qTopkPerGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.TopKByCosine.topk(3)(col("o_totalprice"),
+        col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.vec_id").as("o_orderkey"),
+        col("s.cosine").as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rank"))
+
   /** A1 — grouped counts (`len(data['entry'])`,
     * /root/reference/src/coding_task_1.py:75). Hash aggregate with map-side
     * partials; the money sum goes through an exact DECIMAL accumulator so

@@ -67,6 +67,22 @@ class RelationalSpec extends SparkTestBase {
     assert(got.sameElements(want))
   }
 
+  test("q_topk_per_group equals the row_number window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Relational.qTopkPerGroup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val want = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("o_custkey"), col("rank"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("q_first_per_key returns one deterministic row per customer") {
     val df = Relational.qFirstPerKey(spark, sfDir)
     val n  = df.count()

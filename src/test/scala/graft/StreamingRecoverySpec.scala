@@ -80,4 +80,53 @@ class StreamingRecoverySpec extends SparkTestBase {
     runUntilDrained(input, cp, out)
     assert(result(out).size == 3)
   }
+
+  test("stateful sessionizer state survives a kill + checkpoint restart") {
+    import graft.streaming.{SessionEvent, Streams}
+    val base = Files.createTempDirectory("graft_session_e2e").toString
+    val (input, cp, out) = (s"$base/in", s"$base/cp", s"$base/out")
+    Files.createDirectories(java.nio.file.Paths.get(input))
+    val sessSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType)))
+    def run(): Unit = {
+      import spark.implicits._
+      val stream = spark.readStream.schema(sessSchema).json(input)
+        .as[SessionEvent]
+      val q = Streams.sessionizeStateful(stream)
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def dropS(evs: Seq[(Long, Long, String)]): Unit = {
+      import spark.implicits._
+      evs.map { case (u, e, t) =>
+        graft.streaming.SessionEvent(u, e, Timestamp.valueOf(t)) }
+        .toDF().coalesce(1).write.mode("append").json(input)
+    }
+    // run 1: one open session [10:00, 10:10] — custom flatMapGroups
+    // state persists into the checkpoint when the query is killed
+    dropS(Seq((1L, 1L, "2024-01-01 10:00:00"),
+      (1L, 2L, "2024-01-01 10:10:00")))
+    run()
+    assert(!java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .anyMatch(p => p.toString.endsWith(".parquet")) ||
+      spark.read.parquet(out).count() == 0)
+    // run 2 (restarted from checkpoint): an event 2h later must close
+    // the session RECOVERED FROM STATE with both original events
+    dropS(Seq((1L, 3L, "2024-01-01 12:10:00")))
+    run()
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n_events") == 2L)
+    assert(rows.head.getAs[Timestamp]("session_start") ==
+      Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(rows.head.getAs[Timestamp]("session_end") ==
+      Timestamp.valueOf("2024-01-01 10:10:00"))
+  }
 }
