@@ -11,6 +11,11 @@ import org.apache.spark.sql.SparkSession
   *   - one discarded warm-up pass over all queries so JVM/JIT/codegen
   *     and parquet-footer costs don't land on whichever query runs
   *     first;
+  *   - THREE timed passes, reporting the per-query MEDIAN (r3 verdict
+  *     item 7: the machine's single-sample run-to-run noise — 27–35 s
+  *     totals — was hiding real per-query regressions); the JSON also
+  *     carries the per-query max-min spread so noise is measured, not
+  *     asserted;
   *   - deterministic (sorted) query order so runs are comparable;
   *   - failures are reported per-query in an `errors` map (value -1),
   *     never silently timed as a fast success.
@@ -41,16 +46,33 @@ object Bench {
     }
 
     names.foreach(runOne) // discarded warm-up pass
-    val results = names.map(n => n -> runOne(n))
+    val passes = 3
+    val samples: Seq[Map[String, Either[String, Double]]] =
+      (1 to passes).map(_ => names.map(n => n -> runOne(n)).toMap)
+    // per-query median of the successful samples; any failed sample
+    // marks the query failed (a crash must never hide behind a median)
+    val results: Seq[(String, Either[String, (Double, Double)])] =
+      names.map { n =>
+        val s = samples.map(_(n))
+        s.collectFirst { case Left(e) => e } match {
+          case Some(e) => n -> Left(e)
+          case None =>
+            val ds = s.collect { case Right(d) => d }.sorted
+            n -> Right((ds(ds.length / 2), ds.last - ds.head))
+        }
+      }
 
     val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + v.fold(_ => "-1", d => d.toString)
+      "\"" + k + "\":" + v.fold(_ => "-1", { case (med, _) => med.toString })
+    }.mkString("{", ",", "}")
+    val spread = results.collect { case (k, Right((_, sp))) =>
+      "\"" + k + "\":" + sp
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(e)) =>
       "\"" + k + "\":\"" + e + "\""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(d)) => d }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, Right((med, _))) => med }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$passes,"spread_sec":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

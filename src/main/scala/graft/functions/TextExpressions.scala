@@ -16,10 +16,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * these expressions collapse each sketch to one JIT-compiled per-row
   * loop (same motivation and structure as the vector expressions — HOF
   * lambdas evaluate interpreted, and explode+64-aggregate shapes pay a
-  * full shuffle for what is per-row arithmetic). Hash parity: every
-  * hash below is Spark's own XXH64 with the same seeding as the
-  * `xxhash64(...)` column function, so values are identical to the
-  * round-2 formulations (pinned by TextOpsSpec).
+  * full shuffle for what is per-row arithmetic). Hash parity — scoped
+  * (ADVICE r3): [[ShingleHashes]] and [[SimHash64]] use Spark's own
+  * XXH64 with the same seeding as the `xxhash64(...)` column function,
+  * so their values are identical to the round-2 formulations (pinned
+  * by TextOpsSpec). [[MinHashBandHashes]] deliberately changed hash
+  * family in round 3: minhashes are `XXH64.hashLong(shingleHash,
+  * seed=i)` and band buckets a fold-seeded hash of the band's rows,
+  * whereas round 2 chained `xxhash64(s, lit(i))` — internally
+  * consistent, but the signatures and buckets differ from round 2.
+  * That is acceptable because the minhash query is declared rows-only;
+  * its tested guarantee is behavioral (candidate parity with the exact
+  * Jaccard path), not bitwise signature stability.
   *
   * Each expression's codegen emits a call to the expression's `compute`
   * method (a normal JVM method the JIT compiles) rather than inlining

@@ -30,9 +30,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
   * Semantics match the HOF fold and DuckDB's `list_reduce` bitwise:
   * strict left-to-right `+=` over `a(i) * b(i)` from 0.0, so
   * oracle-checked cosine queries stay hash-identical. Inputs are
-  * engine-produced embedding vectors: equal length, no null elements
-  * (null handling: null array → null result, like every binary
-  * expression; element nulls are undefined, as for the HOF fold).
+  * engine-produced embedding vectors: equal length — a length mismatch
+  * RAISES (ADVICE r3: silently truncating to the shorter vector turned
+  * a malformed/mis-dimensioned embedding into a plausible-but-wrong
+  * score; corrupt data must fail loudly). Null handling: null array →
+  * null result, like every binary expression; element nulls are
+  * undefined, as for the HOF fold.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -55,7 +58,11 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"$prettyName: vector dimension mismatch: $n vs ${y.numElements()}")
+    }
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -69,7 +76,12 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: vector dimension mismatch: " + $n + " vs "
+         |      + $b.numElements());
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getDouble($i) * $b.getDouble($i);
@@ -92,9 +104,10 @@ case class DotProduct(left: Expression, right: Expression)
   * HotSpot's huge-method JIT threshold (8 KB bytecode), so the whole
   * stage ran in the bytecode interpreter — measured ~80 µs/dot, the
   * same order as the interpreted HOF fold it replaced. This expression
-  * is one ~20-line nested loop over a `double[][]` reference — small
-  * enough to JIT, with zero per-row allocations beyond the output
-  * array.
+  * is one ~20-line nested loop over a `double[][]` reference — a
+  * normal JVM method the JIT compiles, called from the generated code
+  * via the references array (same pattern as [[TopKDotIndices]]), with
+  * zero per-row allocations beyond the output array.
   *
   * The plane matrix rides along as a constructor field (not a child
   * expression): it is query-compile-time constant, ~64 KB, shipped once
@@ -114,8 +127,17 @@ case class LshBandSignatures(child: Expression,
 
   override def prettyName: String = "graft_lsh_band_sigs"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val u = input.asInstanceOf[ArrayData]
+  /** One JIT-able loop shared by the interpreted path and codegen (the
+    * generated code calls this method via the references array). Raises
+    * on a vector whose dimension differs from the planes' (ADVICE r3 —
+    * a truncated projection would hash a corrupt vector plausibly). */
+  def compute(u: ArrayData): ArrayData = {
+    val dim = if (planes.isEmpty) 0 else planes(0).length
+    if (u.numElements() != dim) {
+      throw new IllegalArgumentException(
+        s"$prettyName: vector dimension mismatch: ${u.numElements()} " +
+          s"vs $dim-dim hyperplanes")
+    }
     val nBands = planes.length / bandBits
     val sigs = new Array[Int](nBands)
     var p = 0
@@ -125,10 +147,9 @@ case class LshBandSignatures(child: Expression,
       var j = 0
       while (j < bandBits) {
         val pl = planes(p)
-        val n = math.min(u.numElements(), pl.length)
         var s = 0.0
         var i = 0
-        while (i < n) { s += u.getDouble(i) * pl(i); i += 1 }
+        while (i < dim) { s += u.getDouble(i) * pl(i); i += 1 }
         if (s > 0) sig |= (1 << j)
         j += 1; p += 1
       }
@@ -138,42 +159,15 @@ case class LshBandSignatures(child: Expression,
     UnsafeArrayData.fromPrimitiveArray(sigs)
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
   override protected def doGenCode(ctx: CodegenContext,
     ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
-    val nBands = planes.length / bandBits
-    nullSafeCodeGen(ctx, ev, u => {
-      val sigs = ctx.freshName("sigs")
-      val p = ctx.freshName("p")
-      val b = ctx.freshName("b")
-      val j = ctx.freshName("j")
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val s = ctx.freshName("s")
-      val sig = ctx.freshName("sig")
-      val pl = ctx.freshName("pl")
-      s"""
-         |final int[] $sigs = new int[$nBands];
-         |int $p = 0;
-         |for (int $b = 0; $b < $nBands; $b++) {
-         |  int $sig = 0;
-         |  for (int $j = 0; $j < $bandBits; $j++) {
-         |    final double[] $pl = $planesRef[$p];
-         |    final int $n = java.lang.Math.min($u.numElements(), $pl.length);
-         |    double $s = 0.0;
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      $s += $u.getDouble($i) * $pl[$i];
-         |    }
-         |    if ($s > 0) $sig |= (1 << $j);
-         |    $p++;
-         |  }
-         |  $sigs[$b] = $sig;
-         |}
-         |${ev.value} =
-         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |    .fromPrimitiveArray($sigs);
-       """.stripMargin
-    })
+    val self = ctx.addReferenceObj("lshSigs", this,
+      classOf[LshBandSignatures].getName)
+    nullSafeCodeGen(ctx, ev, u =>
+      s"${ev.value} = $self.compute($u);")
   }
 
   override protected def withNewChildInternal(
@@ -298,6 +292,12 @@ case class TopKDotIndices(child: Expression,
   /** Selection of the k best (dot, index) pairs; public so the codegen
     * call site and the interpreted path share one implementation. */
   def compute(input: ArrayData): ArrayData = {
+    val dim = if (mat.isEmpty) 0 else mat(0).length
+    if (input.numElements() != dim) {
+      throw new IllegalArgumentException(
+        s"$prettyName: vector dimension mismatch: ${input.numElements()} " +
+          s"vs $dim-dim matrix rows")
+    }
     val kk = math.min(k, mat.length)
     val bestS = new Array[Double](kk)
     val bestI = new Array[Int](kk)
@@ -305,10 +305,9 @@ case class TopKDotIndices(child: Expression,
     var c = 0
     while (c < mat.length) {
       val m = mat(c)
-      val n = math.min(input.numElements(), m.length)
       var s = 0.0
       var i = 0
-      while (i < n) { s += input.getDouble(i) * m(i); i += 1 }
+      while (i < dim) { s += input.getDouble(i) * m(i); i += 1 }
       if (filled < kk || s > bestS(kk - 1)) {
         var pos = if (filled < kk) filled else kk - 1
         while (pos > 0 && s > bestS(pos - 1)) {

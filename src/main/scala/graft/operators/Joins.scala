@@ -155,16 +155,18 @@ object Joins {
       .orderBy(col("status"), col("priority"))
 
   /** §2.10 — approximate distinct at scale: HyperLogLog++ cardinality
-    * per group next to the exact count. The sketch is mergeable, so the
-    * shuffle carries fixed-size HLL buffers instead of value sets — the
-    * 100 TB answer to COUNT(DISTINCT). Declared rows-only (HLL estimates
-    * are engine-specific); the spec bounds relative error at 5%.
+    * per group. The sketch is mergeable, so the shuffle carries
+    * fixed-size HLL buffers instead of value sets — the 100 TB answer
+    * to COUNT(DISTINCT). Sketch-ONLY (r3 verdict: round 3 computed the
+    * exact `countDistinct` alongside it, paying the very expand/shuffle
+    * the sketch exists to avoid); the exact comparison lives in
+    * JoinsSpec, which bounds relative error at 5%. Declared rows-only
+    * (HLL estimates are engine-specific).
     */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
   /** Multi-hop hierarchy closure — the generalization of J2/J3's one-hop

@@ -303,18 +303,22 @@ object Vectors {
     for (_ <- 0 until iters) {
       val bucket = element_at(
         graft.functions.VectorFunctions.topDotIdx(col("u"), cents, 1), 1)
-      // exact fixed-point accumulation: a double `avg` depends on
-      // shuffle merge order, which would make two "identical" trainings
-      // able to disagree in the last bits and flip a borderline
-      // assignment — the determinism the re-derivation tests rely on.
-      // Unit-vector components are ≤1, so at 1e15 scaling a bucket
-      // would need ~9 000 members per dimension to overflow a long —
-      // far above the nlist≈√n sizing (DECIMAL sums are exact too but
-      // measured 2× slower on the training loop).
+      // exact DECIMAL accumulation: a double `avg` depends on shuffle
+      // merge order, which would make two "identical" trainings able to
+      // disagree in the last bits and flip a borderline assignment —
+      // the determinism the re-derivation tests rely on. (Round 3 used
+      // 1e15 fixed-point long sums, which overflow once a bucket
+      // exceeds ~9.2e3 members per dimension — the SAME order as the
+      // nlist≈√n expected bucket size at n≈85M rows, i.e. well inside
+      // the 100 TB posture; ADVICE r3.) decimal(20,15) inputs sum into
+      // decimal(30,15): unit-vector components are ≤1 in magnitude, so
+      // overflow needs ~1e15 members per bucket — unreachable. The
+      // decimal sum is ~2× slower than the long sum, paid only at fit
+      // time (training is offline/cached, not per-query).
       val sums = u.select(bucket.as("bucket"), posexplode(col("u")))
         .groupBy(col("bucket"), col("pos"))
-        .agg((sum((col("col") * lit(1e15)).cast("long")).cast("double") /
-          lit(1e15) / count(lit(1))).as("m"))
+        .agg((sum(col("col").cast("decimal(20,15)")).cast("double") /
+          count(lit(1))).as("m"))
         .collect()
       val byBucket = sums.groupBy(_.getInt(0))
       cents = cents.zipWithIndex.map { case (old, b) =>

@@ -7,9 +7,20 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode}
 
-/** Input/output/state records for the custom stateful sessionizer. */
+/** Input/output/state records for the custom stateful sessionizer.
+  * [[SessionState]] start/end are epoch MICROSECONDS — `Timestamp
+  * .getTime` milliseconds would silently truncate the testdata's
+  * microsecond event times, shifting session boundaries (and, at an
+  * exact-gap boundary, even the merge decision) away from the batch
+  * lag-gap query the spec compares against. */
 case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
 case class SessionState(start: Long, end: Long, n: Long)
+/** Per-key sessionizer state: the still-open session intervals, oldest
+  * first. Bounded: an interval is held only while a future in-watermark
+  * event could still merge into it (end + gap > watermark), so the list
+  * length is at most ceil(watermark delay / gap) + 1 — 5 intervals at
+  * the default 2 h / 30 min configuration. */
+case class SessionBuffer(ivs: List[SessionState])
 case class SessionOut(user_id: Long, session_start: Timestamp,
   session_end: Timestamp, n_events: Long)
 
@@ -59,61 +70,81 @@ object Streams {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Custom per-key state machine via `flatMapGroupsWithState` — the
-    * escape hatch for session semantics `session_window` can't express
-    * (here: emit a closed session the moment a later one is known,
-    * carrying a running event count; timeout closes idle sessions when
-    * the watermark passes). State per user is O(1) — three longs — so
+    * escape hatch for session semantics `session_window` can't express,
+    * carrying a running event count and closing sessions as the
+    * watermark passes them. State per user is a bounded interval
+    * buffer ([[SessionBuffer]]) — ≤ ceil(delay/gap)+1 intervals — so
     * executor state scales with active users, not history.
     *
     * Out-of-order handling (ADVICE round 2 — the old gap test
     * `t - end <= gap` was vacuously true for any in-watermark event
     * earlier than the session end, silently corrupting session_start):
-    * the trigger's events and the carried state are merged as
-    * *intervals*. An event within `gap` of the active session on
-    * either side extends it (session start CAN move down); an event
-    * more than `gap` before the active session's start forms its own
-    * earlier session, emitted closed immediately — the one divergence
-    * from `session_window`, which could still merge it with even-later
-    * stragglers; keeping one active interval per key is what bounds
-    * state at O(1).
+    * the trigger's events and the carried intervals are merged as
+    * *intervals*. An event within `gap` of a session on either side
+    * extends it (session start CAN move down); an event more than
+    * `gap` away forms its own interval.
+    *
+    * Finalization (ADVICE r3 — round 3 emitted every non-latest merged
+    * interval immediately, so an even-earlier straggler arriving in a
+    * later trigger could emit a second closed session overlapping the
+    * first): an interval is emitted closed only once `end + gap ≤
+    * watermark` — at that point no in-watermark event can merge into
+    * it (any future event has `ts ≥ watermark > end + gap`), so
+    * emitted sessions can never overlap a later emission, matching
+    * `session_window`'s guarantee. Everything newer stays buffered;
+    * the event-time timeout fires at the earliest pending expiry so
+    * idle keys still drain without new events.
     */
+  /** Full-precision Timestamp ↔ epoch-microsecond conversion (getTime
+    * alone truncates the micros carried in the nanos field). */
+  private def toMicros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   def sessionizeStateful(events: Dataset[SessionEvent],
     gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
     implicit val outEnc = Encoders.product[SessionOut]
-    implicit val stEnc = Encoders.product[SessionState]
+    implicit val stEnc = Encoders.product[SessionBuffer]
+    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)(Encoders.scalaLong)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[SessionBuffer, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, evs: Iterator[SessionEvent],
-          state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(SessionOut(user, new Timestamp(s.start),
-              new Timestamp(s.end), s.n))
-          } else {
-            // carried session + each event as (start, end, n) intervals,
-            // merged where closer than the gap
-            val ivs = (state.getOption.map(s => (s.start, s.end, s.n)).toSeq
-              ++ evs.map(e => (e.ts.getTime, e.ts.getTime, 1L)).toSeq)
-              .sortBy(iv => (iv._1, iv._2))
-            val merged = ivs.foldLeft(List.empty[(Long, Long, Long)]) {
-              case ((hs, he, hn) :: tail, (s2, e2, n2))
-                  if s2 <= he + gapMs =>
-                (hs, math.max(he, e2), hn + n2) :: tail
-              case (acc, iv) => iv :: acc
-            }.reverse
-            // the latest interval stays active; every earlier one is
-            // final (nothing in this trigger can extend it any more)
-            val active = merged.last
-            state.update(SessionState(active._1, active._2, active._3))
-            state.setTimeoutTimestamp(active._2 + gapMs)
-            merged.init.map { case (s2, e2, n2) =>
-              SessionOut(user, new Timestamp(s2), new Timestamp(e2), n2)
-            }.iterator
+          state: GroupState[SessionBuffer]) =>
+          // the engine watermark is millisecond-granular; comparing in
+          // micros (wm*1000 <= true watermark) only ever HOLDS an
+          // interval one more trigger, never finalizes it early
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // carried intervals + each event as (start, end, n), merged
+          // where closer than the gap (events is empty on a pure
+          // timeout wake-up, leaving the carried intervals as-is)
+          val ivs = (state.getOption.map(_.ivs).getOrElse(Nil)
+            ++ evs.map { e =>
+              val us = toMicros(e.ts); SessionState(us, us, 1L) })
+            .sortBy(iv => (iv.start, iv.end))
+          val merged = ivs.foldLeft(List.empty[SessionState]) {
+            case (h :: tail, iv) if iv.start <= h.end + gapUs =>
+              SessionState(h.start, math.max(h.end, iv.end), h.n + iv.n) ::
+                tail
+            case (acc, iv) => iv :: acc
+          }.reverse
+          val (expired, pending) = merged.partition(_.end + gapUs <= wmUs)
+          if (pending.isEmpty) state.remove()
+          else {
+            state.update(SessionBuffer(pending))
+            // earliest pending expiry in ms, rounded UP so the timeout
+            // timestamp stays strictly above the current watermark
+            state.setTimeoutTimestamp(
+              math.floorDiv(pending.map(_.end + gapUs).min + 999L, 1000L))
           }
+          expired.map(s => SessionOut(user, fromMicros(s.start),
+            fromMicros(s.end), s.n)).iterator
       }
   }
 }

@@ -50,4 +50,29 @@ class FunctionsSpec extends SparkTestBase {
     assert(sqlDots.map(_.getDouble(2)).toSeq ==
       dfDots.map(_.getDouble(2)).toSeq)
   }
+
+  test("dimension mismatches fail loudly instead of truncating") {
+    // ADVICE r3: a mis-dimensioned embedding must raise, not silently
+    // produce a plausible score from the truncated prefix
+    GraftExtensions.register(spark)
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(1.0D))").collect()
+    }
+    assert(chain(e1).exists(_.contains("dimension mismatch")), chain(e1))
+    import spark.implicits._
+    val bad = Seq((1L, Seq.fill(8)(1.0))).toDF("vec_id", "u")
+    val e2 = intercept[Exception] {
+      bad.select(graft.functions.VectorFunctions.lshBandSigs(col("u"),
+        Seq.fill(16)(Seq.fill(64)(0.5)), 8)).collect()
+    }
+    assert(chain(e2).exists(_.contains("dimension mismatch")), chain(e2))
+    val e3 = intercept[Exception] {
+      bad.select(graft.functions.VectorFunctions.topDotIdx(col("u"),
+        Seq.fill(4)(Seq.fill(64)(0.5)), 2)).collect()
+    }
+    assert(chain(e3).exists(_.contains("dimension mismatch")), chain(e3))
+  }
 }

@@ -117,9 +117,13 @@ class StreamingRecoverySpec extends SparkTestBase {
     assert(!java.nio.file.Files.list(java.nio.file.Paths.get(out))
       .anyMatch(p => p.toString.endsWith(".parquet")) ||
       spark.read.parquet(out).count() == 0)
-    // run 2 (restarted from checkpoint): an event 2h later must close
-    // the session RECOVERED FROM STATE with both original events
-    dropS(Seq((1L, 3L, "2024-01-01 12:10:00")))
+    // run 2 (restarted from checkpoint): 12:50 advances the watermark
+    // to 10:50, past the recovered session's 10:40 expiry; run 3 is
+    // processed under that watermark, so the session RECOVERED FROM
+    // STATE is guaranteed emitted (with both original events) by its end
+    dropS(Seq((1L, 3L, "2024-01-01 12:50:00")))
+    run()
+    dropS(Seq((1L, 4L, "2024-01-01 13:00:00")))
     run()
     val rows = spark.read.parquet(out).collect()
     assert(rows.length == 1)

@@ -116,7 +116,7 @@ class WindowedSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("stateful sessionizer emits closed sessions across batches") {
+  test("stateful sessionizer emits closed sessions once the watermark passes") {
     import spark.implicits._
     val input = MemoryStream[SessionEvent](spark)
     val q = Streams.sessionizeStateful(input.toDS())
@@ -129,9 +129,15 @@ class WindowedSpec extends SparkTestBase {
         SessionEvent(1, 2, Timestamp.valueOf("2024-01-01 10:10:00"))))
       q.processAllAvailable()
       assert(spark.table("stateful_session_test").count() == 0)
-      // batch 2: an event 2h later closes the first session immediately
+      // batch 2 advances the watermark to 10:50 (12:50 - 2h), past the
+      // first session's 10:40 expiry; batch 3 is processed under that
+      // watermark, so by its end the session is guaranteed emitted
+      // (either in the no-data timeout batch after batch 2 or inline)
       input.addData(Seq(
-        SessionEvent(1, 3, Timestamp.valueOf("2024-01-01 12:10:00"))))
+        SessionEvent(1, 3, Timestamp.valueOf("2024-01-01 12:50:00"))))
+      q.processAllAvailable()
+      input.addData(Seq(
+        SessionEvent(1, 4, Timestamp.valueOf("2024-01-01 13:00:00"))))
       q.processAllAvailable()
       val rows = spark.table("stateful_session_test").collect()
       assert(rows.length == 1)
@@ -150,53 +156,94 @@ class WindowedSpec extends SparkTestBase {
       .writeStream.format("memory").queryName("ooo_session_test")
       .outputMode("append").start()
     try {
-      // trigger 1: session [10:30, 10:40]
+      // trigger 1: session [10:30, 10:40] (watermark after: 08:40)
       input.addData(Seq(
         SessionEvent(1, 1, Timestamp.valueOf("2024-01-01 10:30:00")),
         SessionEvent(1, 2, Timestamp.valueOf("2024-01-01 10:40:00"))))
       q.processAllAvailable()
       // trigger 2 (out of order, within watermark): 10:10 is within the
       // 30-min gap BEFORE the session start -> start must move down to
-      // 10:10; 09:00 is more than a gap earlier -> its own session,
-      // closed immediately
+      // 10:10; 09:00 is more than a gap earlier -> its own buffered
+      // interval. NOTHING is emitted yet (ADVICE r3: round 3 emitted
+      // the 09:00 session closed immediately, so an even-earlier
+      // straggler could later emit a second, overlapping session)
       input.addData(Seq(
         SessionEvent(1, 3, Timestamp.valueOf("2024-01-01 10:10:00")),
         SessionEvent(1, 4, Timestamp.valueOf("2024-01-01 09:00:00"))))
       q.processAllAvailable()
-      val afterOoo = spark.table("ooo_session_test").collect()
-      assert(afterOoo.length == 1)
-      assert(afterOoo.head.getAs[Timestamp]("session_start") ==
-        Timestamp.valueOf("2024-01-01 09:00:00"))
-      assert(afterOoo.head.getAs[Long]("n_events") == 1L)
-      // trigger 3: 2h later closes the extended [10:10, 10:40] session
-      // with all 3 of its events and the lowered start
+      assert(spark.table("ooo_session_test").count() == 0)
+      // trigger 3: exactly the ADVICE overlap scenario — an even
+      // earlier in-watermark straggler (08:45) must MERGE into the
+      // buffered 09:00 interval (gap 15 min), not overlap an
+      // already-emitted session; 13:30 advances the watermark to 11:30
       input.addData(Seq(
-        SessionEvent(1, 5, Timestamp.valueOf("2024-01-01 12:50:00"))))
+        SessionEvent(1, 5, Timestamp.valueOf("2024-01-01 08:45:00")),
+        SessionEvent(1, 6, Timestamp.valueOf("2024-01-01 13:30:00"))))
+      q.processAllAvailable()
+      // trigger 4 runs under watermark 11:30 >= both expiries (09:30,
+      // 11:10): both old sessions are guaranteed emitted by its end
+      input.addData(Seq(
+        SessionEvent(1, 7, Timestamp.valueOf("2024-01-01 13:40:00"))))
       q.processAllAvailable()
       val rows = spark.table("ooo_session_test")
         .orderBy("session_start").collect()
       assert(rows.length == 2)
+      assert(rows(0).getAs[Timestamp]("session_start") ==
+        Timestamp.valueOf("2024-01-01 08:45:00"))
+      assert(rows(0).getAs[Timestamp]("session_end") ==
+        Timestamp.valueOf("2024-01-01 09:00:00"))
+      assert(rows(0).getAs[Long]("n_events") == 2L)
       assert(rows(1).getAs[Timestamp]("session_start") ==
         Timestamp.valueOf("2024-01-01 10:10:00"))
       assert(rows(1).getAs[Timestamp]("session_end") ==
         Timestamp.valueOf("2024-01-01 10:40:00"))
       assert(rows(1).getAs[Long]("n_events") == 3L)
+      // no two emitted sessions overlap (the ADVICE r3 guarantee)
+      val ivs = rows.map(r =>
+        (r.getAs[Timestamp]("session_start").getTime,
+          r.getAs[Timestamp]("session_end").getTime)).sorted
+      ivs.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 < b._1)
+        case _ => ()
+      }
     } finally q.stop()
   }
 
-  test("stateful sessionizer matches the batch gap query per-user totals") {
+  test("stateful sessionizer matches the batch gap query session-for-session") {
     import spark.implicits._
-    // run the same state machine in BATCH mode (flatMapGroupsWithState
-    // sees each user's full history in one group call) and compare
-    // session counts with the declared lag-gap query
+    // drive the full sf0.001 events table through the streaming state
+    // machine and compare the CLOSED sessions set-for-set against the
+    // declared lag-gap batch query (stronger than the old count-only
+    // parity, and exercises the watermark-gated finalization end to end)
     val evs = graft.sources.Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("ts"))
-      .as[SessionEvent]
-    val stateful = Streams.sessionizeStateful(evs)
-    // batch mode never times out, so the still-open final session per
-    // user is unemitted: closed sessions = total sessions - users
-    val batchTotal = Windowed.qSessionGap(spark, sfDir).count()
-    val users = evs.select(col("user_id")).distinct().count()
-    assert(stateful.count() == batchTotal - users)
+      .as[SessionEvent].collect().toSeq
+    val maxTs = evs.map(_.ts.getTime).max
+    val flushUser = 1L << 40 // outside the real user_id domain
+    val input = MemoryStream[SessionEvent](spark)
+    val q = Streams.sessionizeStateful(input.toDS())
+      .writeStream.format("memory").queryName("session_parity_test")
+      .outputMode("append").start()
+    try {
+      input.addData(evs)
+      q.processAllAvailable()
+      // two flush batches: the first advances the watermark past every
+      // real session's expiry (max ts + 3h > any end + 30 min), the
+      // second is processed under that watermark, so all real sessions
+      // are guaranteed emitted by its end
+      input.addData(Seq(SessionEvent(flushUser, -1,
+        new Timestamp(maxTs + 5L * 3600 * 1000))))
+      q.processAllAvailable()
+      input.addData(Seq(SessionEvent(flushUser, -2,
+        new Timestamp(maxTs + 5L * 3600 * 1000 + 60000))))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start"),
+        r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events"))
+      val got = spark.table("session_parity_test")
+        .filter(col("user_id") =!= flushUser).collect().map(key).toSet
+      val want = Windowed.qSessionGap(spark, sfDir).collect().map(key).toSet
+      assert(got == want)
+    } finally q.stop()
   }
 }
