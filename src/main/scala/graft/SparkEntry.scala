@@ -58,6 +58,10 @@ object SparkEntry {
     "q_resource_counts" -> (Joins.qResourceCounts _),
     "q_rollup_counts"   -> (Joins.qRollupCounts _),
     "q_approx_distinct" -> (Joins.qApproxDistinct _),
+    // M2.5 — nested-JSON ingestion + corrupt-input quarantine (SURVEY
+    // §1.3, §2.2 P1/P3/P7; r3 verdict items 1 & 4)
+    "q_patient_ingest"    -> (Ingest.qPatientIngest _),
+    "q_corrupt_quarantine" -> (Ingest.qCorruptQuarantine _),
     // M3 — document ops & sinks (SURVEY §2.7, §2.8, §2.1 S6)
     "q_build_struct"    -> (Documents.qBuildStruct _),
     "q_struct_patch"    -> (Documents.qStructPatch _),
@@ -162,6 +166,58 @@ object SparkEntry {
         |       upper(substring(o_orderpriority, 1, 1)) AS prio_code,
         |       strftime(o_orderdate, '%Y%m%d') AS date_str
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // The nested-ingestion oracle reads the SAME fixture files the
+    // declared query wrote (deterministic content derived from
+    // customer/nation/region) with DuckDB's own declared struct types;
+    // the path is keyed by the sf directory name and the t2 contract
+    // runs at sf0.01. Spark writes the fixture before the driver's
+    // DuckDB pass runs (Verify executes every query first).
+    "q_patient_ingest" ->
+      """WITH p AS (
+        |  SELECT * FROM read_ndjson(
+        |    '/tmp/graft_fixtures/patients/sf0.01/part-*.txt',
+        |    format='newline_delimited',
+        |    columns={resourceType:'VARCHAR', id:'VARCHAR',
+        |      identifier:'STRUCT("use" VARCHAR, "type" STRUCT(coding STRUCT(system VARCHAR, code VARCHAR)[]), system VARCHAR, "value" VARCHAR)[]',
+        |      active:'BOOLEAN',
+        |      name:'STRUCT("use" VARCHAR, family VARCHAR, given VARCHAR[])[]',
+        |      gender:'VARCHAR', birthDate:'DATE',
+        |      address:'STRUCT("use" VARCHAR, "type" VARCHAR, line VARCHAR[], city VARCHAR, district VARCHAR, state VARCHAR, postalCode VARCHAR)[]',
+        |      communication:'STRUCT(language STRUCT(coding STRUCT(system VARCHAR, code VARCHAR, display VARCHAR)[], "text" VARCHAR))[]'})),
+        |k AS (
+        |  SELECT *,
+        |    list_filter(identifier,
+        |      x -> NOT contains(coalesce(x.system, ''), 'us-ssn')) AS kept,
+        |    coalesce(nullif(address[1].district, ''), 'Not found')
+        |      AS district_filled
+        |  FROM p)
+        |SELECT CAST(split_part(id, '/', 2) AS BIGINT) AS pid,
+        |       name[1].family AS family,
+        |       name[1].given[1] AS given0,
+        |       gender, birthDate AS birth_date, active,
+        |       CAST(len(kept) AS INTEGER) AS n_ids_kept,
+        |       CAST(len(identifier) - len(kept) AS INTEGER)
+        |         AS n_ssn_scrubbed,
+        |       kept[1]."value" AS kept_id_value,
+        |       district_filled,
+        |       trim(concat(address[1].line[1], ' ', address[1].city, ', ',
+        |         district_filled, ', ', address[1].state, ' ',
+        |         address[1].postalCode)) AS addr_text
+        |FROM k ORDER BY pid""".stripMargin,
+    // The corrupt-quarantine oracle re-derives the expected rows from
+    // the customer table (DuckDB cannot parse the malformed lines, and
+    // the corrupt corpus is a deterministic function of it anyway).
+    "q_corrupt_quarantine" ->
+      """SELECT c_custkey AS sort_key,
+        |  CASE WHEN c_custkey % 97 = 3 THEN NULL
+        |       ELSE c_custkey END AS pid,
+        |  CASE WHEN c_custkey % 97 = 3 THEN NULL
+        |       ELSE 'good' END AS status,
+        |  (c_custkey % 97 = 3) AS is_corrupt,
+        |  CASE WHEN c_custkey % 97 = 3
+        |       THEN concat('CORRUPT{"id":', CAST(c_custkey AS VARCHAR))
+        |       ELSE NULL END AS raw
+        |FROM customer ORDER BY sort_key""".stripMargin,
     "q_child_records" ->
       """SELECT c_custkey, c_name, o_orderkey, o_orderstatus, o_totalprice
         |FROM customer JOIN orders ON c_custkey = o_custkey

@@ -23,7 +23,8 @@ class EntrySmokeSpec extends SparkTestBase {
       "q_session_gap", "q_dedup_exact", "q_text_stats", "q_lang_id",
       "q_simhash", "q_fingerprint", "q_cosine_topk", "q_multimodal_meta",
       "q_frame_sample", "q_token_count", "q_hierarchy_closure",
-      "q_pipeline_etl", "q_pipeline_caregap")
+      "q_pipeline_etl", "q_pipeline_caregap", "q_patient_ingest",
+      "q_corrupt_quarantine")
     mustHaveRows.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sfDir).count() > 0,
         s"$name returned 0 rows at sf0.001")

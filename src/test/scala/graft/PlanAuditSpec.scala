@@ -87,6 +87,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!d.contains("l_tax") && !d.contains("l_discount"))
   }
 
+  test("nested-JSON ingestion prunes the read schema") {
+    import org.apache.spark.sql.functions.{col, get, lit}
+    val p = graft.sources.PatientJson.readPatients(spark, sfDir)
+    // the JSON scan reads only the referenced TOP-LEVEL columns (v1
+    // JSON has no nested pruning in Catalyst's SchemaPruning rule —
+    // that is Parquet/ORC-only)
+    val jsonRs = plan(p.select(
+        get(col("name"), lit(0)).getField("family").as("family")))
+      .linesIterator.find(_.contains("ReadSchema")).get
+    assert(jsonRs.contains("name:"), jsonRs)
+    assert(!jsonRs.contains("identifier") && !jsonRs.contains("address") &&
+      !jsonRs.contains("communication"), jsonRs)
+    // landed to parquet — the bronze→silver step a 100 TB pipeline
+    // takes after exactly one pass over the JSON — nested SchemaPruning
+    // trims the ReadSchema to the single touched subfield
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_patients_parquet").toString
+    p.write.mode("overwrite").parquet(out)
+    val parquetRs = plan(spark.read.parquet(out).select(
+        get(col("name"), lit(0)).getField("family").as("family")))
+      .linesIterator.find(_.contains("ReadSchema")).get
+    assert(parquetRs.contains("struct<name:array<struct<family:string>>>"),
+      parquetRs)
+  }
+
   test("text/vector hot paths stay in whole-stage codegen") {
     // codegen spans only appear once AQE finalizes — execute first
     def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
