@@ -68,6 +68,7 @@ object SparkEntry {
     "q_er7_serialize"   -> (Documents.qEr7Serialize _),
     "q_validate"        -> (Documents.qValidate _),
     "q_sink_roundtrip"  -> (Documents.qSinkRoundtrip _),
+    "q_sink_batched"    -> (Documents.qSinkBatched _),
     // M3.5 — composed end-to-end pipelines (SURVEY §3 EP1/EP2; round-2 verdict)
     "q_pipeline_etl"     -> (Pipelines.qPipelineEtl _),
     "q_pipeline_caregap" -> (Pipelines.qPipelineCareGap _),
@@ -362,6 +363,12 @@ object SparkEntry {
         |  FROM customer) t
         |ORDER BY c_custkey, violation""".stripMargin,
     "q_sink_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
+    // q_sink_batched roundtrips the same projection through the
+    // flaky batched REST-style sink: matching the source table EXACTLY
+    // is the exactly-once assertion (no loss, no duplicates on replay).
+    "q_sink_batched" ->
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier
         |ORDER BY s_suppkey""".stripMargin,
     "q_pipeline_etl" ->

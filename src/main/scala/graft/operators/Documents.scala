@@ -176,6 +176,46 @@ object Documents {
     spark.read.parquet(Documents.sinkRoundtripDir).orderBy(col("s_suppkey"))
   }
 
+  /** S6 (external form) — partition-batched REST-style sink roundtrip
+    * (r3 verdict item 5; /root/reference/src/coding_task_1.py:222-235):
+    * serialize each practitioner to a JSON payload, push it through the
+    * [[graft.sources.BatchedSink]] `foreachPartition` path against an
+    * endpoint that INJECTS a transient failure with partial effects on
+    * every batch's first attempt, then read the "server" state back and
+    * return it. The oracle compares against the source table directly —
+    * so the green row certifies retry + idempotent-upsert exactly-once:
+    * any lost batch, duplicated row, or replay divergence would break
+    * the hash compare.
+    */
+  def qSinkBatched(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{BatchedSink, InJvmUpsertStore}
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val src = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").cast("string").as("key"),
+        to_json(struct(col("s_suppkey"), col("s_name"), col("s_acctbal")))
+          .as("payload"))
+    // one named store per query key, reset per invocation (same
+    // overwrite lifecycle as the parquet roundtrip sink)
+    val storeName = "q_sink_batched"
+    InJvmUpsertStore.fresh(storeName)
+    BatchedSink.write(src,
+      InJvmUpsertStore.FlakyEndpoint(storeName, failFirstAttempt = true),
+      batchSize = 25)
+    val payloadSchema = StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_acctbal", DoubleType)))
+    val readBack = InJvmUpsertStore.get(storeName).rows.values().asScala
+      .toSeq.map(org.apache.spark.sql.Row(_))
+    spark.createDataFrame(readBack.asJava,
+        StructType(Seq(StructField("payload", StringType))))
+      .select(from_json(col("payload"), payloadSchema).as("j"))
+      .select(col("j.s_suppkey").as("s_suppkey"),
+        col("j.s_name").as("s_name"), col("j.s_acctbal").as("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** One temp sink location per JVM, removed on exit: concurrent
     * PROCESSES (bench + sbt test) get distinct dirs so they cannot race
     * on a fixed path (ADVICE round 2), repeated invocations within one

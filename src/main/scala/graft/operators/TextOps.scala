@@ -163,6 +163,19 @@ object TextOps {
         slice(col("y.bsigs"), lit(1), col("x.band")),
         (a, b) => a === b),
       x => x)
+    // Shuffle-payload bound (r3 verdict item 8): carrying each
+    // document's full shingle-hash set through the banded rows means
+    // the exploded relation weighs bands × 8 bytes × |shingles| per
+    // document — 16× the corpus's distinct-shingle bytes, in exchange
+    // for a verify stage with NO join-back (the exact-Jaccard dot runs
+    // directly on the join output; a candidates-then-rejoin layout
+    // costs two more shuffle stages and re-evaluates the shingling).
+    // A 10k-token document is 16 × 80 KB ≈ 1.3 MB of banded rows —
+    // fine per-row for shuffle blocks; at corpus scale the tradeoff
+    // flips once average documents are long (shingle bytes ≫ the
+    // ~100-byte candidate-id rows), and the join-back variant becomes
+    // the right plan. The long-document path is correctness-tested in
+    // TextOpsSpec ("minhash handles long documents").
     banded.as("x")
       .join(banded.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") &&

@@ -43,6 +43,31 @@ class TextOpsSpec extends SparkTestBase {
     assert(exact.nonEmpty, "testdata should contain planted near-dups")
   }
 
+  test("minhash handles long documents (banded payload carries full shingle sets)") {
+    import spark.implicits._
+    // ~10k-token documents: the banded rows carry each doc's full
+    // shingle-hash set 16x through the shuffle (the documented payload
+    // tradeoff) — correctness must be unaffected by document length.
+    // Docs 1 and 2 differ in 200 of ~10k trailing tokens -> J ~ 0.96;
+    // doc 3 shares nothing.
+    def words(n: Int, seed: Int): Seq[String] =
+      (0 until n).map(i => s"w${(i * 31 + seed * 7919) % 100000}_$i")
+    val base = words(10000, 0)
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      (2L, (base.take(9800) ++ words(200, 9)).mkString(" ")),
+      (3L, words(10000, 5).map("z" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val banded = TextOps.dedupMinhash(docs).collect()
+    assert(banded.length == 1)
+    assert((banded.head.getLong(0), banded.head.getLong(1)) == (1L, 2L))
+    val j = banded.head.getDouble(2)
+    assert(j >= 0.9 && j < 1.0, s"jaccard $j")
+    // and the banded jaccard equals the exact postings-list jaccard
+    val exact = TextOps.jaccardPairs(docs).collect()
+    assert(exact.length == 1 && exact.head.getDouble(2) == j)
+  }
+
   test("q_jaccard_pairs values are valid jaccards above threshold") {
     val rows = TextOps.qJaccardPairs(spark, sfDir).collect()
     rows.foreach { r =>
