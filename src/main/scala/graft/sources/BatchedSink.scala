@@ -63,6 +63,54 @@ object BatchedSink {
   }
 }
 
+/** Streaming dual of [[BatchedSink]] (SURVEY §2.1 S6: `foreachPartition`
+  * for batch, `ForeachWriter` for streams): buffers up to `batchSize`
+  * rows per open partition-epoch, flushing through the same retrying
+  * endpoint path. Structured Streaming replays an epoch's partition
+  * after a failure (at-least-once delivery); the keyed upsert turns the
+  * replay into an overwrite, so the external EFFECT is exactly-once —
+  * the same contract as the batch path, with the epoch as the retry
+  * unit Spark owns.
+  */
+class UpsertForeachWriter(endpoint: UpsertEndpoint,
+  batchSize: Int = 100, maxRetries: Int = 3)
+    extends org.apache.spark.sql.ForeachWriter[(String, String)] {
+
+  private var buf: scala.collection.mutable.ArrayBuffer[(String, String)] = _
+
+  override def open(partitionId: Long, epochId: Long): Boolean = {
+    buf = new scala.collection.mutable.ArrayBuffer[(String, String)]()
+    true
+  }
+
+  override def process(value: (String, String)): Unit = {
+    buf += value
+    if (buf.size >= batchSize) flush()
+  }
+
+  override def close(errorOrNull: Throwable): Unit =
+    if (errorOrNull == null) flush()
+
+  private def flush(): Unit = {
+    if (buf.nonEmpty) {
+      val batch = buf.toSeq
+      var attempt = 0
+      var done = false
+      while (!done) {
+        try {
+          endpoint.upsertBatch(batch)
+          done = true
+        } catch {
+          case e: TransientSinkError =>
+            attempt += 1
+            if (attempt > maxRetries) throw e
+        }
+      }
+      buf.clear()
+    }
+  }
+}
+
 /** In-JVM keyed upsert store backing the declared sink query and the
   * specs. Under `local[*]` the driver and every executor thread share
   * one JVM, so a singleton object IS the "external system"; on a real
@@ -98,7 +146,11 @@ object InJvmUpsertStore {
     failFirstAttempt: Boolean) extends UpsertEndpoint {
     override def upsertBatch(batch: Seq[(String, String)]): Unit = {
       val st = stores.get(storeName)
-      val batchId = batch.head._1 // deterministic: sorted-input batches
+      // batch identity = head key + head payload: distinguishes a
+      // RETRY of the same batch (same id, must succeed on attempt 2)
+      // from a later epoch's new batch that happens to start at the
+      // same key (new id, gets its own injected failure)
+      val batchId = batch.head._1 + "|" + batch.head._2
       val n = st.attempts
         .computeIfAbsent(batchId, _ => new AtomicInteger).incrementAndGet()
       if (failFirstAttempt && n == 1) {

@@ -67,6 +67,34 @@ class SinkSpec extends SparkTestBase {
     assert(chain(e).exists(_.isInstanceOf[TransientSinkError]), e)
   }
 
+  test("streaming ForeachWriter sink lands every row exactly once under flaky batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val st = InJvmUpsertStore.fresh("spec_stream")
+    val input = MemoryStream[(String, String)](spark)
+    val q = input.toDS()
+      .writeStream
+      .foreach(new graft.sources.UpsertForeachWriter(
+        InJvmUpsertStore.FlakyEndpoint("spec_stream",
+          failFirstAttempt = true), batchSize = 7))
+      .outputMode("append").start()
+    try {
+      input.addData((0 until 40).map(i => (f"s$i%03d", s"v$i-a")))
+      q.processAllAvailable()
+      // a second epoch UPSERTS over half the keys — latest value wins
+      input.addData((0 until 20).map(i => (f"s$i%03d", s"v$i-b")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(st.rows.size() == 40)
+    (0 until 40).foreach { i =>
+      val want = if (i < 20) s"v$i-b" else s"v$i-a"
+      assert(st.rows.get(f"s$i%03d") == want)
+    }
+    // every batch attempt sequence was fail-once-then-succeed
+    import scala.jdk.CollectionConverters._
+    assert(st.attempts.values().asScala.forall(_.get() == 2))
+  }
+
   test("q_sink_batched roundtrip equals the source practitioner table") {
     val got = Documents.qSinkBatched(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
