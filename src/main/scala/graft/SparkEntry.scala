@@ -61,6 +61,7 @@ object SparkEntry {
     // M2.5 — nested-JSON ingestion + corrupt-input quarantine (SURVEY
     // §1.3, §2.2 P1/P3/P7; r3 verdict items 1 & 4)
     "q_patient_ingest"    -> (Ingest.qPatientIngest _),
+    "q_observation_flatten" -> (Ingest.qObservationFlatten _),
     "q_corrupt_quarantine" -> (Ingest.qCorruptQuarantine _),
     // M3 — document ops & sinks (SURVEY §2.7, §2.8, §2.1 S6)
     "q_build_struct"    -> (Documents.qBuildStruct _),
@@ -205,6 +206,34 @@ object SparkEntry {
         |         district_filled, ', ', address[1].state, ' ',
         |         address[1].postalCode)) AS addr_text
         |FROM k ORDER BY pid""".stripMargin,
+    "q_observation_flatten" ->
+      """WITH o AS (
+        |  SELECT * FROM read_ndjson(
+        |    '/tmp/graft_fixtures/observations/sf0.01/part-*.txt',
+        |    format='newline_delimited',
+        |    columns={resourceType:'VARCHAR', id:'VARCHAR', status:'VARCHAR',
+        |      code:'STRUCT(coding STRUCT(system VARCHAR, code VARCHAR, display VARCHAR)[], "text" VARCHAR)',
+        |      subject:'STRUCT(reference VARCHAR)',
+        |      effectiveDateTime:'DATE',
+        |      component:'STRUCT(code STRUCT(coding STRUCT(system VARCHAR, code VARCHAR, display VARCHAR)[]), valueQuantity STRUCT("value" DOUBLE, unit VARCHAR, system VARCHAR, code VARCHAR))[]'})),
+        |x AS (
+        |  SELECT CAST(split_part(id, '/', 2) AS BIGINT) AS obs_id,
+        |         subject.reference AS patient_ref,
+        |         effectiveDateTime AS eff_date,
+        |         code.coding[1].code AS panel_code,
+        |         unnest(component) AS c,
+        |         generate_subscripts(component, 1) - 1 AS comp_idx
+        |  FROM o)
+        |SELECT obs_id, patient_ref, eff_date, panel_code,
+        |       CAST(comp_idx AS INTEGER) AS comp_idx,
+        |       list_filter(c.code.coding,
+        |         y -> y.system = 'http://loinc.org')[1].code AS loinc_code,
+        |       list_filter(c.code.coding,
+        |         y -> y.system = 'http://snomed.info/sct')[1].code
+        |         AS snomed_code,
+        |       c.valueQuantity."value" AS "value",
+        |       c.valueQuantity.unit AS unit
+        |FROM x ORDER BY obs_id, comp_idx""".stripMargin,
     // The corrupt-quarantine oracle re-derives the expected rows from
     // the customer table (DuckDB cannot parse the malformed lines, and
     // the corrupt corpus is a deterministic function of it anyway).

@@ -62,6 +62,35 @@ object Ingest {
       .orderBy(col("pid"))
   }
 
+  /** P1 (ragged) — flatten dual-coded Observation components from the
+    * nested source (/root/reference/src/data/observation.json:67-136):
+    * one row per (observation, component) via `posexplode` over the
+    * variable-length component array, selecting the LOINC and SNOMED
+    * codes out of each component's dual coding array by system — the
+    * navigation a FHIR consumer performs on every panel read. Pure
+    * generator + projection off the scan; output grows ~2.25× the
+    * source rows (2–3 components each), ordered by (obs_id, comp_idx).
+    */
+  def qObservationFlatten(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.sources.ObservationJson.readObservations(spark, dir)
+    def codeBySystem(sys: String) =
+      get(filter(col("c.code.coding"),
+        x => x.getField("system") === sys), lit(0)).getField("code")
+    o.select(
+      element_at(split(col("id"), "/"), 2).cast("long").as("obs_id"),
+      col("subject.reference").as("patient_ref"),
+      col("effectiveDateTime").as("eff_date"),
+      get(col("code.coding"), lit(0)).getField("code").as("panel_code"),
+      posexplode(col("component")).as(Seq("comp_idx", "c")))
+      .select(col("obs_id"), col("patient_ref"), col("eff_date"),
+        col("panel_code"), col("comp_idx").cast("int").as("comp_idx"),
+        codeBySystem("http://loinc.org").as("loinc_code"),
+        codeBySystem("http://snomed.info/sct").as("snomed_code"),
+        col("c.valueQuantity.value").as("value"),
+        col("c.valueQuantity.unit").as("unit"))
+      .orderBy(col("obs_id"), col("comp_idx"))
+  }
+
   /** P7 — corrupt-input quarantine: PERMISSIVE read with a declared
     * `_corrupt_record` column. Malformed lines become rows with null
     * schema fields and the raw line quarantined — the read never

@@ -46,6 +46,30 @@ class IngestSpec extends SparkTestBase {
     assert(p.filter(col("identifier").isNull).count() == 0)
   }
 
+  test("q_observation_flatten explodes ragged dual-coded components correctly") {
+    val rows = Ingest.qObservationFlatten(spark, sfDir).collect()
+    val nOrders = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    // 2 components per observation, 3 when key % 4 == 0
+    val byObs = rows.groupBy(_.getAs[Long]("obs_id"))
+    assert(byObs.size.toLong == nOrders)
+    byObs.foreach { case (id, comps) =>
+      val want = if (id % 4 == 0) 3 else 2
+      assert(comps.length == want, s"obs $id: ${comps.length} components")
+      val sorted = comps.sortBy(_.getAs[Int]("comp_idx"))
+      // FIXTURES §A pin: the 85354-9 panel with 8480-6/8462-4 dual-coded
+      assert(sorted.forall(_.getAs[String]("panel_code") == "85354-9"))
+      assert(sorted(0).getAs[String]("loinc_code") == "8480-6")
+      assert(sorted(0).getAs[String]("snomed_code") == "271649006")
+      assert(sorted(0).getAs[Double]("value") == 100.0 + id % 40)
+      assert(sorted(1).getAs[String]("loinc_code") == "8462-4")
+      assert(sorted(1).getAs[Double]("value") == 60.0 + id % 30)
+      if (want == 3) {
+        assert(sorted(2).getAs[String]("loinc_code") == "8867-4")
+        assert(sorted(2).getAs[Double]("value") == 55.0 + id % 50)
+      }
+    }
+  }
+
   test("q_corrupt_quarantine never throws and never drops rows") {
     val rows = Ingest.qCorruptQuarantine(spark, sfDir).collect()
     val nCust = spark.read.parquet(s"$sfDir/customer.parquet").count()

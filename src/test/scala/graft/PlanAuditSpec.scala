@@ -87,6 +87,48 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!d.contains("l_tax") && !d.contains("l_discount"))
   }
 
+  test("bucketed tables co-locate the fact-to-fact join with zero exchanges") {
+    // the 100 TB answer to a REPEATED fact⋈fact join on one key
+    // (SURVEY §7.1: "bucketing for co-located joins"): bucket both
+    // sides by the join key at write time; the join then consumes the
+    // bucketed layout directly — no Exchange on either side, however
+    // large the tables. (AQE skew-split covers the ad-hoc join; this
+    // covers the curated-layout one.)
+    import org.apache.spark.sql.functions.col
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bucketed").toString
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"))
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$tmp/cust").mode("overwrite")
+        .saveAsTable("g_cust_bucketed")
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$tmp/ord").mode("overwrite")
+        .saveAsTable("g_ord_bucketed")
+      val j = spark.table("g_cust_bucketed")
+        .join(spark.table("g_ord_bucketed"),
+          col("c_custkey") === col("o_custkey"))
+      val n = j.collect().length
+      assert(n == spark.read.parquet(s"$sfDir/orders.parquet").count())
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("Exchange"), s"unexpected shuffle:\n${p.take(2000)}")
+      assert(p.contains("SelectedBucketsCount"), p.take(2000))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS g_cust_bucketed")
+      spark.sql("DROP TABLE IF EXISTS g_ord_bucketed")
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("nested-JSON ingestion prunes the read schema") {
     import org.apache.spark.sql.functions.{col, get, lit}
     val p = graft.sources.PatientJson.readPatients(spark, sfDir)
