@@ -82,6 +82,7 @@ object SparkEntry {
     "q_dedup_minhash"   -> (TextOps.qDedupMinhash _),
     "q_text_stats"      -> (TextOps.qTextStats _),
     "q_token_count"     -> (TextOps.qTokenCount _),
+    "q_token_percentiles" -> (TextOps.qTokenPercentiles _),
     "q_lang_id"         -> (TextOps.qLangId _),
     "q_simhash"         -> (TextOps.qSimhash _),
     "q_fingerprint"     -> (TextOps.qFingerprint _),
@@ -495,6 +496,9 @@ object SparkEntry {
     // q_dedup_minhash / q_simhash / q_fingerprint: no oracle — xxhash64
     // signatures have no DuckDB dual; rows-only + property tests
     // (TextOpsSpec asserts minhash candidate parity with q_jaccard_pairs).
+    // q_token_percentiles: no oracle — Greenwald-Khanna sketch estimates
+    // are engine-specific (like HLL); TextOpsSpec bounds the rank error
+    // against driver-side exact quantiles.
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents

@@ -269,6 +269,36 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.10 — token-length percentiles per language via the mergeable
+    * quantile sketch (`approx_percentile`, Greenwald-Khanna): the
+    * corpus-budgeting companion to [[graft.operators.Joins
+    * .qApproxDistinct]]'s HLL — the shuffle carries fixed-size sketch
+    * buffers instead of per-group value sets, which is the 100 TB
+    * answer to percentiles exactly as HLL is to COUNT(DISTINCT).
+    * Declared rows-only (sketch estimates are engine-specific);
+    * TextOpsSpec bounds the estimates against driver-side exact
+    * quantiles.
+    */
+  def qTokenPercentiles(spark: SparkSession, dir: String): DataFrame =
+    tokenPercentiles(Tables.documents(spark, dir))
+
+  /** Core of [[qTokenPercentiles]] over any (doc_id, lang, text) frame. */
+  private[graft] def tokenPercentiles(docs: DataFrame): DataFrame = {
+    val bpe = size(regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+    docs
+      .select(col("lang"), bpe.as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        approx_percentile(col("n_tokens"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pcts"))
+      .select(col("lang"), col("n_docs"),
+        element_at(col("pcts"), 1).as("p50"),
+        element_at(col("pcts"), 2).as("p90"),
+        element_at(col("pcts"), 3).as("p99"))
+      .orderBy(col("lang"))
+  }
+
   /** Frequency-weighted 64-bit SimHash: each token votes ±1 on every bit
     * of its xxhash64; the signature is the sign vector, emitted as a
     * 64-char bitstring (MSB first). Near-duplicate documents land within

@@ -165,6 +165,19 @@ object Vectors {
       IvfModel(nlist, cents, s"$out/corpus")
     })
 
+  /** Load a fitted index back from its persisted artifacts — the
+    * consumer-side path: a probe-only job on another cluster needs
+    * nothing but the index directory (centroids parquet + bucketed
+    * corpus). VectorsSpec asserts load-then-probe equals the cached
+    * fit-then-probe exactly. */
+  private[graft] def loadIvfModel(spark: SparkSession,
+    indexRoot: String): IvfModel = {
+    val cents = spark.read.parquet(s"$indexRoot/centroids")
+      .orderBy(col("centroid_id")).collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    IvfModel(cents.length, cents, s"$indexRoot/corpus")
+  }
+
   /** Per-JVM index root, removed on exit (same lifecycle pattern as the
     * sink-roundtrip dir: concurrent processes get distinct roots). */
   private lazy val ivfIndexRoot: java.nio.file.Path = {

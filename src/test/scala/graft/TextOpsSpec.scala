@@ -68,6 +68,39 @@ class TextOpsSpec extends SparkTestBase {
     assert(exact.length == 1 && exact.head.getDouble(2) == j)
   }
 
+  test("q_token_percentiles ranks match driver-side exact quantiles") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("lang", "text").collect()
+    val pat = java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9 ]")
+    def nTokens(t: String): Int = {
+      val m = pat.matcher(t.toLowerCase)
+      var n = 0
+      while (m.find()) n += 1
+      n
+    }
+    val byLang = docs.groupBy(_.getString(0)).view
+      .mapValues(_.map(r => nTokens(r.getString(1))).sorted).toMap
+    val got = graft.operators.TextOps.qTokenPercentiles(spark, sfDir)
+      .collect()
+    assert(got.map(_.getString(0)).toSet == byLang.keySet)
+    got.foreach { r =>
+      val vals = byLang(r.getString(0))
+      assert(r.getLong(1) == vals.length.toLong)
+      // sketch estimates must sit at (approximately) the right rank:
+      // |rank(est)/n - p| bounded by the sketch accuracy + discreteness
+      Seq(2 -> 0.5, 3 -> 0.9, 4 -> 0.99).foreach { case (i, p) =>
+        val est = r.getInt(i)
+        assert(vals.contains(est), s"p$p estimate $est not a data value")
+        val lo = vals.count(_ < est).toDouble / vals.length
+        val hi = vals.count(_ <= est).toDouble / vals.length
+        val tol = 0.02 + 1.0 / vals.length
+        assert(p >= lo - tol && p <= hi + tol,
+          s"lang ${r.getString(0)} p$p: est=$est rank=[$lo,$hi]")
+      }
+      assert(r.getInt(2) <= r.getInt(3) && r.getInt(3) <= r.getInt(4))
+    }
+  }
+
   test("q_jaccard_pairs values are valid jaccards above threshold") {
     val rows = TextOps.qJaccardPairs(spark, sfDir).collect()
     rows.foreach { r =>

@@ -147,6 +147,29 @@ class VectorsSpec extends SparkTestBase {
       s"probe read $readFiles of $allFiles bucket files — no pruning")
   }
 
+  test("ivf index reloaded from its persisted artifacts probes identically") {
+    // the index directory is self-contained: a consumer that only has
+    // the persisted centroids + bucketed corpus (no trained in-memory
+    // state) must produce the same probe results
+    val fitted = Vectors.ivfFit(spark, sfDir)
+    val root = fitted.corpusPath.stripSuffix("/corpus")
+    val loaded = Vectors.loadIvfModel(spark, root)
+    assert(loaded.nlist == fitted.nlist)
+    assert(loaded.centroids == fitted.centroids) // exact doubles
+    val queries = Vectors.prep(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("nrm")).as("u"))
+      .filter(col("vec_id") < 10)
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[Long]("q_id"),
+      r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"),
+      r.getAs[Double]("cosine"))
+    val viaLoaded = Vectors.probeTopk(spark, loaded, queries)
+      .collect().map(key).toSeq
+    val declared = Vectors.qAnnIvf(spark, sfDir).collect().map(key).toSeq
+    assert(viaLoaded == declared)
+  }
+
   test("persisted-probe q_ann_ivf matches the in-memory fit+probe pipeline") {
     val u = Vectors.prep(spark.read.parquet(s"$sfDir/embeddings.parquet"))
       .select(col("vec_id"),
