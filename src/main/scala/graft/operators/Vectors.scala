@@ -97,14 +97,14 @@ object Vectors {
     * persisted next to it — the offline index build any ANN system
     * amortizes across queries.
     *
-    * Probe (this declared query): load the model (nlist×64 doubles —
-    * driver-held like any fitted ML model), compute each query's
-    * nprobe=3 nearest buckets, and scan ONLY those buckets of the
-    * partitioned corpus — a static `bucket IN (...)` partition-pruned
-    * scan joined against the broadcast probe set, exact cosine top-5
-    * within the probed slice via the bounded top-k aggregate. No
-    * training jobs run here (asserted by VectorsSpec's job-count
-    * check); the probed fraction is ~nprobe/nlist of the corpus.
+    * Probe (this declared query): each query computes its nprobe=3
+    * nearest buckets with the codegen'd quantizer expression (model
+    * broadcast in the expression references — no query data on the
+    * driver), and dynamic partition pruning restricts the corpus scan
+    * to the probed buckets at runtime via the broadcast probe set;
+    * exact cosine top-5 within the probed slice via the bounded top-k
+    * aggregate. No training runs here (asserted via a training
+    * counter); the probed fraction is ~nprobe/nlist of the corpus.
     *
     * Declared rows-only: approximate by design. Recall ≥0.9 is
     * property-tested on a synthetic *clustered* corpus without reading
@@ -191,49 +191,26 @@ object Vectors {
     p
   }
 
-  /** Driver-side top-k matrix rows by dot product (dot desc, index asc
-    * on exact ties) — the same selection rule and left-to-right dot
-    * fold as [[graft.functions.TopKDotIndices]], applied to the
-    * (model-sized) query set when building the probe plan. */
-  private def topDotIndicesLocal(v: Seq[Double], mat: Seq[Seq[Double]],
-    k: Int): Seq[Int] = {
-    val va = v.toArray
-    mat.iterator.zipWithIndex.map { case (m, i) =>
-      var s = 0.0
-      var j = 0
-      while (j < va.length) { s += va(j) * m(j); j += 1 }
-      (s, i)
-    }.toSeq.sortBy { case (s, i) => (-s, i) }.take(k).map(_._2)
-  }
-
-  /** Probe-only plan over a fitted index: queries' nprobe buckets are
-    * computed driver-side from the (tiny) query set and the centroid
-    * model, giving a STATIC `bucket IN (...)` predicate the scan turns
-    * into partition pruning — only the probed buckets' files are read,
-    * however large the corpus. The probe set itself is broadcast. */
+  /** Probe-only plan over a fitted index, fully DISTRIBUTED: each
+    * query row computes its nprobe buckets via the codegen'd
+    * [[graft.functions.TopKDotIndices]] (the centroid matrix ships in
+    * the expression's reference array — model-sized, like any
+    * broadcast ML model), and the bucket-partitioned corpus scan is
+    * pruned AT RUNTIME by dynamic partition pruning against the
+    * broadcast probe set (`dynamicpruningexpression(bucket IN ...)` —
+    * pinned by VectorsSpec). No query data ever visits the driver, so
+    * the same plan serves 10 queries or 10 million: the corpus reads
+    * only probed buckets either way, and the probe side stays a
+    * broadcast as long as queries × nprobe fits the broadcast
+    * threshold (beyond that the join degrades to a shuffled hash join
+    * on bucket — still never a corpus-wide all-pairs scan). */
   private[graft] def probeTopk(spark: SparkSession, model: IvfModel,
     queries: DataFrame, nprobe: Int = 3): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val qRows = queries.filter(col("u").isNotNull)
-      .select(col("vec_id"), col("u")).collect()
-    val probeRows = qRows.flatMap { r =>
-      val qid = r.getLong(0)
-      val qu = r.getSeq[Double](1)
-      topDotIndicesLocal(qu, model.centroids, nprobe)
-        .map(b => org.apache.spark.sql.Row(qid, qu, b))
-    }
-    val probes = spark.createDataFrame(probeRows.toSeq.asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("q_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("qu",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType)),
-        org.apache.spark.sql.types.StructField("probe_bucket",
-          org.apache.spark.sql.types.IntegerType))))
-    val wantedBuckets = probeRows.map(_.getInt(2)).distinct.toSeq
+    val probes = queries.filter(col("u").isNotNull)
+      .select(col("vec_id").as("q_id"), col("u").as("qu"),
+        explode(graft.functions.VectorFunctions.topDotIdx(col("u"),
+          model.centroids, nprobe)).as("probe_bucket"))
     val corpus = spark.read.parquet(model.corpusPath)
-      .filter(col("bucket").isin(wantedBuckets: _*))
     corpus
       .join(broadcast(probes), col("bucket") === col("probe_bucket"))
       .withColumn("cosine", dot(col("qu"), col("u")))

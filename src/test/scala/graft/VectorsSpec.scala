@@ -123,9 +123,10 @@ class VectorsSpec extends SparkTestBase {
     assert(probeJobs > 0 && probeJobs <= 10,
       s"unexpected probe job count $probeJobs")
     assert(rows.nonEmpty)
-    // the only file scan is the persisted bucketed corpus, and it is
-    // partition-pruned to the probed buckets (AQE wraps finalized
-    // stages in QueryStageExec leaves, so descend through them)
+    // the corpus scan reads the persisted bucketed layout and is
+    // pruned AT RUNTIME by dynamic partition pruning against the
+    // broadcast probe set (AQE wraps finalized stages in
+    // QueryStageExec leaves, so descend through them)
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{
       AdaptiveSparkPlanExec, QueryStageExec}
@@ -136,13 +137,14 @@ class VectorsSpec extends SparkTestBase {
       case other => other.children.flatMap(fileScans)
     }
     val scans = fileScans(df.queryExecution.executedPlan)
-    assert(scans.length == 1, s"expected 1 scan, got ${scans.length}")
-    val scan = scans.head
-    assert(scan.toString.contains("graft_ivf_index"),
-      "probe must read the persisted index corpus")
+    val corpusScan = scans.find(_.toString.contains("graft_ivf_index"))
+    assert(corpusScan.isDefined,
+      s"no persisted-index scan among ${scans.length} scans")
+    assert(corpusScan.get.toString.toLowerCase.contains("dynamicpruning"),
+      "corpus scan is not dynamically partition-pruned")
     val model = Vectors.ivfFit(spark, sfDir)
     val allFiles = spark.read.parquet(model.corpusPath).inputFiles.length
-    val readFiles = scan.metrics("numFiles").value
+    val readFiles = corpusScan.get.metrics("numFiles").value
     assert(readFiles < allFiles,
       s"probe read $readFiles of $allFiles bucket files — no pruning")
   }
