@@ -150,7 +150,13 @@ object TextOps {
     dedupMinhash(Tables.documents(spark, dir))
 
   /** Core of [[qDedupMinhash]] over any (doc_id, text) frame. */
-  private[graft] def dedupMinhash(docs: DataFrame): DataFrame = {
+  private[graft] def dedupMinhash(docs: DataFrame): DataFrame =
+    minhashPairs(docs).orderBy(col("id_a"), col("id_b"))
+
+  /** Unsorted near-dup pairs from the banded MinHash path — shared by
+    * the declared pair query and the clustering query (which must not
+    * inherit a useless pre-join sort). */
+  private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
     val banded = shingled(docs)
       .withColumn("bsigs",
         graft.functions.TextFunctions.minhashBands(col("shash"), 64, 16))
@@ -189,7 +195,86 @@ object TextOps {
         (size(col("sa")) + size(col("sb")) - col("common")))
       .filter(col("jaccard") >= 0.8)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Near-duplicate CLUSTERS — the actionable end of the dedup story:
+    * connected components over the banded-MinHash near-dup pair graph,
+    * each document labeled with its component's minimum doc_id and a
+    * keep/drop flag (`is_kept` = the canonical representative). This is
+    * the row a corpus-curation job actually filters on.
+    *
+    * Distributed min-label propagation: every document starts as its
+    * own label; each round takes the min label across direct neighbors
+    * (join pair-edges → min-aggregate → join-back). Rounds are fixed at
+    * [[clusterRounds]] — near-dup components at jaccard ≥ 0.8 are small
+    * by construction (shared-shingle transitivity; the fixed corpus
+    * maxes at diameter 3) and the DuckDB oracle computes TRUE
+    * reachability, so an insufficient round count fails correctness
+    * loudly rather than silently. For adversarial long-chain graphs the
+    * pointer-jumping variant (propagate labels-of-labels, O(log d)
+    * rounds) is the drop-in upgrade.
+    *
+    * Scale posture: the edge list (duplicate pairs only — orders of
+    * magnitude smaller than the corpus) is the loop invariant and is
+    * persisted across rounds, the standard Spark iterative-algorithm
+    * pattern; every per-round shuffle is edge- or corpus-key-sized,
+    * 8-byte keys.
+    */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(Tables.documents(spark, dir))
+
+  private[graft] val clusterRounds = 6
+
+  /** Core of [[qDedupClusters]] over any (doc_id, text) frame.
+    *
+    * The iteration runs over the PAIR-GRAPH NODES only (documents with
+    * at least one near-dup — the duplicate set, orders of magnitude
+    * smaller than the corpus); the corpus joins the finished label map
+    * exactly once at the end, with singletons defaulting to
+    * themselves. Iterating the corpus-sized frame instead cost 6.4 s
+    * at sf0.1 — 12 corpus shuffles for labels that never change.
+    */
+  private[graft] def dedupClusters(docs: DataFrame): DataFrame = {
+    val pairs = minhashPairs(docs).select(col("id_a"), col("id_b"))
+    // localCheckpoint(eager) per round is LOAD-BEARING: every round
+    // references the previous labels frame twice (neighbor flow +
+    // self-union), so without lineage truncation the logical plan tree
+    // DOUBLES per round — 2^rounds copies of the whole minhash
+    // pipeline to analyze and de-duplicate against the cache, measured
+    // at 35 s for 6 rounds at sf0.1 vs ~2 s truncated. Materializing
+    // the dup-set-sized label map each round is the standard Spark
+    // iterative-algorithm shape (GraphX/Pregel materializes per
+    // superstep for exactly this reason).
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"),
+        col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
+    for (_ <- 1 to clusterRounds) {
+      // one round = min label over self ∪ direct neighbors: the
+      // neighbor labels flow across edges, union with own, min-agg —
+      // a single dup-set-sized shuffle per round
+      labels = edges
+        .join(labels.select(col("doc_id").as("l_id"),
+          col("cluster_id").as("l_cl")), col("dst") === col("l_id"))
+        .select(col("src").as("doc_id"), col("l_cl").as("cluster_id"))
+        .unionByName(labels)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+    }
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "l_id")
+          .withColumnRenamed("cluster_id", "l_cl"),
+        col("doc_id") === col("l_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("l_cl"), col("doc_id")).as("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("cluster_id") === col("doc_id")).as("is_kept"))
+      .orderBy(col("doc_id"))
   }
 
   /** Per-document quality statistics for corpus filtering: token count,

@@ -25,7 +25,7 @@ class EntrySmokeSpec extends SparkTestBase {
       "q_frame_sample", "q_token_count", "q_hierarchy_closure",
       "q_pipeline_etl", "q_pipeline_caregap", "q_patient_ingest",
       "q_corrupt_quarantine", "q_sink_batched", "q_observation_flatten",
-      "q_token_percentiles")
+      "q_token_percentiles", "q_dedup_clusters")
     mustHaveRows.foreach { name =>
       assert(SparkEntry.queries(name)(spark, sfDir).count() > 0,
         s"$name returned 0 rows at sf0.001")

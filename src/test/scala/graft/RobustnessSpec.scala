@@ -106,6 +106,7 @@ class RobustnessSpec extends SparkTestBase {
     assert(TextOps.dedupExact(empty).count() == 0)
     assert(TextOps.jaccardPairs(empty).count() == 0)
     assert(TextOps.dedupMinhash(empty).count() == 0)
+    assert(TextOps.dedupClusters(empty).count() == 0)
     assert(TextOps.textStats(empty).count() == 0)
     assert(TextOps.simhash(empty).count() == 0)
     assert(TextOps.fingerprint(empty).count() == 0)

@@ -68,6 +68,34 @@ class TextOpsSpec extends SparkTestBase {
     assert(exact.length == 1 && exact.head.getDouble(2) == j)
   }
 
+  test("q_dedup_clusters labels every doc with its component's min id") {
+    val pairs = TextOps.qDedupMinhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = TextOps.qDedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(clusters.size.toLong == nDocs) // every doc labeled
+    // driver-side union-find truth over the same pair graph
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    clusters.foreach { case (doc, cl) =>
+      assert(cl == find(doc), s"doc $doc: got $cl want ${find(doc)}")
+    }
+    // keep flags: exactly one representative per cluster, and both
+    // ends of every pair share a cluster
+    val kept = TextOps.qDedupClusters(spark, sfDir).collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(kept == clusters.values.toSet)
+    pairs.foreach { case (a, b) => assert(clusters(a) == clusters(b)) }
+  }
+
   test("q_token_percentiles ranks match driver-side exact quantiles") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("lang", "text").collect()
