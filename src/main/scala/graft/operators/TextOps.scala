@@ -203,16 +203,18 @@ object TextOps {
     * keep/drop flag (`is_kept` = the canonical representative). This is
     * the row a corpus-curation job actually filters on.
     *
-    * Distributed min-label propagation: every document starts as its
-    * own label; each round takes the min label across direct neighbors
-    * (join pair-edges → min-aggregate → join-back). Rounds are fixed at
-    * [[clusterRounds]] — near-dup components at jaccard ≥ 0.8 are small
-    * by construction (shared-shingle transitivity; the fixed corpus
-    * maxes at diameter 3) and the DuckDB oracle computes TRUE
-    * reachability, so an insufficient round count fails correctness
-    * loudly rather than silently. For adversarial long-chain graphs the
-    * pointer-jumping variant (propagate labels-of-labels, O(log d)
-    * rounds) is the drop-in upgrade.
+    * Distributed min-label propagation WITH POINTER JUMPING: every
+    * document starts as its own label; each round takes the min over
+    * {own label, direct neighbors' labels, label-of-own-label}. The
+    * shortcutting term makes label distances halve per round, so
+    * [[clusterRounds]] = 6 rounds converge for any component of
+    * diameter up to ~2⁵ — far beyond what jaccard-0.8 drift chains
+    * produce (the fixed corpus maxes at diameter 3; the spec plants a
+    * diameter-9 drift chain that plain neighbor propagation would NOT
+    * converge on). The DuckDB oracle computes TRUE reachability, so an
+    * insufficient round count would fail correctness loudly, and a
+    * propagation failure only ever SPLITS a cluster (labels always
+    * point inside the component) — never merges two.
     *
     * Scale posture: the edge list (duplicate pairs only — orders of
     * magnitude smaller than the corpus) is the loop invariant and is
@@ -254,13 +256,21 @@ object TextOps {
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
     for (_ <- 1 to clusterRounds) {
-      // one round = min label over self ∪ direct neighbors: the
-      // neighbor labels flow across edges, union with own, min-agg —
-      // a single dup-set-sized shuffle per round
-      labels = edges
+      // one round = min over self ∪ direct neighbors ∪ label-of-label:
+      // neighbor labels flow across edges; the pointer jump joins the
+      // label map with itself (cluster_id → that node's label), which
+      // halves label distances each round; union, min-agg — dup-set-
+      // sized shuffles only
+      val viaNbr = edges
         .join(labels.select(col("doc_id").as("l_id"),
           col("cluster_id").as("l_cl")), col("dst") === col("l_id"))
         .select(col("src").as("doc_id"), col("l_cl").as("cluster_id"))
+      val viaJump = labels
+        .join(labels.select(col("doc_id").as("j_id"),
+          col("cluster_id").as("j_cl")), col("cluster_id") === col("j_id"))
+        .select(col("doc_id"), col("j_cl").as("cluster_id"))
+      labels = viaNbr
+        .unionByName(viaJump)
         .unionByName(labels)
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))

@@ -96,6 +96,29 @@ class TextOpsSpec extends SparkTestBase {
     pairs.foreach { case (a, b) => assert(clusters(a) == clusters(b)) }
   }
 
+  test("dedup clustering converges on a diameter-9 drift chain (pointer jumping)") {
+    import spark.implicits._
+    // 10 documents drifting 10 words per step over a 190-word unique
+    // vocabulary: adjacent docs share 90 contiguous words (3-gram
+    // jaccard ~0.81 >= 0.8), distance-2 docs only 80 (~0.66 < 0.8) —
+    // a PATH graph of diameter 9. Plain neighbor-only propagation
+    // needs 9 rounds; the pointer-jumping rounds (6) must still
+    // collapse the whole chain to one cluster.
+    val words = (0 until 190).map(k => f"w$k%03d")
+    val docs = (0 until 10).map { i =>
+      (i.toLong, words.slice(i * 10, i * 10 + 100).mkString(" "))
+    }.toDF("doc_id", "text")
+    // the pair graph really is the adjacent-only path
+    val pairs = TextOps.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0L until 9L).map(i => (i, i + 1)).toSet, pairs)
+    val clusters = TextOps.dedupClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(clusters.forall(_._2 == 0L),
+      s"chain not fully collapsed: ${clusters.mkString(",")}")
+    assert(clusters.count(_._3) == 1)
+  }
+
   test("q_token_percentiles ranks match driver-side exact quantiles") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("lang", "text").collect()
