@@ -23,10 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftExtensions.all.foreach { case (name, usage, builder) =>
-      // 5-arg ctor is (className, db, name, usage, examples) — the
-      // 3-arg one reads its third argument as the function NAME
+      // the full ctor is the only non-deprecated one; unused doc
+      // fields stay empty (group/since have no meaning here)
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions", null, name, usage, ""),
+        new ExpressionInfo("graft.functions", null, name, usage, "", "",
+          "", "", "", "", "scala_udf"),
         builder))
     }
 }

@@ -104,7 +104,7 @@ object PatientJson {
       idType("MR").as("type"),
       lit("http://hospital.example.org/mrn").as("system"),
       concat(lit("MRN-"), key.cast("string")).as("value"))
-    val given = when(pmod(key, lit(11)) === 0,
+    val givenNames = when(pmod(key, lit(11)) === 0,
       array().cast(ArrayType(StringType, containsNull = false)))
       .otherwise(array(
         concat(lit("Given"), pmod(key, lit(7)).cast("string")),
@@ -120,7 +120,7 @@ object PatientJson {
       array(struct(
         lit("official").as("use"),
         initcap(lower(col("c_mktsegment"))).as("family"),
-        given.as("given"))).as("name"),
+        givenNames.as("given"))).as("name"),
       when(pmod(key, lit(2)) === 0, lit("female")).otherwise(lit("male"))
         .as("gender"),
       date_add(to_date(lit("1950-01-01")),
