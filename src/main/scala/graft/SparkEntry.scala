@@ -497,9 +497,21 @@ object SparkEntry {
     // q_dedup_minhash / q_simhash / q_fingerprint: no oracle — xxhash64
     // signatures have no DuckDB dual; rows-only + property tests
     // (TextOpsSpec asserts minhash candidate parity with q_jaccard_pairs).
-    // q_token_percentiles: no oracle — Greenwald-Khanna sketch estimates
-    // are engine-specific (like HLL); TextOpsSpec bounds the rank error
-    // against driver-side exact quantiles.
+    // q_token_percentiles IS oracle-checked: at the t2 scale the GK
+    // sketch runs in its exact regime (accuracy 10000 ≥ every group
+    // size), and Spark's exact-mode percentile shares DuckDB
+    // quantile_disc's rank convention (verified on boundary cases);
+    // beyond the exact regime the spec's rank-error bound is the
+    // contract.
+    "q_token_percentiles" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       quantile_disc(n, 0.5) AS p50,
+        |       quantile_disc(n, 0.9) AS p90,
+        |       quantile_disc(n, 0.99) AS p99
+        |FROM (SELECT lang, CAST(len(regexp_extract_all(lower(text),
+        |        '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents

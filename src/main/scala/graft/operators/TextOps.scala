@@ -370,9 +370,11 @@ object TextOps {
     * .qApproxDistinct]]'s HLL — the shuffle carries fixed-size sketch
     * buffers instead of per-group value sets, which is the 100 TB
     * answer to percentiles exactly as HLL is to COUNT(DISTINCT).
-    * Declared rows-only (sketch estimates are engine-specific);
-    * TextOpsSpec bounds the estimates against driver-side exact
-    * quantiles.
+    * Oracle-checked at t2 scale, where accuracy 10000 ≥ every group
+    * size puts the sketch in its exact regime and Spark's exact-mode
+    * percentile shares DuckDB `quantile_disc`'s rank convention
+    * (boundary cases verified); beyond the exact regime TextOpsSpec's
+    * rank-error bound is the contract.
     */
   def qTokenPercentiles(spark: SparkSession, dir: String): DataFrame =
     tokenPercentiles(Tables.documents(spark, dir))
