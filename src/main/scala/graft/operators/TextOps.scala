@@ -206,15 +206,17 @@ object TextOps {
     * Distributed min-label propagation WITH POINTER JUMPING: every
     * document starts as its own label; each round takes the min over
     * {own label, direct neighbors' labels, label-of-own-label}. The
-    * shortcutting term makes label distances halve per round, so
-    * [[clusterRounds]] = 6 rounds converge for any component of
-    * diameter up to ~2⁵ — far beyond what jaccard-0.8 drift chains
-    * produce (the fixed corpus maxes at diameter 3; the spec plants a
-    * diameter-9 drift chain that plain neighbor propagation would NOT
-    * converge on). The DuckDB oracle computes TRUE reachability, so an
-    * insufficient round count would fail correctness loudly, and a
-    * propagation failure only ever SPLITS a cluster (labels always
-    * point inside the component) — never merges two.
+    * shortcutting term makes label distances halve per round, and the
+    * loop runs TO THE FIXED POINT (labels only decrease, so "no label
+    * changed" is convergence), checked with one dup-set-sized action
+    * per round — typically 3–4 rounds (⌈log₂ diameter⌉ + 1 confirm).
+    * A [[clusterMaxRounds]] backstop (covers diameter ~2¹¹) turns a
+    * pathological graph into a LOUD IllegalStateException instead of a
+    * silently split cluster; the spec plants a diameter-9 drift chain
+    * that plain bounded neighbor propagation would silently split. The
+    * DuckDB oracle computes TRUE reachability as an independent check,
+    * and a propagation failure could only ever SPLIT a cluster (labels
+    * always point inside the component) — never merge two.
     *
     * Scale posture: the edge list (duplicate pairs only — orders of
     * magnitude smaller than the corpus) is the loop invariant and is
@@ -225,7 +227,7 @@ object TextOps {
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
     dedupClusters(Tables.documents(spark, dir))
 
-  private[graft] val clusterRounds = 6
+  private[graft] val clusterMaxRounds = 12
 
   /** Core of [[qDedupClusters]] over any (doc_id, text) frame.
     *
@@ -255,7 +257,10 @@ object TextOps {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
-    for (_ <- 1 to clusterRounds) {
+    var converged = false
+    var round = 0
+    while (!converged && round < clusterMaxRounds) {
+      round += 1
       // one round = min over self ∪ direct neighbors ∪ label-of-label:
       // neighbor labels flow across edges; the pointer jump joins the
       // label map with itself (cluster_id → that node's label), which
@@ -269,12 +274,23 @@ object TextOps {
         .join(labels.select(col("doc_id").as("j_id"),
           col("cluster_id").as("j_cl")), col("cluster_id") === col("j_id"))
         .select(col("doc_id"), col("j_cl").as("cluster_id"))
-      labels = viaNbr
+      val next = viaNbr
         .unionByName(viaJump)
         .unionByName(labels)
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint(true)
+      // labels only decrease, so an unchanged round IS the fixed point
+      converged = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev"))
+        .isEmpty
+      labels = next
+    }
+    if (!converged) {
+      throw new IllegalStateException(
+        s"dedupClusters did not converge within $clusterMaxRounds " +
+          "pointer-jumping rounds — component diameter beyond ~2^11?")
     }
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("doc_id", "l_id")

@@ -205,12 +205,22 @@ object Vectors {
     * threshold (beyond that the join degrades to a shuffled hash join
     * on bucket — still never a corpus-wide all-pairs scan). */
   private[graft] def probeTopk(spark: SparkSession, model: IvfModel,
-    queries: DataFrame, nprobe: Int = 3): DataFrame = {
+    queries: DataFrame, nprobe: Int = 3): DataFrame =
+    probeJoinTopk(spark.read.parquet(model.corpusPath), queries,
+      model.centroids, nprobe)
+
+  /** The ONE probe pipeline both IVF paths share (the persisted-layout
+    * declared query and the in-memory [[ivfTopk]] the recall specs
+    * drive — their asserted equivalence is by construction): per-query
+    * nprobe buckets via the quantizer expression, bucket equi-join
+    * against the broadcast probe set (DPP-prunable when the corpus is
+    * a partitioned scan), exact cosine, bounded top-5, rank. */
+  private def probeJoinTopk(corpus: DataFrame, queries: DataFrame,
+    cents: Seq[Seq[Double]], nprobe: Int): DataFrame = {
     val probes = queries.filter(col("u").isNotNull)
       .select(col("vec_id").as("q_id"), col("u").as("qu"),
         explode(graft.functions.VectorFunctions.topDotIdx(col("u"),
-          model.centroids, nprobe)).as("probe_bucket"))
-    val corpus = spark.read.parquet(model.corpusPath)
+          cents, nprobe)).as("probe_bucket"))
     corpus
       .join(broadcast(probes), col("bucket") === col("probe_bucket"))
       .withColumn("cosine", dot(col("qu"), col("u")))
@@ -480,24 +490,8 @@ object Vectors {
     iters: Int = ivfIters, nprobe: Int = 3): DataFrame = {
     val corpus0 = u.filter(col("vec_id") >= 10 && col("u").isNotNull)
     val cents = trainCentroids(corpus0, nlist, iters)
-    val corpus = corpus0.withColumn("bucket", ivfBucket(cents))
-    // nprobe nearest buckets per query — 10 queries × nprobe rows,
-    // always broadcast: the corpus side never shuffles
-    val probes = u.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("u").as("qu"),
-        explode(graft.functions.VectorFunctions
-          .topDotIdx(col("u"), cents, nprobe)).as("probe_bucket"))
-    corpus
-      .join(broadcast(probes), col("bucket") === col("probe_bucket"))
-      .withColumn("cosine", dot(col("qu"), col("u")))
-      .filter(col("cosine").isNotNull)
-      .groupBy(col("q_id"))
-      .agg(graft.functions.TopKByCosine.topk(5)(col("cosine"),
-        col("vec_id")).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
-      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("s.vec_id").as("neighbor_id"), col("s.cosine").as("cosine"))
-      .orderBy(col("q_id"), col("rank"))
+    probeJoinTopk(corpus0.withColumn("bucket", ivfBucket(cents)),
+      u.filter(col("vec_id") < 10), cents, nprobe)
   }
 
   /** Bucket assignment column for a trained centroid set. */

@@ -45,19 +45,29 @@ object BatchedSink {
       s"BatchedSink expects (key, payload), got ${df.columns.toSeq}")
     df.foreachPartition { (it: Iterator[Row]) =>
       it.grouped(batchSize).foreach { rows =>
-        val batch = rows.map(r => (r.getString(0), r.getString(1)))
-        var attempt = 0
-        var done = false
-        while (!done) {
-          try {
-            endpoint.upsertBatch(batch)
-            done = true
-          } catch {
-            case e: TransientSinkError =>
-              attempt += 1
-              if (attempt > maxRetries) throw e
-          }
-        }
+        upsertWithRetry(endpoint,
+          rows.map(r => (r.getString(0), r.getString(1))), maxRetries)
+      }
+    }
+  }
+
+  /** The one retry loop both the batch and streaming sinks share: the
+    * same batch is re-sent verbatim up to `maxRetries` times on
+    * [[TransientSinkError]], then the failure propagates (handing
+    * replay to Spark's task/epoch retry, which the keyed upsert also
+    * tolerates). */
+  private[sources] def upsertWithRetry(endpoint: UpsertEndpoint,
+    batch: Seq[(String, String)], maxRetries: Int): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try {
+        endpoint.upsertBatch(batch)
+        done = true
+      } catch {
+        case e: TransientSinkError =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
       }
     }
   }
@@ -93,19 +103,7 @@ class UpsertForeachWriter(endpoint: UpsertEndpoint,
 
   private def flush(): Unit = {
     if (buf.nonEmpty) {
-      val batch = buf.toSeq
-      var attempt = 0
-      var done = false
-      while (!done) {
-        try {
-          endpoint.upsertBatch(batch)
-          done = true
-        } catch {
-          case e: TransientSinkError =>
-            attempt += 1
-            if (attempt > maxRetries) throw e
-        }
-      }
+      BatchedSink.upsertWithRetry(endpoint, buf.toSeq, maxRetries)
       buf.clear()
     }
   }

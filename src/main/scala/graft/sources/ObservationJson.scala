@@ -87,15 +87,10 @@ object ObservationJson {
         .as("component")))
   }
 
-  private val written =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   def writeFixture(spark: SparkSession, dir: String): String =
-    written.computeIfAbsent(fixtureDir(dir), path => {
+    FixturePublish.once(fixtureDir(dir), tmp =>
       Tables.orders(spark, dir).select(observationDoc.as("value"))
-        .write.mode("overwrite").text(path)
-      path
-    })
+        .write.mode("overwrite").text(tmp))
 
   def readObservations(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(observationSchema)

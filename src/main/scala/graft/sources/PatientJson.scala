@@ -143,20 +143,10 @@ object PatientJson {
       .join(broadcast(Tables.region(spark, dir)),
         col("n_regionkey") === col("r_regionkey"))
 
-  /** Fixture corpora written at most once per (JVM, sf dir): the write
-    * is input staging, not part of the declared operator, and content
-    * is deterministic, so a concurrent process writing the same path
-    * produces identical bytes. */
-  private val written =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def writeOnce(key: String, make: () => Unit): String =
-    written.computeIfAbsent(key, _ => { make(); key })
-
   def writePatientFixture(spark: SparkSession, dir: String): String =
-    writeOnce(fixtureDir(dir), () =>
+    FixturePublish.once(fixtureDir(dir), tmp =>
       joined(spark, dir).select(patientDoc.as("value"))
-        .write.mode("overwrite").text(fixtureDir(dir)))
+        .write.mode("overwrite").text(tmp))
 
   /** Corrupt-line fixture (P7): every key ≡ 3 (mod 97) emits a
     * malformed line (unterminated JSON, with the key recoverable from
@@ -164,14 +154,14 @@ object PatientJson {
     * Mirrors the reference's branch-on-every-bad-response posture
     * (/root/reference/src/coding_task_1.py:147-149, 161-163). */
   def writeCorruptFixture(spark: SparkSession, dir: String): String =
-    writeOnce(corruptFixtureDir(dir), () =>
+    FixturePublish.once(corruptFixtureDir(dir), tmp =>
       Tables.customer(spark, dir).select(
         when(pmod(col("c_custkey"), lit(97)) === 3,
           concat(lit("CORRUPT{\"id\":"), col("c_custkey").cast("string")))
           .otherwise(to_json(struct(
             col("c_custkey").as("id"),
             lit("good").as("status")))).as("value"))
-        .write.mode("overwrite").text(corruptFixtureDir(dir)))
+        .write.mode("overwrite").text(tmp))
 
   /** Schema-declared nested read of the patient corpus — the real
     * ingestion surface: `spark.read.schema(...).json(...)` (SURVEY
@@ -202,4 +192,55 @@ object PatientJson {
         .filterNot(_.name == "_corrupt_record")))
       .option("mode", "FAILFAST")
       .json(writeCorruptFixture(spark, dir))
+}
+
+/** Atomic fixture publication, shared by every JSON fixture family.
+  * A bare `mode(overwrite)` to the final path is delete-then-write: a
+  * concurrent reader could see a half-written directory, and a losing
+  * concurrent writer's late part files could DOUBLE the corpus under
+  * the oracle's `part-*` glob. Instead: reuse an existing complete
+  * fixture (`_SUCCESS` present — content is a pure deterministic
+  * function of the driver tables), otherwise write to a process-unique
+  * temp directory and atomically rename it into place; the losing
+  * writer of a publish race discards its copy. Readers only ever
+  * observe a complete directory. The per-JVM map makes repeat
+  * invocations free (input staging, not part of the declared
+  * operators).
+  */
+private[sources] object FixturePublish {
+
+  private val published =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+
+  def once(path: String, write: String => Unit): String =
+    published.computeIfAbsent(path, _ => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val target = Paths.get(path)
+      val success = target.resolve("_SUCCESS")
+      if (!Files.exists(success)) {
+        // leftovers of a crashed writer (dir without _SUCCESS) go away
+        deleteRec(target)
+        val tmp = path + ".tmp-" + java.util.UUID.randomUUID()
+        write(tmp)
+        Files.createDirectories(target.getParent)
+        try {
+          Files.move(Paths.get(tmp), target,
+            StandardCopyOption.ATOMIC_MOVE)
+        } catch {
+          case e: java.io.IOException =>
+            // lost a publish race: the winner's copy is complete and
+            // byte-identical; drop ours. Anything else is real.
+            if (Files.exists(success)) deleteRec(Paths.get(tmp))
+            else throw e
+        }
+      }
+      path
+    })
 }

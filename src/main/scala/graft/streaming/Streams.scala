@@ -87,9 +87,12 @@ object Streams {
     * Finalization (ADVICE r3 — round 3 emitted every non-latest merged
     * interval immediately, so an even-earlier straggler arriving in a
     * later trigger could emit a second closed session overlapping the
-    * first): an interval is emitted closed only once `end + gap ≤
-    * watermark` — at that point no in-watermark event can merge into
-    * it (any future event has `ts ≥ watermark > end + gap`), so
+    * first): an interval is emitted closed only once `end + gap <
+    * watermark`, STRICTLY — an on-time event can still arrive AT the
+    * watermark (Spark drops only `ts < watermark`) and must be able to
+    * merge into an interval expiring exactly there. Past that point no
+    * in-watermark event can merge (any future event has `ts ≥
+    * watermark > end + gap`), so
     * emitted sessions can never overlap a later emission, matching
     * `session_window`'s guarantee. Everything newer stays buffered;
     * the event-time timeout fires at the earliest pending expiry so
@@ -134,14 +137,23 @@ object Streams {
                 tail
             case (acc, iv) => iv :: acc
           }.reverse
-          val (expired, pending) = merged.partition(_.end + gapUs <= wmUs)
+          // STRICT <: an on-time event may arrive with ts == watermark
+          // (Spark only drops ts < watermark), and such an event still
+          // merges into an interval with end + gap == watermark — so
+          // that interval must stay buffered one more trigger, or the
+          // boundary event would start a spurious second session the
+          // batch lag-gap dual (diff > gap breaks) would have merged
+          val (expired, pending) = merged.partition(_.end + gapUs < wmUs)
           if (pending.isEmpty) state.remove()
           else {
             state.update(SessionBuffer(pending))
-            // earliest pending expiry in ms, rounded UP so the timeout
-            // timestamp stays strictly above the current watermark
-            state.setTimeoutTimestamp(
-              math.floorDiv(pending.map(_.end + gapUs).min + 999L, 1000L))
+            // earliest pending expiry in ms, rounded UP — and clamped
+            // strictly above the current watermark, reachable when an
+            // interval's expiry equals the watermark exactly (held by
+            // the strict partition above)
+            state.setTimeoutTimestamp(math.max(
+              math.floorDiv(pending.map(_.end + gapUs).min + 999L, 1000L),
+              state.getCurrentWatermarkMs() + 1))
           }
           expired.map(s => SessionOut(user, fromMicros(s.start),
             fromMicros(s.end), s.n)).iterator
