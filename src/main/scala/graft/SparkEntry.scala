@@ -282,7 +282,11 @@ object SparkEntry {
         |    AND o_orderdate >= TIMESTAMP '2000-06-01')
         |ORDER BY c_custkey""".stripMargin,
     "q_hierarchy_closure" ->
-      """WITH RECURSIVE edges AS (
+      """WITH RECURSIVE mf AS (
+        |  SELECT DISTINCT CAST(regexp_extract(p_brand, '([0-9]+)', 1)
+        |    AS INTEGER) % 5 + 1 AS m
+        |  FROM part),
+        |edges AS (
         |  SELECT c_name AS child, n_name AS parent
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  UNION ALL
@@ -297,10 +301,15 @@ object SparkEntry {
         |        '([0-9]+)', 1) AS INTEGER) % 5 + 1 AS VARCHAR)) AS parent
         |    FROM part)
         |  UNION ALL
-        |  SELECT DISTINCT
-        |    concat('Mfgr#', CAST(CAST(regexp_extract(p_brand,
-        |      '([0-9]+)', 1) AS INTEGER) % 5 + 1 AS VARCHAR)), 'WORLD'
-        |  FROM part),
+        |  SELECT DISTINCT concat('Mfgr#', CAST(m AS VARCHAR)),
+        |    concat('Sector#', CAST((m - 1) % 2 + 1 AS VARCHAR))
+        |  FROM mf
+        |  UNION ALL
+        |  SELECT DISTINCT concat('Sector#',
+        |    CAST((m - 1) % 2 + 1 AS VARCHAR)), 'Goods'
+        |  FROM mf
+        |  UNION ALL
+        |  SELECT DISTINCT 'Goods', 'WORLD' FROM part),
         |closure AS (
         |  SELECT child AS descendant, parent AS ancestor, 1 AS depth
         |  FROM edges

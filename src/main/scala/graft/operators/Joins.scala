@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -172,24 +172,30 @@ object Joins {
   /** Multi-hop hierarchy closure — the generalization of J2/J3's one-hop
     * ECL lookups (`>!`/`<!`, /root/reference/src/coding_task_1.py:158,
     * coding_task_2.py:139) to full SNOMED-style ancestry (SURVEY §4):
-    * every (descendant, ancestor, depth) pair of a derived 4-level
+    * every (descendant, ancestor, depth) pair of a derived 6-level
     * concept tree
     *
     *   customer → nation → region → WORLD
-    *   brand    → mfgr (synthesized: Brand#N → Mfgr#(N mod 5 + 1)) → WORLD
+    *   brand → mfgr (Brand#N → Mfgr#(N mod 5 + 1))
+    *         → sector (Mfgr#K → Sector#((K-1) mod 2 + 1))
+    *         → Goods → WORLD
     *
-    * computed by a bounded-depth iterative self-join in driver code (the
-    * SURVEY §7.3 plan — no custom planner rule needed). Scale posture:
-    * the *upper* levels of a concept hierarchy are small at any data
-    * scale, so each iteration extends the frontier by one hop against a
-    * broadcast of the non-leaf edge set — per-hop map-side joins, zero
-    * shuffles until the final presentation sort; the fact-sized leaf
-    * level never self-joins. Every edge level is functional (one parent
-    * per child), so closure rows are unique without a distinct.
+    * computed by [[transitiveClosure]]'s run-to-convergence frontier
+    * loop (r4 verdict item 1: a HARDCODED depth bound silently truncates
+    * closure rows the moment the ontology gets deeper — real SNOMED
+    * ancestry runs 10–15 levels — so the loop now extends hops until the
+    * frontier is EMPTY, with a loud backstop the way
+    * [[graft.operators.TextOps.clusterMaxRounds]] guards the cluster
+    * propagation). The two synthesized upper levels (sector, Goods) make
+    * the deepest chain depth 4 — past the old bound, so the convergence
+    * loop is exercised by the driver's own oracle compare, not just the
+    * planted-chain spec.
     */
   def qHierarchyClosure(spark: SparkSession, dir: String): DataFrame = {
     val nation = Tables.nation(spark, dir)
     val region = Tables.region(spark, dir)
+    def numOf(c: Column): Column =
+      regexp_extract(c, "([0-9]+)", 1).cast("int")
     val nr = nation.join(broadcast(region),
       col("n_regionkey") === col("r_regionkey"))
       .select(col("n_name").as("child"), col("r_name").as("parent"))
@@ -198,33 +204,83 @@ object Joins {
     val bm = Tables.part(spark, dir).select(col("p_brand")).distinct()
       .select(col("p_brand").as("child"),
         concat(lit("Mfgr#"),
-          (pmod(regexp_extract(col("p_brand"), "([0-9]+)", 1).cast("int"),
-            lit(5)) + 1).cast("string")).as("parent"))
-    val mw = bm.select(col("parent").as("child")).distinct()
+          (pmod(numOf(col("p_brand")), lit(5)) + 1).cast("string"))
+          .as("parent"))
+    val ms = bm.select(col("parent").as("child")).distinct()
+      .select(col("child"),
+        concat(lit("Sector#"),
+          (pmod(numOf(col("child")) - 1, lit(2)) + 1).cast("string"))
+          .as("parent"))
+    val sg = ms.select(col("parent").as("child")).distinct()
+      .select(col("child"), lit("Goods").as("parent"))
+    val gw = sg.select(col("parent").as("child")).distinct()
       .select(col("child"), lit("WORLD").as("parent"))
     val cn = Tables.customer(spark, dir).join(broadcast(nation),
       col("c_nationkey") === col("n_nationkey"))
       .select(col("c_name").as("child"), col("n_name").as("parent"))
-    val upperEdges = nr.unionByName(rw).unionByName(bm).unionByName(mw)
+    val upperEdges = nr.unionByName(rw).unionByName(bm).unionByName(ms)
+      .unionByName(sg).unionByName(gw)
+    transitiveClosure(cn, upperEdges)
+      .orderBy(col("descendant"), col("depth"), col("ancestor"))
+  }
 
-    val maxDepth = 3
-    // loop-invariant: one broadcast of the renamed upper-edge set,
-    // shared by every hop instead of re-embedding the union-of-edges
-    // subplan per iteration
-    val up = broadcast(upperEdges
+  /** Backstop for [[transitiveClosure]]: any real ontology is far
+    * shallower (SNOMED ancestry ≈10–15 levels); hitting this bound means
+    * the edge set has a cycle, which must fail LOUDLY rather than emit a
+    * silently truncated closure. */
+  private[graft] val closureMaxDepth = 32
+
+  /** Full (descendant, ancestor, depth) transitive closure of a concept
+    * DAG given as (child, parent) edge frames: `leaf` rows are the
+    * fact-sized bottom level (they only ever appear as descendants),
+    * `upper` the concept levels above it. Runs the frontier to an
+    * EMPTINESS-checked fixed point: each hop extends every live path by
+    * one ancestor via a map-side join against one loop-invariant
+    * broadcast of the upper edges, and the loop ends when a hop yields
+    * no rows — on a DAG the frontier MUST empty within the ontology's
+    * depth, so [[closureMaxDepth]] only trips on a cycle (loud
+    * IllegalStateException, mirroring the dedup-cluster backstop).
+    *
+    * Scale posture: the upper levels of a concept hierarchy are small at
+    * any data scale, so every hop is a zero-shuffle broadcast join; the
+    * fact-sized leaf level never self-joins, and every edge level is
+    * functional (one parent per child) so closure rows are unique
+    * without a distinct. The per-hop `localCheckpoint(eager)` both
+    * makes the emptiness probe free (the hop is already materialized)
+    * and stops the next hop from recomputing the whole prefix chain —
+    * without it the probe-per-round turns a depth-d closure into
+    * O(d²) passes over the leaf level.
+    */
+  private[graft] def transitiveClosure(leaf: DataFrame,
+    upper: DataFrame): DataFrame = {
+    val up = broadcast(upper
       .select(col("child").as("u_child"), col("parent").as("u_parent")))
-    var frontier = cn.unionByName(upperEdges)
+    var frontier = leaf.unionByName(upper)
       .select(col("child").as("descendant"), col("parent").as("ancestor"),
         lit(1).as("depth"))
+      .localCheckpoint(true)
     var closure = frontier
-    for (d <- 2 to maxDepth) {
-      frontier = frontier
+    var depth = 1
+    var converged = false
+    while (!converged) {
+      val next = frontier
         .join(up, frontier("ancestor") === up("u_child"))
         .select(col("descendant"), col("u_parent").as("ancestor"),
-          lit(d).as("depth"))
-      closure = closure.unionByName(frontier)
+          lit(depth + 1).as("depth"))
+        .localCheckpoint(true)
+      if (next.isEmpty) converged = true
+      else {
+        depth += 1
+        if (depth > closureMaxDepth) {
+          throw new IllegalStateException(
+            s"hierarchy closure still growing after $closureMaxDepth " +
+              "hops — cycle in the concept edges?")
+        }
+        frontier = next
+        closure = closure.unionByName(next)
+      }
     }
-    closure.orderBy(col("descendant"), col("depth"), col("ancestor"))
+    closure
   }
 
   def qResourceCounts(spark: SparkSession, dir: String): DataFrame = {

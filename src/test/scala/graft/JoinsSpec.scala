@@ -188,9 +188,13 @@ class JoinsSpec extends SparkTestBase {
     nation.values.foreach { case (n, rk) => parent(n) = region(rk) }
     region.values.foreach(r => parent(r) = "WORLD")
     brands.foreach { b =>
-      val m = "Mfgr#" + ("([0-9]+)".r.findFirstIn(b).get.toInt % 5 + 1)
+      val k = "([0-9]+)".r.findFirstIn(b).get.toInt % 5 + 1
+      val m = "Mfgr#" + k
+      val s = "Sector#" + ((k - 1) % 2 + 1)
       parent(b) = m
-      parent(m) = "WORLD"
+      parent(m) = s
+      parent(s) = "Goods"
+      parent("Goods") = "WORLD"
     }
     val want = parent.keys.flatMap { start =>
       Iterator.iterate(Option(start))(_.flatMap(parent.get))
@@ -198,8 +202,42 @@ class JoinsSpec extends SparkTestBase {
         .map { case (anc, i) => (start, anc.get, i + 1) }
     }.toSet
     assert(got == want)
-    // depth really goes multi-hop: customers reach WORLD at depth 3
+    // depth really goes multi-hop, PAST the old hardcoded bound of 3:
+    // brands reach WORLD at depth 4 (brand→mfgr→sector→Goods→WORLD)
+    assert(got.exists { case (d, a, n) =>
+      d.startsWith("Brand#") && a == "WORLD" && n == 4 })
     assert(got.exists { case (d, a, n) =>
       d.startsWith("Customer#") && a == "WORLD" && n == 3 })
+  }
+
+  test("transitiveClosure runs a planted depth-6 chain to convergence") {
+    import spark.implicits._
+    // leaf L sits under a 5-deep concept chain: L→n1→n2→n3→n4→n5 — the
+    // deepest ancestor is 6 hops away, double the old hardcoded bound
+    val leaf = Seq(("L", "n1"), ("M", "n1")).toDF("child", "parent")
+    val upper = (1 to 5).map(i =>
+      if (i == 5) (s"n$i", "ROOT") else (s"n$i", s"n${i + 1}"))
+      .toDF("child", "parent")
+    val got = Joins.transitiveClosure(leaf, upper).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val chain = "n1" :: (2 to 5).map("n" + _).toList ::: List("ROOT")
+    val want =
+      chain.zipWithIndex.map { case (a, i) => ("L", a, i + 1) }.toSet ++
+      chain.zipWithIndex.map { case (a, i) => ("M", a, i + 1) }.toSet ++
+      (1 to 5).flatMap { i =>
+        chain.drop(i).zipWithIndex.map { case (a, j) => (s"n$i", a, j + 1) }
+      }.toSet
+    assert(got == want)
+    assert(got.contains(("L", "ROOT", 6)))
+  }
+
+  test("transitiveClosure fails loudly on a cyclic edge set") {
+    import spark.implicits._
+    val leaf = Seq(("L", "a")).toDF("child", "parent")
+    val cyc = Seq(("a", "b"), ("b", "a")).toDF("child", "parent")
+    val e = intercept[IllegalStateException] {
+      Joins.transitiveClosure(leaf, cyc).collect()
+    }
+    assert(e.getMessage.contains("cycle"))
   }
 }
