@@ -185,7 +185,7 @@ object Joins {
     * closure rows the moment the ontology gets deeper — real SNOMED
     * ancestry runs 10–15 levels — so the loop now extends hops until the
     * frontier is EMPTY, with a loud backstop the way
-    * [[graft.operators.TextOps.clusterMaxRounds]] guards the cluster
+    * [[graft.operators.Components.clusterMaxRounds]] guards the cluster
     * propagation). The two synthesized upper levels (sector, Goods) make
     * the deepest chain depth 4 — past the old bound, so the convergence
     * loop is exercised by the driver's own oracle compare, not just the

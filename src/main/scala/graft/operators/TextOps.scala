@@ -203,104 +203,25 @@ object TextOps {
     * keep/drop flag (`is_kept` = the canonical representative). This is
     * the row a corpus-curation job actually filters on.
     *
-    * Distributed min-label propagation WITH POINTER JUMPING: every
-    * document starts as its own label; each round takes the min over
-    * {own label, direct neighbors' labels, label-of-own-label}. The
-    * shortcutting term makes label distances halve per round, and the
-    * loop runs TO THE FIXED POINT (labels only decrease, so "no label
-    * changed" is convergence), checked with one dup-set-sized action
-    * per round — typically 3–4 rounds (⌈log₂ diameter⌉ + 1 confirm).
-    * A [[clusterMaxRounds]] backstop (covers diameter ~2¹¹) turns a
-    * pathological graph into a LOUD IllegalStateException instead of a
-    * silently split cluster; the spec plants a diameter-9 drift chain
-    * that plain bounded neighbor propagation would silently split. The
-    * DuckDB oracle computes TRUE reachability as an independent check,
-    * and a propagation failure could only ever SPLIT a cluster (labels
-    * always point inside the component) — never merge two.
-    *
-    * Scale posture: the edge list (duplicate pairs only — orders of
-    * magnitude smaller than the corpus) is the loop invariant and is
-    * persisted across rounds, the standard Spark iterative-algorithm
-    * pattern; every per-round shuffle is edge- or corpus-key-sized,
-    * 8-byte keys.
+    * The propagation core is [[graft.operators.Components]] (pointer-
+    * jumping min-label propagation to a checked fixed point with a loud
+    * backstop — shared with the embedding modality's
+    * [[graft.operators.Vectors.qDedupEmbedClusters]]); the spec plants a
+    * diameter-9 drift chain that plain bounded neighbor propagation
+    * would silently split. The DuckDB oracle computes TRUE reachability
+    * as an independent check.
     */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
     dedupClusters(Tables.documents(spark, dir))
 
-  private[graft] val clusterMaxRounds = 12
-
-  /** Core of [[qDedupClusters]] over any (doc_id, text) frame.
-    *
-    * The iteration runs over the PAIR-GRAPH NODES only (documents with
-    * at least one near-dup — the duplicate set, orders of magnitude
-    * smaller than the corpus); the corpus joins the finished label map
-    * exactly once at the end, with singletons defaulting to
-    * themselves. Iterating the corpus-sized frame instead cost 6.4 s
-    * at sf0.1 — 12 corpus shuffles for labels that never change.
-    */
+  /** Core of [[qDedupClusters]] over any (doc_id, text) frame: the
+    * iteration runs over the PAIR-GRAPH NODES only (documents with at
+    * least one near-dup — orders of magnitude smaller than the corpus);
+    * the corpus joins the finished label map exactly once at the end,
+    * singletons defaulting to themselves. */
   private[graft] def dedupClusters(docs: DataFrame): DataFrame = {
     val pairs = minhashPairs(docs).select(col("id_a"), col("id_b"))
-    // localCheckpoint(eager) per round is LOAD-BEARING: every round
-    // references the previous labels frame twice (neighbor flow +
-    // self-union), so without lineage truncation the logical plan tree
-    // DOUBLES per round — 2^rounds copies of the whole minhash
-    // pipeline to analyze and de-duplicate against the cache, measured
-    // at 35 s for 6 rounds at sf0.1 vs ~2 s truncated. Materializing
-    // the dup-set-sized label map each round is the standard Spark
-    // iterative-algorithm shape (GraphX/Pregel materializes per
-    // superstep for exactly this reason).
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"),
-        col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
-    var converged = false
-    var round = 0
-    while (!converged && round < clusterMaxRounds) {
-      round += 1
-      // one round = min over self ∪ direct neighbors ∪ label-of-label:
-      // neighbor labels flow across edges; the pointer jump joins the
-      // label map with itself (cluster_id → that node's label), which
-      // halves label distances each round; union, min-agg — dup-set-
-      // sized shuffles only
-      val viaNbr = edges
-        .join(labels.select(col("doc_id").as("l_id"),
-          col("cluster_id").as("l_cl")), col("dst") === col("l_id"))
-        .select(col("src").as("doc_id"), col("l_cl").as("cluster_id"))
-      val viaJump = labels
-        .join(labels.select(col("doc_id").as("j_id"),
-          col("cluster_id").as("j_cl")), col("cluster_id") === col("j_id"))
-        .select(col("doc_id"), col("j_cl").as("cluster_id"))
-      val next = viaNbr
-        .unionByName(viaJump)
-        .unionByName(labels)
-        .groupBy(col("doc_id"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
-      // labels only decrease, so an unchanged round IS the fixed point
-      converged = next
-        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .filter(col("cluster_id") =!= col("prev"))
-        .isEmpty
-      labels = next
-    }
-    if (!converged) {
-      throw new IllegalStateException(
-        s"dedupClusters did not converge within $clusterMaxRounds " +
-          "pointer-jumping rounds — component diameter beyond ~2^11?")
-    }
-    docs.select(col("doc_id"))
-      .join(labels.withColumnRenamed("doc_id", "l_id")
-          .withColumnRenamed("cluster_id", "l_cl"),
-        col("doc_id") === col("l_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("l_cl"), col("doc_id")).as("cluster_id"))
-      .select(col("doc_id"), col("cluster_id"),
-        (col("cluster_id") === col("doc_id")).as("is_kept"))
-      .orderBy(col("doc_id"))
+    Components.flagCorpus(docs, "doc_id", Components.labelComponents(pairs))
   }
 
   /** Per-document quality statistics for corpus filtering: token count,

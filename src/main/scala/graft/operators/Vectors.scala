@@ -387,11 +387,16 @@ object Vectors {
   private val lshCosineThreshold = 0.8
 
   private[graft] def dedupLsh(u: DataFrame): DataFrame =
+    lshVerifiedPairs(u).orderBy(col("id_a"), col("id_b"))
+
+  /** Unsorted verified near-dup pairs from the banded LSH path — shared
+    * by the declared pair query and the clustering query (which must
+    * not inherit a useless pre-join sort). */
+  private[graft] def lshVerifiedPairs(u: DataFrame): DataFrame =
     lshCandidatePairs(u)
       .withColumn("cosine", dot(col("ua"), col("ub")))
       .filter(col("cosine") >= lshCosineThreshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
-      .orderBy(col("id_a"), col("id_b"))
 
   /** LSH-bucketed embedding near-dup — the scale path for
     * [[qDedupEmbed]] (same exact-baseline / banded-scale pairing as the
@@ -413,6 +418,34 @@ object Vectors {
     */
   def qDedupEmbedLsh(spark: SparkSession, dir: String): DataFrame =
     dedupLsh(unit(spark, dir))
+
+  /** Embedding near-duplicate CLUSTERS — keep/drop flags for the
+    * embedding modality (r4 verdict item 2): connected components over
+    * [[lshVerifiedPairs]]' cosine-verified pair graph via the SAME
+    * [[graft.operators.Components]] propagation the MinHash text path
+    * uses, every vector labeled with its component's min vec_id and
+    * `is_kept` = canonical representative. Curation filters on flags,
+    * not pairs — this is the missing consumer of the embedding pair
+    * graph.
+    *
+    * On the driver's testdata the pair graph at the 0.8 near-dup
+    * threshold is EMPTY (planted pairs sit at cosine 0.50–0.60), so
+    * every vector is its own kept singleton — and the DuckDB oracle's
+    * exact reachability over the SAME threshold agrees, making this the
+    * rare approximate-path query with a green hash compare (the exact
+    * pair graph is empty too, so banded recall cannot diverge here).
+    * The propagation itself is exercised on planted ≥0.9-cosine
+    * clusters in VectorsSpec, with a driver-side union-find parity
+    * check.
+    */
+  def qDedupEmbedClusters(spark: SparkSession, dir: String): DataFrame =
+    embedClusters(unit(spark, dir))
+
+  /** Core of [[qDedupEmbedClusters]] over any (vec_id, u) frame. */
+  private[graft] def embedClusters(u: DataFrame): DataFrame =
+    Components.flagCorpus(u, "vec_id",
+      Components.labelComponents(
+        lshVerifiedPairs(u).select(col("id_a"), col("id_b"))))
 
   /** Deterministic Lloyd's training over a (vec_id, u) unit-vector
     * frame: init = the nlist vectors with the smallest

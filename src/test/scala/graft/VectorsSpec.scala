@@ -318,4 +318,47 @@ class VectorsSpec extends SparkTestBase {
     val recall = got.size.toDouble / want.size
     assert(recall >= 0.9, s"lsh recall = $recall")
   }
+
+  test("embedClusters matches a driver-side union-find over the lsh pairs") {
+    import spark.implicits._
+    // the recall test's planted generator, plus a SECOND near-copy per
+    // base vector so components have >2 members and propagation actually
+    // has to chain (1000+i and 2000+i may only meet through i)
+    def base(id: Long): Array[Double] =
+      Array.tabulate(64)(j => math.sin(id * 997.0 + j * 13.7))
+    def perturb(v: Array[Double], id: Long): Array[Double] =
+      v.zipWithIndex.map { case (x, j) =>
+        x + 0.33 * math.cos(id * 31.0 + j * 7.3) }
+    def unit(v: Array[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n).toSeq
+    }
+    val rows =
+      (0 until 60).map(i => (i.toLong, base(i))) ++
+      (0 until 60).map(i => (1000L + i, perturb(base(i), i))) ++
+      (0 until 60).map(i => (2000L + i, perturb(base(i), i + 500L)))
+    val ids = rows.map(_._1)
+    val u = rows.map { case (id, v) => (id, unit(v)) }.toDF("vec_id", "u")
+    // parity is against the ACTUAL banded pair graph (not the exact
+    // sweep), so it isolates the propagation from banding recall
+    val pairs = Vectors.lshVerifiedPairs(u).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length >= 60, s"planted graph too sparse: ${pairs.length}")
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val want = ids.map(id => id -> find(id)).groupBy(_._2)
+      .flatMap { case (_, members) =>
+        val ms = members.map(_._1); val m = ms.min; ms.map(_ -> m) }
+    val got = Vectors.embedClusters(u).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.map(_._1).toSet == ids.toSet)
+    got.foreach { case (id, cl, kept) =>
+      assert(cl == want(id), s"vec $id: cluster $cl != ${want(id)}")
+      assert(kept == (cl == id))
+    }
+    // the second copies really chain through the base (3-node clusters)
+    assert(got.count(!_._3) > 60)
+  }
 }
