@@ -32,12 +32,57 @@ object Relational {
   /** S2 — point lookup by id (`get_fhir_patient`,
     * /root/reference/src/coding_task_1.py:53-61). The equality predicate is
     * pushed into the scan (Parquet row-group min/max pruning); at cluster
-    * scale this reads a handful of row groups, not the table.
+    * scale this reads a handful of row groups, not the table — made
+    * concrete by [[writePointLayout]]/[[pointLookupClustered]], whose
+    * file- and row-group-level skipping is pinned by scan metrics in
+    * PlanAuditSpec.
     */
   def qPointLookup(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
       .filter(col("c_custkey") === lit(42L))
       .orderBy(col("c_custkey"))
+
+  /** S2 at cluster scale (r4 verdict item 4) — the silver layout that
+    * makes the row-group claim above REAL rather than asserted: the
+    * table is hash-sharded on the lookup key into `shards` directory
+    * partitions and SORTED by the key within each file. An equality
+    * lookup then
+    *   (a) prunes to ONE shard directory at plan time — the shard of a
+    *       literal key is itself a literal, so `numFiles` drops to one
+    *       shard's files; and
+    *   (b) skips row groups inside the touched files — the sort makes
+    *       parquet footer min/max on the key disjoint across row
+    *       groups, so the pushed equality admits only the one holding
+    *       the key (the scan's `numOutputRows` is a row-group's worth,
+    *       not the table).
+    * `blockSize` is the parquet row-group size: production keeps the
+    * 128 MB default; the spec shrinks it to force many row groups per
+    * file at test scale. This is the write-once/lookup-many silver
+    * pattern — the layout cost is paid at ingest, every subsequent
+    * point read touches O(1) of the table.
+    */
+  def writePointLayout(df: DataFrame, key: String, path: String,
+    shards: Int, blockSize: Long = 128L * 1024 * 1024): Unit =
+    df.withColumn("key_shard",
+        pmod(col(key), lit(shards.toLong)).cast("int"))
+      .repartition(col("key_shard"))
+      .sortWithinPartitions(col(key))
+      .write.mode("overwrite")
+      .option("parquet.block.size", blockSize)
+      .partitionBy("key_shard")
+      .parquet(path)
+
+  /** Point lookup against a [[writePointLayout]] silver copy: the shard
+    * predicate is computed from the literal key, so partition pruning
+    * is static; the key equality is pushed into the parquet scan for
+    * row-group skipping within the shard. */
+  def pointLookupClustered(spark: SparkSession, path: String, key: String,
+    value: Long, shards: Int): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("key_shard") ===
+          lit(java.lang.Math.floorMod(value, shards.toLong).toInt) &&
+        col(key) === lit(value))
+      .drop("key_shard")
 
   /** S3/P4 — server-side filtered search with conjunctive predicates
     * (name + gender + birthdate>, /root/reference/src/coding_task_1.py:64-83).
