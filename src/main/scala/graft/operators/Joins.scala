@@ -233,33 +233,41 @@ object Joins {
   /** Full (descendant, ancestor, depth) transitive closure of a concept
     * DAG given as (child, parent) edge frames: `leaf` rows are the
     * fact-sized bottom level (they only ever appear as descendants),
-    * `upper` the concept levels above it. Runs the frontier to an
-    * EMPTINESS-checked fixed point: each hop extends every live path by
-    * one ancestor via a map-side join against one loop-invariant
-    * broadcast of the upper edges, and the loop ends when a hop yields
-    * no rows — on a DAG the frontier MUST empty within the ontology's
-    * depth, so [[closureMaxDepth]] only trips on a cycle (loud
-    * IllegalStateException, mirroring the dedup-cluster backstop).
+    * `upper` the concept levels above it.
     *
-    * Scale posture: the upper levels of a concept hierarchy are small at
-    * any data scale, so every hop is a zero-shuffle broadcast join; the
-    * fact-sized leaf level never self-joins, and every edge level is
-    * functional (one parent per child) so closure rows are unique
-    * without a distinct. The per-hop `localCheckpoint(eager)` both
-    * makes the emptiness probe free (the hop is already materialized)
-    * and stops the next hop from recomputing the whole prefix chain —
-    * without it the probe-per-round turns a depth-d closure into
-    * O(d²) passes over the leaf level.
+    * Two-phase shape, the closure analog of the dedup-cluster "iterate
+    * the small set" rule: the ITERATION runs over the UPPER closure
+    * only — concept levels are small at any data scale, so each hop is
+    * a tiny broadcast join and the per-hop `localCheckpoint(eager)`
+    * (which makes the emptiness probe free and keeps the probe-per-hop
+    * from recomputing the prefix chain) materializes model-sized
+    * frames, never the corpus. The fact-sized leaf level then joins
+    * the FINISHED upper closure exactly once, broadcast, zero
+    * shuffles: a leaf's ancestors are its parent (depth 1) plus its
+    * parent's ancestors at +1 — so the corpus is never iterated,
+    * checkpointed, or self-joined.
+    *
+    * The upper loop runs to an EMPTINESS-checked fixed point: on a DAG
+    * the frontier MUST empty within the ontology's depth, so
+    * [[closureMaxDepth]] only trips on a cycle (loud
+    * IllegalStateException, mirroring the dedup-cluster backstop).
+    * Every edge level is functional (one parent per child), so closure
+    * rows are unique without a distinct.
     */
   private[graft] def transitiveClosure(leaf: DataFrame,
     upper: DataFrame): DataFrame = {
-    val up = broadcast(upper
+    // materialize the (tiny) upper edge set ONCE: every hop's action
+    // re-evaluates its broadcast, and without this each emptiness probe
+    // would re-run the whole upper-edge derivation (scans + distincts)
+    // per hop
+    val u0 = upper.localCheckpoint(true)
+    val up = broadcast(u0
       .select(col("child").as("u_child"), col("parent").as("u_parent")))
-    var frontier = leaf.unionByName(upper)
+    var frontier = u0
       .select(col("child").as("descendant"), col("parent").as("ancestor"),
         lit(1).as("depth"))
       .localCheckpoint(true)
-    var closure = frontier
+    var upperClosure = frontier
     var depth = 1
     var converged = false
     while (!converged) {
@@ -277,10 +285,20 @@ object Joins {
               "hops — cycle in the concept edges?")
         }
         frontier = next
-        closure = closure.unionByName(next)
+        upperClosure = upperClosure.unionByName(next)
       }
     }
-    closure
+    val leafDirect = leaf
+      .select(col("child").as("descendant"), col("parent").as("ancestor"),
+        lit(1).as("depth"))
+    val leafDeeper = leaf
+      .join(broadcast(upperClosure
+          .select(col("descendant").as("p_desc"),
+            col("ancestor").as("p_anc"), col("depth").as("p_depth"))),
+        col("parent") === col("p_desc"))
+      .select(col("child").as("descendant"), col("p_anc").as("ancestor"),
+        (col("p_depth") + 1).as("depth"))
+    leafDirect.unionByName(leafDeeper).unionByName(upperClosure)
   }
 
   def qResourceCounts(spark: SparkSession, dir: String): DataFrame = {
