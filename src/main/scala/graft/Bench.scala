@@ -72,7 +72,18 @@ object Bench {
       "\"" + k + "\":\"" + e + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right((med, _))) => med }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$passes,"spread_sec":$spread,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$passes,"spread_sec":$spread,"sf":"$sfDir"}"""
+    println(line)
+    // Also land the line in a file (r4 verdict item 6: the driver's
+    // tail capture once truncated the single long stdout line past the
+    // per-query medians — a file write cannot be cut mid-line).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/tmp/graft_bench_last.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: $e")
+    }
     spark.stop()
   }
 }

