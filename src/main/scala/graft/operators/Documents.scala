@@ -196,9 +196,11 @@ object Documents {
         to_json(struct(col("s_suppkey"), col("s_name"), col("s_acctbal")))
           .as("payload"))
     // one named store per query key, reset per invocation (same
-    // overwrite lifecycle as the parquet roundtrip sink)
-    val storeName = "q_sink_batched"
-    InJvmUpsertStore.fresh(storeName)
+    // overwrite lifecycle as the parquet roundtrip sink); the VERSIONED
+    // key pins this invocation's read-back to this invocation's store,
+    // so a later invocation's reset can't mutate an already-returned
+    // DataFrame's source
+    val storeName = InJvmUpsertStore.freshVersioned("q_sink_batched")
     BatchedSink.write(src,
       InJvmUpsertStore.FlakyEndpoint(storeName, failFirstAttempt = true),
       batchSize = 25)

@@ -288,17 +288,27 @@ object Joins {
         upperClosure = upperClosure.unionByName(next)
       }
     }
-    val leafDirect = leaf
-      .select(col("child").as("descendant"), col("parent").as("ancestor"),
-        lit(1).as("depth"))
-    val leafDeeper = leaf
-      .join(broadcast(upperClosure
-          .select(col("descendant").as("p_desc"),
-            col("ancestor").as("p_anc"), col("depth").as("p_depth"))),
-        col("parent") === col("p_desc"))
-      .select(col("child").as("descendant"), col("p_anc").as("ancestor"),
-        (col("p_depth") + 1).as("depth"))
-    leafDirect.unionByName(leafDeeper).unionByName(upperClosure)
+    // ONE pass over the fact-sized leaf level: depth-0 self-rows for
+    // every upper node let a single LEFT broadcast join produce both
+    // the leaf's depth-1 row (parent's self-row, +1) and all deeper
+    // ancestors; a leaf parent absent from the upper levels falls
+    // through the left join to a plain depth-1 row via the coalesce.
+    // (A separate leafDirect ∪ leafDeeper union would scan the leaf
+    // frame — a corpus join pipeline — twice.)
+    val selfRows = u0.select(col("child").as("p_desc"))
+      .unionByName(u0.select(col("parent").as("p_desc"))).distinct()
+      .select(col("p_desc"), col("p_desc").as("p_anc"),
+        lit(0).as("p_depth"))
+    val upc = broadcast(upperClosure
+      .select(col("descendant").as("p_desc"), col("ancestor").as("p_anc"),
+        col("depth").as("p_depth"))
+      .unionByName(selfRows))
+    leaf
+      .join(upc, col("parent") === col("p_desc"), "left")
+      .select(col("child").as("descendant"),
+        coalesce(col("p_anc"), col("parent")).as("ancestor"),
+        coalesce(col("p_depth") + 1, lit(1)).as("depth"))
+      .unionByName(upperClosure)
   }
 
   def qResourceCounts(spark: SparkSession, dir: String): DataFrame = {

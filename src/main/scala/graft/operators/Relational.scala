@@ -62,27 +62,46 @@ object Relational {
     * point read touches O(1) of the table.
     */
   def writePointLayout(df: DataFrame, key: String, path: String,
-    shards: Int, blockSize: Long = 128L * 1024 * 1024): Unit =
+    shards: Int, blockSize: Long = 128L * 1024 * 1024): Unit = {
     df.withColumn("key_shard",
         pmod(col(key), lit(shards.toLong)).cast("int"))
       .repartition(col("key_shard"))
-      .sortWithinPartitions(col(key))
+      // key_shard leads the sort: one task can hold several shard
+      // values (hash partitioning), and the dynamic-partition writer
+      // requires ordering by the partition column — sorting on it
+      // EXPLICITLY (a) spares the writer its own extra SortExec and
+      // (b) guarantees keys are sorted WITHIN each shard's file rather
+      // than relying on the writer's sort being stable, which is what
+      // the row-group min/max pruning contract stands on
+      .sortWithinPartitions(col("key_shard"), col(key))
       .write.mode("overwrite")
       .option("parquet.block.size", blockSize)
       .partitionBy("key_shard")
       .parquet(path)
+    // the shard count is part of the layout, not the caller's memory: a
+    // lookup with a mismatched count would probe a non-existent shard
+    // directory and silently return empty
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_graft_shards"), shards.toString)
+  }
 
   /** Point lookup against a [[writePointLayout]] silver copy: the shard
-    * predicate is computed from the literal key, so partition pruning
-    * is static; the key equality is pushed into the parquet scan for
-    * row-group skipping within the shard. */
+    * predicate is computed from the literal key and the layout's OWN
+    * persisted shard count (never a caller-supplied one — a mismatch
+    * would silently miss), so partition pruning is static; the key
+    * equality is pushed into the parquet scan for row-group skipping
+    * within the shard. */
   def pointLookupClustered(spark: SparkSession, path: String, key: String,
-    value: Long, shards: Int): DataFrame =
+    value: Long): DataFrame = {
+    val shards = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(path, "_graft_shards"))
+      .trim.toInt
     spark.read.parquet(path)
       .filter(col("key_shard") ===
           lit(java.lang.Math.floorMod(value, shards.toLong).toInt) &&
         col(key) === lit(value))
       .drop("key_shard")
+  }
 
   /** S3/P4 — server-side filtered search with conjunctive predicates
     * (name + gender + birthdate>, /root/reference/src/coding_task_1.py:64-83).

@@ -168,8 +168,8 @@ object TextOps {
     *     distinct-shingle bytes, cheap while documents are short.
     *   - LONG documents → [[minhashPairsJoinBack]]: banded rows carry
     *     only (doc_id, bsigs); candidates are id pairs, and the shingle
-    *     sets join back for the verify. Two extra corpus-keyed stages
-    *     and a re-shingling, but the banded shuffle drops to
+    *     sets (materialized once) join back for the verify. Two extra
+    *     corpus-keyed stages, but the banded shuffle drops to
     *     ~144 B/row — at a 10k-token document the carried layout ships
     *     16 × 80 KB ≈ 1.3 MB of banded rows per document, and LLM
     *     training corpora make long documents the NORM, not the tail.
@@ -189,11 +189,21 @@ object TextOps {
   private[graft] val joinBackShingleThreshold = 512
 
   /** Plan-time layout decision from a bounded corpus sample (≤1024
-    * docs — one cheap action, independent of corpus size). */
+    * docs — one cheap action, independent of corpus size). The sample
+    * is hash-selected on doc_id, NOT a bare `limit` (a head-of-scan
+    * take would read only the leading partitions, and an ingest-ordered
+    * corpus — metadata stubs first, long documents later — would pick
+    * the wrong layout); the fallback covers corpora too small for the
+    * 1-in-37 hash filter to hit anything. */
   private[graft] def chooseJoinBack(docs: DataFrame): Boolean = {
-    val r = shingled(docs.limit(1024))
-      .agg(avg(size(col("shash")))).collect()(0)
-    !r.isNullAt(0) && r.getDouble(0) > joinBackShingleThreshold
+    def avgShingles(d: DataFrame): Option[Double] = {
+      val r = shingled(d).agg(avg(size(col("shash")))).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    val spread = avgShingles(docs
+      .filter(pmod(xxhash64(col("doc_id")), lit(37)) === 0).limit(1024))
+    spread.orElse(avgShingles(docs.limit(1024)))
+      .exists(_ > joinBackShingleThreshold)
   }
 
   /** Banded (band, bhash) rows for the candidate equi-join; `carry`
@@ -246,9 +256,15 @@ object TextOps {
         col("x.shash").as("sa"), col("y.shash").as("sb"))))
 
   /** Join-back layout: candidates are bare id pairs; the shingle sets
-    * rejoin for the verify — the plan for long-document corpora. */
+    * rejoin for the verify — the plan for long-document corpora. The
+    * staged shingles are materialized ONCE (`localCheckpoint`, the
+    * repo's standard materialize-the-invariant move): three plan
+    * branches consume them (banded rows + both join-back sides), and
+    * exactly on the long-document corpora this layout serves,
+    * re-running tokenize+shingle per branch would triple the dominant
+    * per-row cost. */
   private[graft] def minhashPairsJoinBack(docs: DataFrame): DataFrame = {
-    val staged = shingled(docs)
+    val staged = shingled(docs).localCheckpoint(true)
     val cands = emitOnceJoin(bandedRows(staged, carry = false),
       Seq(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")))
     verifyJaccard(cands

@@ -134,6 +134,24 @@ object InJvmUpsertStore {
     s
   }
 
+  private val epochs = new ConcurrentHashMap[String, AtomicInteger]()
+
+  /** Reset the named store and return an EPOCH-VERSIONED key for it
+    * (also registered under the plain name for assertions). A lazily
+    * evaluated read-back DataFrame holds the versioned key, so a LATER
+    * invocation's `fresh` reset cannot change what an already-returned
+    * DataFrame reads — without this, re-collecting an old read-back
+    * mid-rewrite would observe the new store's partial state. */
+  def freshVersioned(name: String): String = {
+    val e = epochs.computeIfAbsent(name, _ => new AtomicInteger)
+      .incrementAndGet()
+    val key = s"$name@$e"
+    val s = new Store
+    stores.put(key, s)
+    stores.put(name, s)
+    key
+  }
+
   def get(name: String): Store = stores.get(name)
 
   /** Per-slice snapshot scan — the PARALLELIZED read API a real external

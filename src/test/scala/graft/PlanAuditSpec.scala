@@ -144,36 +144,43 @@ class PlanAuditSpec extends SparkTestBase {
       case f: FileSourceScanExec => Seq(f)
       case other => other.children.flatMap(fileScans)
     }
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_point_layout").toString
-    val big = "/root/testdata/sf0.1" // enough rows for many row groups
-    val customer = spark.read.parquet(s"$big/customer.parquet")
-    val total = customer.count()
-    val shards = 4
-    // 64 KB row groups => each shard file holds MANY row groups, so
-    // intra-file skipping is observable at test scale
-    Relational.writePointLayout(customer, "c_custkey", tmp, shards,
-      blockSize = 64 * 1024)
-    val df = Relational.pointLookupClustered(spark, tmp, "c_custkey",
-      42L, shards)
-    val rows = df.collect()
-    assert(rows.map(_.getAs[Long]("c_custkey")).toSeq == Seq(42L))
-    val scan = fileScans(df.queryExecution.executedPlan).head
-    // (a) file-level: static partition pruning to one shard directory
-    val allFiles = spark.read.parquet(tmp).inputFiles.length
-    val readFiles = scan.metrics("numFiles").value
-    assert(allFiles >= shards, s"layout produced only $allFiles files")
-    assert(readFiles < allFiles,
-      s"lookup read $readFiles of $allFiles files — no partition pruning")
-    assert(scan.toString.contains("PushedFilters") &&
-      scan.toString.contains("c_custkey"), scan.toString.take(500))
-    // (b) row-group-level: the sorted key's footer min/max admit only a
-    // row-group's worth of the shard, far below even one shard's rows
-    val shardRows = total / shards
-    val scanned = scan.metrics("numOutputRows").value
-    assert(scanned < shardRows / 2,
-      s"scan emitted $scanned rows vs ~$shardRows in the shard — " +
-        "row-group stats not skipping")
+    val tmpPath = java.nio.file.Files
+      .createTempDirectory("graft_point_layout")
+    val tmp = tmpPath.toString
+    try {
+      val big = "/root/testdata/sf0.1" // enough rows for many row groups
+      val customer = spark.read.parquet(s"$big/customer.parquet")
+      val total = customer.count()
+      val shards = 4
+      // 64 KB row groups => each shard file holds MANY row groups, so
+      // intra-file skipping is observable at test scale
+      Relational.writePointLayout(customer, "c_custkey", tmp, shards,
+        blockSize = 64 * 1024)
+      val df = Relational.pointLookupClustered(spark, tmp, "c_custkey", 42L)
+      val rows = df.collect()
+      assert(rows.map(_.getAs[Long]("c_custkey")).toSeq == Seq(42L))
+      val scan = fileScans(df.queryExecution.executedPlan).head
+      // (a) file-level: static partition pruning to one shard directory
+      val allFiles = spark.read.parquet(tmp).inputFiles.length
+      val readFiles = scan.metrics("numFiles").value
+      assert(allFiles >= shards, s"layout produced only $allFiles files")
+      assert(readFiles < allFiles,
+        s"lookup read $readFiles of $allFiles files — no partition pruning")
+      assert(scan.toString.contains("PushedFilters") &&
+        scan.toString.contains("c_custkey"), scan.toString.take(500))
+      // (b) row-group-level: the sorted key's footer min/max admit only a
+      // row-group's worth of the shard, far below even one shard's rows
+      val shardRows = total / shards
+      val scanned = scan.metrics("numOutputRows").value
+      assert(scanned < shardRows / 2,
+        s"scan emitted $scanned rows vs ~$shardRows in the shard — " +
+          "row-group stats not skipping")
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
   }
 
   test("nested-JSON ingestion prunes the read schema") {
