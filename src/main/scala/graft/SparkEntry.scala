@@ -37,6 +37,7 @@ object SparkEntry {
     // M1 — relational core (SURVEY §2.1–§2.6)
     "q_scan"            -> (Relational.qScan _),
     "q_point_lookup"    -> (Relational.qPointLookup _),
+    "q_point_lookup_silver" -> (Relational.qPointLookupSilver _),
     "q_filtered_search" -> (Relational.qFilteredSearch _),
     "q_project_nested"  -> (Relational.qProjectNested _),
     "q_drop_cols"       -> (Relational.qDropCols _),
@@ -106,6 +107,13 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_point_lookup" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey = 42 ORDER BY c_custkey""".stripMargin,
+    // q_point_lookup_silver reads the engine's sharded+sorted silver
+    // copy; matching the base-table lookup exactly IS the layout
+    // correctness assertion (pruning is pinned by metrics in
+    // PlanAuditSpec).
+    "q_point_lookup_silver" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey = 42 ORDER BY c_custkey""".stripMargin,
     "q_filtered_search" ->

@@ -103,6 +103,44 @@ object Relational {
       .drop("key_shard")
   }
 
+  /** S2 declared at its cluster-scale layout: the same point lookup as
+    * [[qPointLookup]], but served from the sharded+sorted silver copy —
+    * so the pruning story runs through the driver's own oracle gate,
+    * not just the plan-audit spec. The layout is built ONCE per
+    * (JVM, sf-dir) and reused across invocations (the ivfFit
+    * fit/probe split applied to a point index: layout cost amortizes
+    * across every subsequent lookup; a per-query rewrite would time the
+    * ingest, not the lookup). Values match the base-table lookup
+    * exactly — which is precisely what the oracle asserts. */
+  def qPointLookupSilver(spark: SparkSession, dir: String): DataFrame = {
+    val path = Relational.silverLayoutFor(spark, dir)
+    pointLookupClustered(spark, path, "c_custkey", 42L)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** One silver point-layout per (JVM, sf-dir), in a temp dir removed
+    * on exit — same lifecycle discipline as the sink roundtrip dir
+    * (concurrent processes get distinct dirs; repeated invocations in
+    * one process reuse the built layout). */
+  private val silverCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def silverLayoutFor(spark: SparkSession, dir: String): String =
+    silverCache.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_point_silver")
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+      }
+      writePointLayout(Tables.customer(spark, d), "c_custkey",
+        p.toString, shards = 8)
+      p.toString
+    })
+
   /** S3/P4 — server-side filtered search with conjunctive predicates
     * (name + gender + birthdate>, /root/reference/src/coding_task_1.py:64-83).
     * Equality + range + prefix predicates all reach `PushedFilters`.

@@ -20,6 +20,18 @@ class RelationalSpec extends SparkTestBase {
     assert(rows.length == 1 && rows.head.getLong(0) == 42L)
   }
 
+  test("q_point_lookup_silver equals the base-table lookup, twice (cached layout)") {
+    val base = Relational.qPointLookup(spark, sfDir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment").collect().toSeq
+    // two invocations: the second must serve from the cached layout
+    // and agree — a rebuilt-per-call layout would still pass, but a
+    // stale or mis-sharded cache would not
+    val s1 = Relational.qPointLookupSilver(spark, sfDir).collect().toSeq
+    val s2 = Relational.qPointLookupSilver(spark, sfDir).collect().toSeq
+    assert(s1 == base && s2 == base)
+  }
+
   test("q_filtered_search applies all three predicates") {
     // join on the key only — carrying the query's own c_name/c_acctbal into
     // the join would create duplicate column names and getAs could silently
