@@ -110,5 +110,60 @@ class RobustnessSpec extends SparkTestBase {
     assert(TextOps.textStats(empty).count() == 0)
     assert(TextOps.simhash(empty).count() == 0)
     assert(TextOps.fingerprint(empty).count() == 0)
+    // both verify layouts and the plan-time chooser share the contract
+    assert(!TextOps.chooseJoinBack(empty))
+    assert(TextOps.minhashPairsCarried(empty).count() == 0)
+    assert(TextOps.minhashPairsJoinBack(empty).count() == 0)
+  }
+
+  test("embedClusters degrades to all-kept singletons on edge-case frames") {
+    import spark.implicits._
+    // empty frame
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "u")
+    assert(graft.operators.Vectors.embedClusters(empty).count() == 0)
+    // a zero vector (null u after normalization) and two orthogonal
+    // vectors: no pairs anywhere, every id must come back kept
+    val u = Seq(
+      (0L, Seq.fill(64)(0.0)),
+      (1L, Seq.tabulate(64)(j => if (j == 0) 1.0 else 0.0)),
+      (2L, Seq.tabulate(64)(j => if (j == 1) 1.0 else 0.0)))
+      .toDF("vec_id", "v")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.unitv(col("v")).as("u"))
+    val flags = graft.operators.Vectors.embedClusters(u).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(flags == Set((0L, 0L, true), (1L, 1L, true), (2L, 2L, true)))
+  }
+
+  test("transitiveClosure with no upper levels is just the leaf edges") {
+    import spark.implicits._
+    val leaf = Seq(("a", "p"), ("b", "q")).toDF("child", "parent")
+    val upper = Seq.empty[(String, String)].toDF("child", "parent")
+    val got = graft.operators.Joins.transitiveClosure(leaf, upper)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    assert(got == Set(("a", "p", 1), ("b", "q", 1)))
+  }
+
+  test("clustered point lookup on an absent key returns empty, not error") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_point_miss")
+    try {
+      import spark.implicits._
+      val df = Seq((1L, "x"), (9L, "y")).toDF("k", "v")
+      graft.operators.Relational.writePointLayout(df, "k",
+        dir.toString, shards = 4)
+      val hit = graft.operators.Relational
+        .pointLookupClustered(spark, dir.toString, "k", 9L).collect()
+      assert(hit.map(_.getLong(0)).toSeq == Seq(9L))
+      val miss = graft.operators.Relational
+        .pointLookupClustered(spark, dir.toString, "k", 7L).collect()
+      assert(miss.isEmpty)
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
   }
 }
