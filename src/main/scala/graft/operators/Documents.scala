@@ -231,14 +231,6 @@ object Documents {
     * on a fixed path (ADVICE round 2), repeated invocations within one
     * process overwrite the same dir so nothing accumulates, and nothing
     * assumes this container's repo layout. */
-  private lazy val sinkRoundtripDir: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_sink_roundtrip")
-    sys.addShutdownHook {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-    }
-    p.toString
-  }
+  private lazy val sinkRoundtripDir: String =
+    graft.sources.TempDirs.scratchDir("graft_sink_roundtrip").toString
 }

@@ -80,9 +80,16 @@ object Relational {
       .parquet(path)
     // the shard count is part of the layout, not the caller's memory: a
     // lookup with a mismatched count would probe a non-existent shard
-    // directory and silently return empty
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_graft_shards"), shards.toString)
+    // directory and silently return empty. The marker goes through the
+    // SAME Hadoop filesystem as the data (underscore prefix = ignored
+    // by parquet listing), so hdfs:///s3a:// layout paths work exactly
+    // like local ones — java.nio here would break every non-local URI
+    // the cluster-scale story depends on.
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_shards")
+    val fs = marker.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(marker, true)
+    try out.write(shards.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Point lookup against a [[writePointLayout]] silver copy: the shard
@@ -93,9 +100,12 @@ object Relational {
     * within the shard. */
   def pointLookupClustered(spark: SparkSession, path: String, key: String,
     value: Long): DataFrame = {
-    val shards = java.nio.file.Files
-      .readString(java.nio.file.Paths.get(path, "_graft_shards"))
-      .trim.toInt
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_shards")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(marker)
+    val shards =
+      try new String(in.readAllBytes(), "UTF-8").trim.toInt
+      finally in.close()
     spark.read.parquet(path)
       .filter(col("key_shard") ===
           lit(java.lang.Math.floorMod(value, shards.toLong).toInt) &&
@@ -123,23 +133,24 @@ object Relational {
   /** One silver point-layout per (JVM, sf-dir), in a temp dir removed
     * on exit — same lifecycle discipline as the sink roundtrip dir
     * (concurrent processes get distinct dirs; repeated invocations in
-    * one process reuse the built layout). */
-  private val silverCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def silverLayoutFor(spark: SparkSession, dir: String): String =
-    silverCache.computeIfAbsent(dir, d => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_point_silver")
-      sys.addShutdownHook {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-          .forEach(f => Files.deleteIfExists(f))
-      }
+    * one process reuse the built layout). The map holds a LAZY builder,
+    * not the build itself: `computeIfAbsent` mapping functions must be
+    * short (they run under the bin lock), and the multi-second layout
+    * write would otherwise block unrelated map access; the `lazy val`
+    * still guarantees exactly-one build per dir, serialized on the
+    * holder, outside the map lock. */
+  private final class SilverLayout(spark: SparkSession, d: String) {
+    lazy val path: String = {
+      val p = graft.sources.TempDirs.scratchDir("graft_point_silver")
       writePointLayout(Tables.customer(spark, d), "c_custkey",
         p.toString, shards = 8)
       p.toString
-    })
+    }
+  }
+  private val silverCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SilverLayout]()
+  private def silverLayoutFor(spark: SparkSession, dir: String): String =
+    silverCache.computeIfAbsent(dir, d => new SilverLayout(spark, d)).path
 
   /** S3/P4 — server-side filtered search with conjunctive predicates
     * (name + gender + birthdate>, /root/reference/src/coding_task_1.py:64-83).

@@ -188,22 +188,29 @@ object TextOps {
     * shuffle payload per document in the carried layout. */
   private[graft] val joinBackShingleThreshold = 512
 
-  /** Plan-time layout decision from a bounded corpus sample (≤1024
-    * docs — one cheap action, independent of corpus size). The sample
-    * is hash-selected on doc_id, NOT a bare `limit` (a head-of-scan
-    * take would read only the leading partitions, and an ingest-ordered
-    * corpus — metadata stubs first, long documents later — would pick
-    * the wrong layout); the fallback covers corpora too small for the
-    * 1-in-37 hash filter to hit anything. */
+  /** Plan-time layout decision from a bounded corpus sample: shingle
+    * ≤1024 docs hash-selected on doc_id (1-in-37), falling back to a
+    * plain head `limit(1024)` when the hash sample is too thin to
+    * decide on (<64 docs). HONEST cost/bias model: the limit
+    * early-terminates after ~37×1024 source rows, so the action's cost
+    * is bounded and the sample window is 37× wider than a bare head
+    * take — enough to see past block-local ordering artifacts (e.g. a
+    * metadata-stub prefix), though a corpus whose first ~38k documents
+    * are systematically unlike the rest still decides from that
+    * window (an unbiased sample would require a full-corpus scan at
+    * plan time — the wrong trade; both layouts are CORRECT either way,
+    * this only tunes shuffle weight). */
   private[graft] def chooseJoinBack(docs: DataFrame): Boolean = {
-    def avgShingles(d: DataFrame): Option[Double] = {
-      val r = shingled(d).agg(avg(size(col("shash")))).collect()(0)
-      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    def avgShingles(d: DataFrame): Option[(Double, Long)] = {
+      val r = shingled(d)
+        .agg(avg(size(col("shash"))), count(lit(1))).collect()(0)
+      if (r.isNullAt(0)) None else Some((r.getDouble(0), r.getLong(1)))
     }
     val spread = avgShingles(docs
       .filter(pmod(xxhash64(col("doc_id")), lit(37)) === 0).limit(1024))
+      .filter(_._2 >= 64)
     spread.orElse(avgShingles(docs.limit(1024)))
-      .exists(_ > joinBackShingleThreshold)
+      .exists(_._1 > joinBackShingleThreshold)
   }
 
   /** Banded (band, bhash) rows for the candidate equi-join; `carry`

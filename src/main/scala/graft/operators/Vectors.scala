@@ -180,16 +180,8 @@ object Vectors {
 
   /** Per-JVM index root, removed on exit (same lifecycle pattern as the
     * sink-roundtrip dir: concurrent processes get distinct roots). */
-  private lazy val ivfIndexRoot: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_ivf_index")
-    sys.addShutdownHook {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-    }
-    p
-  }
+  private lazy val ivfIndexRoot: java.nio.file.Path =
+    graft.sources.TempDirs.scratchDir("graft_ivf_index")
 
   /** Probe-only plan over a fitted index, fully DISTRIBUTED: each
     * query row computes its nprobe buckets via the codegen'd

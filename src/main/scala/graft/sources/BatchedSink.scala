@@ -141,7 +141,11 @@ object InJvmUpsertStore {
     * evaluated read-back DataFrame holds the versioned key, so a LATER
     * invocation's `fresh` reset cannot change what an already-returned
     * DataFrame reads — without this, re-collecting an old read-back
-    * mid-rewrite would observe the new store's partial state. */
+    * mid-rewrite would observe the new store's partial state. Only the
+    * immediately previous epoch is retained (enough for a read-back
+    * DataFrame still in flight when the next invocation starts);
+    * older epochs are EVICTED, or a long-lived bench/driver JVM would
+    * accumulate one full table copy per invocation. */
   def freshVersioned(name: String): String = {
     val e = epochs.computeIfAbsent(name, _ => new AtomicInteger)
       .incrementAndGet()
@@ -149,6 +153,7 @@ object InJvmUpsertStore {
     val s = new Store
     stores.put(key, s)
     stores.put(name, s)
+    stores.remove(s"$name@${e - 2}")
     key
   }
 
