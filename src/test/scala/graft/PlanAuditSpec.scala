@@ -175,12 +175,7 @@ class PlanAuditSpec extends SparkTestBase {
       assert(scanned < shardRows / 2,
         s"scan emitted $scanned rows vs ~$shardRows in the shard — " +
           "row-group stats not skipping")
-    } finally {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-    }
+    } finally graft.sources.TempDirs.deleteTree(tmpPath)
   }
 
   test("nested-JSON ingestion prunes the read schema") {

@@ -159,11 +159,6 @@ class RobustnessSpec extends SparkTestBase {
       val miss = graft.operators.Relational
         .pointLookupClustered(spark, dir.toString, "k", 7L).collect()
       assert(miss.isEmpty)
-    } finally {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-    }
+    } finally graft.sources.TempDirs.deleteTree(dir)
   }
 }
