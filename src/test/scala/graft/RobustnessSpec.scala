@@ -145,6 +145,69 @@ class RobustnessSpec extends SparkTestBase {
     assert(got == Set(("a", "p", 1), ("b", "q", 1)))
   }
 
+  test("transitiveClosure matches brute force on random forests") {
+    import spark.implicits._
+    // random functional forests: each upper node's parent has a
+    // strictly smaller index (guaranteed DAG, varied depths up to ~12),
+    // plus leaf rows pointing at random upper nodes
+    val forestGen: Gen[(Seq[(String, String)], Seq[(String, String)])] =
+      for {
+        nUpper <- Gen.choose(2, 16)
+        parents <- Gen.sequence[Seq[Option[Int]], Option[Int]](
+          (1 until nUpper).map(i =>
+            Gen.option(Gen.choose(0, i - 1))))
+        nLeaf <- Gen.choose(0, 6)
+        leafTo <- Gen.listOfN(nLeaf, Gen.choose(0, nUpper - 1))
+      } yield {
+        val upper = parents.zipWithIndex.collect {
+          case (Some(p), i) => (s"u${i + 1}", s"u$p") }
+        val leaf = leafTo.zipWithIndex.map { case (t, i) =>
+          (s"leaf$i", s"u$t") }
+        (leaf, upper)
+      }
+    samples(forestGen, 8).foreach { case (leaf, upper) =>
+      val parent = (leaf ++ upper).toMap // functional: one parent each
+      val want = parent.keys.flatMap { start =>
+        Iterator.iterate(Option(start))(_.flatMap(parent.get))
+          .drop(1).takeWhile(_.isDefined).zipWithIndex
+          .map { case (anc, i) => (start, anc.get, i + 1) }
+      }.toSet
+      val got = graft.operators.Joins.transitiveClosure(
+        leaf.toDF("child", "parent"), upper.toDF("child", "parent"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(got == want, s"forest upper=$upper leaf=$leaf")
+    }
+  }
+
+  test("labelComponents matches union-find on random pair graphs") {
+    import spark.implicits._
+    val graphGen: Gen[Seq[(Long, Long)]] = for {
+      nNodes <- Gen.choose(2, 24)
+      nEdges <- Gen.choose(1, 30)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0, nNodes - 1)
+        b <- Gen.choose(0, nNodes - 1)
+        if a != b
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+    } yield edges.distinct
+    samples(graphGen, 8).foreach { edges =>
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val want = nodes.map(n => n -> find(n)).groupBy(_._2)
+        .flatMap { case (_, ms) =>
+          val ids = ms.map(_._1); val m = ids.min; ids.map(_ -> m) }
+      val got = graft.operators.Components.labelComponents(
+        edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"edges=$edges")
+    }
+  }
+
   test("clustered point lookup on an absent key returns empty, not error") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_point_miss")
