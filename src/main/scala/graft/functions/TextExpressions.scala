@@ -2,13 +2,14 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression,
-  UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression,
+  TernaryExpression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
   ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType,
+  IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Fused text-sketching expressions. Round 2 built the text sketches
@@ -215,6 +216,78 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     newChild: Expression): SimHash64 = copy(child = newChild)
 }
 
+/** TRUE iff any band index strictly below `band` holds equal band
+  * hashes in both signature arrays — the emit-once "a pair surfaces
+  * only in its FIRST colliding band" predicate of the banded LSH joins
+  * (text MinHash and embedding hyperplane alike), fused. The HOF
+  * formulation (`!exists(zip_with(slice(x,1,band), slice(y,1,band),
+  * _===_), identity)`) evaluated interpreted per CANDIDATE row and
+  * allocated two slices plus a zipped array per evaluation; this is one
+  * primitive early-exit loop that stays inside codegen with the rest of
+  * the join. Decision-identical by construction — same pairwise
+  * equality over the same 0-based prefix — and parity-pinned against
+  * the HOF form in FunctionsSpec.
+  */
+case class EarlierBandCollision(first: Expression, second: Expression,
+  third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      // both LSH band-signature widths: the text path's 64-bit band
+      // hashes and the embedding path's packed 8-bit-int band sigs
+      case (ArrayType(LongType, _), ArrayType(LongType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _),
+        IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two like-typed array<bigint>|array<int> " +
+          s"signatures and an int band, got " +
+          s"(${a.simpleString}, ${b.simpleString}, ${c.simpleString})")
+    }
+
+  override def dataType: DataType = BooleanType
+
+  override def prettyName: String = "graft_earlier_band_collision"
+
+  private lazy val longElems =
+    first.dataType.asInstanceOf[ArrayType].elementType == LongType
+
+  def compute(a: ArrayData, b: ArrayData, band: Int): Boolean = {
+    // `band` is the 0-based posexplode index, so exactly the indices
+    // [0, band) are the earlier bands
+    val n = math.min(band, math.min(a.numElements(), b.numElements()))
+    var i = 0
+    if (longElems) {
+      while (i < n) {
+        if (a.getLong(i) == b.getLong(i)) return true
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        if (a.getInt(i) == b.getInt(i)) return true
+        i += 1
+      }
+    }
+    false
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+    ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("earlierCollision", this,
+      classOf[EarlierBandCollision].getName)
+    nullSafeCodeGen(ctx, ev,
+      (a, b, c) => s"${ev.value} = $self.compute($a, $b, $c);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+    newSecond: Expression, newThird: Expression): EarlierBandCollision =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object TextFunctions {
   /** Distinct hashed word k-gram shingles of a token-array column. */
   def shingleHashes(w: Column, k: Int = 3): Column =
@@ -228,4 +301,10 @@ object TextFunctions {
   /** 64-bit frequency-weighted SimHash bitstring of a token array. */
   def simhash64(w: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(w)))
+
+  /** Emit-once predicate: does any EARLIER band (index < `band`)
+    * already collide for this pair? */
+  def earlierBandCollision(a: Column, b: Column, band: Column): Column =
+    ColumnBridge.column(EarlierBandCollision(ColumnBridge.expression(a),
+      ColumnBridge.expression(b), ColumnBridge.expression(band)))
 }

@@ -228,25 +228,23 @@ object TextOps {
   /** Emit-once join of a banded relation with itself: a pair colliding
     * in k bands surfaces only in its FIRST colliding band (same
     * construction as the embedding-LSH join), so no global dedup
-    * shuffle follows. COST MODEL (r4 verdict item 5): the prefix-slice
-    * HOF lambda never enters codegen, so each evaluation is an
-    * interpreted walk over ≤band-count slices — but it runs ONCE PER
-    * CANDIDATE ROW, not per banded row, so its total cost rides on
-    * candidate sparsity, which the banding geometry bounds by
-    * construction (uncorrelated pairs collide in a band with
+    * shuffle follows. COST MODEL (r4 verdict item 5): the predicate
+    * runs ONCE PER CANDIDATE ROW, not per banded row, so its total
+    * cost rides on candidate sparsity, which the banding geometry
+    * bounds by construction (uncorrelated pairs collide in a band with
     * p^rows ≪ 1; the sparsity guard test pins candidates ≪ all-pairs).
     * What it buys: without it every k-band collision emits k copies
     * and a GLOBAL dropDuplicates shuffle of the candidate set must
-    * follow — an extra corpus-keyed stage that dwarfs the interpreted
-    * predicate at any scale where the banding is doing its job.
+    * follow — an extra corpus-keyed stage. The predicate itself is the
+    * fused [[graft.functions.EarlierBandCollision]] primitive loop
+    * (round 5; the earlier `exists(zip_with(slice, slice))` HOF form
+    * was decision-identical but evaluated interpreted and allocated
+    * three arrays per candidate).
     */
   private def emitOnceJoin(banded: DataFrame,
     outCols: Seq[Column]): DataFrame = {
-    val noEarlierCollision = !exists(
-      zip_with(slice(col("x.bsigs"), lit(1), col("x.band")),
-        slice(col("y.bsigs"), lit(1), col("x.band")),
-        (a, b) => a === b),
-      x => x)
+    val noEarlierCollision = !graft.functions.TextFunctions
+      .earlierBandCollision(col("x.bsigs"), col("y.bsigs"), col("x.band"))
     banded.as("x")
       .join(banded.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") &&

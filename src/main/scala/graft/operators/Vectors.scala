@@ -328,22 +328,19 @@ object Vectors {
     // times; requiring that no EARLIER band also collides makes each
     // pair's emission unique by construction, so no global
     // dropDuplicates shuffle is needed afterwards (the textbook
-    // "first colliding band" LSH-join dedup). The lambda only touches
-    // the zipped prefix slices, staying clear of the lambda-reinline
-    // trap. COST MODEL (r4 verdict item 5): the lambda evaluates
-    // interpreted (HOFs never codegen) but only on CANDIDATE rows —
+    // "first colliding band" LSH-join dedup). COST MODEL (r4 verdict
+    // item 5): the predicate evaluates only on CANDIDATE rows —
     // per-pair, not per-banded-row — so its cost is proportional to the
     // candidate count the band-bucket geometry keeps sparse (expected
     // bucket size n/2^bits with bits ∝ log₂ n; pinned by the sparsity
     // test). The alternative is k-fold duplicate emission plus a global
-    // candidate dedup shuffle — a whole extra stage that costs more
-    // than the interpreted walk whenever candidates are sparse, i.e.
-    // whenever LSH is the right plan at all.
-    val noEarlierCollision = !exists(
-      zip_with(slice(col("x.sigs"), lit(1), col("x.band")),
-        slice(col("y.sigs"), lit(1), col("x.band")),
-        (a, b) => a === b),
-      x => x)
+    // candidate dedup shuffle — a whole extra stage. Round 5 fused the
+    // predicate into the codegen'd
+    // [[graft.functions.EarlierBandCollision]] loop (the prior
+    // `exists(zip_with(slice, slice))` HOF form was decision-identical
+    // but interpreted, allocating three arrays per candidate).
+    val noEarlierCollision = !graft.functions.TextFunctions
+      .earlierBandCollision(col("x.sigs"), col("y.sigs"), col("x.band"))
     banded.as("x")
       .join(banded.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") &&

@@ -32,6 +32,34 @@ class FunctionsSpec extends SparkTestBase {
     assert(r.getSeq[Long](4) == want)
   }
 
+  test("EarlierBandCollision decides identically to the HOF formulation") {
+    import spark.implicits._
+    // random signature pairs with planted collisions at varied indices:
+    // the fused predicate must agree with the prefix-slice HOF form for
+    // every (pair, band) combination
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(16)
+      val a = Seq.fill(n)(rnd.nextLong())
+      val b = a.zipWithIndex.map { case (v, j) =>
+        if (rnd.nextInt(4) == 0) v else rnd.nextLong() + j }
+      (i.toLong, a, b, rnd.nextInt(n + 1))
+    }
+    val df = rows.toDF("id", "a", "b", "band")
+    val got = df.select(col("id"),
+      graft.functions.TextFunctions
+        .earlierBandCollision(col("a"), col("b"), col("band")).as("fused"),
+      exists(zip_with(slice(col("a"), lit(1), col("band")),
+          slice(col("b"), lit(1), col("band")), (x, y) => x === y),
+        x => x).as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getBoolean(1) == r.getBoolean(2), s"row ${r.getLong(0)}")
+    }
+    // and both decisions occur in the sample
+    assert(got.exists(_.getBoolean(1)) && got.exists(!_.getBoolean(1)))
+  }
+
   test("SQL graft_dot agrees with the DataFrame-side cosine computation") {
     GraftExtensions.register(spark)
     val ds = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(5)
