@@ -53,7 +53,16 @@ object GraftExtensions {
       es => SimHash64(es(0))),
     ("graft_shingle_hashes",
       "graft_shingle_hashes(tokens, k) - distinct xxhash64 word k-gram shingles",
-      es => ShingleHashes(es(0), intLit(es(1), "k"))))
+      es => ShingleHashes(es(0), intLit(es(1), "k"))),
+    ("graft_minhash_bands",
+      "graft_minhash_bands(shash, nHashes, bands) - LSH band hashes of " +
+        "a MinHash signature (array<long>, one per band)",
+      es => MinHashBandHashes(es(0), intLit(es(1), "nHashes"),
+        intLit(es(2), "bands"))),
+    ("graft_earlier_band_collision",
+      "graft_earlier_band_collision(a, b, band) - TRUE iff a band index " +
+        "below `band` holds equal hashes in both signatures (emit-once)",
+      es => EarlierBandCollision(es(0), es(1), es(2))))
 
   /** Install the same functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -30,6 +30,18 @@ class FunctionsSpec extends SparkTestBase {
       "SELECT array(xxhash64('a b c'), xxhash64('b c d'))")
       .collect().head.getSeq[Long](0)
     assert(r.getSeq[Long](4) == want)
+    // the banding surface resolves too and agrees with the DataFrame API
+    val b = spark.sql(
+      """SELECT graft_minhash_bands(
+        |         graft_shingle_hashes(array('a','b','c','d'), 3), 64, 16
+        |       ) AS bands,
+        |       graft_earlier_band_collision(
+        |         array(1L, 2L, 3L), array(9L, 2L, 9L), 2) AS hit,
+        |       graft_earlier_band_collision(
+        |         array(1L, 2L, 3L), array(9L, 2L, 9L), 1) AS miss
+        |""".stripMargin).collect().head
+    assert(b.getSeq[Long](0).length == 16)
+    assert(b.getBoolean(1) && !b.getBoolean(2))
   }
 
   test("EarlierBandCollision decides identically to the HOF formulation") {
