@@ -224,9 +224,11 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * _===_), identity)`) evaluated interpreted per CANDIDATE row and
   * allocated two slices plus a zipped array per evaluation; this is one
   * primitive early-exit loop that stays inside codegen with the rest of
-  * the join. Decision-identical by construction — same pairwise
-  * equality over the same 0-based prefix — and parity-pinned against
-  * the HOF form in FunctionsSpec.
+  * the join. Decision-identical to the HOF form on null-free arrays —
+  * same pairwise equality over the same 0-based prefix, parity-pinned
+  * in FunctionsSpec; on nullable arrays (SQL surface only — the banded
+  * paths emit containsNull=false) null slots count as non-colliding
+  * where the HOF form would yield SQL NULL.
   */
 case class EarlierBandCollision(first: Expression, second: Expression,
   third: Expression) extends TernaryExpression {
@@ -254,17 +256,23 @@ case class EarlierBandCollision(first: Expression, second: Expression,
 
   def compute(a: ArrayData, b: ArrayData, band: Int): Boolean = {
     // `band` is the 0-based posexplode index, so exactly the indices
-    // [0, band) are the earlier bands
+    // [0, band) are the earlier bands. NULL slots are treated as
+    // non-colliding (a null hash equals nothing): the engine's banded
+    // paths emit containsNull=false arrays so this never fires there,
+    // but the SQL surface accepts nullable arrays, and reading a null
+    // slot as 0 would fabricate collisions between unrelated pairs.
     val n = math.min(band, math.min(a.numElements(), b.numElements()))
     var i = 0
     if (longElems) {
       while (i < n) {
-        if (a.getLong(i) == b.getLong(i)) return true
+        if (!a.isNullAt(i) && !b.isNullAt(i) &&
+          a.getLong(i) == b.getLong(i)) return true
         i += 1
       }
     } else {
       while (i < n) {
-        if (a.getInt(i) == b.getInt(i)) return true
+        if (!a.isNullAt(i) && !b.isNullAt(i) &&
+          a.getInt(i) == b.getInt(i)) return true
         i += 1
       }
     }

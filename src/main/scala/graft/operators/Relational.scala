@@ -149,8 +149,15 @@ object Relational {
   }
   private val silverCache =
     new java.util.concurrent.ConcurrentHashMap[String, SilverLayout]()
-  private def silverLayoutFor(spark: SparkSession, dir: String): String =
-    silverCache.computeIfAbsent(dir, d => new SilverLayout(spark, d)).path
+  private def silverLayoutFor(spark: SparkSession, dir: String): String = {
+    val holder = silverCache.computeIfAbsent(dir,
+      d => new SilverLayout(spark, d))
+    // a FAILED build must not poison the cache: the holder (and the
+    // session it captured) is dropped so the next caller retries with
+    // its own live session instead of re-hitting a dead one forever
+    try holder.path
+    catch { case e: Throwable => silverCache.remove(dir, holder); throw e }
+  }
 
   /** S3/P4 — server-side filtered search with conjunctive predicates
     * (name + gender + birthdate>, /root/reference/src/coding_task_1.py:64-83).

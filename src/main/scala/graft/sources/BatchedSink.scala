@@ -173,7 +173,17 @@ object InJvmUpsertStore {
   def scanSlice(name: String, slice: Int, numSlices: Int):
       Iterator[String] = {
     import scala.jdk.CollectionConverters._
-    stores.get(name).rows.entrySet().asScala.iterator
+    val st = stores.get(name)
+    if (st == null) {
+      // an epoch evicted by later freshVersioned calls must fail LOUDLY
+      // in the task, not NPE: the holder of a stale read-back DataFrame
+      // gets told what happened instead of a bare null dereference
+      throw new IllegalStateException(
+        s"sink store '$name' no longer exists (evicted by a later " +
+          "invocation's reset) — re-run the sink query for a live " +
+          "read-back")
+    }
+    st.rows.entrySet().asScala.iterator
       .filter(e => math.floorMod(e.getKey.hashCode, numSlices) == slice)
       .map(_.getValue)
   }

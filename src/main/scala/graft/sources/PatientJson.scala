@@ -213,7 +213,7 @@ private[sources] object FixturePublish {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def deleteRec(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) TempDirs.deleteTree(p)
+    TempDirs.deleteTree(p)
 
   def once(path: String, write: String => Unit): String =
     published.computeIfAbsent(path, _ => {

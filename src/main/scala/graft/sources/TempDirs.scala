@@ -10,20 +10,28 @@ import java.util.Comparator
   * separate place to fix. */
 object TempDirs {
 
-  /** Delete a directory tree, tolerating entries that vanish
-    * concurrently (shutdown hooks from several exits can race). */
+  /** STRICT recursive delete: a missing tree or concurrently-vanished
+    * entries are fine (`deleteIfExists`), but real I/O failures
+    * propagate — callers that need the space actually freed (e.g. a
+    * pre-publish cleanup before an atomic rename) must see the true
+    * cause here, not a confusing DirectoryNotEmptyException later. */
   def deleteTree(p: Path): Unit =
-    try {
+    if (Files.exists(p)) {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
-    } catch { case _: java.io.IOException => () }
+    }
+
+  /** Shutdown-hook variant: several exits can race on one tree and
+    * there is nobody left to handle a failure, so it is swallowed. */
+  def deleteTreeQuietly(p: Path): Unit =
+    try deleteTree(p) catch { case _: java.io.IOException => () }
 
   /** Fresh temp directory removed on JVM exit: concurrent PROCESSES
     * get distinct dirs so they cannot race on a fixed path, and
     * nothing accumulates across runs. */
   def scratchDir(prefix: String): Path = {
     val p = Files.createTempDirectory(prefix)
-    sys.addShutdownHook(deleteTree(p))
+    sys.addShutdownHook(deleteTreeQuietly(p))
     p
   }
 }

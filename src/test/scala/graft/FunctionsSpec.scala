@@ -42,6 +42,14 @@ class FunctionsSpec extends SparkTestBase {
         |""".stripMargin).collect().head
     assert(b.getSeq[Long](0).length == 16)
     assert(b.getBoolean(1) && !b.getBoolean(2))
+    // null slots never collide (SQL-surface nullable arrays; reading
+    // them as 0 would fabricate collisions)
+    val nn = spark.sql(
+      """SELECT graft_earlier_band_collision(
+        |  array(CAST(NULL AS BIGINT), 2L),
+        |  array(CAST(NULL AS BIGINT), 9L), 2) AS c""".stripMargin)
+      .collect().head
+    assert(!nn.getBoolean(0))
   }
 
   test("EarlierBandCollision decides identically to the HOF formulation") {

@@ -182,16 +182,24 @@ class RobustnessSpec extends SparkTestBase {
 
   test("labelComponents matches union-find on random pair graphs") {
     import spark.implicits._
+    // b is derived from a non-zero offset rather than filtered (a
+    // suchThat guard makes dense small-node samples fail generation
+    // and silently drop — exactly the high-merge-pressure graphs this
+    // oracle needs)
     val graphGen: Gen[Seq[(Long, Long)]] = for {
       nNodes <- Gen.choose(2, 24)
       nEdges <- Gen.choose(1, 30)
       edges <- Gen.listOfN(nEdges, for {
         a <- Gen.choose(0, nNodes - 1)
-        b <- Gen.choose(0, nNodes - 1)
-        if a != b
-      } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+        d <- Gen.choose(1, nNodes - 1)
+      } yield {
+        val b = (a + d) % nNodes
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      })
     } yield edges.distinct
-    samples(graphGen, 8).foreach { edges =>
+    val graphs = samples(graphGen, 8)
+    assert(graphs.size == 8, "graph generation silently dropped samples")
+    graphs.foreach { edges =>
       val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
       val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
       def find(x: Long): Long =
