@@ -147,11 +147,89 @@ object TextOps {
     * dual).
     */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    dedupMinhash(Tables.documents(spark, dir))
+    minhashPairsIndexed(spark, dir).orderBy(col("id_a"), col("id_b"))
 
   /** Core of [[qDedupMinhash]] over any (doc_id, text) frame. */
   private[graft] def dedupMinhash(docs: DataFrame): DataFrame =
     minhashPairs(docs).orderBy(col("id_a"), col("id_b"))
+
+  /** Fitted text-dedup index — the ivfFit of MinHash (r5 verdict item
+    * 1): the shingled + banded signature frame persisted as parquet,
+    * plus the verify-layout decision, built ONCE per (JVM, corpus dir)
+    * and reused by every subsequent dedup invocation. In production the
+    * fit is an offline job and the index a published artifact (the same
+    * fit/probe split as [[graft.operators.Vectors.ivfFit]]): at 100 TB
+    * this is the difference between a dedup service probing a published
+    * index and re-shingling the corpus per job.
+    *
+    * The layout decision is EXACT here, not sampled: the fit has
+    * already paid a full corpus pass to write the index, so the true
+    * mean shingle count comes from aggregating the persisted `n_sh`
+    * column (parquet prunes to that one int column) — no plan-time
+    * sampling action survives in any declared dedup query, and the
+    * decision cannot drift run-to-run the way a sample near the
+    * threshold could (ADVICE r5).
+    */
+  private[graft] case class MinHashIndex(joinBack: Boolean,
+    stagedPath: String)
+
+  /** Incremented on every index fit — lets the spec assert that warm
+    * declared-query invocations never re-shingle or re-decide. */
+  private[graft] val fitInvocations =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** One fitted index per (JVM, corpus dir), lazy-holder pattern (the
+    * multi-second fit must not run under the ConcurrentHashMap bin
+    * lock; a failed fit is removed so it cannot poison the cache with a
+    * dead captured session). Contract: the source parquet under `dir`
+    * is immutable for the JVM's lifetime — rewriting it in-process
+    * would keep serving the stale index, exactly like
+    * [[graft.operators.Relational.qPointLookupSilver]]'s silver layout. */
+  private final class FittedMinHash(spark0: SparkSession, d: String) {
+    private var spark: SparkSession = spark0
+    lazy val index: MinHashIndex = {
+      fitInvocations.incrementAndGet()
+      val s = spark
+      val p = graft.sources.TempDirs
+        .scratchDir("graft_minhash_index").toString
+      withSigs(shingled(Tables.documents(s, d)))
+        .withColumn("n_sh", size(col("shash")))
+        .write.mode("overwrite").parquet(p)
+      val r = s.read.parquet(p).agg(avg(col("n_sh"))).collect()(0)
+      val jb = !r.isNullAt(0) && r.getDouble(0) > joinBackShingleThreshold
+      // release the captured session once the build is done — the
+      // holder lives for the JVM, the session need not (ADVICE r5)
+      spark = null
+      MinHashIndex(jb, p)
+    }
+  }
+  private val fittedMinhash =
+    new java.util.concurrent.ConcurrentHashMap[String, FittedMinHash]()
+  private[graft] def minhashIndexFor(spark: SparkSession,
+    dir: String): MinHashIndex = {
+    val holder = fittedMinhash.computeIfAbsent(dir,
+      d => new FittedMinHash(spark, d))
+    try holder.index
+    catch { case e: Throwable => fittedMinhash.remove(dir, holder); throw e }
+  }
+
+  /** The persisted signature frame of a fitted index:
+    * (doc_id, shash, bsigs, n_sh). */
+  private[graft] def stagedFrame(spark: SparkSession,
+    index: MinHashIndex): DataFrame =
+    spark.read.parquet(index.stagedPath)
+
+  /** Near-dup pairs served from the fitted index: signatures come off
+    * the index parquet (column-pruned scans, no re-shingle), the verify
+    * layout is the fit-time decision. No localCheckpoint — the parquet
+    * IS the materialization the uncached join-back path needed. */
+  private[graft] def minhashPairsIndexed(spark: SparkSession,
+    dir: String): DataFrame = {
+    val idx = minhashIndexFor(spark, dir)
+    val staged = stagedFrame(spark, idx)
+    if (idx.joinBack) pairsJoinBackStaged(staged)
+    else pairsCarriedStaged(staged)
+  }
 
   /** Unsorted near-dup pairs from the banded MinHash path — shared by
     * the declared pair query and the clustering query (which must not
@@ -189,39 +267,56 @@ object TextOps {
   private[graft] val joinBackShingleThreshold = 512
 
   /** Plan-time layout decision from a bounded corpus sample: shingle
-    * ≤1024 docs hash-selected on doc_id (1-in-37), falling back to a
-    * plain head `limit(1024)` when the hash sample is too thin to
-    * decide on (<64 docs). HONEST cost/bias model: the limit
-    * early-terminates after ~37×1024 source rows, so the action's cost
-    * is bounded and the sample window is 37× wider than a bare head
-    * take — enough to see past block-local ordering artifacts (e.g. a
-    * metadata-stub prefix), though a corpus whose first ~38k documents
-    * are systematically unlike the rest still decides from that
-    * window (an unbiased sample would require a full-corpus scan at
-    * plan time — the wrong trade; both layouts are CORRECT either way,
-    * this only tunes shuffle weight). */
+    * ≤1024 docs hash-selected on doc_id (1-in-37), falling back to the
+    * smallest-hash 1024 documents when the hash sample is too thin to
+    * decide on (<64 docs). Used only by the UNCACHED generic-frame
+    * cores — the declared queries decide exactly at index-fit time
+    * ([[MinHashIndex]]) and never sample. DETERMINISTIC (ADVICE r5):
+    * both paths order by (xxhash64(doc_id), doc_id) before the limit —
+    * Spark plans that as TakeOrderedAndProject (per-partition bounded
+    * top-k heaps, never a full sort), so the same corpus always yields
+    * the same sample regardless of partitioning, at the price of
+    * scanning the filtered stream to the end instead of
+    * early-terminating the limit. HONEST bias model: the hash selection
+    * is corpus-wide, so block-local ordering artifacts (e.g. a
+    * metadata-stub prefix) can't skew it; both layouts are CORRECT
+    * either way, this only tunes shuffle weight. */
   private[graft] def chooseJoinBack(docs: DataFrame): Boolean = {
+    samplingActions.incrementAndGet()
     def avgShingles(d: DataFrame): Option[(Double, Long)] = {
       val r = shingled(d)
         .agg(avg(size(col("shash"))), count(lit(1))).collect()(0)
       if (r.isNullAt(0)) None else Some((r.getDouble(0), r.getLong(1)))
     }
-    val spread = avgShingles(docs
-      .filter(pmod(xxhash64(col("doc_id")), lit(37)) === 0).limit(1024))
+    def hashOrdered(d: DataFrame): DataFrame =
+      d.orderBy(xxhash64(col("doc_id")), col("doc_id")).limit(1024)
+    val spread = avgShingles(hashOrdered(docs
+      .filter(pmod(xxhash64(col("doc_id")), lit(37)) === 0)))
       .filter(_._2 >= 64)
-    spread.orElse(avgShingles(docs.limit(1024)))
+    spread.orElse(avgShingles(hashOrdered(docs)))
       .exists(_._1 > joinBackShingleThreshold)
   }
 
-  /** Banded (band, bhash) rows for the candidate equi-join; `carry`
-    * controls whether the full shingle-hash set rides along. */
-  private def bandedRows(staged: DataFrame, carry: Boolean): DataFrame = {
-    val withSigs = staged.withColumn("bsigs",
+  /** Incremented per [[chooseJoinBack]] call — the spec asserts the
+    * declared (index-served) dedup queries never reach it. */
+  private[graft] val samplingActions =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Banded MinHash signatures (16 band hashes per document) appended
+    * to a shingled (doc_id, shash) frame — the column the fitted index
+    * persists. */
+  private def withSigs(staged: DataFrame): DataFrame =
+    staged.withColumn("bsigs",
       graft.functions.TextFunctions.minhashBands(col("shash"), 64, 16))
+
+  /** Banded (band, bhash) rows for the candidate equi-join over a
+    * signature frame (doc_id, shash, bsigs); `carry` controls whether
+    * the full shingle-hash set rides along. */
+  private def bandedRows(sigd: DataFrame, carry: Boolean): DataFrame = {
     val cols =
       if (carry) Seq(col("doc_id"), col("shash"), col("bsigs"))
       else Seq(col("doc_id"), col("bsigs"))
-    withSigs.select(cols :+
+    sigd.select(cols :+
       posexplode(col("bsigs")).as(Seq("band", "bhash")): _*)
   }
 
@@ -254,37 +349,47 @@ object TextOps {
       .select(outCols: _*)
   }
 
-  /** Carried-payload layout: verify runs directly on the join output. */
-  private[graft] def minhashPairsCarried(docs: DataFrame): DataFrame =
-    verifyJaccard(emitOnceJoin(bandedRows(shingled(docs), carry = true),
+  /** Carried-payload layout over a signature frame: verify runs
+    * directly on the join output. */
+  private[graft] def pairsCarriedStaged(sigd: DataFrame): DataFrame =
+    verifyJaccard(emitOnceJoin(bandedRows(sigd, carry = true),
       Seq(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         col("x.shash").as("sa"), col("y.shash").as("sb"))))
 
-  /** Join-back layout: candidates are bare id pairs; the shingle sets
-    * rejoin for the verify — the plan for long-document corpora. The
-    * staged shingles are materialized ONCE (`localCheckpoint`, the
-    * repo's standard materialize-the-invariant move): three plan
-    * branches consume them (banded rows + both join-back sides), and
-    * exactly on the long-document corpora this layout serves,
-    * re-running tokenize+shingle per branch would triple the dominant
-    * per-row cost. */
-  private[graft] def minhashPairsJoinBack(docs: DataFrame): DataFrame = {
-    val staged = shingled(docs).localCheckpoint(true)
-    val cands = emitOnceJoin(bandedRows(staged, carry = false),
+  /** Carried-payload layout from raw documents (uncached path). */
+  private[graft] def minhashPairsCarried(docs: DataFrame): DataFrame =
+    pairsCarriedStaged(withSigs(shingled(docs)))
+
+  /** Join-back layout over a signature frame: candidates are bare id
+    * pairs; the shingle sets rejoin for the verify — the plan for
+    * long-document corpora. The caller supplies a MATERIALIZED frame
+    * (index parquet, or localCheckpoint on the uncached path): three
+    * plan branches consume it (banded rows + both join-back sides). */
+  private[graft] def pairsJoinBackStaged(sigd: DataFrame): DataFrame = {
+    val cands = emitOnceJoin(bandedRows(sigd, carry = false),
       Seq(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")))
     verifyJaccard(cands
-      .join(staged.select(col("doc_id").as("id_a"),
+      .join(sigd.select(col("doc_id").as("id_a"),
         col("shash").as("sa")), "id_a")
-      .join(staged.select(col("doc_id").as("id_b"),
+      .join(sigd.select(col("doc_id").as("id_b"),
         col("shash").as("sb")), "id_b"))
   }
+
+  /** Join-back layout from raw documents (uncached path): the shingled
+    * signatures are materialized ONCE (`localCheckpoint`, the repo's
+    * standard materialize-the-invariant move) — exactly on the
+    * long-document corpora this layout serves, re-running
+    * tokenize+shingle per plan branch would triple the dominant
+    * per-row cost. */
+  private[graft] def minhashPairsJoinBack(docs: DataFrame): DataFrame =
+    pairsJoinBackStaged(withSigs(shingled(docs)).localCheckpoint(true))
 
   /** Candidate id pairs sharing ≥1 MinHash band bucket (each pair
     * exactly once via the emit-once predicate) — exposed for the
     * candidate-sparsity guard test that bounds the emit-once
     * predicate's interpreted cost. */
   private[graft] def minhashCandidates(docs: DataFrame): DataFrame =
-    emitOnceJoin(bandedRows(shingled(docs), carry = false),
+    emitOnceJoin(bandedRows(withSigs(shingled(docs)), carry = false),
       Seq(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")))
 
   /** Verify stage shared by both layouts: exact Jaccard from the
@@ -312,7 +417,9 @@ object TextOps {
     * as an independent check.
     */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
-    dedupClusters(Tables.documents(spark, dir))
+    Components.flagCorpus(Tables.documents(spark, dir), "doc_id",
+      Components.labelComponents(
+        minhashPairsIndexed(spark, dir).select(col("id_a"), col("id_b"))))
 
   /** Core of [[qDedupClusters]] over any (doc_id, text) frame: the
     * iteration runs over the PAIR-GRAPH NODES only (documents with at

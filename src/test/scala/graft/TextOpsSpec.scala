@@ -89,6 +89,27 @@ class TextOpsSpec extends SparkTestBase {
     assert(carried == joined && carried.nonEmpty)
   }
 
+  test("declared dedup queries serve a fitted index: warm runs never re-fit or sample") {
+    // cold call fits at most once per (JVM, dir) — earlier tests may
+    // already have warmed it; what matters is the counters FREEZE
+    TextOps.qDedupMinhash(spark, sfDir).collect()
+    val fits = TextOps.fitInvocations.get()
+    val samples = TextOps.samplingActions.get()
+    assert(fits >= 1)
+    val warm = TextOps.qDedupMinhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    TextOps.qDedupClusters(spark, sfDir).collect()
+    assert(TextOps.fitInvocations.get() == fits,
+      "warm declared invocation re-fitted the index")
+    assert(TextOps.samplingActions.get() == samples,
+      "declared dedup query ran a plan-time layout-sampling action")
+    // the index-served pairs equal the uncached adaptive core's
+    val uncached = TextOps
+      .dedupMinhash(spark.read.parquet(s"$sfDir/documents.parquet"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(warm == uncached && warm.nonEmpty)
+  }
+
   test("minhash candidate generation is sparse (emit-once cost guard)") {
     // the emit-once predicate evaluates interpreted per CANDIDATE row;
     // this pins the sparsity its cost model rides on: candidates stay
