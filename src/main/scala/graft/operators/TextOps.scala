@@ -320,34 +320,18 @@ object TextOps {
       posexplode(col("bsigs")).as(Seq("band", "bhash")): _*)
   }
 
-  /** Emit-once join of a banded relation with itself: a pair colliding
-    * in k bands surfaces only in its FIRST colliding band (same
-    * construction as the embedding-LSH join), so no global dedup
-    * shuffle follows. COST MODEL (r4 verdict item 5): the predicate
-    * runs ONCE PER CANDIDATE ROW, not per banded row, so its total
-    * cost rides on candidate sparsity, which the banding geometry
-    * bounds by construction (uncorrelated pairs collide in a band with
-    * p^rows ≪ 1; the sparsity guard test pins candidates ≪ all-pairs).
-    * What it buys: without it every k-band collision emits k copies
-    * and a GLOBAL dropDuplicates shuffle of the candidate set must
-    * follow — an extra corpus-keyed stage. The predicate itself is the
-    * fused [[graft.functions.EarlierBandCollision]] primitive loop
-    * (round 5; the earlier `exists(zip_with(slice, slice))` HOF form
-    * was decision-identical but evaluated interpreted and allocated
-    * three arrays per candidate).
+  /** Emit-once self-join of a banded relation: the shared
+    * [[BandedJoins.emitOnce]] construction (r5 verdict item 3) with
+    * this modality's (band, bhash, bsigs) columns and the self-join's
+    * ordered-pair constraint. A pair colliding in k bands surfaces
+    * only in its FIRST colliding band, so no global dedup shuffle
+    * follows — cost model and what-it-buys are documented on the
+    * shared builder.
     */
   private def emitOnceJoin(banded: DataFrame,
-    outCols: Seq[Column]): DataFrame = {
-    val noEarlierCollision = !graft.functions.TextFunctions
-      .earlierBandCollision(col("x.bsigs"), col("y.bsigs"), col("x.band"))
-    banded.as("x")
-      .join(banded.as("y").hint("shuffle_hash"),
-        col("x.band") === col("y.band") &&
-          col("x.bhash") === col("y.bhash") &&
-          col("x.doc_id") < col("y.doc_id") &&
-          noEarlierCollision)
-      .select(outCols: _*)
-  }
+    outCols: Seq[Column]): DataFrame =
+    BandedJoins.emitOnce(banded, banded, "band", "bhash", "bsigs",
+      col("x.doc_id") < col("y.doc_id"), outCols)
 
   /** Carried-payload layout over a signature frame: verify runs
     * directly on the join output. */

@@ -324,31 +324,16 @@ object Vectors {
       .withColumn("sigs", sigExpr)
       .select(col("vec_id"), col("u"), col("sigs"),
         posexplode(col("sigs")).as(Seq("band", "band_sig")))
-    // Emit-once predicate: a pair colliding in k bands would surface k
-    // times; requiring that no EARLIER band also collides makes each
-    // pair's emission unique by construction, so no global
-    // dropDuplicates shuffle is needed afterwards (the textbook
-    // "first colliding band" LSH-join dedup). COST MODEL (r4 verdict
-    // item 5): the predicate evaluates only on CANDIDATE rows —
-    // per-pair, not per-banded-row — so its cost is proportional to the
-    // candidate count the band-bucket geometry keeps sparse (expected
-    // bucket size n/2^bits with bits ∝ log₂ n; pinned by the sparsity
-    // test). The alternative is k-fold duplicate emission plus a global
-    // candidate dedup shuffle — a whole extra stage. Round 5 fused the
-    // predicate into the codegen'd
-    // [[graft.functions.EarlierBandCollision]] loop (the prior
-    // `exists(zip_with(slice, slice))` HOF form was decision-identical
-    // but interpreted, allocating three arrays per candidate).
-    val noEarlierCollision = !graft.functions.TextFunctions
-      .earlierBandCollision(col("x.sigs"), col("y.sigs"), col("x.band"))
-    banded.as("x")
-      .join(banded.as("y").hint("shuffle_hash"),
-        col("x.band") === col("y.band") &&
-          col("x.band_sig") === col("y.band_sig") &&
-          col("x.vec_id") < col("y.vec_id") &&
-          noEarlierCollision)
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        col("x.u").as("ua"), col("y.u").as("ub"))
+    // Candidates via the shared emit-once banded self-join (r5 verdict
+    // item 3 — one construction for both LSH modalities; cost model
+    // documented on [[graft.operators.BandedJoins.emitOnce]]): the
+    // "first colliding band" predicate makes each pair's emission
+    // unique by construction, so no global dropDuplicates shuffle is
+    // needed afterwards.
+    BandedJoins.emitOnce(banded, banded, "band", "band_sig", "sigs",
+      col("x.vec_id") < col("y.vec_id"),
+      Seq(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        col("x.u").as("ua"), col("y.u").as("ub")))
   }
 
   /** Candidate id pairs sharing ≥1 LSH band bucket (each pair exactly
