@@ -110,6 +110,18 @@ class TextOpsSpec extends SparkTestBase {
     assert(warm == uncached && warm.nonEmpty)
   }
 
+  test("forced-layout rides equal the adaptive declared query (oracle contract)") {
+    // q_dedup_minhash_carried / q_dedup_minhash_joinback ride the
+    // exact-Jaccard DuckDB oracle; their contract is that BOTH verify
+    // layouts over the fitted index produce the adaptive query's pairs
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val adaptive = rows(TextOps.qDedupMinhash(spark, sfDir))
+    assert(rows(TextOps.qDedupMinhashCarried(spark, sfDir)) == adaptive)
+    assert(rows(TextOps.qDedupMinhashJoinback(spark, sfDir)) == adaptive)
+    assert(adaptive.nonEmpty)
+  }
+
   test("minhash candidate generation is sparse (emit-once cost guard)") {
     // the emit-once predicate evaluates interpreted per CANDIDATE row;
     // this pins the sparsity its cost model rides on: candidates stay
