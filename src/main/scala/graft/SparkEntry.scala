@@ -84,6 +84,7 @@ object SparkEntry {
     "q_dedup_minhash_carried"  -> (TextOps.qDedupMinhashCarried _),
     "q_dedup_minhash_joinback" -> (TextOps.qDedupMinhashJoinback _),
     "q_dedup_clusters"  -> (TextOps.qDedupClusters _),
+    "q_dedup_incremental" -> (TextOps.qDedupIncremental _),
     "q_text_stats"      -> (TextOps.qTextStats _),
     "q_token_count"     -> (TextOps.qTokenCount _),
     "q_token_percentiles" -> (TextOps.qTokenPercentiles _),
@@ -129,6 +130,38 @@ object SparkEntry {
       |JOIN sz sb ON sb.doc_id = id_b
       |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Full-corpus near-dup cluster reachability SQL — the oracle for
+    * BOTH the batch clustering query and the incremental path (whose
+    * contract is exactly "equals a full recompute"). */
+  private val dedupClustersOracle: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(w) >= 3
+      |      THEN [array_to_string(w[i:i+2], ' ')
+      |            for i in range(1, len(w) - 1)]
+      |      ELSE [array_to_string(w, ' ')] END)) AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents) t),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |cp AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT id_a, id_b FROM cp
+      |  JOIN sz sa ON sa.doc_id = id_a
+      |  JOIN sz sb ON sb.doc_id = id_b
+      |  WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8),
+      |e AS (SELECT id_a AS a, id_b AS b FROM jp
+      |      UNION ALL SELECT id_b, id_a FROM jp),
+      |reach AS (
+      |  SELECT doc_id AS node, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT e.a, reach.r FROM reach JOIN e ON reach.node = e.b)
+      |SELECT node AS doc_id, min(r) AS cluster_id,
+      |       (min(r) = node) AS is_kept
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->
@@ -577,34 +610,13 @@ object SparkEntry {
     // the banded pairs on this corpus — parity is also spec-asserted),
     // so both insufficient propagation rounds AND any banded recall
     // miss fail the compare loudly.
-    "q_dedup_clusters" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN len(w) >= 3
-        |      THEN [array_to_string(w[i:i+2], ' ')
-        |            for i in range(1, len(w) - 1)]
-        |      ELSE [array_to_string(w, ' ')] END)) AS s
-        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
-        |        FROM documents) t),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |cp AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jp AS (
-        |  SELECT id_a, id_b FROM cp
-        |  JOIN sz sa ON sa.doc_id = id_a
-        |  JOIN sz sb ON sb.doc_id = id_b
-        |  WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8),
-        |e AS (SELECT id_a AS a, id_b AS b FROM jp
-        |      UNION ALL SELECT id_b, id_a FROM jp),
-        |reach AS (
-        |  SELECT doc_id AS node, doc_id AS r FROM documents
-        |  UNION
-        |  SELECT e.a, reach.r FROM reach JOIN e ON reach.node = e.b)
-        |SELECT node AS doc_id, min(r) AS cluster_id,
-        |       (min(r) = node) AS is_kept
-        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q_dedup_clusters" -> dedupClustersOracle,
+    // q_dedup_incremental: the incremental path's contract is that
+    // probing tonight's increment against the base index and extending
+    // yesterday's labels equals a FULL recompute — so the oracle is
+    // the identical full-corpus reachability SQL; a missed cross pair
+    // or a split merged component fails the hash compare loudly.
+    "q_dedup_incremental" -> dedupClustersOracle,
     "q_text_stats" ->
       """SELECT doc_id, n_chars_actual, n_tokens, n_distinct,
         |       CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,

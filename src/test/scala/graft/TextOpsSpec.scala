@@ -110,6 +110,138 @@ class TextOpsSpec extends SparkTestBase {
     assert(warm == uncached && warm.nonEmpty)
   }
 
+  test("incremental dedup equals a full recompute on a planted cross-split fixture") {
+    import spark.implicits._
+    import graft.operators.Components
+    // Template T of 40 distinct words; K/L perturb opposite ends so
+    // J(K,T)=J(L,T)=34/42≈0.81 (near-dup) but J(K,L)=30/46≈0.65 (not):
+    // the new doc J=T BRIDGES two base singletons into one component —
+    // the hardest incremental case (merging previously-separate base
+    // state), alongside extension, new-only, and untouched clusters.
+    val t = (1 to 40).map(i => s"w$i")
+    def doc(repl: Map[Int, String]): String =
+      t.zipWithIndex.map { case (w, i) => repl.getOrElse(i + 1, w) }
+        .mkString(" ")
+    def run(prefix: String, n: Int, tail: Seq[String] = Nil): String =
+      ((1 to n).map(i => s"$prefix$i") ++ tail).mkString(" ")
+    val base = Seq(
+      1L  -> doc(Map(1 -> "k1", 2 -> "k2", 3 -> "k3", 4 -> "k4")), // K
+      2L  -> doc(Map(37 -> "l1", 38 -> "l2", 39 -> "l3", 40 -> "l4")), // L
+      10L -> run("a", 30),                            // A ┐ untouched
+      11L -> run("a", 28, Seq("x", "y")),             // B ┘ base cluster
+      20L -> run("g", 30),                            // G ┐ extended by
+      21L -> run("g", 28, Seq("p", "q")),             // H ┘ increment
+      30L -> run("s", 25)                             // old singleton
+    ).toDF("doc_id", "text")
+    val inc = Seq(
+      100L -> doc(Map.empty),                         // J=T bridges K,L
+      101L -> run("g", 28, Seq("p", "z")),            // I ~ H
+      102L -> run("e", 30),                           // E ┐ new-only
+      103L -> run("e", 28, Seq("u", "v")),            // F ┘ cluster
+      110L -> run("z", 25)                            // new singleton
+    ).toDF("doc_id", "text")
+    // yesterday's artifacts: a published base index + its label map
+    val idx = TextOps.minhashFit(spark, base, java.nio.file.Files
+      .createTempDirectory("graft_inc_base_idx").toString)
+    val baseStaged = TextOps.stagedFrame(spark, idx)
+    val basePairs =
+      if (idx.joinBack) TextOps.pairsJoinBackStaged(baseStaged)
+      else TextOps.pairsCarriedStaged(baseStaged)
+    val baseLabels = Components.labelComponents(
+      basePairs.select(col("id_a"), col("id_b"))).localCheckpoint(true)
+    // tonight: stage ONLY the increment, probe, extend
+    val newStaged = TextOps.stageDocs(inc).localCheckpoint(true)
+    val incPairs = TextOps.incrementPairs(baseStaged, newStaged,
+      idx.joinBack)
+    val all = base.unionByName(inc)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val incremental = rows(Components.flagCorpus(all, "doc_id",
+      TextOps.extendLabels(baseLabels, incPairs)))
+    assert(incremental == rows(TextOps.dedupClusters(all)))
+    // and the structure is the one planted, not vacuous agreement
+    val m = incremental.map(r => r._1 -> r._2).toMap
+    assert(m(1L) == 1L && m(2L) == 1L && m(100L) == 1L) // bridged merge
+    assert(m(10L) == 10L && m(11L) == 10L)              // untouched
+    assert(m(20L) == 20L && m(21L) == 20L && m(101L) == 20L) // extended
+    assert(m(102L) == 102L && m(103L) == 102L)          // new-only
+    assert(m(30L) == 30L && m(110L) == 110L)            // singletons
+  }
+
+  test("q_dedup_incremental: warm runs never re-fit; probe reads only the index") {
+    TextOps.qDedupIncremental(spark, sfDir).collect()
+    val fits = TextOps.fitInvocations.get()
+    val samples = TextOps.samplingActions.get()
+    val warm = TextOps.qDedupIncremental(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(TextOps.fitInvocations.get() == fits,
+      "warm incremental invocation re-fitted the base state")
+    assert(TextOps.samplingActions.get() == samples,
+      "incremental query ran a plan-time layout-sampling action")
+    // incremental result == full-recompute declared clustering (the
+    // oracle contract, asserted engine-side too)
+    val full = TextOps.qDedupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(warm == full && warm.nonEmpty)
+    // scan-path audit: the pair probe's executed plan reads parquet
+    // ONLY from published artifacts (base index + increment staging) —
+    // never the corpus parquet, so the base is provably not re-shingled
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec => fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans)
+    }
+    val st = TextOps.dedupStateFor(spark, sfDir)
+    val newIdx = TextOps.minhashFit(spark,
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(TextOps.isIncrementDoc),
+      java.nio.file.Files.createTempDirectory("graft_inc_probe").toString)
+    val probe = TextOps.incrementPairs(
+      TextOps.stagedFrame(spark, st.index),
+      TextOps.stagedFrame(spark, newIdx), st.index.joinBack)
+    probe.collect()
+    val paths = fileScans(probe.queryExecution.executedPlan)
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(paths.nonEmpty)
+    assert(paths.forall(p => p.contains(st.index.stagedPath) ||
+      p.contains(newIdx.stagedPath)),
+      s"probe plan scanned outside the published artifacts: $paths")
+  }
+
+  test("minhash index: a persisted fit loads self-contained from its path") {
+    import spark.implicits._
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_idx_load").toString
+    val fitted = TextOps.minhashFit(spark,
+      spark.read.parquet(s"$sfDir/documents.parquet"), p)
+    val loaded = TextOps.loadMinhashIndex(spark, p)
+    assert(loaded == fitted) // layout decision survives via the marker
+    def pairsOf(i: TextOps.MinHashIndex) = {
+      val staged = TextOps.stagedFrame(spark, i)
+      (if (i.joinBack) TextOps.pairsJoinBackStaged(staged)
+       else TextOps.pairsCarriedStaged(staged))
+        .orderBy(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    // pairs served from the loaded artifact equal the declared query's
+    val viaLoaded = pairsOf(loaded)
+    assert(viaLoaded == TextOps.qDedupMinhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+    assert(viaLoaded.nonEmpty)
+    // the join-back decision roundtrips too (long docs > 512 shingles)
+    val p2 = java.nio.file.Files
+      .createTempDirectory("graft_idx_load_jb").toString
+    val longDocs = Seq(
+      (1L, (1 to 600).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 600).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val f2 = TextOps.minhashFit(spark, longDocs, p2)
+    assert(f2.joinBack && TextOps.loadMinhashIndex(spark, p2).joinBack)
+  }
+
   test("forced-layout rides equal the adaptive declared query (oracle contract)") {
     // q_dedup_minhash_carried / q_dedup_minhash_joinback ride the
     // exact-Jaccard DuckDB oracle; their contract is that BOTH verify
