@@ -229,6 +229,16 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * in FunctionsSpec; on nullable arrays (SQL surface only — the banded
   * paths emit containsNull=false) null slots count as non-colliding
   * where the HOF form would yield SQL NULL.
+  *
+  * Full SQL-surface input space (ADVICE r6; the engine's banded paths
+  * always produce equal-length arrays with band < length, but the
+  * registered function accepts anything): the compared prefix is
+  * clamped to `min(band, |a|, |b|)`, so band > length degrades to
+  * whole-array comparison and LENGTH-MISMATCHED signatures compare
+  * only their shared prefix — always returning a BOOLEAN. This is a
+  * deliberate divergence from the HOF form, whose `zip_with` NULL-pads
+  * the shorter side and can surface SQL NULL on mismatched lengths;
+  * both behaviors are pinned in FunctionsSpec.
   */
 case class EarlierBandCollision(first: Expression, second: Expression,
   third: Expression) extends TernaryExpression {

@@ -80,6 +80,51 @@ class FunctionsSpec extends SparkTestBase {
     assert(got.exists(_.getBoolean(1)) && got.exists(!_.getBoolean(1)))
   }
 
+  test("EarlierBandCollision: mismatched lengths and band > length (full SQL input space)") {
+    import spark.implicits._
+    // ADVICE r6: the engine's banded paths always produce equal-length
+    // signature arrays with band < length, but the registered SQL
+    // surface accepts anything — pin the semantics on the full input
+    // space against a driver-side oracle: collision iff some index
+    // j < min(band, |a|, |b|) has a(j) == b(j), always BOOLEAN.
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      val na = 1 + rnd.nextInt(16)
+      val nb = 1 + rnd.nextInt(16) // independent → usually mismatched
+      val a = Seq.fill(na)(rnd.nextLong())
+      val b = (0 until nb).map(j =>
+        if (j < na && rnd.nextInt(4) == 0) a(j)
+        else rnd.nextLong() - j).toSeq
+      (i.toLong, a, b, rnd.nextInt(20)) // band 0..19 can exceed both
+    }
+    val want = rows.map { case (id, a, b, band) =>
+      id -> (0 until math.min(band, math.min(a.length, b.length)))
+        .exists(j => a(j) == b(j))
+    }.toMap
+    val got = rows.toDF("id", "a", "b", "band")
+      .select(col("id"), graft.functions.TextFunctions
+        .earlierBandCollision(col("a"), col("b"), col("band")).as("c"))
+      .collect()
+    got.foreach { r =>
+      assert(!r.isNullAt(1), s"row ${r.getLong(0)} returned NULL")
+      assert(r.getBoolean(1) == want(r.getLong(0)), s"row ${r.getLong(0)}")
+    }
+    assert(got.exists(_.getBoolean(1)) && got.exists(!_.getBoolean(1)))
+    // documented divergence from the HOF formulation: zip_with
+    // NULL-pads the shorter side, so on mismatched lengths the
+    // exists(zip_with(...)) form can yield NULL where the fused
+    // predicate clamps to the shared prefix and stays false
+    val div = Seq((Seq(1L, 2L, 3L), Seq(9L, 8L, 7L, 6L, 5L), 5))
+      .toDF("a", "b", "band")
+      .select(graft.functions.TextFunctions
+        .earlierBandCollision(col("a"), col("b"), col("band")).as("fused"),
+        exists(zip_with(slice(col("a"), lit(1), col("band")),
+          slice(col("b"), lit(1), col("band")), (x, y) => x === y),
+          x => x).as("hof"))
+      .collect().head
+    assert(!div.getBoolean(0) && div.isNullAt(1))
+  }
+
   test("SQL graft_dot agrees with the DataFrame-side cosine computation") {
     GraftExtensions.register(spark)
     val ds = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(5)
