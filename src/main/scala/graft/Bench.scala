@@ -77,11 +77,17 @@ object Bench {
     // Also land the line in a file (r4 verdict item 6: the driver's
     // tail capture once truncated the single long stdout line past the
     // per-query medians — a file write cannot be cut mid-line).
+    // Default is a fresh per-run temp file, not a fixed predictable
+    // /tmp name (ADVICE r6: a fixed path silently clobbers the previous
+    // run's medians and follows a pre-planted symlink); set
+    // SPARK_GRAFT_BENCH_OUT to pin a destination explicitly.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/tmp/graft_bench_last.json")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outPath), line + "\n")
-    catch { case e: Exception =>
+      java.nio.file.Files.createTempFile("graft_bench_", ".json").toString)
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outPath), line + "\n")
+      System.err.println(s"[bench] medians written to $outPath")
+    } catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: $e")
     }
     spark.stop()

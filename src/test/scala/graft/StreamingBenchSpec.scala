@@ -23,6 +23,20 @@ class StreamingBenchSpec extends SparkTestBase {
   private val n = nUsers * perUser
   private val floorRowsPerSec = 1000.0
 
+  /** ADVICE r6: wall-clock floors can flake on a loaded host, and the
+    * functional suite must stay deterministic — the measurement still
+    * runs on every pass (structure and emission are asserted, rates
+    * logged via info()), but the rows/s assertions engage only when
+    * GRAFT_BENCH_FLOORS is set; bench runs own wall-clock guarantees,
+    * not functional CI. */
+  private val floorsEnforced = sys.env.contains("GRAFT_BENCH_FLOORS")
+  private def assertFloor(rps: Double, what: String): Unit =
+    if (floorsEnforced)
+      assert(rps > floorRowsPerSec,
+        f"$what throughput regressed: $rps%.0f rows/s")
+    else info(f"$what floor informational (set GRAFT_BENCH_FLOORS to " +
+      f"enforce): $rps%.0f rows/s vs $floorRowsPerSec%.0f")
+
   /** Run a measurement up to twice, keeping the better rate: a
     * transient machine-load dip (bench and test can run as concurrent
     * processes on this box) must not fail the floor — a REAL structural
@@ -72,8 +86,7 @@ class StreamingBenchSpec extends SparkTestBase {
       n / secs
     }
     val rps = bestOfTwo(measure _)
-    assert(rps > floorRowsPerSec,
-      f"stateful sessionizer throughput regressed: $rps%.0f rows/s")
+    assertFloor(rps, "stateful sessionizer")
     assert(emitted > 0,
       "bench stream emitted no closed sessions — watermark never advanced")
   }
@@ -101,7 +114,6 @@ class StreamingBenchSpec extends SparkTestBase {
       n / secs
     }
     val rps = bestOfTwo(measure _)
-    assert(rps > floorRowsPerSec,
-      f"tumbling-window throughput regressed: $rps%.0f rows/s")
+    assertFloor(rps, "tumbling-window aggregation")
   }
 }
