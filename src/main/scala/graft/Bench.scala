@@ -80,15 +80,18 @@ object Bench {
     // Default is a fresh per-run temp file, not a fixed predictable
     // /tmp name (ADVICE r6: a fixed path silently clobbers the previous
     // run's medians and follows a pre-planted symlink); set
-    // SPARK_GRAFT_BENCH_OUT to pin a destination explicitly.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      java.nio.file.Files.createTempFile("graft_bench_", ".json").toString)
+    // SPARK_GRAFT_BENCH_OUT to pin a destination explicitly. The whole
+    // file step stays inside the catch — the medians are already on
+    // stdout, and a full tmpdir must not turn a successful bench run
+    // into a nonzero exit.
     try {
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        java.nio.file.Files.createTempFile("graft_bench_", ".json").toString)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outPath), line + "\n")
       System.err.println(s"[bench] medians written to $outPath")
     } catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $outPath: $e")
+      System.err.println(s"[bench] could not write medians file: $e")
     }
     spark.stop()
   }

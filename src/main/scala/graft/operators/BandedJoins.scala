@@ -23,10 +23,15 @@ import org.apache.spark.sql.functions._
   * construction (uncorrelated pairs collide in a band with p^rows ≪ 1;
   * the modality specs pin candidates ≪ all-pairs).
   *
-  * The SHUFFLE_HASH hint keeps both sides as shuffle exchanges over
-  * the same child plan in the self-join case, so Spark's exchange
-  * reuse evaluates the banded projection once instead of once-per-side
-  * (a broadcast side would duplicate it).
+  * The SHUFFLE_HASH hint sits on the RIGHT side, which makes it the
+  * hash-map BUILD side of the shuffled hash join — so in a
+  * two-relation probe the caller must pass the SMALLER relation as
+  * `right` (an increment probing a corpus index builds over the
+  * increment, never the corpus). In the self-join case the hint
+  * additionally keeps both sides as shuffle exchanges over the same
+  * child plan, so Spark's exchange reuse evaluates the banded
+  * projection once instead of once-per-side (a broadcast side would
+  * duplicate it).
   */
 private[graft] object BandedJoins {
 
@@ -37,7 +42,8 @@ private[graft] object BandedJoins {
     * space — `x.id < y.id` for a self-join's ordered pairs,
     * `x.id =!= y.id` for disjoint-side probes where only the
     * degenerate self-pair must be excluded. Output columns are the
-    * caller's `outCols` over the `x`/`y` aliases.
+    * caller's `outCols` over the `x`/`y` aliases. `right` is the
+    * hash-join build side — pass the smaller relation there.
     */
   def emitOnce(left: DataFrame, right: DataFrame, bandCol: String,
     keyCol: String, sigsCol: String, extra: Column,

@@ -87,16 +87,10 @@ object Relational {
       .parquet(path)
     // the shard count is part of the layout, not the caller's memory: a
     // lookup with a mismatched count would probe a non-existent shard
-    // directory and silently return empty. The marker goes through the
-    // SAME Hadoop filesystem as the data (underscore prefix = ignored
-    // by parquet listing), so hdfs:///s3a:// layout paths work exactly
-    // like local ones — java.nio here would break every non-local URI
-    // the cluster-scale story depends on.
-    val marker = new org.apache.hadoop.fs.Path(path, "_graft_shards")
-    val fs = marker.getFileSystem(
-      df.sparkSession.sessionState.newHadoopConf())
-    val out = fs.create(marker, true)
-    try out.write(shards.toString.getBytes("UTF-8")) finally out.close()
+    // directory and silently return empty (marker mechanics — Hadoop
+    // FS, underscore prefix — documented on graft.sources.Markers)
+    graft.sources.Markers.write(df.sparkSession, path, "_graft_shards",
+      shards.toString)
   }
 
   /** Point lookup against a [[writePointLayout]] silver copy: the shard
@@ -112,12 +106,8 @@ object Relational {
     * PlanAuditSpec for both long and string keys). */
   def pointLookupClustered(spark: SparkSession, path: String, key: String,
     value: Any): DataFrame = {
-    val marker = new org.apache.hadoop.fs.Path(path, "_graft_shards")
-    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    val in = fs.open(marker)
     val shards =
-      try new String(in.readAllBytes(), "UTF-8").trim.toInt
-      finally in.close()
+      graft.sources.Markers.read(spark, path, "_graft_shards").toInt
     val base = spark.read.parquet(path)
     // xxhash64 is TYPE-sensitive (an int and a long with equal values
     // hash differently), so the literal is cast to the stored column's
@@ -152,42 +142,16 @@ object Relational {
   /** One silver point-layout per (JVM, sf-dir), in a temp dir removed
     * on exit — same lifecycle discipline as the sink roundtrip dir
     * (concurrent processes get distinct dirs; repeated invocations in
-    * one process reuse the built layout). The map holds a LAZY builder,
-    * not the build itself: `computeIfAbsent` mapping functions must be
-    * short (they run under the bin lock), and the multi-second layout
-    * write would otherwise block unrelated map access; the `lazy val`
-    * still guarantees exactly-one build per dir, serialized on the
-    * holder, outside the map lock. */
-  private final class SilverLayout(spark0: SparkSession, d: String) {
-    private var spark: SparkSession = spark0
-    lazy val path: String = {
-      val p = graft.sources.TempDirs.scratchDir("graft_point_silver")
-      writePointLayout(Tables.customer(spark, d), "c_custkey",
-        p.toString, shards = 8)
-      // release the captured session once the build completes — the
-      // holder outlives it (JVM lifetime), the session need not
-      // (ADVICE r5)
-      spark = null
-      p.toString
-    }
-  }
-  private val silverCache =
-    new java.util.concurrent.ConcurrentHashMap[String, SilverLayout]()
-  /** CONTRACT (ADVICE r5): the source parquet under `dir` is immutable
-    * for the JVM's lifetime — the cache is keyed by directory, so an
-    * in-process rewrite of the source would keep serving the stale
-    * layout. That matches the testdata dirs (driver-written, read-only)
-    * and the production posture (a silver layout is rebuilt by the
-    * ingest job that rewrites the source, not by readers). */
-  private def silverLayoutFor(spark: SparkSession, dir: String): String = {
-    val holder = silverCache.computeIfAbsent(dir,
-      d => new SilverLayout(spark, d))
-    // a FAILED build must not poison the cache: the holder (and the
-    // session it captured) is dropped so the next caller retries with
-    // its own live session instead of re-hitting a dead one forever
-    try holder.path
-    catch { case e: Throwable => silverCache.remove(dir, holder); throw e }
-  }
+    * one process reuse the built layout). [[FitCache]] carries the
+    * lazy-holder, failed-fit-eviction, and immutable-source contract. */
+  private val silverCache = new FitCache[String]((s, d) => {
+    val p = graft.sources.TempDirs.scratchDir("graft_point_silver")
+    writePointLayout(Tables.customer(s, d), "c_custkey",
+      p.toString, shards = 8)
+    p.toString
+  })
+  private def silverLayoutFor(spark: SparkSession, dir: String): String =
+    silverCache.get(spark, dir)
 
   /** S3/P4 — server-side filtered search with conjunctive predicates
     * (name + gender + birthdate>, /root/reference/src/coding_task_1.py:64-83).

@@ -219,11 +219,8 @@ object TextOps {
       .write.mode("overwrite").parquet(outPath)
     val r = spark.read.parquet(outPath).agg(avg(col("n_sh"))).collect()(0)
     val jb = !r.isNullAt(0) && r.getDouble(0) > joinBackShingleThreshold
-    val marker = new org.apache.hadoop.fs.Path(outPath, "_graft_layout")
-    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(marker, true)
-    try out.write((if (jb) "joinback" else "carried").getBytes("UTF-8"))
-    finally out.close()
+    graft.sources.Markers.write(spark, outPath, "_graft_layout",
+      if (jb) "joinback" else "carried")
     MinHashIndex(jb, outPath)
   }
 
@@ -231,46 +228,26 @@ object TextOps {
     * layout decision comes off the `_graft_layout` marker, so a second
     * session (or JVM) probes the published index without refitting.
     * Self-containment is spec-pinned mirroring ivfFit's
-    * persisted-load equivalence test. */
+    * persisted-load equivalence test. A corrupt or foreign marker
+    * FAILS LOUDLY — silently defaulting a long-document corpus to the
+    * carried layout would ship 16× full-shingle shuffle payloads with
+    * no visible error. */
   private[graft] def loadMinhashIndex(spark: SparkSession,
     path: String): MinHashIndex = {
-    val marker = new org.apache.hadoop.fs.Path(path, "_graft_layout")
-    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    val in = fs.open(marker)
-    val layout = try new String(in.readAllBytes(), "UTF-8").trim
-    finally in.close()
+    val layout = graft.sources.Markers.read(spark, path, "_graft_layout")
+    require(layout == "joinback" || layout == "carried",
+      s"$path/_graft_layout holds '$layout', not a minhashFit layout " +
+        "marker — not a published MinHash index?")
     MinHashIndex(layout == "joinback", path)
   }
 
-  /** One fitted index per (JVM, corpus dir), lazy-holder pattern (the
-    * multi-second fit must not run under the ConcurrentHashMap bin
-    * lock; a failed fit is removed so it cannot poison the cache with a
-    * dead captured session). Contract: the source parquet under `dir`
-    * is immutable for the JVM's lifetime — rewriting it in-process
-    * would keep serving the stale index, exactly like
-    * [[graft.operators.Relational.qPointLookupSilver]]'s silver layout. */
-  private final class FittedMinHash(spark0: SparkSession, d: String) {
-    private var spark: SparkSession = spark0
-    lazy val index: MinHashIndex = {
-      val s = spark
-      val p = graft.sources.TempDirs
-        .scratchDir("graft_minhash_index").toString
-      val idx = minhashFit(s, Tables.documents(s, d), p)
-      // release the captured session once the build is done — the
-      // holder lives for the JVM, the session need not (ADVICE r5)
-      spark = null
-      idx
-    }
-  }
-  private val fittedMinhash =
-    new java.util.concurrent.ConcurrentHashMap[String, FittedMinHash]()
+  /** One fitted index per (JVM, corpus dir) — [[FitCache]] carries the
+    * lazy-holder/failed-fit/immutable-source contract. */
+  private val fittedMinhash = new FitCache[MinHashIndex]((s, d) =>
+    minhashFit(s, Tables.documents(s, d),
+      graft.sources.TempDirs.scratchDir("graft_minhash_index").toString))
   private[graft] def minhashIndexFor(spark: SparkSession,
-    dir: String): MinHashIndex = {
-    val holder = fittedMinhash.computeIfAbsent(dir,
-      d => new FittedMinHash(spark, d))
-    try holder.index
-    catch { case e: Throwable => fittedMinhash.remove(dir, holder); throw e }
-  }
+    dir: String): MinHashIndex = fittedMinhash.get(spark, dir)
 
   /** The persisted signature frame of a fitted index:
     * (doc_id, shash, bsigs, n_sh). */
@@ -502,15 +479,21 @@ object TextOps {
     */
   private[graft] def incrementPairs(baseStaged: DataFrame,
     newStaged: DataFrame, joinBack: Boolean): DataFrame = {
+    // the increment goes on the RIGHT — emitOnce's SHUFFLE_HASH build
+    // side (round-8 review: hinting the corpus-sized base relation
+    // built per-partition hash maps over the whole index while
+    // streaming the ~0.1% increment, inverting the join's memory
+    // profile at exactly the scale this operator exists for); id_a is
+    // the new-side id, id_b the base-side id
     val crossOut =
       if (joinBack)
-        Seq(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        Seq(col("y.doc_id").as("id_a"), col("x.doc_id").as("id_b"))
       else
-        Seq(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-          col("x.shash").as("sa"), col("y.shash").as("sb"))
+        Seq(col("y.doc_id").as("id_a"), col("x.doc_id").as("id_b"),
+          col("y.shash").as("sa"), col("x.shash").as("sb"))
     val crossCands = BandedJoins.emitOnce(
-      bandedRows(newStaged, carry = !joinBack),
       bandedRows(baseStaged, carry = !joinBack),
+      bandedRows(newStaged, carry = !joinBack),
       "band", "bhash", "bsigs",
       col("x.doc_id") =!= col("y.doc_id"), crossOut)
     val cross =
@@ -561,34 +544,25 @@ object TextOps {
   private[graft] case class DedupState(index: MinHashIndex,
     labelsPath: String)
 
-  private final class FittedDedupState(spark0: SparkSession, d: String) {
-    private var spark: SparkSession = spark0
-    lazy val state: DedupState = {
-      val s = spark
-      val idx = minhashFit(s,
-        Tables.documents(s, d).filter(!isIncrementDoc),
-        graft.sources.TempDirs.scratchDir("graft_dedup_base_index").toString)
-      val basePairs =
-        if (idx.joinBack) pairsJoinBackStaged(stagedFrame(s, idx))
-        else pairsCarriedStaged(stagedFrame(s, idx))
-      val lp = graft.sources.TempDirs
-        .scratchDir("graft_dedup_base_labels").toString
-      Components.labelComponents(basePairs.select(col("id_a"), col("id_b")))
-        .write.mode("overwrite").parquet(lp)
-      spark = null
-      DedupState(idx, lp)
-    }
-  }
-  private val fittedDedupState =
-    new java.util.concurrent.ConcurrentHashMap[String, FittedDedupState]()
+  /** Fit-once cache of the base state per (JVM, corpus dir) —
+    * [[FitCache]] carries the lazy-holder/failed-fit/immutable-source
+    * contract. The fit is yesterday's nightly job: publish the base
+    * index, pair it against itself once, persist the label map. */
+  private val fittedDedupState = new FitCache[DedupState]((s, d) => {
+    val idx = minhashFit(s,
+      Tables.documents(s, d).filter(!isIncrementDoc),
+      graft.sources.TempDirs.scratchDir("graft_dedup_base_index").toString)
+    val basePairs =
+      if (idx.joinBack) pairsJoinBackStaged(stagedFrame(s, idx))
+      else pairsCarriedStaged(stagedFrame(s, idx))
+    val lp = graft.sources.TempDirs
+      .scratchDir("graft_dedup_base_labels").toString
+    Components.labelComponents(basePairs.select(col("id_a"), col("id_b")))
+      .write.mode("overwrite").parquet(lp)
+    DedupState(idx, lp)
+  })
   private[graft] def dedupStateFor(spark: SparkSession,
-    dir: String): DedupState = {
-    val holder = fittedDedupState.computeIfAbsent(dir,
-      d => new FittedDedupState(spark, d))
-    try holder.state
-    catch { case e: Throwable =>
-      fittedDedupState.remove(dir, holder); throw e }
-  }
+    dir: String): DedupState = fittedDedupState.get(spark, dir)
 
   /** Incremental near-dup clustering — the declared query: the ~20%
     * increment split ([[isIncrementDoc]]) is shingled fresh (it IS the

@@ -96,6 +96,7 @@ class StreamingBenchSpec extends SparkTestBase {
     val evs = sessionEvents.map(e =>
       Ev(e.event_id, e.ts, e.user_id, if (e.event_id % 3 == 0) "click"
         else "view"))
+    var emitted = 0L
     def measure(): Double = {
       val name = s"stream_bench_tumbling_${attempt.incrementAndGet()}"
       val input = MemoryStream[Ev](spark)
@@ -109,11 +110,16 @@ class StreamingBenchSpec extends SparkTestBase {
         }
       } finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
+      emitted = spark.table(name).count()
       info(f"tumblingCounts: ${n / secs}%.0f rows/s " +
         f"($n rows in $secs%.2f s)")
       n / secs
     }
     val rps = bestOfTwo(measure _)
     assertFloor(rps, "tumbling-window aggregation")
+    // structural assert independent of the gated floor: the stream must
+    // actually close and emit windows, or the measurement is vacuous
+    assert(emitted > 0,
+      "bench stream emitted no closed windows — watermark never advanced")
   }
 }

@@ -210,6 +210,27 @@ class TextOpsSpec extends SparkTestBase {
     assert(paths.forall(p => p.contains(st.index.stagedPath) ||
       p.contains(newIdx.stagedPath)),
       s"probe plan scanned outside the published artifacts: $paths")
+    // build-side audit (round-8 review): the cross probe's hash join
+    // must BUILD over the increment and stream the corpus-sized index —
+    // the inverse OOMs executors at the scale this operator exists for
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    def shjs(p: SparkPlan): Seq[ShuffledHashJoinExec] = p match {
+      case a: AdaptiveSparkPlanExec => shjs(a.executedPlan)
+      case q: QueryStageExec => shjs(q.plan)
+      case j: ShuffledHashJoinExec => j +: j.children.flatMap(shjs)
+      case other => other.children.flatMap(shjs)
+    }
+    val joins = shjs(probe.queryExecution.executedPlan)
+    assert(joins.nonEmpty)
+    joins.foreach(j => assert(j.buildSide == BuildRight))
+    def scansOf(j: ShuffledHashJoinExec, path: String) =
+      fileScans(j.right).exists(_.relation.location.rootPaths
+        .exists(_.toString.contains(path)))
+    val cross = joins.filter(scansOf(_, newIdx.stagedPath))
+    assert(cross.nonEmpty, "no join builds over the increment staging")
+    cross.foreach(j => assert(!scansOf(j, st.index.stagedPath),
+      "cross probe builds its hash map over the corpus-sized index"))
   }
 
   test("minhash index: a persisted fit loads self-contained from its path") {
