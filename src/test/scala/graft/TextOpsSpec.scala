@@ -189,9 +189,15 @@ class TextOpsSpec extends SparkTestBase {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{
       AdaptiveSparkPlanExec, QueryStageExec}
+    // ReusedExchangeExec is a LEAF pointing at another subtree's
+    // exchange — without resolving it through `child`, a join side can
+    // report zero visible scans and the audit below would silently
+    // inspect the wrong join (round-8 review follow-up)
     def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
       case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
       case q: QueryStageExec => fileScans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        fileScans(r.child)
       case f: FileSourceScanExec => Seq(f)
       case other => other.children.flatMap(fileScans)
     }
@@ -223,14 +229,22 @@ class TextOpsSpec extends SparkTestBase {
     }
     val joins = shjs(probe.queryExecution.executedPlan)
     assert(joins.nonEmpty)
-    joins.foreach(j => assert(j.buildSide == BuildRight))
-    def scansOf(j: ShuffledHashJoinExec, path: String) =
-      fileScans(j.right).exists(_.relation.location.rootPaths
+    def scansPath(p: SparkPlan, path: String) =
+      fileScans(p).exists(_.relation.location.rootPaths
         .exists(_.toString.contains(path)))
-    val cross = joins.filter(scansOf(_, newIdx.stagedPath))
-    assert(cross.nonEmpty, "no join builds over the increment staging")
-    cross.foreach(j => assert(!scansOf(j, st.index.stagedPath),
-      "cross probe builds its hash map over the corpus-sized index"))
+    // locate the cross join by the side that CANNOT move: the base
+    // index scan (the within self-join never touches it) — then pin
+    // the index to the stream side and the increment to the build side
+    val cross = joins.filter(j => scansPath(j, st.index.stagedPath))
+    assert(cross.nonEmpty, "no join touches the base index — plan shape changed?")
+    cross.foreach { j =>
+      assert(j.buildSide == BuildRight)
+      assert(scansPath(j.left, st.index.stagedPath) &&
+        !scansPath(j.right, st.index.stagedPath),
+        "cross probe must STREAM the corpus-sized index")
+      assert(scansPath(j.right, newIdx.stagedPath),
+        "cross probe must BUILD over the increment staging")
+    }
   }
 
   test("minhash index: a persisted fit loads self-contained from its path") {
