@@ -96,6 +96,7 @@ object SparkEntry {
     "q_dedup_embed"     -> (Vectors.qDedupEmbed _),
     "q_dedup_embed_lsh" -> (Vectors.qDedupEmbedLsh _),
     "q_dedup_embed_clusters" -> (Vectors.qDedupEmbedClusters _),
+    "q_dedup_embed_incremental" -> (Vectors.qDedupEmbedIncremental _),
     "q_ann_ivf"         -> (Vectors.qAnnIvf _),
     // M5 — multimodal binary columns
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
@@ -162,6 +163,37 @@ object SparkEntry {
       |SELECT node AS doc_id, min(r) AS cluster_id,
       |       (min(r) = node) AS is_kept
       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
+  /** Full-corpus embedding near-dup cluster reachability SQL (exact
+    * ≥0.8-cosine pair graph) — the oracle for both the batch embedding
+    * clustering query and its incremental twin. */
+  private val embedClustersOracle: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_transform(v, x -> x * x),
+      |         (a, b) -> a + b)) AS nrm
+      |  FROM base),
+      |un AS (
+      |  SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+      |jp AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM un a, un b
+      |  WHERE a.vec_id < b.vec_id
+      |    AND list_reduce(list_transform(list_zip(a.u, b.u),
+      |        p -> p[1] * p[2]), (x, y) -> x + y) >= 0.8),
+      |e AS (SELECT id_a AS a, id_b AS b FROM jp
+      |      UNION ALL SELECT id_b, id_a FROM jp),
+      |reach AS (
+      |  SELECT vec_id AS node, vec_id AS r FROM embeddings
+      |  UNION
+      |  SELECT e.a, reach.r FROM reach JOIN e ON reach.node = e.b)
+      |SELECT node AS vec_id, min(r) AS cluster_id,
+      |       (min(r) = node) AS is_kept
+      |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->
@@ -686,33 +718,12 @@ object SparkEntry {
     // banded graph — both paths correctly yield all-kept singletons, and
     // any spurious LSH pair or dropped vector breaks the hash compare.
     // Planted ≥0.9 clusters + union-find parity live in VectorsSpec.
-    "q_dedup_embed_clusters" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT vec_id,
-        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |n AS (
-        |  SELECT vec_id, v,
-        |    sqrt(list_reduce(list_transform(v, x -> x * x),
-        |         (a, b) -> a + b)) AS nrm
-        |  FROM base),
-        |un AS (
-        |  SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
-        |jp AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM un a, un b
-        |  WHERE a.vec_id < b.vec_id
-        |    AND list_reduce(list_transform(list_zip(a.u, b.u),
-        |        p -> p[1] * p[2]), (x, y) -> x + y) >= 0.8),
-        |e AS (SELECT id_a AS a, id_b AS b FROM jp
-        |      UNION ALL SELECT id_b, id_a FROM jp),
-        |reach AS (
-        |  SELECT vec_id AS node, vec_id AS r FROM embeddings
-        |  UNION
-        |  SELECT e.a, reach.r FROM reach JOIN e ON reach.node = e.b)
-        |SELECT node AS vec_id, min(r) AS cluster_id,
-        |       (min(r) = node) AS is_kept
-        |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
+    "q_dedup_embed_clusters" -> embedClustersOracle,
+    // q_dedup_embed_incremental: same contract as the text modality's
+    // incremental query — probing the increment against the base index
+    // and extending the base labels must equal a full recompute, so
+    // the oracle is the identical full-corpus reachability SQL.
+    "q_dedup_embed_incremental" -> embedClustersOracle,
     "q_cosine_topk" ->
       """WITH base AS (
         |  SELECT vec_id,

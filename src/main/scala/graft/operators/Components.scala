@@ -93,6 +93,26 @@ object Components {
     labels
   }
 
+  /** A finished label map re-expressed as edges: each non-representative
+    * node points at its component's representative — a star graph that
+    * preserves exactly the base pair-graph's connectivity (and node
+    * set) in O(nodes) edges. Union these with an increment's pairs and
+    * one [[labelComponents]] pass over the DUP-SET-sized graph extends
+    * yesterday's labels: components merged by a bridging new document
+    * collapse to the merged min id, untouched components keep their
+    * labels, and no old-vs-old pair is ever recomputed. Shared by the
+    * text and embedding incremental-dedup paths. */
+  private[graft] def starEdges(labels: DataFrame): DataFrame =
+    labels.filter(col("node_id") =!= col("cluster_id"))
+      .select(col("node_id").as("id_a"), col("cluster_id").as("id_b"))
+
+  /** Extend a base label map with an increment's near-dup pairs:
+    * propagation over star edges ∪ increment pairs only. */
+  private[graft] def extendLabels(baseLabels: DataFrame,
+    incPairs: DataFrame): DataFrame =
+    labelComponents(starEdges(baseLabels)
+      .unionByName(incPairs.select(col("id_a"), col("id_b"))))
+
   /** Join a finished label map against the full corpus id set: every id
     * gets its component's min id as `cluster_id` (singletons default to
     * themselves) and `is_kept` = is-the-canonical-representative — the

@@ -512,25 +512,6 @@ object TextOps {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
   }
 
-  /** A finished label map re-expressed as edges: each non-representative
-    * node points at its component's representative — a star graph that
-    * preserves exactly the base pair-graph's connectivity (and node
-    * set) in O(nodes) edges. Union these with an increment's pairs and
-    * one [[Components.labelComponents]] pass over the DUP-SET-sized
-    * graph extends yesterday's labels: components merged by a bridging
-    * new document collapse to the merged min id, untouched components
-    * keep their labels, and no old-vs-old pair is ever recomputed. */
-  private[graft] def starEdges(labels: DataFrame): DataFrame =
-    labels.filter(col("node_id") =!= col("cluster_id"))
-      .select(col("node_id").as("id_a"), col("cluster_id").as("id_b"))
-
-  /** Extend a base label map with an increment's near-dup pairs:
-    * propagation over star edges ∪ increment pairs only. */
-  private[graft] def extendLabels(baseLabels: DataFrame,
-    incPairs: DataFrame): DataFrame =
-    Components.labelComponents(starEdges(baseLabels)
-      .unionByName(incPairs.select(col("id_a"), col("id_b"))))
-
   /** The deterministic corpus split the declared incremental query
     * simulates a nightly increment with: ~20% of documents (by doc_id
     * hash — stable across partitionings) arrive as "tonight's crawl",
@@ -588,7 +569,7 @@ object TextOps {
     val inc = incrementPairs(stagedFrame(spark, st.index), newStaged,
       st.index.joinBack)
     Components.flagCorpus(docs, "doc_id",
-      extendLabels(spark.read.parquet(st.labelsPath), inc))
+      Components.extendLabels(spark.read.parquet(st.labelsPath), inc))
   }
 
   /** Per-document quality statistics for corpus filtering: token count,

@@ -317,19 +317,32 @@ object Vectors {
     * reuse evaluates the banded projection once instead of
     * once-per-side (a broadcast side would duplicate it).
     */
-  private def lshCandidatePairs(u: DataFrame): DataFrame = {
-    val sigExpr = graft.functions.VectorFunctions
-      .lshBandSigs(col("u"), lshPlanes(), lshBandBits)
-    val banded = u
-      .withColumn("sigs", sigExpr)
-      .select(col("vec_id"), col("u"), col("sigs"),
-        posexplode(col("sigs")).as(Seq("band", "band_sig")))
-    // Candidates via the shared emit-once banded self-join (r5 verdict
-    // item 3 — one construction for both LSH modalities; cost model
-    // documented on [[graft.operators.BandedJoins.emitOnce]]): the
-    // "first colliding band" predicate makes each pair's emission
-    // unique by construction, so no global dropDuplicates shuffle is
-    // needed afterwards.
+  /** Signature staging of a (vec_id, u) unit-vector frame:
+    * (vec_id, u, sigs) — the embedding analog of the text path's
+    * shingled+banded staged frame, and the shape the embedding dedup
+    * index persists. */
+  private[graft] def stageVectors(u: DataFrame): DataFrame =
+    u.select(col("vec_id"), col("u"), graft.functions.VectorFunctions
+      .lshBandSigs(col("u"), lshPlanes(), lshBandBits).as("sigs"))
+
+  /** One row per (vector, band) with the band's bucket key, the full
+    * signature array (for the emit-once predicate), and the unit
+    * vector riding along for the verify stage. */
+  private def bandedVecs(staged: DataFrame): DataFrame =
+    staged.select(col("vec_id"), col("u"), col("sigs"),
+      posexplode(col("sigs")).as(Seq("band", "band_sig")))
+
+  private def lshCandidatePairs(u: DataFrame): DataFrame =
+    lshCandidatePairsStaged(stageVectors(u))
+
+  /** Candidates via the shared emit-once banded self-join (r5 verdict
+    * item 3 — one construction for both LSH modalities; cost model
+    * documented on [[graft.operators.BandedJoins.emitOnce]]): the
+    * "first colliding band" predicate makes each pair's emission
+    * unique by construction, so no global dropDuplicates shuffle is
+    * needed afterwards. */
+  private def lshCandidatePairsStaged(staged: DataFrame): DataFrame = {
+    val banded = bandedVecs(staged)
     BandedJoins.emitOnce(banded, banded, "band", "band_sig", "sigs",
       col("x.vec_id") < col("y.vec_id"),
       Seq(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
@@ -375,10 +388,100 @@ object Vectors {
     * by the declared pair query and the clustering query (which must
     * not inherit a useless pre-join sort). */
   private[graft] def lshVerifiedPairs(u: DataFrame): DataFrame =
-    lshCandidatePairs(u)
+    verifyCosine(lshCandidatePairs(u))
+
+  /** Same, over an already-staged (vec_id, u, sigs) frame — the shape
+    * the embedding dedup index serves. */
+  private[graft] def lshVerifiedPairsStaged(staged: DataFrame): DataFrame =
+    verifyCosine(lshCandidatePairsStaged(staged))
+
+  /** Verify stage shared by the batch and incremental paths: exact
+    * cosine on the carried unit vectors, thresholded at
+    * [[lshCosineThreshold]]. */
+  private def verifyCosine(cands: DataFrame): DataFrame =
+    cands
       .withColumn("cosine", dot(col("ua"), col("ub")))
       .filter(col("cosine") >= lshCosineThreshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+
+  /** INCREMENTAL embedding near-dup pairs — the embedding twin of
+    * [[graft.operators.TextOps.incrementPairs]] (nightly-sync posture):
+    * NEW vectors band+probe the published base index's buckets
+    * (new-vs-old) plus the ordinary emit-once self-join within the
+    * increment (new-vs-new); old-vs-old pairs are never recomputed.
+    * The increment rides the SHUFFLE_HASH build side (emitOnce's
+    * `right`); the corpus-sized index streams. Contract: increment
+    * vec_ids are disjoint from the base's; output orientation is
+    * normalized (id_a < id_b) to line up with the full-recompute path.
+    * Unit vectors are carried on both sides — an embedding row is a
+    * fixed 64 doubles, so unlike the text path there is no long-tail
+    * payload to justify a join-back layout. */
+  private[graft] def embedIncrementPairs(baseStaged: DataFrame,
+    newStaged: DataFrame): DataFrame = {
+    val cross = BandedJoins.emitOnce(
+      bandedVecs(baseStaged), bandedVecs(newStaged),
+      "band", "band_sig", "sigs",
+      col("x.vec_id") =!= col("y.vec_id"),
+      Seq(col("y.vec_id").as("id_a"), col("x.vec_id").as("id_b"),
+        col("y.u").as("ua"), col("x.u").as("ub")))
+    verifyCosine(cross).unionByName(lshVerifiedPairsStaged(newStaged))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cosine"))
+  }
+
+  /** Fitted embedding-dedup base state: the base split's staged
+    * signature parquet plus its finished label map — yesterday's
+    * nightly artifacts, fitted once per (JVM, dir) via [[FitCache]]. */
+  private[graft] case class EmbedDedupState(stagedPath: String,
+    labelsPath: String)
+
+  /** Incremented on every embedding base-state fit — lets the spec
+    * assert warm declared invocations never re-fit. */
+  private[graft] val embedFitInvocations =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The deterministic split the declared incremental query simulates
+    * a nightly increment with (~20% of vectors by id hash). */
+  private[graft] def isIncrementVec: Column =
+    pmod(xxhash64(col("vec_id")), lit(5)) === 0
+
+  private val fittedEmbedState = new FitCache[EmbedDedupState]((s, d) => {
+    embedFitInvocations.incrementAndGet()
+    val sp = graft.sources.TempDirs
+      .scratchDir("graft_embed_base_index").toString
+    stageVectors(unit(s, d).filter(!isIncrementVec))
+      .write.mode("overwrite").parquet(sp)
+    val lp = graft.sources.TempDirs
+      .scratchDir("graft_embed_base_labels").toString
+    Components.labelComponents(lshVerifiedPairsStaged(s.read.parquet(sp))
+      .select(col("id_a"), col("id_b")))
+      .write.mode("overwrite").parquet(lp)
+    EmbedDedupState(sp, lp)
+  })
+  private[graft] def embedDedupStateFor(spark: SparkSession,
+    dir: String): EmbedDedupState = fittedEmbedState.get(spark, dir)
+
+  /** Incremental embedding near-dup clustering — the declared query:
+    * the ~20% increment is normalized+signed fresh (it IS the new
+    * data), probed against the base split's published index, and the
+    * base label map extends via [[Components.extendLabels]]' star
+    * edges. Output shape and ORACLE match [[qDedupEmbedClusters]]:
+    * increment ∪ base must equal a full recompute, checked by the same
+    * exact-reachability SQL over the whole corpus (empty pair graph on
+    * the driver's testdata — planted pairs sit at cosine 0.50–0.60 —
+    * so all-kept singletons must hash-match; the populated-graph
+    * behavior is pinned on planted ≥0.9-cosine cross-split clusters in
+    * VectorsSpec). */
+  def qDedupEmbedIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val st = embedDedupStateFor(spark, dir)
+    val all = unit(spark, dir)
+    val newStaged = stageVectors(all.filter(isIncrementVec))
+      .localCheckpoint(true)
+    val inc = embedIncrementPairs(spark.read.parquet(st.stagedPath),
+      newStaged)
+    Components.flagCorpus(all, "vec_id",
+      Components.extendLabels(spark.read.parquet(st.labelsPath), inc))
+  }
 
   /** LSH-bucketed embedding near-dup — the scale path for
     * [[qDedupEmbed]] (same exact-baseline / banded-scale pairing as the

@@ -157,7 +157,7 @@ class TextOpsSpec extends SparkTestBase {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
     val incremental = rows(Components.flagCorpus(all, "doc_id",
-      TextOps.extendLabels(baseLabels, incPairs)))
+      Components.extendLabels(baseLabels, incPairs)))
     assert(incremental == rows(TextOps.dedupClusters(all)))
     // and the structure is the one planted, not vacuous agreement
     val m = incremental.map(r => r._1 -> r._2).toMap

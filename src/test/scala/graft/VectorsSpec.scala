@@ -361,4 +361,84 @@ class VectorsSpec extends SparkTestBase {
     // the second copies really chain through the base (3-node clusters)
     assert(got.count(!_._3) > 60)
   }
+
+  test("embedding incremental dedup equals a full recompute with cross-split merges") {
+    import spark.implicits._
+    import graft.operators.Components
+    // DISJOINT coordinate blocks per planted group, so every
+    // cross-group cosine is EXACTLY 0 and the expected structure is
+    // provable (a sin-phase generator here produced accidental ≥0.8
+    // cosines between unrelated ids — cos(997·Δid) correlation):
+    // 16 base clusters {i, 1000+i} on axes (3i, 3i+1); increment
+    // 2000+i extends each on axis 3i+2; two base endpoints at cosine
+    // EXACTLY 0.65 (separate base components) merged by a new midpoint
+    // vector; a new-only pair; one singleton per split.
+    def axis(a: Int, scale: Double = 1.0): Array[Double] =
+      Array.tabulate(64)(j => if (j == a) scale else 0.0)
+    def mix(a: Array[Double], b: Array[Double]): Array[Double] =
+      a.zip(b).map { case (x, y) => x + y }
+    def unitize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val v1 = axis(48)
+    val v2 = mix(axis(48, 0.65), axis(49, math.sqrt(1 - 0.65 * 0.65)))
+    val bridge = unitize(mix(v1, v2)) // cosine ≈0.908 to each endpoint
+    val baseRows =
+      (0 until 16).map(i => (i.toLong, axis(3 * i))) ++
+      (0 until 16).map(i =>
+        (1000L + i, mix(axis(3 * i), axis(3 * i + 1, 0.3)))) ++
+      Seq((300L, v1), (301L, v2), (500L, axis(52)))
+    val incRows =
+      (0 until 16).map(i =>
+        (2000L + i, mix(axis(3 * i), axis(3 * i + 2, 0.3)))) ++
+      Seq((2300L, bridge),
+        (2400L, axis(50)), (2401L, mix(axis(50), axis(51, 0.3))),
+        (2500L, axis(53)))
+    def frame(rows: Seq[(Long, Array[Double])]) =
+      rows.map { case (id, v) => (id, unitize(v).toSeq) }
+        .toDF("vec_id", "u")
+    val baseU = frame(baseRows)
+    val incU = frame(incRows)
+    // yesterday's artifacts: staged base signatures + base label map
+    val sp = java.nio.file.Files
+      .createTempDirectory("graft_embed_inc_idx").toString
+    Vectors.stageVectors(baseU).write.mode("overwrite").parquet(sp)
+    val baseStaged = spark.read.parquet(sp)
+    val baseLabels = Components.labelComponents(
+      Vectors.lshVerifiedPairsStaged(baseStaged)
+        .select(col("id_a"), col("id_b"))).localCheckpoint(true)
+    // tonight: stage ONLY the increment, probe, extend
+    val newStaged = Vectors.stageVectors(incU).localCheckpoint(true)
+    val incPairs = Vectors.embedIncrementPairs(baseStaged, newStaged)
+    val allU = baseU.unionByName(incU)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val incremental = rows(Components.flagCorpus(allU, "vec_id",
+      Components.extendLabels(baseLabels, incPairs)))
+    assert(incremental == rows(Vectors.embedClusters(allU)))
+    // planted structure, not vacuous agreement
+    val m = incremental.map(r => r._1 -> r._2).toMap
+    assert(m(300L) == 300L && m(301L) == 300L && m(2300L) == 300L,
+      "bridge vector must merge the two sub-threshold base endpoints")
+    (0 until 16).foreach { i =>
+      assert(m(i.toLong) == i && m(1000L + i) == i && m(2000L + i) == i)
+    }
+    assert(m(2400L) == 2400L && m(2401L) == 2400L) // new-only cluster
+    assert(m(500L) == 500L && m(2500L) == 2500L)   // singletons
+  }
+
+  test("q_dedup_embed_incremental: warm runs never re-fit; equals full recompute") {
+    Vectors.qDedupEmbedIncremental(spark, sfDir).collect()
+    val fits = Vectors.embedFitInvocations.get()
+    assert(fits >= 1)
+    val warm = Vectors.qDedupEmbedIncremental(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(Vectors.embedFitInvocations.get() == fits,
+      "warm incremental invocation re-fitted the base state")
+    // the oracle contract, asserted engine-side too: incremental ==
+    // full-recompute declared clustering
+    val full = Vectors.qDedupEmbedClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(warm == full && warm.nonEmpty)
+  }
 }
