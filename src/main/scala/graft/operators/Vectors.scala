@@ -295,32 +295,13 @@ object Vectors {
     Seq.fill(lshBands * lshBandBits)(Seq.fill(64)(rnd.nextGaussian()))
   }
 
-  /** Candidate pairs sharing ≥1 LSH band bucket, over any (vec_id, u)
-    * unit-vector frame. Each row computes all 16 band signatures in one
-    * fused codegen'd expression ([[graft.functions.LshBandSignatures]] —
-    * a single JIT-able nested loop; 128 separate dot columns generated a
-    * method past HotSpot's 8 KB JIT limit and ran interpreted), explodes
-    * to (vec_id, band, band_sig), and candidates come from the
-    * (band, band_sig) equi-join — the same banded shape as the MinHash
-    * text path. At scale the bucket width is the knob: expected bucket
-    * size is n/2^bits, so bits grows like log₂(n) to keep buckets O(1).
-    */
-  /** Candidate pairs (with both unit vectors carried through) from the
-    * banded (band, band_sig) equi-join. Carrying `u` in the banded rows
-    * means the verify stage needs no join-back to the corpus — the dot
-    * runs directly on the join output. The 16× vector replication
-    * through the shuffle is the standard LSH similarity-join layout
-    * (band count × vector bytes per row); the alternative — candidates
-    * then two corpus re-joins — costs two more stages and re-evaluates
-    * the normalized corpus. The SHUFFLE_HASH hint keeps both sides as
-    * shuffle exchanges over the *same* child plan, so Spark's exchange
-    * reuse evaluates the banded projection once instead of
-    * once-per-side (a broadcast side would duplicate it).
-    */
   /** Signature staging of a (vec_id, u) unit-vector frame:
     * (vec_id, u, sigs) — the embedding analog of the text path's
     * shingled+banded staged frame, and the shape the embedding dedup
-    * index persists. */
+    * index persists. All 16 band signatures come from one fused
+    * codegen'd expression ([[graft.functions.LshBandSignatures]] — a
+    * single JIT-able nested loop; 128 separate dot columns generated a
+    * method past HotSpot's 8 KB JIT limit and ran interpreted). */
   private[graft] def stageVectors(u: DataFrame): DataFrame =
     u.select(col("vec_id"), col("u"), graft.functions.VectorFunctions
       .lshBandSigs(col("u"), lshPlanes(), lshBandBits).as("sigs"))
@@ -340,7 +321,13 @@ object Vectors {
     * documented on [[graft.operators.BandedJoins.emitOnce]]): the
     * "first colliding band" predicate makes each pair's emission
     * unique by construction, so no global dropDuplicates shuffle is
-    * needed afterwards. */
+    * needed afterwards. Both unit vectors are CARRIED through the
+    * banded rows, so the verify stage needs no join-back to the
+    * corpus — the 16× vector replication through the shuffle is the
+    * standard LSH similarity-join layout (band count × vector bytes
+    * per row); the alternative — bare-id candidates then two corpus
+    * re-joins — costs two more stages and re-evaluates the normalized
+    * corpus. */
   private def lshCandidatePairsStaged(staged: DataFrame): DataFrame = {
     val banded = bandedVecs(staged)
     BandedJoins.emitOnce(banded, banded, "band", "band_sig", "sigs",
