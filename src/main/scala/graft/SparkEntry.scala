@@ -74,6 +74,7 @@ object SparkEntry {
     // M3.5 — composed end-to-end pipelines (SURVEY §3 EP1/EP2; round-2 verdict)
     "q_pipeline_etl"     -> (Pipelines.qPipelineEtl _),
     "q_pipeline_caregap" -> (Pipelines.qPipelineCareGap _),
+    "q_pipeline_curation" -> (Pipelines.qPipelineCuration _),
     // M4 — time windows (SURVEY §2.9; streaming duals in graft.streaming)
     "q_window_tumbling" -> (Windowed.qWindowTumbling _),
     "q_session_gap"     -> (Windowed.qSessionGap _),
@@ -649,6 +650,69 @@ object SparkEntry {
     // the identical full-corpus reachability SQL; a missed cross pair
     // or a split merged component fails the hash compare loudly.
     "q_dedup_incremental" -> dedupClustersOracle,
+    // q_pipeline_curation: the composed curation dataflow — near-dup
+    // reachability (same CTE core as q_dedup_clusters) joined to the
+    // q_text_stats / q_lang_id expressions and thresholded into keep
+    // decisions; checks stage COMPOSITION, each stage's own parity is
+    // pinned by its standalone query.
+    "q_pipeline_curation" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(w) >= 3
+        |      THEN [array_to_string(w[i:i+2], ' ')
+        |            for i in range(1, len(w) - 1)]
+        |      ELSE [array_to_string(w, ' ')] END)) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |        FROM documents) t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |cp AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT id_a, id_b FROM cp
+        |  JOIN sz sa ON sa.doc_id = id_a
+        |  JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8),
+        |e AS (SELECT id_a AS a, id_b AS b FROM jp
+        |      UNION ALL SELECT id_b, id_a FROM jp),
+        |reach AS (
+        |  SELECT doc_id AS node, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.a, reach.r FROM reach JOIN e ON reach.node = e.b),
+        |cl AS (
+        |  SELECT node AS doc_id, min(r) AS cluster_id,
+        |         (min(r) = node) AS near_kept
+        |  FROM reach GROUP BY node),
+        |st AS (
+        |  SELECT doc_id,
+        |         len(w) AS n_tokens,
+        |         CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+        |         CAST(len(list_filter(w,
+        |           t -> t IN ('a', 'the', 'and', 'of', 'in')))
+        |           AS DOUBLE) / len(w) AS stop_ratio
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents) t),
+        |lang AS (
+        |  SELECT doc_id,
+        |    len(list_filter(w, t -> t IN ('the','a','and','of','is'))) AS s_en,
+        |    len(list_filter(w, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+        |    len(list_filter(w, t -> t IN ('le','la','et','est','un'))) AS s_fr
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |        FROM documents) t)
+        |SELECT st.doc_id, cl.cluster_id, cl.near_kept,
+        |       st.n_tokens, st.ttr, st.stop_ratio,
+        |       (st.n_tokens >= 25 AND st.stop_ratio >= 0.02
+        |         AND st.ttr >= 0.3) AS quality_ok,
+        |       CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |            WHEN s_de >= s_fr THEN 'de'
+        |            ELSE 'fr' END AS pred_lang,
+        |       (cl.near_kept AND st.n_tokens >= 25
+        |         AND st.stop_ratio >= 0.02 AND st.ttr >= 0.3) AS keep
+        |FROM st
+        |JOIN cl ON cl.doc_id = st.doc_id
+        |JOIN lang ON lang.doc_id = st.doc_id
+        |ORDER BY st.doc_id""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id, n_chars_actual, n_tokens, n_distinct,
         |       CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,

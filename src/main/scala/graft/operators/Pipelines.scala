@@ -119,6 +119,64 @@ object Pipelines {
     * recent keys shuffle), one shuffled left join on c_custkey, then
     * per-row expressions.
     */
+  /** EP3 — end-to-end LLM CORPUS CURATION as one declared plan: the
+    * composed dataflow a training-data pipeline actually ships, chaining
+    * the already-proven stages into per-document keep decisions with
+    * audit columns (the row a curation job filters on and the reasons a
+    * data-quality review needs):
+    *
+    *   near-dup keep/drop flags from the FITTED MinHash index
+    *   (banded pairs → shared Components propagation; exact duplicates
+    *   are subsumed — identical texts have identical shingle sets, so
+    *   J = 1 puts them in one cluster with one kept representative)
+    *   → per-document quality stats (token count, type-token ratio,
+    *     stopword ratio — q_text_stats' exact expressions) thresholded
+    *     into a quality gate (≥25 tokens, stop_ratio ≥ 0.02, ttr ≥ 0.3)
+    *   → language-ID (q_lang_id's scoring)
+    *   → keep = near-dup representative ∧ quality gate.
+    *
+    * Scale shape: the dedup flags reuse the published index (no
+    * re-shingle) and dup-set-sized propagation; stats and language are
+    * pure per-row codegen'd expressions on the single corpus pass; one
+    * corpus-keyed shuffle joins flags to stats. Every stage's parity
+    * with DuckDB is already pinned by its standalone query, so the
+    * composed oracle checks stage COMPOSITION (flag flow across the
+    * join, boolean gates over computed doubles), not re-derivations.
+    */
+  def qPipelineCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val near = Components.flagCorpus(docs, "doc_id",
+      Components.labelComponents(
+        TextOps.minhashPairsIndexed(spark, dir)
+          .select(col("id_a"), col("id_b"))))
+      .withColumnRenamed("is_kept", "near_kept")
+    val w = split(col("text"), " ")
+    val nTok = size(w)
+    val nDis = size(array_distinct(w))
+    val nStop = size(filter(w, t => t.isin("a", "the", "and", "of", "in")))
+    val lw = split(lower(col("text")), " ")
+    val sEn = size(filter(lw, t => t.isin("the", "a", "and", "of", "is")))
+    val sDe = size(filter(lw, t => t.isin("der", "die", "das", "und", "ist")))
+    val sFr = size(filter(lw, t => t.isin("le", "la", "et", "est", "un")))
+    docs
+      .select(col("doc_id"),
+        nTok.as("n_tokens"),
+        (nDis.cast("double") / nTok).as("ttr"),
+        (nStop.cast("double") / nTok).as("stop_ratio"),
+        when(sEn >= sDe && sEn >= sFr, lit("en"))
+          .when(sDe >= sFr, lit("de"))
+          .otherwise(lit("fr")).as("pred_lang"))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 25 && col("stop_ratio") >= 0.02 &&
+          col("ttr") >= 0.3)
+      .join(near, "doc_id")
+      .withColumn("keep", col("near_kept") && col("quality_ok"))
+      .select(col("doc_id"), col("cluster_id"), col("near_kept"),
+        col("n_tokens"), col("ttr"), col("stop_ratio"),
+        col("quality_ok"), col("pred_lang"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def qPipelineCareGap(spark: SparkSession, dir: String): DataFrame = {
     val recent = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp"))

@@ -78,6 +78,30 @@ class PipelinesSpec extends SparkTestBase {
     }
   }
 
+  test("q_pipeline_curation composes the proven stages into consistent keep decisions") {
+    val rows = Pipelines.qPipelineCuration(spark, sfDir).collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length.toLong == nDocs) // audit row per document
+    rows.foreach { r =>
+      val keep = r.getAs[Boolean]("keep")
+      assert(keep == (r.getAs[Boolean]("near_kept") &&
+        r.getAs[Boolean]("quality_ok")))
+      assert(r.getAs[Boolean]("quality_ok") ==
+        (r.getAs[Int]("n_tokens") >= 25 &&
+          r.getAs[Double]("stop_ratio") >= 0.02 &&
+          r.getAs[Double]("ttr") >= 0.3))
+    }
+    // the gate must split the corpus non-trivially, or the thresholds
+    // test nothing on this data
+    assert(rows.exists(_.getAs[Boolean]("keep")))
+    assert(rows.exists(!_.getAs[Boolean]("keep")))
+    // flag flow: near_kept agrees with the standalone clustering query
+    val standalone = graft.operators.TextOps.qDedupClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    rows.foreach(r => assert(
+      r.getAs[Boolean]("near_kept") == standalone(r.getAs[Long]("doc_id"))))
+  }
+
   test("golden: pipeline output chained through the parquet sink round-trips") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_pipeline_golden").toString
