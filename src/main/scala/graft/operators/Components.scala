@@ -122,6 +122,16 @@ object Components {
     */
   private[graft] def flagCorpus(ids: DataFrame, idCol: String,
     labels: DataFrame): DataFrame =
+    flagsUnsorted(ids, idCol, labels).orderBy(col(idCol))
+
+  /** [[flagCorpus]] without the final global sort — for composed
+    * pipelines that JOIN the flags downstream: the join's hash
+    * exchange destroys the ordering anyway. (Catalyst's EliminateSorts
+    * already drops an order-irrelevant sort under a join, so this is
+    * declaring the intent rather than trusting the optimizer rule to
+    * keep covering for a sort the plan never needed.) */
+  private[graft] def flagsUnsorted(ids: DataFrame, idCol: String,
+    labels: DataFrame): DataFrame =
     ids.select(col(idCol))
       .join(labels.withColumnRenamed("node_id", "l_id")
           .withColumnRenamed("cluster_id", "l_cl"),
@@ -130,5 +140,4 @@ object Components {
         coalesce(col("l_cl"), col(idCol)).as("cluster_id"))
       .select(col(idCol), col("cluster_id"),
         (col("cluster_id") === col(idCol)).as("is_kept"))
-      .orderBy(col(idCol))
 }

@@ -145,7 +145,8 @@ object Pipelines {
     */
   def qPipelineCuration(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val near = Components.flagCorpus(docs, "doc_id",
+    // unsorted flags: the doc_id join below re-shuffles anyway
+    val near = Components.flagsUnsorted(docs, "doc_id",
       Components.labelComponents(
         TextOps.minhashPairsIndexed(spark, dir)
           .select(col("id_a"), col("id_b"))))
