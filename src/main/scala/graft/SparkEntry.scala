@@ -102,6 +102,13 @@ object SparkEntry {
     // M5 — multimodal binary columns
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_frame_sample"    -> (Multimodal.qFrameSample _),
+    // M6 — corpus curation (split / sample / decontaminate / pack / mix)
+    "q_train_split"       -> (Curation.qTrainSplit _),
+    "q_sample_stratified" -> (Curation.qSampleStratified _),
+    "q_decontaminate"     -> (Curation.qDecontaminate _),
+    "q_repetition"        -> (Curation.qRepetition _),
+    "q_pack_sequences"    -> (Curation.qPackSequences _),
+    "q_corpus_mix"        -> (Curation.qCorpusMix _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -829,5 +836,75 @@ object SparkEntry {
         |     LATERAL (SELECT unnest(range(least(5, nb // 100 + 1)))
         |              AS frame_idx) f
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // M6 — corpus curation. Shared discipline with the Scala side: all
+    // assignment decisions (split/sample/shard) come from md5 hex
+    // prefixes of stable keys so the oracle — or any non-Spark consumer
+    // — reproduces them bit-for-bit.
+    "q_train_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'cd'
+        |         THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'e6'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split_name
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang),1,1) <
+        |      CASE WHEN lang = 'en' THEN '8' ELSE 'g' END
+        |ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(CASE WHEN len(toks) >= 8
+        |           THEN list_transform(generate_series(1, len(toks)-7),
+        |                  i -> array_to_string(toks[i:i+7],' '))
+        |           ELSE [array_to_string(toks,' ')] END) AS sh
+        |       FROM t),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+        |hit AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (sh)
+        |        WHERE s.doc_id % 10 <> 0)
+        |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+        |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, len(toks) AS n_tok,
+        |             len(list_distinct(toks)) AS n_uniq,
+        |             list_transform(generate_series(1, len(toks)-1),
+        |               i -> toks[i] || ' ' || toks[i+1]) AS bi
+        |      FROM t),
+        |s AS (SELECT doc_id, n_tok,
+        |             1 - n_uniq / CAST(n_tok AS DOUBLE) AS dup_word_frac,
+        |             CASE WHEN n_tok >= 2
+        |               THEN 1 - len(list_distinct(bi)) /
+        |                        CAST(len(bi) AS DOUBLE)
+        |               ELSE 0.0 END AS dup_bigram_frac
+        |      FROM g)
+        |SELECT doc_id, n_tok, dup_word_frac, dup_bigram_frac,
+        |       (dup_word_frac <= 0.7 AND dup_bigram_frac <= 0.2) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |             substr(md5(CAST(doc_id AS VARCHAR)),1,1) AS shard,
+        |             len(string_split(text,' ')) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |               ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT doc_id, shard, n_tok,
+        |       CAST(floor((cum - n_tok)/512.0) AS BIGINT) AS pack_id
+        |FROM c ORDER BY shard, doc_id""".stripMargin,
+    "q_corpus_mix" ->
+      """WITH g AS (SELECT lang, source, count(*) AS n_docs,
+        |             CAST(sum(len(string_split(text,' '))) AS BIGINT)
+        |               AS n_tokens
+        |           FROM documents GROUP BY 1,2)
+        |SELECT lang, source, n_docs, n_tokens,
+        |       CAST(n_tokens AS DOUBLE) /
+        |         CAST(sum(n_tokens) OVER () AS DOUBLE) AS token_share
+        |FROM g ORDER BY lang, source""".stripMargin,
   )
 }

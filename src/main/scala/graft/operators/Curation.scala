@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond the dedup/quality/ANN family already in [[TextOps]] and
+  * [[Vectors]]: deterministic dataset splitting, per-stratum sampling
+  * (data mixing), benchmark decontamination, repetition-based quality
+  * filtering, sequence packing, and the corpus-mixture report that
+  * drives sampling-weight decisions.
+  *
+  * Design rules shared by every operator here:
+  *   - Assignment decisions (split / sample / shard) hash a STABLE key
+  *     (`doc_id`) through `md5`, never `rand()`: re-running the job on a
+  *     grown corpus must not reshuffle previously assigned documents
+  *     (the same backfill-stability argument as the reference's nightly
+  *     incremental posture, /root/reference/insights.md:169-172).
+  *     `md5` rather than `xxhash64` because the decision must be
+  *     reproducible OUTSIDE Spark too (the DuckDB oracle, a Python
+  *     sampler, a data loader shard-picker) — hex-prefix comparison is
+  *     engine-agnostic; the few extra ns/row is noise next to the scan.
+  *   - Everything row-local stays row-local: split, sample, repetition
+  *     scoring are pure per-row expressions in whole-stage codegen, zero
+  *     shuffles — at 100 TB these run at scan speed.
+  *   - The only shuffles are the ones the semantics force (the
+  *     decontamination hit-set distinct, the per-shard packing window,
+  *     the mixture groupBy), each keyed as small as the semantics allow.
+  */
+object Curation {
+
+  private def toks: Column = split(col("text"), " ")
+
+  // ---------------------------------------------------------------- split
+
+  /** Deterministic train/val/test split (~80/10/10) by md5 hex prefix of
+    * the document key. Per-row, no shuffle, no RNG state: a document's
+    * split is a pure function of its id, so incremental corpus refreshes
+    * never migrate old documents across splits (which would leak val/test
+    * into train across training runs). The two-hex-digit prefix gives
+    * 1/256 granularity: < 'cd' (205/256 ≈ 80.1%) → train, < 'e6'
+    * (230/256 ≈ 89.8%) → val, else test.
+    */
+  def qTrainSplit(spark: SparkSession, dir: String): DataFrame =
+    trainSplit(Tables.documents(spark, dir))
+
+  /** Core of [[qTrainSplit]] over any frame with a `doc_id` column. */
+  private[graft] def trainSplit(docs: DataFrame): DataFrame = {
+    val prefix = substring(md5(col("doc_id").cast("string")), 1, 2)
+    docs.select(
+      col("doc_id"),
+      when(prefix < "cd", "train")
+        .when(prefix < "e6", "val")
+        .otherwise("test").as("split_name"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------------- sample
+
+  /** Stratified downsampling — the data-mixing primitive: keep a
+    * per-stratum fraction of documents (here: halve the dominant `en`
+    * stratum, keep the rest whole). The keep decision hashes
+    * `doc_id:lang` and compares one hex digit against a per-stratum
+    * threshold (1/16 granularity; production would widen the prefix for
+    * finer rates). Pure per-row filter — at 100 TB this is a scan-speed
+    * map with the rate table folded into the CASE expression, and the
+    * same salt trick re-draws an independent sample by changing the key
+    * separator constant.
+    */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame =
+    sampleStratified(Tables.documents(spark, dir))
+
+  /** Core of [[qSampleStratified]]: `rates` maps stratum → hex-digit
+    * threshold ('8' = 8/16 = 0.5, 'g' > 'f' = keep all). */
+  private[graft] def sampleStratified(
+      docs: DataFrame,
+      rates: Map[String, String] = Map("en" -> "8"),
+      defaultRate: String = "g"): DataFrame = {
+    val digit = substring(
+      md5(concat(col("doc_id").cast("string"), lit(":"), col("lang"))), 1, 1)
+    val threshold = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col("lang") === k, lit(v)).otherwise(acc)
+    }
+    docs.filter(digit < threshold)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------- decontaminate
+
+  /** Benchmark decontamination: flag every training document that shares
+    * at least one 8-token shingle with the held-out eval set (here the
+    * synthetic holdout `doc_id % 10 = 0`). This is the published
+    * n-gram-overlap decontamination recipe (GPT-3 appendix C shape:
+    * 8-gram collision against eval text ⇒ contaminated).
+    *
+    * Scale posture: the eval side of the join is benchmark-sized (tiny
+    * next to the corpus), so its distinct shingle set broadcasts — the
+    * 100 TB training side is scanned once, shingled map-side, and
+    * semi-joined with NO corpus shuffle. The only shuffled data is the
+    * hit doc_id set (contaminated docs, rare by construction), which is
+    * itself broadcast back for the final flag join. The guard for
+    * sub-8-token documents treats the whole text as one shingle, so
+    * short eval strings still match verbatim copies.
+    */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminate(docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0))
+  }
+
+  /** Core of [[qDecontaminate]]: flags each row of `train` that shares
+    * an 8-gram with any row of `eval`. Output: (doc_id, contaminated).
+    *
+    * Shingling runs through the fused [[graft.functions.ShingleHashes]]
+    * expression (one JIT-compiled per-row loop; a HOF `transform`
+    * indexing the token array re-inlines `split()` per element and goes
+    * quadratic — the same measured trap the MinHash path hit in round
+    * 2), and the overlap join compares 8-byte xxhash64 values, never
+    * shingle strings — the [[TextOps.dedupExact]] tradeoff: constant-
+    * width broadcast keys at any document length, collision probability
+    * negligible at 64 bits. The expression's sub-8-token guard (whole
+    * text as one shingle) is mirrored in the oracle's CASE. */
+  private[graft] def decontaminate(train: DataFrame, eval: DataFrame)
+      : DataFrame = {
+    val shingled = (d: DataFrame) =>
+      d.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingleHashes(toks, 8))
+          .as("sh"))
+    val evalShingles = shingled(eval).select(col("sh")).distinct()
+    val hits = shingled(train)
+      .join(broadcast(evalShingles), Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    train.select(col("doc_id"))
+      .join(broadcast(hits.withColumn("hit", lit(true))), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ----------------------------------------------------------- repetition
+
+  /** Repetition-based quality filter (the Gopher/MassiveText rule shape):
+    * per-document duplicate-word and duplicate-bigram fractions, plus the
+    * keep decision (dup_word_frac ≤ 0.7 AND dup_bigram_frac ≤ 0.2).
+    * Entirely per-row array expressions in codegen — zero shuffle; the
+    * thresholded `keep` column is what a pipeline filter consumes.
+    */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetition(Tables.documents(spark, dir))
+
+  /** Core of [[qRepetition]] over any (doc_id, text) frame. Single-token
+    * documents have no bigrams; their bigram fraction is defined as 0
+    * (nothing repeats), mirrored in the oracle CASE.
+    *
+    * Distinct unigram/bigram counts come from the fused
+    * [[graft.functions.ShingleHashes]] loops (k=1, k=2): the first
+    * formulation built bigrams with a HOF `transform` indexing the token
+    * array — lambda bodies are outside CSE, so Catalyst re-inlined the
+    * `split()` per element and the query went quadratic (7.8 s at sf0.1
+    * vs 0.3 s fused). Distinctness over 64-bit hashes equals string
+    * distinctness up to per-document collision odds of ~n²/2⁶⁵ —
+    * negligible, the same documented tradeoff as [[TextOps.dedupExact]].
+    */
+  private[graft] def repetition(docs: DataFrame): DataFrame = {
+    val w = toks
+    val nTok = size(w)
+    val nUniqW = size(graft.functions.TextFunctions.shingleHashes(w, 1))
+    val nUniqBi = size(graft.functions.TextFunctions.shingleHashes(w, 2))
+    val dupWord = lit(1.0) - nUniqW.cast("double") / nTok
+    val dupBigram = when(nTok >= 2,
+      lit(1.0) - nUniqBi.cast("double") / (nTok - 1))
+      .otherwise(lit(0.0))
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tok"),
+      dupWord.as("dup_word_frac"),
+      dupBigram.as("dup_bigram_frac"))
+      .withColumn("keep",
+        col("dup_word_frac") <= 0.7 && col("dup_bigram_frac") <= 0.2)
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------- packing
+
+  /** Sequence packing — the concat-and-chunk packing every GPT-style
+    * pre-training run does: documents are concatenated in a deterministic
+    * order and cut into fixed token-budget packs; a document's `pack_id`
+    * is the pack its first token lands in.
+    *
+    * Scale posture: a single global concatenation order would be one
+    * giant window (single reducer). Instead documents are hash-sharded
+    * (md5 first hex digit here; production widens the prefix so shards ≫
+    * executors) and packed per shard — the running-sum window partitions
+    * by shard, so the packing parallelizes and each reducer sees one
+    * shard's worth. Shard assignment is the same stable-hash discipline
+    * as [[trainSplit]]: corpus growth only appends to shards, never
+    * reshuffles old documents between them.
+    */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(spark, dir))
+
+  /** Core of [[qPackSequences]]: pack to `budget` tokens within each of
+    * 16^`shardHexLen` shards. */
+  private[graft] def packSequences(docs: DataFrame, budget: Int = 512,
+      shardHexLen: Int = 1): DataFrame = {
+    val base = docs.select(
+      col("doc_id"),
+      substring(md5(col("doc_id").cast("string")), 1, shardHexLen).as("shard"),
+      size(toks).as("n_tok"))
+    val cum = sum(col("n_tok")).over(
+      Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base.withColumn("cum", cum)
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        floor((col("cum") - col("n_tok")) / lit(budget.toDouble))
+          .cast("long").as("pack_id"))
+      .orderBy(col("shard"), col("doc_id"))
+  }
+
+  // -------------------------------------------------------------- mixture
+
+  /** Corpus-mixture report: documents, tokens, and token share per
+    * (lang, source) cell — the table a data-mixing policy reads to set
+    * sampling weights. One groupBy over the corpus (map-side partial
+    * aggregation; the shuffle carries only per-cell partials), then the
+    * share is computed with an unpartitioned window over the AGGREGATED
+    * frame — langs × sources rows, so the single-partition window is a
+    * few hundred rows regardless of corpus size.
+    */
+  def qCorpusMix(spark: SparkSession, dir: String): DataFrame =
+    corpusMix(Tables.documents(spark, dir))
+
+  /** Core of [[qCorpusMix]] over any (lang, source, text) frame. */
+  private[graft] def corpusMix(docs: DataFrame): DataFrame = {
+    val g = docs
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks)).as("n_tokens"))
+    g.withColumn("token_share",
+      col("n_tokens").cast("double") /
+        sum(col("n_tokens")).over(Window.partitionBy()).cast("double"))
+      .orderBy(col("lang"), col("source"))
+  }
+}

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkTestBase {
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  // ---------------------------------------------------------------- split
+
+  test("q_train_split covers every document with a stable ~80/10/10 cut") {
+    val df = Curation.qTrainSplit(spark, sfDir).cache()
+    try {
+      val n = docs.count()
+      assert(df.count() == n)
+      val byName = df.groupBy("split_name").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byName.keySet == Set("train", "val", "test"))
+      // md5 prefixes are uniform; 1/256 thresholds put expectations at
+      // 80.1/9.8/10.2% — allow a generous binomial tolerance at n=500
+      assert(byName("train").toDouble / n > 0.7 &&
+        byName("train").toDouble / n < 0.9)
+      // deterministic: a second evaluation is identical
+      assert(Curation.qTrainSplit(spark, sfDir).exceptAll(df).isEmpty)
+    } finally df.unpersist()
+  }
+
+  test("train split of a document is independent of the rest of the corpus") {
+    // backfill stability: assignments on a half corpus must agree with
+    // assignments on the full corpus for the shared documents — i.e. the
+    // split is a pure function of doc_id, not of dataset composition
+    val full = Curation.trainSplit(docs)
+    val half = Curation.trainSplit(docs.filter(col("doc_id") % 2 === 0))
+    assert(half.exceptAll(full.filter(col("doc_id") % 2 === 0)).isEmpty)
+  }
+
+  // --------------------------------------------------------------- sample
+
+  test("q_sample_stratified halves en and keeps other strata whole") {
+    val kept = Curation.qSampleStratified(spark, sfDir)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    base.foreach { case (lang, n) =>
+      if (lang == "en") {
+        val rate = kept.getOrElse("en", 0L).toDouble / n
+        assert(rate > 0.3 && rate < 0.7,
+          s"en sampled at $rate, expected ~0.5")
+      } else assert(kept.get(lang).contains(n),
+        s"non-en stratum $lang must be kept whole")
+    }
+  }
+
+  test("stratified sample rates are per-stratum thresholds") {
+    import spark.implicits._
+    val d = (0L until 1000L).map(i =>
+      (i, if (i % 2 == 0) "aa" else "bb", s"text $i")).toDF(
+      "doc_id", "lang", "text")
+    // keep none of aa ('0' threshold), all of bb
+    val out = Curation.sampleStratified(d, Map("aa" -> "0"), "g")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!out.contains("aa") && out("bb") == 500L)
+  }
+
+  // -------------------------------------------------------- decontaminate
+
+  test("decontaminate flags 8-gram overlap, not 7-gram overlap") {
+    import spark.implicits._
+    val run = (s: String) => s.split(" ").toSeq
+    val shared8 = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val eval = Seq((100L, s"pre $shared8 post")).toDF("doc_id", "text")
+    val train = Seq(
+      // contains the full shared 8-gram -> contaminated
+      (1L, s"x y $shared8 z"),
+      // only 7 of the 8 tokens contiguously -> clean
+      (2L, "x y t1 t2 t3 t4 t5 t6 t7 q z"),
+      (3L, "entirely disjoint tokens only here today")
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, eval)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("decontaminate matches short eval strings verbatim (guard path)") {
+    import spark.implicits._
+    val eval = Seq((100L, "short eval probe")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "short eval probe"), // verbatim copy of a sub-8-token doc
+      (2L, "short eval probe plus more tokens") // 6 tokens, no verbatim match
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, eval)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> true, 2L -> false))
+  }
+
+  test("decontaminate plan broadcasts both join sides — no corpus shuffle join") {
+    val plan = Curation.qDecontaminate(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "eval shingles and hit set must broadcast; a sort-merge join " +
+        "here would shuffle the full corpus at scale")
+  }
+
+  // ----------------------------------------------------------- repetition
+
+  test("repetition fractions match hand-computed fixtures") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a b"),   // 4 tok, 2 uniq -> .5; bigrams (a a, a a, a b) -> 1/3
+      (2L, "u v w x"),   // no repetition at all
+      (3L, "solo")       // single token: bigram frac defined 0
+    ).toDF("doc_id", "text")
+    val rows = Curation.repetition(d).collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(byId(1L)._1 == 4)
+    assert(math.abs(byId(1L)._2 - 0.5) < 1e-12)
+    assert(math.abs(byId(1L)._3 - (1.0 - 2.0 / 3.0)) < 1e-12)
+    assert(!byId(1L)._4) // bigram fraction 1/3 > 0.2 -> filtered out
+    assert(byId(2L)._2 == 0.0 && byId(2L)._3 == 0.0 && byId(2L)._4)
+    assert(byId(3L)._3 == 0.0 && byId(3L)._4)
+  }
+
+  test("repetition and train split stay shuffle-free before the output sort") {
+    // per-row claims from the scaladoc: the ONLY exchange in the plan is
+    // the range partitioning for the deterministic output ORDER BY
+    for (df <- Seq(Curation.qRepetition(spark, sfDir),
+        Curation.qTrainSplit(spark, sfDir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 1, s"expected only the sort exchange:\n$plan")
+    }
+  }
+
+  // -------------------------------------------------------------- packing
+
+  test("pack ids equal floor(prefix-sum / budget) within each shard") {
+    val rows = Curation.qPackSequences(spark, sfDir).collect()
+    val byShard = rows.groupBy(_.getString(1))
+    assert(byShard.size > 1, "expect multiple shards at sf0.001")
+    byShard.foreach { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(3) == cum / 512,
+          s"doc ${r.getLong(0)} pack mismatch")
+        cum += r.getInt(2)
+      }
+    }
+    assert(rows.map(_.getLong(0)).distinct.length == docs.count())
+  }
+
+  test("pack assignment within a shard is append-stable under corpus growth") {
+    // adding NEW documents with larger ids must not move earlier docs to
+    // different packs (ordering is by doc_id, so growth only appends)
+    val old = Curation.packSequences(docs.filter(col("doc_id") < 250))
+    val grown = Curation.packSequences(docs)
+      .filter(col("doc_id") < 250)
+    assert(grown.exceptAll(old).isEmpty)
+  }
+
+  // -------------------------------------------------------------- mixture
+
+  test("corpus mix shares sum to one and doc counts to the corpus") {
+    val df = Curation.qCorpusMix(spark, sfDir).cache()
+    try {
+      val share = df.agg(sum("token_share")).collect().head.getDouble(0)
+      assert(math.abs(share - 1.0) < 1e-9)
+      assert(df.agg(sum("n_docs")).collect().head.getLong(0) == docs.count())
+      // share ordering consistent with token ordering
+      val top = df.orderBy(desc("token_share")).select("n_tokens")
+        .first().getLong(0)
+      assert(top == df.agg(max("n_tokens")).collect().head.getLong(0))
+    } finally df.unpersist()
+  }
+}
