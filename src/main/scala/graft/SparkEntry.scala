@@ -75,6 +75,7 @@ object SparkEntry {
     "q_pipeline_etl"     -> (Pipelines.qPipelineEtl _),
     "q_pipeline_caregap" -> (Pipelines.qPipelineCareGap _),
     "q_pipeline_curation" -> (Pipelines.qPipelineCuration _),
+    "q_pipeline_manifest" -> (Pipelines.qPipelineManifest _),
     // M4 — time windows (SURVEY §2.9; streaming duals in graft.streaming)
     "q_window_tumbling" -> (Windowed.qWindowTumbling _),
     "q_session_gap"     -> (Windowed.qSessionGap _),
@@ -897,6 +898,65 @@ object SparkEntry {
         |SELECT doc_id, shard, n_tok,
         |       CAST(floor((cum - n_tok)/512.0) AS BIGINT) AS pack_id
         |FROM c ORDER BY shard, doc_id""".stripMargin,
+    // EP4 — composed manifest pipeline. Spark windows the dedup flag
+    // over xxhash64(normalized text) and joins contamination hits over
+    // 8-byte shingle hashes; the oracle uses the strings themselves —
+    // the same collision-negligible hash/string duality as
+    // q_dedup_exact. The packing CTE packs the kept-train subset then
+    // joins back; the Spark plan computes the identical numbers with a
+    // conditional running sum inside the existing shard window.
+    "q_pipeline_manifest" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, string_split(text,' ') AS toks
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |scored AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_tok,
+        |    (doc_id = min(doc_id) OVER (
+        |       PARTITION BY lower(trim(regexp_replace(text,'\s+',' ','g')))))
+        |      AS dedup_keep,
+        |    1 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+        |      AS dwf,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN 1 - len(list_distinct(
+        |             list_transform(generate_series(1, len(toks)-1),
+        |               i -> toks[i] || ' ' || toks[i+1]))) /
+        |           CAST(len(toks)-1 AS DOUBLE)
+        |      ELSE 0.0 END AS dbf
+        |  FROM base),
+        |sh AS (SELECT doc_id,
+        |         unnest(CASE WHEN len(toks) >= 8
+        |           THEN list_transform(generate_series(1, len(toks)-7),
+        |                  i -> array_to_string(toks[i:i+7],' '))
+        |           ELSE [array_to_string(toks,' ')] END) AS sh
+        |       FROM (SELECT doc_id, string_split(text,' ') AS toks
+        |             FROM documents)),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+        |hit AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (sh)
+        |        WHERE s.doc_id % 10 <> 0),
+        |flags AS (
+        |  SELECT s.doc_id, s.n_tok, s.dedup_keep,
+        |    (s.dwf <= 0.7 AND s.dbf <= 0.2) AS quality_keep,
+        |    (h.doc_id IS NOT NULL) AS contaminated,
+        |    (s.dedup_keep AND s.dwf <= 0.7 AND s.dbf <= 0.2
+        |       AND h.doc_id IS NULL) AS keep,
+        |    CASE WHEN substr(md5(CAST(s.doc_id AS VARCHAR)),1,2) < 'cd'
+        |           THEN 'train'
+        |         WHEN substr(md5(CAST(s.doc_id AS VARCHAR)),1,2) < 'e6'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split_name,
+        |    substr(md5(CAST(s.doc_id AS VARCHAR)),1,1) AS shard
+        |  FROM scored s LEFT JOIN hit h ON s.doc_id = h.doc_id),
+        |packed AS (
+        |  SELECT doc_id,
+        |    CAST(floor((sum(n_tok) OVER (PARTITION BY shard
+        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) / 512.0)
+        |      AS BIGINT) AS pack_id
+        |  FROM flags WHERE keep AND split_name = 'train')
+        |SELECT f.doc_id, f.n_tok, f.dedup_keep, f.quality_keep,
+        |       f.contaminated, f.keep, f.split_name, f.shard, p.pack_id
+        |FROM flags f LEFT JOIN packed p ON f.doc_id = p.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
     "q_corpus_mix" ->
       """WITH g AS (SELECT lang, source, count(*) AS n_docs,
         |             CAST(sum(len(string_split(text,' '))) AS BIGINT)

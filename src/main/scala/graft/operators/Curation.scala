@@ -125,19 +125,26 @@ object Curation {
     * negligible at 64 bits. The expression's sub-8-token guard (whole
     * text as one shingle) is mirrored in the oracle's CASE. */
   private[graft] def decontaminate(train: DataFrame, eval: DataFrame)
+      : DataFrame =
+    train.select(col("doc_id"))
+      .join(broadcast(contaminationHits(train, eval)
+        .withColumn("hit", lit(true))), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("contaminated"))
+      .orderBy(col("doc_id"))
+
+  /** The distinct doc_ids of `train` rows sharing an 8-gram with `eval`
+    * — the broadcastable hit set both [[decontaminate]] and the EP4
+    * manifest pipeline flag against. */
+  private[graft] def contaminationHits(train: DataFrame, eval: DataFrame)
       : DataFrame = {
     val shingled = (d: DataFrame) =>
       d.select(col("doc_id"),
         explode(graft.functions.TextFunctions.shingleHashes(toks, 8))
           .as("sh"))
     val evalShingles = shingled(eval).select(col("sh")).distinct()
-    val hits = shingled(train)
+    shingled(train)
       .join(broadcast(evalShingles), Seq("sh"), "left_semi")
       .select(col("doc_id")).distinct()
-    train.select(col("doc_id"))
-      .join(broadcast(hits.withColumn("hit", lit(true))), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("contaminated"))
-      .orderBy(col("doc_id"))
   }
 
   // ----------------------------------------------------------- repetition

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -207,5 +208,74 @@ object Pipelines {
           lit("120").as("systolic"),
           lit("80").as("diastolic")).as("component"))).as("doc"))
       .orderBy(col("c_custkey"))
+  }
+
+  /** EP4 — the training-data MANIFEST pipeline: one composed plan that
+    * turns the raw corpus into what a training run actually consumes,
+    * chaining the whole [[Curation]] family with the dedup discipline
+    * of [[TextOps]]:
+    *
+    *   eval holdout split-off (doc_id % 10, the decontamination target)
+    *   → exact-dedup survivor flag (min-doc_id window over the 8-byte
+    *     xxhash64 of normalized text — the [[TextOps.dedupExact]] key;
+    *     the oracle windows over the normalized text itself)
+    *   → repetition quality gate (fused distinct-shingle loops, k=1/2)
+    *   → benchmark decontamination (8-gram hit set, broadcast)
+    *   → deterministic md5 train/val/test split
+    *   → per-shard sequence packing of the KEPT train split only
+    *
+    * Scale shape: two hash-partition windows (normalized-text hash,
+    * then md5 shard) and one broadcast join — the hit set is the only
+    * thing that moves besides the corpus's own two shuffles. Packing
+    * uses a CONDITIONAL running sum inside the shard window
+    * (non-kept/non-train rows contribute 0) instead of packing a
+    * filtered subset and joining back, which would add a corpus-scale
+    * doc_id shuffle join for the same numbers.
+    */
+  def qPipelineManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val evalSet = docs.filter(col("doc_id") % 10 === 0)
+    val w = split(col("text"), " ")
+    val nTok = size(w)
+    val dupWord = lit(1.0) -
+      size(graft.functions.TextFunctions.shingleHashes(w, 1))
+        .cast("double") / nTok
+    val dupBigram = when(nTok >= 2, lit(1.0) -
+      size(graft.functions.TextFunctions.shingleHashes(w, 2))
+        .cast("double") / (nTok - 1))
+      .otherwise(lit(0.0))
+    val normHash = xxhash64(lower(trim(
+      regexp_replace(col("text"), "\\s+", " "))))
+    val md = md5(col("doc_id").cast("string"))
+    val scored = corpus.select(
+      col("doc_id"), nTok.as("n_tok"), normHash.as("nh"),
+      dupWord.as("dwf"), dupBigram.as("dbf"))
+      .withColumn("dedup_keep", col("doc_id") ===
+        min(col("doc_id")).over(Window.partitionBy(col("nh"))))
+      .withColumn("quality_keep", col("dwf") <= 0.7 && col("dbf") <= 0.2)
+    val hits = Curation.contaminationHits(corpus, evalSet)
+    val flags = scored
+      .join(broadcast(hits.withColumn("hit", lit(true))),
+        Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("hit"), lit(false)))
+      .withColumn("keep",
+        col("dedup_keep") && col("quality_keep") && !col("contaminated"))
+      .withColumn("split_name",
+        when(substring(md, 1, 2) < "cd", "train")
+          .when(substring(md, 1, 2) < "e6", "val")
+          .otherwise("test"))
+      .withColumn("shard", substring(md, 1, 1))
+    val inPack = col("keep") && col("split_name") === "train"
+    val cum = sum(when(inPack, col("n_tok")).otherwise(lit(0))).over(
+      Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    flags
+      .withColumn("pack_id", when(inPack,
+        floor((cum - col("n_tok")) / lit(512.0)).cast("long")))
+      .select(col("doc_id"), col("n_tok"), col("dedup_keep"),
+        col("quality_keep"), col("contaminated"), col("keep"),
+        col("split_name"), col("shard"), col("pack_id"))
+      .orderBy(col("doc_id"))
   }
 }

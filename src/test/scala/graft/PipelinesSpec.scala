@@ -113,4 +113,80 @@ class PipelinesSpec extends SparkTestBase {
     assert(back.except(direct).count() == 0)
     assert(direct.except(back).count() == 0)
   }
+
+  test("q_pipeline_manifest flags compose and agree with the standalone stages") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipelines.qPipelineManifest(spark, sfDir).collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpusSize = docs.filter(col("doc_id") % 10 =!= 0).count()
+    assert(rows.length.toLong == corpusSize) // manifest row per non-eval doc
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("keep") == (r.getAs[Boolean]("dedup_keep") &&
+        r.getAs[Boolean]("quality_keep") && !r.getAs[Boolean]("contaminated")))
+      // pack_id present iff the doc lands in the packed train set
+      val packed = r.getAs[Boolean]("keep") &&
+        r.getAs[String]("split_name") == "train"
+      assert(packed == !r.isNullAt(r.fieldIndex("pack_id")))
+    }
+    // parity with the standalone queries the stages come from
+    val contam = graft.operators.Curation.qDecontaminate(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val split = graft.operators.Curation.qTrainSplit(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("contaminated") == contam(id))
+      assert(r.getAs[String]("split_name") == split(id))
+    }
+    // conditional-window packing == packing the kept-train subset
+    val keptTrain = rows.filter(r => r.getAs[Boolean]("keep") &&
+      r.getAs[String]("split_name") == "train")
+    val subsetIds = keptTrain.map(_.getAs[Long]("doc_id")).toSet
+    val expected = graft.operators.Curation.packSequences(
+      docs.filter(col("doc_id").isin(subsetIds.toSeq: _*)))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    keptTrain.foreach(r => assert(
+      r.getAs[Long]("pack_id") == expected(r.getAs[Long]("doc_id"))))
+    assert(keptTrain.nonEmpty && keptTrain.length < rows.length)
+  }
+
+  test("q_pipeline_manifest drops planted duplicate, low-quality, and leaked docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // plant: 10 = eval doc; 11 dup-survivor pair with 21 (same normalized
+    // text); 12 low quality (one word repeated); 13 contains an eval
+    // 8-gram; 14 clean
+    def fill(tag: String) = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (10L, s"leak1 leak2 leak3 leak4 leak5 leak6 leak7 leak8 ${fill("ev")}"),
+      (11L, s"Shared   Doc ${fill("dd")}"),
+      (21L, s"shared doc ${fill("dd")}"),
+      (12L, ("dup " * 30).trim),
+      (13L, s"x leak1 leak2 leak3 leak4 leak5 leak6 leak7 leak8 ${fill("ct")}"),
+      (14L, s"clean unique words ${fill("ok")}")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_fixture").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Pipelines.qPipelineManifest(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(10L), "eval docs carry no manifest row")
+    assert(out(11L).getAs[Boolean]("dedup_keep")) // min doc_id survives
+    assert(!out(21L).getAs[Boolean]("dedup_keep") &&
+      !out(21L).getAs[Boolean]("keep"))
+    assert(!out(12L).getAs[Boolean]("quality_keep") &&
+      !out(12L).getAs[Boolean]("keep"))
+    assert(out(13L).getAs[Boolean]("contaminated") &&
+      !out(13L).getAs[Boolean]("keep"))
+    assert(out(14L).getAs[Boolean]("keep"))
+  }
+
+  test("q_pipeline_manifest plan: contamination hits broadcast, no sort-merge join") {
+    val plan = Pipelines.qPipelineManifest(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "the only join in the manifest plan is the broadcast hit-set flag; " +
+        "a sort-merge join means a corpus-scale shuffle crept in")
+  }
 }
