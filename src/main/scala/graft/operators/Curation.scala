@@ -34,6 +34,52 @@ object Curation {
 
   private def toks: Column = split(col("text"), " ")
 
+  // Shared expression builders — the single source of the curation
+  // semantics, used by the standalone queries, the EP4 manifest
+  // pipeline, and the streaming dual (graft.streaming.Streams), so the
+  // three surfaces cannot drift.
+
+  /** 1 − distinct-unigram/total fraction over a token-array column. */
+  private[graft] def dupWordFracCol(w: Column): Column =
+    lit(1.0) - size(graft.functions.TextFunctions.shingleHashes(w, 1))
+      .cast("double") / size(w)
+
+  /** 1 − distinct-bigram fraction; 0 for single-token docs. */
+  private[graft] def dupBigramFracCol(w: Column): Column =
+    when(size(w) >= 2, lit(1.0) -
+      size(graft.functions.TextFunctions.shingleHashes(w, 2))
+        .cast("double") / (size(w) - 1))
+      .otherwise(lit(0.0))
+
+  /** md5-prefix train/val/test assignment of a key column. */
+  private[graft] def splitNameCol(id: Column): Column = {
+    val prefix = substring(md5(id.cast("string")), 1, 2)
+    when(prefix < "cd", "train").when(prefix < "e6", "val")
+      .otherwise("test")
+  }
+
+  /** md5 shard of a key column (`hexLen` hex digits → 16^hexLen shards). */
+  private[graft] def shardCol(id: Column, hexLen: Int = 1): Column =
+    substring(md5(id.cast("string")), 1, hexLen)
+
+  /** Row-local manifest flags — quality fractions, thresholded keep,
+    * split assignment — with NO sort and NO shuffle: the exact shape
+    * that runs unchanged under Structured Streaming append mode
+    * ([[graft.streaming.Streams.curationFlags]] is this function under
+    * `readStream`). The sorted declared queries wrap the same
+    * expressions. */
+  private[graft] def curationFlags(docs: DataFrame): DataFrame = {
+    val w = toks
+    docs.select(
+      col("doc_id"),
+      size(w).as("n_tok"),
+      dupWordFracCol(w).as("dup_word_frac"),
+      dupBigramFracCol(w).as("dup_bigram_frac"),
+      splitNameCol(col("doc_id")).as("split_name"))
+      .withColumn("quality_keep",
+        col("dup_word_frac") <= 0.7 && col("dup_bigram_frac") <= 0.2)
+  }
+
   // ---------------------------------------------------------------- split
 
   /** Deterministic train/val/test split (~80/10/10) by md5 hex prefix of
@@ -48,15 +94,10 @@ object Curation {
     trainSplit(Tables.documents(spark, dir))
 
   /** Core of [[qTrainSplit]] over any frame with a `doc_id` column. */
-  private[graft] def trainSplit(docs: DataFrame): DataFrame = {
-    val prefix = substring(md5(col("doc_id").cast("string")), 1, 2)
-    docs.select(
-      col("doc_id"),
-      when(prefix < "cd", "train")
-        .when(prefix < "e6", "val")
-        .otherwise("test").as("split_name"))
+  private[graft] def trainSplit(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      splitNameCol(col("doc_id")).as("split_name"))
       .orderBy(col("doc_id"))
-  }
 
   // --------------------------------------------------------------- sample
 
@@ -171,24 +212,11 @@ object Curation {
     * distinctness up to per-document collision odds of ~n²/2⁶⁵ —
     * negligible, the same documented tradeoff as [[TextOps.dedupExact]].
     */
-  private[graft] def repetition(docs: DataFrame): DataFrame = {
-    val w = toks
-    val nTok = size(w)
-    val nUniqW = size(graft.functions.TextFunctions.shingleHashes(w, 1))
-    val nUniqBi = size(graft.functions.TextFunctions.shingleHashes(w, 2))
-    val dupWord = lit(1.0) - nUniqW.cast("double") / nTok
-    val dupBigram = when(nTok >= 2,
-      lit(1.0) - nUniqBi.cast("double") / (nTok - 1))
-      .otherwise(lit(0.0))
-    docs.select(
-      col("doc_id"),
-      nTok.as("n_tok"),
-      dupWord.as("dup_word_frac"),
-      dupBigram.as("dup_bigram_frac"))
-      .withColumn("keep",
-        col("dup_word_frac") <= 0.7 && col("dup_bigram_frac") <= 0.2)
+  private[graft] def repetition(docs: DataFrame): DataFrame =
+    curationFlags(docs)
+      .select(col("doc_id"), col("n_tok"), col("dup_word_frac"),
+        col("dup_bigram_frac"), col("quality_keep").as("keep"))
       .orderBy(col("doc_id"))
-  }
 
   // -------------------------------------------------------------- packing
 
@@ -215,7 +243,7 @@ object Curation {
       shardHexLen: Int = 1): DataFrame = {
     val base = docs.select(
       col("doc_id"),
-      substring(md5(col("doc_id").cast("string")), 1, shardHexLen).as("shard"),
+      shardCol(col("doc_id"), shardHexLen).as("shard"),
       size(toks).as("n_tok"))
     val cum = sum(col("n_tok")).over(
       Window.partitionBy(col("shard")).orderBy(col("doc_id"))

@@ -237,20 +237,12 @@ object Pipelines {
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val evalSet = docs.filter(col("doc_id") % 10 === 0)
     val w = split(col("text"), " ")
-    val nTok = size(w)
-    val dupWord = lit(1.0) -
-      size(graft.functions.TextFunctions.shingleHashes(w, 1))
-        .cast("double") / nTok
-    val dupBigram = when(nTok >= 2, lit(1.0) -
-      size(graft.functions.TextFunctions.shingleHashes(w, 2))
-        .cast("double") / (nTok - 1))
-      .otherwise(lit(0.0))
     val normHash = xxhash64(lower(trim(
       regexp_replace(col("text"), "\\s+", " "))))
-    val md = md5(col("doc_id").cast("string"))
     val scored = corpus.select(
-      col("doc_id"), nTok.as("n_tok"), normHash.as("nh"),
-      dupWord.as("dwf"), dupBigram.as("dbf"))
+      col("doc_id"), size(w).as("n_tok"), normHash.as("nh"),
+      Curation.dupWordFracCol(w).as("dwf"),
+      Curation.dupBigramFracCol(w).as("dbf"))
       .withColumn("dedup_keep", col("doc_id") ===
         min(col("doc_id")).over(Window.partitionBy(col("nh"))))
       .withColumn("quality_keep", col("dwf") <= 0.7 && col("dbf") <= 0.2)
@@ -261,11 +253,8 @@ object Pipelines {
       .withColumn("contaminated", coalesce(col("hit"), lit(false)))
       .withColumn("keep",
         col("dedup_keep") && col("quality_keep") && !col("contaminated"))
-      .withColumn("split_name",
-        when(substring(md, 1, 2) < "cd", "train")
-          .when(substring(md, 1, 2) < "e6", "val")
-          .otherwise("test"))
-      .withColumn("shard", substring(md, 1, 1))
+      .withColumn("split_name", Curation.splitNameCol(col("doc_id")))
+      .withColumn("shard", Curation.shardCol(col("doc_id")))
     val inPack = col("keep") && col("split_name") === "train"
     val cum = sum(when(inPack, col("n_tok")).otherwise(lit(0))).over(
       Window.partitionBy(col("shard")).orderBy(col("doc_id"))

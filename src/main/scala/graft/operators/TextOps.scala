@@ -512,6 +512,37 @@ object TextOps {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
   }
 
+  /** Streaming-intake near-dup flagger — the stream-static dual of
+    * [[incrementPairs]]'s cross component: each arriving document is
+    * staged PER-ROW (fused shingle/band expressions — stateless),
+    * banded, and joined against the published base index on
+    * (band, bhash) with the emit-once predicate, so a (new, base) pair
+    * surfaces exactly once WITHOUT streaming state, watermark, or a
+    * distinct — dedup-by-construction instead of dedup-by-state. The
+    * verify is carried-payload only: the join-back layout would re-join
+    * the stream side to itself (a stream-stream self-join); carrying
+    * the micro-batch's shingle sets is the streaming-legal layout.
+    *
+    * Scope contract (spec-pinned): flags NEW-vs-BASE pairs. Near-dups
+    * WITHIN the intake stream are the nightly compaction's job
+    * ([[qDedupIncremental]]) — flagging them online would need
+    * cross-micro-batch state. Output: (doc_id, dup_of, jaccard) with
+    * doc_id = the arriving document, one row per flagged base match.
+    */
+  private[graft] def intakePairs(baseStaged: DataFrame,
+    newDocs: DataFrame): DataFrame = {
+    val cands = BandedJoins.emitOnce(
+      bandedRows(baseStaged, carry = true),
+      bandedRows(stageDocs(newDocs), carry = true),
+      "band", "bhash", "bsigs",
+      col("x.doc_id") =!= col("y.doc_id"),
+      Seq(col("y.doc_id").as("id_a"), col("x.doc_id").as("id_b"),
+        col("y.shash").as("sa"), col("x.shash").as("sb")))
+    verifyJaccard(cands)
+      .select(col("id_a").as("doc_id"), col("id_b").as("dup_of"),
+        col("jaccard"))
+  }
+
   /** The deterministic corpus split the declared incremental query
     * simulates a nightly increment with: ~20% of documents (by doc_id
     * hash — stable across partitionings) arrive as "tonight's crawl",

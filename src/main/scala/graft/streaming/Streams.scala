@@ -159,4 +159,25 @@ object Streams {
             fromMicros(s.end), s.n)).iterator
       }
   }
+
+  // ------------------------------------------------- corpus intake duals
+
+  /** Streaming dual of the row-local curation stages: quality fractions,
+    * thresholded keep, train/val/test assignment — the SAME expression
+    * tree as the batch queries ([[graft.operators.Curation]] shared
+    * builders), which is the point: per-row, no state, no watermark, so
+    * it runs under append mode on a `readStream` of arriving documents
+    * exactly as it runs in the nightly batch. */
+  def curationFlags(docs: DataFrame): DataFrame =
+    graft.operators.Curation.curationFlags(docs)
+
+  /** Streaming corpus intake near-dup flagging: arriving documents are
+    * checked against the PUBLISHED MinHash index (a static staged
+    * frame) — [[graft.operators.TextOps.intakePairs]] under
+    * `readStream`. A stream-static equi-join on (band, bhash) whose
+    * emit-once predicate makes each (new, base) pair surface exactly
+    * once with no streaming state: the crawl-filter a 100 TB corpus
+    * runs continuously between nightly compactions. */
+  def nearDupIntake(baseStaged: DataFrame, docs: DataFrame): DataFrame =
+    graft.operators.TextOps.intakePairs(baseStaged, docs)
 }

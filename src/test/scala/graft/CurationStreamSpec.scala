@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Curation, TextOps}
+import graft.streaming.Streams
+
+/** The corpus-intake streaming duals: the row-local curation flags and
+  * the stream-static near-dup check against the published index must
+  * produce, under micro-batched `readStream`, exactly what the batch
+  * path produces on the same documents. */
+class CurationStreamSpec extends SparkTestBase {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(tag).toString
+
+  private def words(n: Int, seed: Int): Seq[String] =
+    (0 until n).map(i => s"w${(i * 31 + seed * 7919) % 100000}")
+
+  private def runStream(transform: DataFrame => DataFrame,
+      input: String, out: String): Unit = {
+    val q = transform(
+      spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1).json(input))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmp("graft_intake_cp"))
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("streaming curation flags equal the batch flags on the same docs") {
+    import spark.implicits._
+    val input = tmp("graft_cur_stream_in")
+    Seq((1L, "a a a b"), (2L, ("dup " * 30).trim))
+      .toDF("doc_id", "text").write.mode("append").json(input)
+    Seq((3L, words(40, 3).mkString(" ")), (4L, "solo"))
+      .toDF("doc_id", "text").write.mode("append").json(input)
+    val out = tmp("graft_cur_stream_out")
+    runStream(Streams.curationFlags, input, out)
+    val streamed = spark.read.parquet(out)
+    val batch = Curation.curationFlags(
+      spark.read.schema(docSchema).json(input))
+    assert(streamed.count() == 4)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming near-dup intake flags arrivals against the published index") {
+    import spark.implicits._
+    // published base: two long distinctive documents
+    val baseA = words(200, 1)
+    val baseB = words(200, 2)
+    val base = Seq((10L, baseA.mkString(" ")), (20L, baseB.mkString(" ")))
+      .toDF("doc_id", "text")
+    val staged = TextOps.stageDocs(base)
+    // two micro-batches of arrivals: near-dups of each base doc
+    // (~5/200 trailing tokens changed, J ≈ 0.93) plus a clean doc
+    val input = tmp("graft_intake_in")
+    Seq((101L, (baseA.take(195) ++ words(5, 9).map("q" + _)).mkString(" ")),
+      (102L, words(200, 7).map("z" + _).mkString(" ")))
+      .toDF("doc_id", "text").write.mode("append").json(input)
+    Seq((201L, (baseB.take(195) ++ words(5, 11).map("r" + _)).mkString(" ")))
+      .toDF("doc_id", "text").write.mode("append").json(input)
+    val out = tmp("graft_intake_out")
+    runStream(Streams.nearDupIntake(staged, _), input, out)
+    val flagged = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Double]("jaccard")))
+    assert(flagged.map(f => (f._1, f._2)).toSet == Set((101L, 10L), (201L, 20L)),
+      s"expected exactly the two planted near-dup pairs, got ${flagged.toSeq}")
+    assert(flagged.forall(_._3 >= 0.8))
+    // micro-batched streaming equals one batch pass over all arrivals
+    val batchPairs = TextOps.intakePairs(staged,
+      spark.read.schema(docSchema).json(input))
+    val streamedDf = spark.read.parquet(out)
+    assert(streamedDf.exceptAll(batchPairs).isEmpty &&
+      batchPairs.exceptAll(streamedDf).isEmpty)
+  }
+}
