@@ -107,6 +107,7 @@ object SparkEntry {
     "q_train_split"       -> (Curation.qTrainSplit _),
     "q_sample_stratified" -> (Curation.qSampleStratified _),
     "q_decontaminate"     -> (Curation.qDecontaminate _),
+    "q_contamination_report" -> (Curation.qContaminationReport _),
     "q_repetition"        -> (Curation.qRepetition _),
     "q_pack_sequences"    -> (Curation.qPackSequences _),
     "q_corpus_mix"        -> (Curation.qCorpusMix _),
@@ -869,6 +870,24 @@ object SparkEntry {
         |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
         |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "q_contamination_report" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(CASE WHEN len(toks) >= 8
+        |           THEN list_transform(generate_series(1, len(toks)-7),
+        |                  i -> array_to_string(toks[i:i+7],' '))
+        |           ELSE [array_to_string(toks,' ')] END) AS sh
+        |       FROM t),
+        |hp AS (SELECT DISTINCT e.doc_id, s.doc_id AS train_id
+        |       FROM sh e JOIN sh s USING (sh)
+        |       WHERE e.doc_id % 10 = 0 AND s.doc_id % 10 <> 0)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(h.hits, 0) AS BIGINT) AS n_train_hits
+        |FROM documents d LEFT JOIN
+        |     (SELECT doc_id, count(*) AS hits FROM hp GROUP BY doc_id) h
+        |     ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id""".stripMargin,
     "q_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
         |           FROM documents),

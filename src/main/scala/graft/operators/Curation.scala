@@ -188,6 +188,40 @@ object Curation {
       .select(col("doc_id")).distinct()
   }
 
+  /** The inverse view of [[qDecontaminate]]: per EVAL document, how many
+    * training documents share an 8-gram with it — the report a benchmark
+    * owner reads to decide whether an eval set is too burned to trust.
+    * Same shingle machinery and broadcast posture; the final aggregate
+    * is keyed by eval doc_id over the (train, eval) hit pairs, which are
+    * rare by construction, so the groupBy shuffles a hit-sized relation,
+    * not a corpus-sized one. Eval docs with zero hits still report
+    * (n_train_hits = 0) — absence from the report must mean "not in the
+    * eval set", never "clean". */
+  def qContaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    contaminationReport(docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0))
+  }
+
+  /** Core of [[qContaminationReport]]: (doc_id, n_train_hits) per `eval`
+    * row, counting DISTINCT `train` documents sharing an 8-gram. */
+  private[graft] def contaminationReport(train: DataFrame, eval: DataFrame)
+      : DataFrame = {
+    val shingled = (d: DataFrame, idAs: String) =>
+      d.select(col("doc_id").as(idAs),
+        explode(graft.functions.TextFunctions.shingleHashes(toks, 8))
+          .as("sh"))
+    val hitPairs = shingled(train, "train_id")
+      .join(broadcast(shingled(eval, "doc_id")), "sh")
+      .select(col("doc_id"), col("train_id")).distinct()
+    eval.select(col("doc_id"))
+      .join(hitPairs.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("hits")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hits"), lit(0L)).as("n_train_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------------------- repetition
 
   /** Repetition-based quality filter (the Gopher/MassiveText rule shape):

@@ -106,6 +106,46 @@ class CurationSpec extends SparkTestBase {
         "here would shuffle the full corpus at scale")
   }
 
+  test("contamination report counts distinct offending train docs per eval doc") {
+    import spark.implicits._
+    val probe = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val eval = Seq(
+      (100L, s"$probe tail1 tail2 tail3"),
+      (200L, "clean eval doc nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"x $probe y"),          // hits eval 100
+      (2L, s"z $probe w"),          // hits eval 100 (second distinct doc)
+      (3L, "unrelated words only in this training document")
+    ).toDF("doc_id", "text")
+    val out = Curation.contaminationReport(train, eval)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 100: two distinct train hits (multiple shared 8-grams per
+    // pair must not inflate the count); doc 200 reports zero, not absent
+    assert(out == Map(100L -> 2L, 200L -> 0L))
+  }
+
+  test("curation ops tolerate degenerate corpora") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    assert(Curation.trainSplit(empty).count() == 0)
+    assert(Curation.repetition(empty).count() == 0)
+    assert(Curation.packSequences(empty).count() == 0)
+    assert(Curation.corpusMix(empty).count() == 0)
+    assert(Curation.decontaminate(empty, empty).count() == 0)
+    assert(Curation.contaminationReport(empty, empty).count() == 0)
+    // whitespace-only and single-char docs flow through every per-row op
+    val weird = Seq((1L, ""), (2L, " "), (3L, "x")).toDF("doc_id", "text")
+    val rep = Curation.repetition(weird).collect()
+    assert(rep.length == 3)
+    rep.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("dup_word_frac")))
+      assert(r.getDouble(r.fieldIndex("dup_bigram_frac")) == 0.0)
+    }
+    assert(Curation.packSequences(weird).count() == 3)
+  }
+
   // ----------------------------------------------------------- repetition
 
   test("repetition fractions match hand-computed fixtures") {
