@@ -111,6 +111,7 @@ object SparkEntry {
     "q_repetition"        -> (Curation.qRepetition _),
     "q_pack_sequences"    -> (Curation.qPackSequences _),
     "q_corpus_mix"        -> (Curation.qCorpusMix _),
+    "q_mix_resample"      -> (Curation.qMixResample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -985,5 +986,25 @@ object SparkEntry {
         |       CAST(n_tokens AS DOUBLE) /
         |         CAST(sum(n_tokens) OVER () AS DOUBLE) AS token_share
         |FROM g ORDER BY lang, source""".stripMargin,
+    // Both engines draw the probabilistic extra repeat by comparing
+    // UPPERCASE hex: md5 is lowercase in both, Spark hex() and DuckDB
+    // to_hex() are uppercase — the upper() on the md5 prefix keeps the
+    // lexical compare a true base-16 compare.
+    "q_mix_resample" ->
+      """WITH c AS (SELECT lang,
+        |             CAST(sum(len(string_split(text,' '))) AS BIGINT)
+        |               AS cell_tokens
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT lang, cell_tokens,
+        |        (CAST(sum(cell_tokens) OVER () AS DOUBLE) /
+        |          (count(*) OVER ())) / cell_tokens AS weight FROM c)
+        |SELECT d.doc_id, d.lang, w.weight,
+        |  CAST(floor(w.weight) + CASE
+        |    WHEN upper(substr(md5(CAST(d.doc_id AS VARCHAR) || '#rep'),
+        |           1,4)) <
+        |      lpad(to_hex(CAST(floor((w.weight - floor(w.weight)) * 65536)
+        |        AS BIGINT)),4,'0')
+        |    THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+        |FROM documents d JOIN w USING (lang) ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -289,6 +289,50 @@ object Curation {
       .orderBy(col("shard"), col("doc_id"))
   }
 
+  // ----------------------------------------------------------- resampling
+
+  /** Data-mixing EXECUTION step — the operator that consumes a mixture
+    * report: per-document repeat counts that reweight the corpus toward
+    * a uniform per-language token share (the up/down-sampling every
+    * published pre-training mix applies to its sources). A document's
+    * language cell gets weight `target_tokens / actual_tokens`; each
+    * document repeats `floor(weight)` times plus one more with
+    * probability `frac(weight)`, drawn DETERMINISTICALLY by comparing
+    * four md5 hex digits of a salted doc key against the fraction
+    * scaled to 16⁴ — so the materialized epoch plan is reproducible
+    * bit-for-bit by the oracle or a data loader, and re-runs never
+    * reshuffle which documents got the extra repeat.
+    *
+    * Scale shape: the weight table is language-count-sized and
+    * broadcast; everything else is the per-row hash discipline of
+    * [[trainSplit]]. The aggregate that builds the weights shuffles
+    * only per-cell partials.
+    */
+  def qMixResample(spark: SparkSession, dir: String): DataFrame =
+    mixResample(Tables.documents(spark, dir))
+
+  /** Core of [[qMixResample]] over any (doc_id, lang, text) frame. */
+  private[graft] def mixResample(docs: DataFrame): DataFrame = {
+    val cells = docs.groupBy(col("lang"))
+      .agg(sum(size(toks)).as("cell_tokens"))
+    // tiny post-agg frame: the unpartitioned windows see one row per
+    // language, never the corpus
+    val weights = cells.withColumn("weight",
+      (sum(col("cell_tokens")).over(Window.partitionBy()).cast("double") /
+        count(lit(1)).over(Window.partitionBy())) / col("cell_tokens"))
+      .select(col("lang"), col("weight"))
+    val frac16 = floor((col("weight") - floor(col("weight"))) * 65536)
+    val extraDraw = upper(substring(
+      md5(concat(col("doc_id").cast("string"), lit("#rep"))), 1, 4)) <
+      lpad(hex(frac16), 4, "0")
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(weights), "lang")
+      .select(col("doc_id"), col("lang"), col("weight"),
+        (floor(col("weight")) + when(extraDraw, 1).otherwise(0))
+          .cast("long").as("n_repeats"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------------- mixture
 
   /** Corpus-mixture report: documents, tokens, and token share per

@@ -203,6 +203,48 @@ class CurationSpec extends SparkTestBase {
     assert(grown.exceptAll(old).isEmpty)
   }
 
+  // ----------------------------------------------------------- resampling
+
+  test("mix resample reweights token mass toward the uniform language target") {
+    val df = Curation.qMixResample(spark, sfDir).cache()
+    try {
+      assert(df.count() == docs.count()) // a repeat count for every doc
+      // repeated token mass per language should approach total/n_langs
+      val toks = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok"))
+      val resampled = df.join(toks, "doc_id")
+        .groupBy("lang")
+        .agg(sum(col("n_repeats") * col("n_tok")).as("mass"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val target = resampled.values.sum.toDouble / resampled.size
+      resampled.foreach { case (lang, mass) =>
+        assert(math.abs(mass - target) / target < 0.15,
+          s"$lang token mass $mass vs uniform target $target")
+      }
+      // deterministic: the extra-repeat draw is a pure hash function
+      assert(Curation.qMixResample(spark, sfDir).exceptAll(df).isEmpty)
+    } finally df.unpersist()
+  }
+
+  test("mix resample weights and repeat floors match a hand-built corpus") {
+    import spark.implicits._
+    // aa: 300 tokens, bb: 100 -> total 400, target 200/cell
+    // weight(aa) = 200/300 = 2/3 -> repeats in {0, 1}
+    // weight(bb) = 200/100 = 2   -> exactly 2 (frac = 0, no extra draw)
+    val d = (
+      (1 to 3).map(i => (i.toLong, "aa", words100(i))) :+
+        (10L, "bb", words100(10))).toDF("doc_id", "lang", "text")
+    val out = Curation.mixResample(d).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    out.filter(_._1 < 10L).values.foreach { case (w, n) =>
+      assert(math.abs(w - 2.0 / 3.0) < 1e-12 && (n == 0L || n == 1L))
+    }
+    assert(out(10L) == ((2.0, 2L)))
+  }
+
+  private def words100(seed: Int): String =
+    (0 until 100).map(i => s"t${seed * 1000 + i}").mkString(" ")
+
   // -------------------------------------------------------------- mixture
 
   test("corpus mix shares sum to one and doc counts to the corpus") {

@@ -188,5 +188,13 @@ class PipelinesSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"),
       "the only join in the manifest plan is the broadcast hit-set flag; " +
         "a sort-merge join means a corpus-scale shuffle crept in")
+    // the CORPUS moves through exactly three exchanges — the dedup
+    // window (norm-text hash), the shard window, and the output sort;
+    // the other two shuffle only benchmark-sized relations (the eval
+    // shingle distinct and the hit-set distinct). A sixth exchange
+    // means the packing subset-join (or similar) crept back in.
+    val exchanges =
+      "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+    assert(exchanges <= 5, s"expected <=5 shuffle exchanges:\n$plan")
   }
 }
