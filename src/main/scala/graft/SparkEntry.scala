@@ -110,6 +110,7 @@ object SparkEntry {
     "q_contamination_report" -> (Curation.qContaminationReport _),
     "q_repetition"        -> (Curation.qRepetition _),
     "q_pack_sequences"    -> (Curation.qPackSequences _),
+    "q_pack_manifest"     -> (Curation.qPackManifest _),
     "q_corpus_mix"        -> (Curation.qCorpusMix _),
     "q_mix_resample"      -> (Curation.qMixResample _),
   )
@@ -986,6 +987,22 @@ object SparkEntry {
         |       CAST(n_tokens AS DOUBLE) /
         |         CAST(sum(n_tokens) OVER () AS DOUBLE) AS token_share
         |FROM g ORDER BY lang, source""".stripMargin,
+    "q_pack_manifest" ->
+      """WITH t AS (SELECT doc_id,
+        |             substr(md5(CAST(doc_id AS VARCHAR)),1,1) AS shard,
+        |             len(string_split(text,' ')) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |               ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+        |p AS (SELECT doc_id, shard, n_tok,
+        |             CAST(floor((cum - n_tok)/512.0) AS BIGINT) AS pack_id
+        |      FROM c)
+        |SELECT shard, pack_id, count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |       string_agg(CAST(doc_id AS VARCHAR), '-' ORDER BY doc_id)
+        |         AS doc_ids
+        |FROM p GROUP BY 1,2 ORDER BY shard, pack_id""".stripMargin,
     // Both engines draw the probabilistic extra repeat by comparing
     // UPPERCASE hex: md5 is lowercase in both, Spark hex() and DuckDB
     // to_hex() are uppercase — the upper() on the md5 prefix keeps the

@@ -289,6 +289,27 @@ object Curation {
       .orderBy(col("shard"), col("doc_id"))
   }
 
+  /** The pack-level rollup of [[qPackSequences]] — one row per
+    * (shard, pack): member count, token total, and the ordered member
+    * list (joined to a string so the oracle compare stays scalar). This
+    * is the manifest a sequence-building job consumes: it reads each
+    * pack's documents in doc_id order and concatenates. Per-pack state
+    * is bounded by budget/min-doc-tokens members, so the collect_list
+    * aggregate never holds more than a pack's worth — safe at any
+    * corpus size. */
+  def qPackManifest(spark: SparkSession, dir: String): DataFrame =
+    packManifest(Tables.documents(spark, dir))
+
+  /** Core of [[qPackManifest]]: rollup of the packing assignment. */
+  private[graft] def packManifest(docs: DataFrame): DataFrame =
+    packSequences(docs)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        array_join(sort_array(collect_list(col("doc_id"))), "-")
+          .as("doc_ids"))
+      .orderBy(col("shard"), col("pack_id"))
+
   // ----------------------------------------------------------- resampling
 
   /** Data-mixing EXECUTION step — the operator that consumes a mixture

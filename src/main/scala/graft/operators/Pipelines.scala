@@ -267,4 +267,26 @@ object Pipelines {
         col("split_name"), col("shard"), col("pack_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** Publish the manifest as the durable training-run artifact:
+    * parquet partitioned by (split_name, shard) and sorted by doc_id
+    * within files — the same write-once/read-many posture as the
+    * key-clustered silver layout. A training job reads ONE split
+    * (directory-pruned at plan time, no data touched for val/test when
+    * training), and an individual data-loader rank reads its own shard
+    * subdirectory; the in-file doc_id sort means a pack's members are
+    * contiguous. */
+  def writeManifest(manifest: DataFrame, path: String): Unit =
+    manifest
+      .repartition(col("split_name"), col("shard"))
+      .sortWithinPartitions(col("split_name"), col("shard"), col("doc_id"))
+      .write.mode("overwrite")
+      .partitionBy("split_name", "shard")
+      .parquet(path)
+
+  /** One split of a published manifest — the equality predicate on the
+    * partition column resolves to directory pruning at plan time. */
+  def readManifestSplit(spark: SparkSession, path: String,
+      split: String): DataFrame =
+    spark.read.parquet(path).filter(col("split_name") === split)
 }

@@ -194,6 +194,22 @@ class CurationSpec extends SparkTestBase {
     assert(rows.map(_.getLong(0)).distinct.length == docs.count())
   }
 
+  test("pack manifest rolls up the packing assignment consistently") {
+    val assign = Curation.qPackSequences(spark, sfDir).collect()
+    val manifest = Curation.qPackManifest(spark, sfDir).collect()
+    val byPack = assign.groupBy(r => (r.getString(1), r.getLong(3)))
+    assert(manifest.length == byPack.size)
+    manifest.foreach { m =>
+      val members = byPack((m.getString(0), m.getLong(1)))
+      assert(m.getLong(2) == members.length)
+      assert(m.getLong(3) == members.map(_.getInt(2).toLong).sum)
+      // member list is doc_id-ordered — the concatenation order a
+      // sequence builder relies on
+      assert(m.getString(4) ==
+        members.map(_.getLong(0)).sorted.mkString("-"))
+    }
+  }
+
   test("pack assignment within a shard is append-stable under corpus growth") {
     // adding NEW documents with larger ids must not move earlier docs to
     // different packs (ordering is by doc_id, so growth only appends)

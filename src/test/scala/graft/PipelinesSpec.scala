@@ -197,4 +197,40 @@ class PipelinesSpec extends SparkTestBase {
       "Exchange (hash|range)partitioning".r.findAllIn(plan).size
     assert(exchanges <= 5, s"expected <=5 shuffle exchanges:\n$plan")
   }
+
+  test("published manifest: split read prunes to the split's directories") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.functions._
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec => fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans)
+    }
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft_manifest_pub")
+    try {
+      val manifest = Pipelines.qPipelineManifest(spark, sfDir)
+      Pipelines.writeManifest(manifest, tmpPath.toString)
+      val train = Pipelines.readManifestSplit(spark, tmpPath.toString, "train")
+      val rows = train.collect()
+      // content round-trips exactly (partition columns come back typed
+      // as strings; compare on the stable columns)
+      val expected = manifest.filter(col("split_name") === "train")
+        .select(col("doc_id"), col("keep"), col("pack_id")).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("keep"),
+        if (r.isNullAt(r.fieldIndex("pack_id"))) -1L
+        else r.getAs[Long]("pack_id"))).toSet == expected)
+      // plan-time directory pruning: the train read touches only the
+      // train partition's files
+      val scan = fileScans(train.queryExecution.executedPlan).head
+      val allFiles = spark.read.parquet(tmpPath.toString).inputFiles.length
+      val readFiles = scan.metrics("numFiles").value
+      assert(readFiles < allFiles,
+        s"split read touched $readFiles of $allFiles files — no pruning")
+    } finally graft.sources.TempDirs.deleteTree(tmpPath)
+  }
 }
