@@ -274,6 +274,16 @@ object Curation {
   /** Core of [[qPackSequences]]: pack to `budget` tokens within each of
     * 16^`shardHexLen` shards. */
   private[graft] def packSequences(docs: DataFrame, budget: Int = 512,
+      shardHexLen: Int = 1): DataFrame =
+    packAssign(docs, budget, shardHexLen)
+      .orderBy(col("shard"), col("doc_id"))
+
+  /** Unsorted packing assignment — the shape downstream AGGREGATES
+    * consume ([[packManifest]]): Spark 4 does not eliminate a global
+    * sort under a later aggregate, so building the rollup on the sorted
+    * declared query carried a wasted corpus-scale range shuffle
+    * (measured: 4 shuffles → 3 without it). */
+  private[graft] def packAssign(docs: DataFrame, budget: Int = 512,
       shardHexLen: Int = 1): DataFrame = {
     val base = docs.select(
       col("doc_id"),
@@ -286,7 +296,6 @@ object Curation {
       .select(col("doc_id"), col("shard"), col("n_tok"),
         floor((col("cum") - col("n_tok")) / lit(budget.toDouble))
           .cast("long").as("pack_id"))
-      .orderBy(col("shard"), col("doc_id"))
   }
 
   /** The pack-level rollup of [[qPackSequences]] — one row per
@@ -302,7 +311,7 @@ object Curation {
 
   /** Core of [[qPackManifest]]: rollup of the packing assignment. */
   private[graft] def packManifest(docs: DataFrame): DataFrame =
-    packSequences(docs)
+    packAssign(docs)
       .groupBy(col("shard"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("total_tokens"),

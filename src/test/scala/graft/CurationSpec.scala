@@ -210,6 +210,19 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("pack manifest plan: rollup rides the shard partitioning, no sort shuffle") {
+    // the rollup must build on the UNSORTED assignment: Spark 4 keeps a
+    // global sort under a later aggregate, so composing over the sorted
+    // declared query costs a wasted corpus-scale range shuffle (4
+    // shuffles instead of <=3: shard window + output sort, with the
+    // groupBy riding the shard hash partitioning)
+    val plan = Curation.qPackManifest(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val shuffles =
+      "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+    assert(shuffles <= 3, s"expected <=3 shuffle exchanges:\n$plan")
+  }
+
   test("pack assignment within a shard is append-stable under corpus growth") {
     // adding NEW documents with larger ids must not move earlier docs to
     // different packs (ordering is by doc_id, so growth only appends)
