@@ -135,17 +135,29 @@ object Curation {
   /** Benchmark decontamination: flag every training document that shares
     * at least one 8-token shingle with the held-out eval set (here the
     * synthetic holdout `doc_id % 10 = 0`). This is the published
-    * n-gram-overlap decontamination recipe (GPT-3 appendix C shape:
-    * 8-gram collision against eval text ⇒ contaminated).
+    * n-gram-overlap decontamination recipe — GPT-2/WebText-style 8-gram
+    * collision against eval text ⇒ contaminated (GPT-3's appendix-C
+    * variant of the same recipe used 13-grams; k=8 here is the stricter
+    * deliberate choice, and the shingle builder takes k as a knob).
     *
     * Scale posture: the eval side of the join is benchmark-sized (tiny
     * next to the corpus), so its distinct shingle set broadcasts — the
-    * 100 TB training side is scanned once, shingled map-side, and
-    * semi-joined with NO corpus shuffle. The only shuffled data is the
-    * hit doc_id set (contaminated docs, rare by construction), which is
-    * itself broadcast back for the final flag join. The guard for
-    * sub-8-token documents treats the whole text as one shingle, so
-    * short eval strings still match verbatim copies.
+    * 100 TB training side never shuffles (two corpus SCANS: one
+    * shingled map-side for the semi-join, one bare-id projection for
+    * the final flag join — scans are the cheap axis; the avoided corpus
+    * SHUFFLE is the expensive one). The only shuffled data is the hit
+    * doc_id set (contaminated docs, rare by construction), which is
+    * itself broadcast back for the final flag join.
+    *
+    * Known miss class (documented, not hidden): documents SHORTER than
+    * 8 tokens are shingled as one whole-text shingle, so a short eval
+    * doc is flagged only against an exact whole-document train copy —
+    * a LONGER train doc merely CONTAINING the short eval string
+    * verbatim is NOT flagged (its 8-gram shingles can never equal the
+    * shorter eval shingle). Containment-level decontamination of short
+    * eval items would additionally shingle train docs at each short
+    * eval doc's token length (or substring-match them); the standard
+    * recipe — and this operator — does not.
     */
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
