@@ -23,39 +23,112 @@ import org.apache.spark.sql.functions._
   * construction (uncorrelated pairs collide in a band with p^rows ≪ 1;
   * the modality specs pin candidates ≪ all-pairs).
   *
+  * HOT-BUCKET GUARD (r8 verdict item 1). The geometry bound holds for
+  * uncorrelated pairs but not for mega-clusters: k identical or
+  * template entities put k rows in ONE (band, key) bucket and the
+  * all-pairs join would emit O(k²) candidates on a single skewed
+  * shuffle key — invisible at test scale (max observed bucket is 4 at
+  * sf0.1), fatal at 100×. Buckets larger than `cap` are therefore
+  * STAR-REDUCED: instead of all pairs, only the bucket's minimum-id
+  * entity pairs with every other member — O(k) edges that preserve
+  * exactly the pair graph's CONNECTIVITY (the
+  * [[graft.operators.Components]] propagation consumes star edges
+  * natively; `extendLabels` is built on them). The emit-once predicate
+  * makes the two paths mutually exclusive with no dedup join: a pair's
+  * first-colliding band is unique, and that band's bucket is either
+  * small (the pair surfaces through the normal all-pairs join there;
+  * later-band hot buckets are suppressed by the predicate) or hot (the
+  * star path emits it there iff the left entity is the bucket min;
+  * later-band small buckets are equally suppressed). What the guard
+  * gives up, loudly and by design: above `cap` the candidate stream is
+  * connectivity-complete, not PAIR-complete — two non-min members of a
+  * hot bucket surface only through their shared min, so pair-set
+  * consumers see a star, and verification prunes a star edge (not
+  * similar to the min) rather than each leaf pair individually. That
+  * is the standard published LSH-at-scale tradeoff (cap or
+  * star-reduce oversized buckets); the cap defaults far above any
+  * healthy bucket and fit jobs surface the hot-bucket count as an
+  * index marker ([[graft.operators.TextOps.minhashFit]]).
+  *
   * The SHUFFLE_HASH hint sits on the RIGHT side, which makes it the
   * hash-map BUILD side of the shuffled hash join — so in a
   * two-relation probe the caller must pass the SMALLER relation as
   * `right` (an increment probing a corpus index builds over the
-  * increment, never the corpus). In the self-join case the hint
-  * additionally keeps both sides as shuffle exchanges over the same
-  * child plan, so Spark's exchange reuse evaluates the banded
-  * projection once instead of once-per-side (a broadcast side would
-  * duplicate it).
+  * increment, never the corpus). Both sides of the normal join carry
+  * the same hot-bucket anti-filter, so in the self-join case the two
+  * shuffle exchanges stay plan-identical and Spark's exchange reuse
+  * evaluates the banded projection once instead of once-per-side (the
+  * filter is a no-op on the right side's RESULT — hot buckets have no
+  * left partners — it exists to keep the plans equal).
   */
 private[graft] object BandedJoins {
+
+  /** Bucket-size cap above which a (band, key) bucket is star-reduced.
+    * Expected bucket size under the banding geometry is O(1) (observed
+    * max 4 at sf0.1); 64 keeps every healthy near-dup cluster on the
+    * exact all-pairs path while bounding a degenerate bucket's emission
+    * at O(k) instead of O(k²). */
+  val defaultHotBucketCap = 64
+
+  /** The oversized (band, key) buckets of a banded relation — the loud
+    * metric of the guard: fit jobs count this frame and publish the
+    * number next to the index; specs pin it. Columns: (hot_band,
+    * hot_key, bucket_n). */
+  def hotBuckets(banded: DataFrame, bandCol: String, keyCol: String,
+    cap: Int = defaultHotBucketCap): DataFrame =
+    banded.groupBy(col(bandCol), col(keyCol))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+      .select(col(bandCol).as("hot_band"), col(keyCol).as("hot_key"),
+        col("bucket_n"))
 
   /** Emit-once join of banded relations `left` (aliased `x`) and
     * `right` (aliased `y`) on (`bandCol`, `keyCol`), with the
     * no-earlier-collision predicate over `sigsCol` (the full signature
-    * array each banded row carries). `extra` restricts the candidate
-    * space — `x.id < y.id` for a self-join's ordered pairs,
-    * `x.id =!= y.id` for disjoint-side probes where only the
-    * degenerate self-pair must be excluded. Output columns are the
-    * caller's `outCols` over the `x`/`y` aliases. `right` is the
-    * hash-join build side — pass the smaller relation there.
+    * array each banded row carries) and the hot-bucket star-reduction
+    * described on the object. `idCol` is the entity id column present
+    * on both sides (the star path picks each hot bucket's min by it).
+    * `extra` restricts the candidate space — `x.id < y.id` for a
+    * self-join's ordered pairs, `x.id =!= y.id` for disjoint-side
+    * probes where only the degenerate self-pair must be excluded.
+    * Output columns are the caller's `outCols` over the `x`/`y`
+    * aliases. `right` is the hash-join build side — pass the smaller
+    * relation there. Hot buckets are detected on the LEFT side (the
+    * corpus/base side in every probe shape; the increment side's own
+    * self-join guards itself), whose count aggregate shuffles only
+    * per-bucket partials and whose surviving hot set is broadcast.
     */
   def emitOnce(left: DataFrame, right: DataFrame, bandCol: String,
-    keyCol: String, sigsCol: String, extra: Column,
-    outCols: Seq[Column]): DataFrame = {
+    keyCol: String, sigsCol: String, idCol: String, extra: Column,
+    outCols: Seq[Column],
+    cap: Int = defaultHotBucketCap): DataFrame = {
     val noEarlierCollision = !graft.functions.TextFunctions
       .earlierBandCollision(col(s"x.$sigsCol"), col(s"y.$sigsCol"),
         col(s"x.$bandCol"))
-    left.as("x")
-      .join(right.as("y").hint("shuffle_hash"),
-        col(s"x.$bandCol") === col(s"y.$bandCol") &&
-          col(s"x.$keyCol") === col(s"y.$keyCol") &&
-          extra && noEarlierCollision)
+    val joinCond = col(s"x.$bandCol") === col(s"y.$bandCol") &&
+      col(s"x.$keyCol") === col(s"y.$keyCol") &&
+      extra && noEarlierCollision
+    val hot = broadcast(hotBuckets(left, bandCol, keyCol, cap)
+      .select(col("hot_band"), col("hot_key")))
+    def dropHot(side: DataFrame): DataFrame =
+      side.join(hot, col(bandCol) === col("hot_band") &&
+        col(keyCol) === col("hot_key"), "left_anti")
+    val normal = dropHot(left).as("x")
+      .join(dropHot(right).as("y").hint("shuffle_hash"), joinCond)
       .select(outCols: _*)
+    // star path: each hot bucket's min-id LEFT row (payload carried via
+    // min_by over the whole row) joins every RIGHT row of the bucket —
+    // O(bucket) edges; the emit-once predicate on the same join keeps a
+    // pair colliding hot in several bands to one emission
+    val minRows = left
+      .join(hot, col(bandCol) === col("hot_band") &&
+        col(keyCol) === col("hot_key"), "left_semi")
+      .groupBy(col(bandCol), col(keyCol))
+      .agg(min_by(struct(left.columns.map(col): _*), col(idCol)).as("m"))
+      .select(col("m.*"))
+    val star = broadcast(minRows).as("x")
+      .join(right.as("y"), joinCond)
+      .select(outCols: _*)
+    normal.unionByName(star)
   }
 }

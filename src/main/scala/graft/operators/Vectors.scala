@@ -331,7 +331,7 @@ object Vectors {
   private def lshCandidatePairsStaged(staged: DataFrame): DataFrame = {
     val banded = bandedVecs(staged)
     BandedJoins.emitOnce(banded, banded, "band", "band_sig", "sigs",
-      col("x.vec_id") < col("y.vec_id"),
+      "vec_id", col("x.vec_id") < col("y.vec_id"),
       Seq(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
         col("x.u").as("ua"), col("y.u").as("ub")))
   }
@@ -407,7 +407,7 @@ object Vectors {
     newStaged: DataFrame): DataFrame = {
     val cross = BandedJoins.emitOnce(
       bandedVecs(baseStaged), bandedVecs(newStaged),
-      "band", "band_sig", "sigs",
+      "band", "band_sig", "sigs", "vec_id",
       col("x.vec_id") =!= col("y.vec_id"),
       Seq(col("y.vec_id").as("id_a"), col("x.vec_id").as("id_b"),
         col("y.u").as("ua"), col("x.u").as("ub")))
