@@ -100,6 +100,7 @@ object SparkEntry {
     "q_dedup_embed_clusters" -> (Vectors.qDedupEmbedClusters _),
     "q_dedup_embed_incremental" -> (Vectors.qDedupEmbedIncremental _),
     "q_ann_ivf"         -> (Vectors.qAnnIvf _),
+    "q_ann_ivf_full"    -> (Vectors.qAnnIvfFull _),
     // M5 — multimodal binary columns
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_frame_sample"    -> (Multimodal.qFrameSample _),
@@ -784,9 +785,65 @@ object SparkEntry {
         |  AND list_reduce(list_transform(list_zip(a.u, b.u),
         |      p -> p[1] * p[2]), (x, y) -> x + y) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
-    // q_ann_ivf / q_dedup_embed_lsh: no oracle — approximate by design;
-    // recall vs the exact q_cosine_topk / q_dedup_embed is
-    // property-tested in VectorsSpec.
+    // q_ann_ivf: no oracle — approximate by design at nprobe=3; recall
+    // vs the exact q_cosine_topk is property-tested in VectorsSpec, and
+    // the probe machinery earns its green row through q_ann_ivf_full.
+    // q_dedup_embed_lsh IS oracle-checked (r8 verdict item 2): the
+    // banded output is always a SUBSET of the exact >=0.8-cosine sweep
+    // (every candidate is exact-verified — seed-independent,
+    // spec-pinned), and on this corpus that exact sweep is EMPTY
+    // (planted pairs sit at cosine 0.50-0.60), so set equality holds
+    // for ANY plane seed: a spurious banded pair would break the hash
+    // compare loudly, and a recall miss is impossible against an empty
+    // truth set. The populated-regime recall contract stays in
+    // VectorsSpec's planted >=0.9-cosine corpus.
+    "q_dedup_embed_lsh" ->
+      """WITH base AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x * x),
+        |         (a, b) -> a + b)) AS nrm
+        |  FROM base),
+        |un AS (
+        |  SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_reduce(list_transform(list_zip(a.u, b.u),
+        |      p -> p[1] * p[2]), (x, y) -> x + y) AS cosine
+        |FROM un a, un b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_reduce(list_transform(list_zip(a.u, b.u),
+        |      p -> p[1] * p[2]), (x, y) -> x + y) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q_ann_ivf_full: nprobe = nlist makes the probe pipeline exact, so
+    // the unit-vector brute-force top-5 SQL is its oracle (cosines are
+    // computed on unit vectors in both engines — the bitwise-identical
+    // left-fold dot that q_dedup_embed's compare already pins).
+    "q_ann_ivf_full" ->
+      """WITH base AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x * x),
+        |         (a, b) -> a + b)) AS nrm
+        |  FROM base),
+        |un AS (
+        |  SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.u, c.u),
+        |        p -> p[1] * p[2]), (x, y) -> x + y) AS cosine
+        |  FROM un q, un c WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |ranked AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, neighbor_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     // q_dedup_embed_clusters IS oracle-checked: the oracle computes true
     // reachability over the EXACT ≥0.8-cosine pair graph, which on this
     // corpus is empty (planted pairs sit at 0.50–0.60) exactly like the

@@ -119,6 +119,24 @@ object Vectors {
     probeTopk(spark, model, queries)
   }
 
+  /** FORCED full-probe ride of the IVF probe pipeline (r8 verdict item
+    * 6 — the q_dedup_minhash_carried precedent applied to ANN): with
+    * nprobe = nlist every bucket is probed, so the IDENTICAL probe
+    * plan — quantizer expression, bucket-partitioned corpus join,
+    * bounded top-k aggregate — degenerates to EXACT cosine top-5,
+    * which the DuckDB oracle computes independently over unit-
+    * normalized vectors (the same bitwise-reproducible left-fold dot
+    * as q_dedup_embed's green compare). [[qAnnIvf]] itself stays
+    * rows-only (approximate by design at nprobe=3); this variant earns
+    * the probe machinery — partition pruning boundary included — a
+    * green hash-compared CORRECTNESS row.
+    */
+  def qAnnIvfFull(spark: SparkSession, dir: String): DataFrame = {
+    val model = ivfFit(spark, dir)
+    val queries = unit(spark, dir).filter(col("vec_id") < 10)
+    probeTopk(spark, model, queries, nprobe = model.nlist)
+  }
+
   /** Trained IVF index: the centroid model plus the bucket-partitioned
     * corpus location (both also persisted as parquet under `path`). */
   private[graft] case class IvfModel(nlist: Int,

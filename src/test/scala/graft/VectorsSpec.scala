@@ -57,6 +57,23 @@ class VectorsSpec extends SparkTestBase {
     perQ.foreach(r => assert(r.getLong(1) <= 5))
   }
 
+  test("q_ann_ivf_full (nprobe = nlist) recovers the exact top-5 sets") {
+    // the forced full probe degenerates to exact top-k, so per-query
+    // neighbor/rank assignments must equal the brute-force query's
+    // (cosines themselves differ in formula — unit-vector dot vs
+    // dot/(|a||b|) — so the comparison is on the discrete output; the
+    // bitwise cosine pin is the DuckDB oracle's job)
+    def byQuery(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).view
+        .mapValues(_.map(r => (r.getInt(1), r.getLong(2))).toSet).toMap
+    val full = byQuery(Vectors.qAnnIvfFull(spark, sfDir)
+      .select("q_id", "rank", "neighbor_id").collect())
+    val exact = byQuery(Vectors.qCosineTopk(spark, sfDir)
+      .select("q_id", "rank", "neighbor_id").collect())
+    assert(full == exact)
+    assert(full.size == 10)
+  }
+
   /** 10 well-separated clusters: center c = one-hot(dim c), members get
     * deterministic small noise; queries (vec_id 0..9) sit in cluster c.
     * NO label column reaches the engine — the quantizer must be
