@@ -87,6 +87,7 @@ object SparkEntry {
     "q_dedup_minhash_joinback" -> (TextOps.qDedupMinhashJoinback _),
     "q_dedup_clusters"  -> (TextOps.qDedupClusters _),
     "q_dedup_incremental" -> (TextOps.qDedupIncremental _),
+    "q_dedup_compact"   -> (TextOps.qDedupCompact _),
     "q_text_stats"      -> (TextOps.qTextStats _),
     "q_token_count"     -> (TextOps.qTokenCount _),
     "q_token_percentiles" -> (TextOps.qTokenPercentiles _),
@@ -662,6 +663,11 @@ object SparkEntry {
     // the identical full-corpus reachability SQL; a missed cross pair
     // or a split merged component fails the hash compare loudly.
     "q_dedup_incremental" -> dedupClustersOracle,
+    // q_dedup_compact: the base index holds STALE text for the re-crawl
+    // subset; after retirement + re-pairing + relabeling the flags must
+    // equal a full recompute over the TRUE corpus — the documents table
+    // itself — so the same reachability SQL is the oracle.
+    "q_dedup_compact" -> dedupClustersOracle,
     // q_pipeline_curation: the composed curation dataflow — near-dup
     // reachability (same CTE core as q_dedup_clusters) joined to the
     // q_text_stats / q_lang_id expressions and thresholded into keep

@@ -614,6 +614,103 @@ object TextOps {
       Components.extendLabels(spark.read.parquet(st.labelsPath), inc))
   }
 
+  /** RE-CRAWL COMPACTION — the update half of the nightly posture that
+    * [[qDedupIncremental]]'s contract explicitly excludes ("re-crawled
+    * ids belong to a compaction job"; r8 verdict item 3): a nightly
+    * crawl RE-FETCHES documents whose content changed (the reference's
+    * own recurring-sync shape, /root/reference/insights.md:169-172),
+    * and their STALE rows must leave the published index before the
+    * new text is paired in.
+    *
+    * Why the label map alone cannot be repaired: star edges record
+    * reachability, not which underlying near-dup pairs justified it —
+    * a re-crawled document may have been the BRIDGE holding a
+    * component together, and retiring it must SPLIT that component.
+    * So the nightly fit publishes the verified PAIR set (dup-set-sized
+    * — orders of magnitude smaller than the corpus) alongside the
+    * index, and compaction (1) anti-joins the re-crawled ids out of
+    * the staged index (stale signature retirement), (2) drops every
+    * published pair incident to a re-crawled id, (3) probes the
+    * re-crawled docs' NEW text against the retained index — the exact
+    * [[incrementPairs]] probe shape, increment-sized — and (4) relabels
+    * the repaired pair graph (retained ∪ fresh pairs), which is
+    * dup-set-sized, so the propagation cost matches the incremental
+    * path's. The re-crawl id set is increment-sized and broadcasts
+    * into every anti-join; the corpus itself never re-shingles.
+    * The updated index republishes as retained ∪ fresh staged rows
+    * (a parquet union write on the same schema — the artifact side of
+    * the same job).
+    */
+  private[graft] def compactClusters(baseStaged: DataFrame,
+    basePairs: DataFrame, recrawledDocs: DataFrame, corpus: DataFrame,
+    joinBack: Boolean): DataFrame = {
+    val ids = recrawledDocs.select(col("doc_id"))
+    val retainedStaged = baseStaged
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+    val newStaged = stageDocs(recrawledDocs).localCheckpoint(true)
+    val freshPairs = incrementPairs(retainedStaged, newStaged, joinBack)
+    val keptPairs = basePairs
+      .join(broadcast(ids.select(col("doc_id").as("id_a"))),
+        Seq("id_a"), "left_anti")
+      .join(broadcast(ids.select(col("doc_id").as("id_b"))),
+        Seq("id_b"), "left_anti")
+    Components.flagCorpus(corpus, "doc_id",
+      Components.labelComponents(
+        keptPairs.select(col("id_a"), col("id_b"))
+          .unionByName(freshPairs.select(col("id_a"), col("id_b")))))
+  }
+
+  /** The deterministic re-crawl subset the declared compaction query
+    * simulates with (~14% of documents by id hash — disjoint in
+    * DEFINITION from nothing: a re-crawl is any id that already exists
+    * in the base, which is exactly what [[qDedupIncremental]]'s
+    * new-ids-only contract excludes). */
+  private[graft] def isRecrawlDoc: Column =
+    pmod(xxhash64(col("doc_id")), lit(7)) === 0
+
+  /** Fitted compaction base state: yesterday's published index and
+    * verified pair set, both fitted over the corpus WITH STALE TEXT for
+    * the re-crawl subset (the revision the crawler supersedes tonight).
+    */
+  private[graft] case class CompactState(index: MinHashIndex,
+    pairsPath: String)
+
+  private val fittedCompactState = new FitCache[CompactState]((s, d) => {
+    val stale = Tables.documents(s, d).withColumn("text",
+      when(isRecrawlDoc,
+        concat(col("text"), lit(" legacyrev legacyrev stale marker")))
+        .otherwise(col("text")))
+    val idx = minhashFit(s, stale, graft.sources.TempDirs
+      .scratchDir("graft_compact_base_index").toString)
+    val staged = stagedFrame(s, idx)
+    val basePairs =
+      if (idx.joinBack) pairsJoinBackStaged(staged)
+      else pairsCarriedStaged(staged)
+    val pp = graft.sources.TempDirs
+      .scratchDir("graft_compact_base_pairs").toString
+    basePairs.write.mode("overwrite").parquet(pp)
+    CompactState(idx, pp)
+  })
+  private[graft] def compactStateFor(spark: SparkSession,
+    dir: String): CompactState = fittedCompactState.get(spark, dir)
+
+  /** Declared compaction query: the base index was fitted with STALE
+    * text for the ~14% re-crawl subset; tonight those documents arrive
+    * with their TRUE text. After retirement + re-pairing + relabeling,
+    * the cluster flags must equal a FULL RECOMPUTE over the true
+    * corpus — which is exactly the documents table, so the same
+    * full-corpus reachability SQL as [[qDedupClusters]] is the oracle:
+    * a stale pair that survives retirement, a missed re-pair, or an
+    * unsplit bridged component all fail the hash compare loudly.
+    */
+  def qDedupCompact(spark: SparkSession, dir: String): DataFrame = {
+    val st = compactStateFor(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    compactClusters(stagedFrame(spark, st.index),
+      spark.read.parquet(st.pairsPath),
+      docs.filter(isRecrawlDoc), docs, st.index.joinBack)
+  }
+
   /** Per-document quality statistics for corpus filtering: token count,
     * char length, distinct-token (type-token) ratio, stopword ratio, and
     * mean token length — the length/punct/stopword heuristics of

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Components, TextOps}
+
+/** Re-crawl compaction (r8 verdict item 3): retiring a re-crawled
+  * document's stale index rows, dropping its published pairs,
+  * re-pairing its NEW text, and relabeling must equal a full recompute
+  * over the post-compaction corpus — including the case a label-map
+  * extension alone can never repair: a re-crawled BRIDGE document
+  * whose new text splits its old component.
+  */
+class CompactionSpec extends SparkTestBase {
+
+  private def toks(n: Int, tag: String): IndexedSeq[String] =
+    (0 until n).map(i => s"$tag$i")
+
+  /** A, B, C where B_old bridges A and C (A~B_old~C near-dups at
+    * J>=0.8 but A!~C), plus dissimilar fillers. */
+  private val base = toks(50, "t")
+  private val aText = (toks(3, "x") ++ base.drop(3)).mkString(" ")
+  private val bOld  = base.mkString(" ")
+  private val cText = (base.dropRight(3) ++ toks(3, "y")).mkString(" ")
+  private val bNew  = toks(50, "z").mkString(" ")
+
+  private def staleDocs = {
+    import spark.implicits._
+    Seq((1L, aText), (2L, bOld), (3L, cText),
+      (10L, toks(40, "f").mkString(" ")),
+      (11L, toks(40, "g").mkString(" "))).toDF("doc_id", "text")
+  }
+
+  private def trueDocs = {
+    import spark.implicits._
+    Seq((1L, aText), (2L, bNew), (3L, cText),
+      (10L, toks(40, "f").mkString(" ")),
+      (11L, toks(40, "g").mkString(" "))).toDF("doc_id", "text")
+  }
+
+  test("fixture sanity: B_old bridges A and C; B_new is unrelated") {
+    val pairs = TextOps.jaccardPairs(staleDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)), s"stale pairs: $pairs")
+    assert(TextOps.jaccardPairs(trueDocs).collect().isEmpty)
+  }
+
+  test("compaction splits a component bridged by the re-crawled doc") {
+    import spark.implicits._
+    val baseStaged = TextOps.stageDocs(staleDocs).localCheckpoint(true)
+    val basePairs = TextOps.pairsCarriedStaged(baseStaged)
+      .localCheckpoint(true)
+    val recrawled = Seq((2L, bNew)).toDF("doc_id", "text")
+    val out = TextOps.compactClusters(baseStaged, basePairs, recrawled,
+      trueDocs, joinBack = false).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // full recompute over the true corpus: everything is a singleton
+    Seq(1L, 2L, 3L, 10L, 11L).foreach { id =>
+      assert(out(id) == ((id, true)), s"doc $id: ${out(id)}")
+    }
+    // and the naive label-map extension CANNOT produce this: the base
+    // labels still chain A and C through the retired bridge
+    val naive = Components.flagCorpus(trueDocs, "doc_id",
+      Components.extendLabels(
+        Components.labelComponents(basePairs.select(col("id_a"),
+          col("id_b"))),
+        spark.emptyDataFrame.select(lit(0L).as("id_a"),
+          lit(0L).as("id_b")).limit(0))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(naive(3L) == 1L, "precondition: stale labels chain C to A")
+  }
+
+  test("compaction re-pairs a re-crawled doc against its new match") {
+    import spark.implicits._
+    // B's new text becomes a near-dup of filler 10 instead
+    val bMatches10 = (Seq("q0", "q1", "q2") ++ toks(40, "f").drop(3))
+      .mkString(" ")
+    val recrawled = Seq((2L, bMatches10)).toDF("doc_id", "text")
+    val newCorpus = Seq((1L, aText), (2L, bMatches10), (3L, cText),
+      (10L, toks(40, "f").mkString(" ")),
+      (11L, toks(40, "g").mkString(" "))).toDF("doc_id", "text")
+    val baseStaged = TextOps.stageDocs(staleDocs).localCheckpoint(true)
+    val basePairs = TextOps.pairsCarriedStaged(baseStaged)
+      .localCheckpoint(true)
+    val got = TextOps.compactClusters(baseStaged, basePairs, recrawled,
+      newCorpus, joinBack = false).collect().map(_.toSeq).toSeq
+    val want = TextOps.dedupClusters(newCorpus).collect()
+      .map(_.toSeq).toSeq
+    assert(got == want)
+    // the new pairing actually exists (2 clusters with 10)
+    val flags = got.map(s => s.head.asInstanceOf[Long] ->
+      s(1).asInstanceOf[Long]).toMap
+    assert(flags(10L) == 2L && flags(2L) == 2L)
+  }
+
+  test("declared q_dedup_compact equals a full recompute on the corpus") {
+    val got = TextOps.qDedupCompact(spark, sfDir).collect().map(_.toSeq)
+    val want = TextOps.qDedupClusters(spark, sfDir).collect().map(_.toSeq)
+    assert(got.sameElements(want))
+    // the fixture is non-trivial: the re-crawl subset is non-empty
+    import spark.implicits._
+    val n = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(TextOps.isRecrawlDoc).count()
+    assert(n > 0)
+  }
+}
