@@ -180,4 +180,55 @@ object Streams {
     * runs continuously between nightly compactions. */
   def nearDupIntake(baseStaged: DataFrame, docs: DataFrame): DataFrame =
     graft.operators.TextOps.intakePairs(baseStaged, docs)
+
+  /** Streaming LABEL EXTENSION (r8 verdict item 4): [[nearDupIntake]]
+    * flags (new, base) pairs but never folds them into the published
+    * label map — this sink does, per micro-batch, through
+    * `foreachBatch`: probe the batch against the published index
+    * (the stream-static emit-once join), extend the CURRENT label map
+    * with the flagged pairs ([[graft.operators.Components.extendLabels]]
+    * — star edges ∪ batch pairs, dup-set-sized propagation), and
+    * publish the result as a new label version.
+    *
+    * Exactly-once across restarts WITHOUT transactional storage, from
+    * two properties:
+    *   - publication is versioned-then-flip
+    *     ([[graft.operators.Components.publishLabels]]): a crash
+    *     mid-write leaves the previous version current;
+    *   - extension is IDEMPOTENT: re-extending a map that already
+    *     reflects a batch's pairs is a fixed point (the components and
+    *     their min ids are unchanged), so the one batch Spark may
+    *     replay after a crash re-publishes identical content.
+    * Batch-by-batch extension also equals one extension with all
+    * batches' pairs (star edges preserve node set + connectivity
+    * exactly), which is what the restart spec asserts against the
+    * batch dual.
+    *
+    * State posture at 100 TB: the streaming state is EMPTY (the join
+    * is stateless, the label map is an external artifact) — executor
+    * memory holds only the micro-batch, and the per-batch propagation
+    * cost rides on the dup-set size, not the corpus.
+    */
+  def extendLabelsSink(baseStaged: DataFrame, labelsRoot: String,
+    docs: DataFrame,
+    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val pairs = graft.operators.TextOps.intakePairs(baseStaged, batch)
+          .select(col("doc_id").as("id_a"), col("dup_of").as("id_b"))
+        // materialize BEFORE publishing: the plan reads the current
+        // version's parquet, and lazy evaluation during the write of
+        // the NEXT version is safe (different directory), but eager
+        // materialization keeps the propagation's own actions off the
+        // publication path
+        val next = graft.operators.Components
+          .extendLabels(graft.operators.Components
+            .currentLabels(s, labelsRoot), pairs)
+          .localCheckpoint(true)
+        graft.operators.Components.publishLabels(s, next, labelsRoot,
+          s"b$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }

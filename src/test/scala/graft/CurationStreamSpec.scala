@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Curation, TextOps}
+import graft.operators.{Components, Curation, TextOps}
 import graft.streaming.Streams
 
 /** The corpus-intake streaming duals: the row-local curation flags and
@@ -85,5 +85,63 @@ class CurationStreamSpec extends SparkTestBase {
     val streamedDf = spark.read.parquet(out)
     assert(streamedDf.exceptAll(batchPairs).isEmpty &&
       batchPairs.exceptAll(streamedDf).isEmpty)
+  }
+
+  test("label extension sink survives a kill + restart; equals batch dual") {
+    import spark.implicits._
+    // base docs 10 and 20: similar but BELOW the 0.8 threshold (~0.72),
+    // so the published base label map is empty and a later BRIDGING
+    // arrival must merge their components through star-edge extension
+    val a = words(200, 21)
+    val b = a.take(170) ++ words(30, 22).map("v" + _)
+    val base = Seq((10L, a.mkString(" ")), (20L, b.mkString(" ")))
+      .toDF("doc_id", "text")
+    val staged = TextOps.stageDocs(base).localCheckpoint(true)
+    val labelsRoot = tmp("graft_labels_root")
+    Components.publishLabels(spark,
+      Components.labelComponents(
+        TextOps.pairsCarriedStaged(staged).select(col("id_a"), col("id_b"))),
+      labelsRoot, "base")
+    assert(Components.currentLabels(spark, labelsRoot).isEmpty)
+
+    val input = tmp("graft_label_in")
+    val cp = tmp("graft_label_cp")
+    def run(): Unit = {
+      val q = Streams.extendLabelsSink(staged, labelsRoot,
+        spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", 1).json(input), cp)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 1: near-dup of base 10 only
+    Seq((101L, (a.take(195) ++ words(5, 23).map("q" + _)).mkString(" ")))
+      .toDF("doc_id", "text").write.mode("append").json(input)
+    run() // then KILLED (stopped) mid-stream
+    val afterB1 = Components.currentLabels(spark, labelsRoot).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterB1 == Set((10L, 10L), (101L, 10L)))
+    // batch 2 arrives while the query is down: the BRIDGE — within 0.8
+    // of BOTH base docs (halfway between their variant tails)
+    Seq((301L, (a.take(185) ++ words(15, 22).map("v" + _)).mkString(" ")))
+      .toDF("doc_id", "text").write.mode("append").json(input)
+    run() // restart from the same checkpoint: processes ONLY batch 2
+    val finalLabels = Components.currentLabels(spark, labelsRoot).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the bridge merges {10, 101} and {20} into one min-10 component
+    assert(finalLabels ==
+      Set((10L, 10L), (20L, 10L), (101L, 10L), (301L, 10L)))
+    // batch dual: one extension with ALL arrivals' pairs
+    val allPairs = TextOps.intakePairs(staged,
+        spark.read.schema(docSchema).json(input))
+      .select(col("doc_id").as("id_a"), col("dup_of").as("id_b"))
+    val dual = Components.extendLabels(
+        spark.read.parquet(s"$labelsRoot/base"), allPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(finalLabels == dual)
+    // idempotence (what makes a crash-replayed batch exactly-once):
+    // re-extending the final map with the same pairs is a fixed point
+    val again = Components.extendLabels(
+        Components.currentLabels(spark, labelsRoot), allPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == finalLabels)
   }
 }
