@@ -76,6 +76,7 @@ object SparkEntry {
     "q_pipeline_caregap" -> (Pipelines.qPipelineCareGap _),
     "q_pipeline_curation" -> (Pipelines.qPipelineCuration _),
     "q_pipeline_manifest" -> (Pipelines.qPipelineManifest _),
+    "q_pipeline_mix"      -> (Pipelines.qPipelineMix _),
     // M4 — time windows (SURVEY §2.9; streaming duals in graft.streaming)
     "q_window_tumbling" -> (Windowed.qWindowTumbling _),
     "q_session_gap"     -> (Windowed.qSessionGap _),
@@ -1041,6 +1042,29 @@ object SparkEntry {
         |       f.contaminated, f.keep, f.split_name, f.shard, p.pack_id
         |FROM flags f LEFT JOIN packed p ON f.doc_id = p.doc_id
         |ORDER BY f.doc_id""".stripMargin,
+    // EP5 — report → weights → repeat plan in one dataflow; the oracle
+    // recomputes the same cells, shares, weights, and md5 repeat draws
+    // (salt '#mix') at full (lang, source) granularity.
+    "q_pipeline_mix" ->
+      """WITH c AS (SELECT lang, source,
+        |             CAST(sum(len(string_split(text,' '))) AS BIGINT)
+        |               AS cell_tokens
+        |           FROM documents GROUP BY 1,2),
+        |w AS (SELECT lang, source,
+        |        CAST(cell_tokens AS DOUBLE) /
+        |          CAST(sum(cell_tokens) OVER () AS DOUBLE) AS token_share,
+        |        (CAST(sum(cell_tokens) OVER () AS DOUBLE) /
+        |          (count(*) OVER ())) / cell_tokens AS weight
+        |      FROM c)
+        |SELECT d.doc_id, d.lang, d.source, w.token_share, w.weight,
+        |  CAST(floor(w.weight) + CASE
+        |    WHEN upper(substr(md5(CAST(d.doc_id AS VARCHAR) || '#mix'),
+        |           1,4)) <
+        |      lpad(to_hex(CAST(floor((w.weight - floor(w.weight)) * 65536)
+        |        AS BIGINT)),4,'0')
+        |    THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+        |FROM documents d JOIN w USING (lang, source)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_corpus_mix" ->
       """WITH g AS (SELECT lang, source, count(*) AS n_docs,
         |             CAST(sum(len(string_split(text,' '))) AS BIGINT)

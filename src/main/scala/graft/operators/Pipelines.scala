@@ -232,8 +232,17 @@ object Pipelines {
     * filtered subset and joining back, which would add a corpus-scale
     * doc_id shuffle join for the same numbers.
     */
-  def qPipelineManifest(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def qPipelineManifest(spark: SparkSession, dir: String): DataFrame =
+    manifestFlags(Tables.documents(spark, dir), shardHexLen = 1)
+
+  /** Core of [[qPipelineManifest]] with the packing-shard width as a
+    * knob (r8 verdict item 5): the declared query keeps the 1-hex
+    * 16-shard layout its oracle mirrors; a production corpus widens
+    * `shardHexLen` so shards ≫ executors (16^n shards) — the same
+    * stable-md5 discipline, so widening never migrates a document's
+    * split, only narrows its packing partition. */
+  private[graft] def manifestFlags(docs: DataFrame,
+      shardHexLen: Int): DataFrame = {
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val evalSet = docs.filter(col("doc_id") % 10 === 0)
     val w = split(col("text"), " ")
@@ -254,7 +263,7 @@ object Pipelines {
       .withColumn("keep",
         col("dedup_keep") && col("quality_keep") && !col("contaminated"))
       .withColumn("split_name", Curation.splitNameCol(col("doc_id")))
-      .withColumn("shard", Curation.shardCol(col("doc_id")))
+      .withColumn("shard", Curation.shardCol(col("doc_id"), shardHexLen))
     val inPack = col("keep") && col("split_name") === "train"
     val cum = sum(when(inPack, col("n_tok")).otherwise(lit(0))).over(
       Window.partitionBy(col("shard")).orderBy(col("doc_id"))
@@ -268,6 +277,50 @@ object Pipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** EP5 — the MIXING LOOP as one composed plan (r8 verdict item 8):
+    * [[Curation.qCorpusMix]]'s report feeds [[Curation.qMixResample]]'s
+    * execution step directly, at the report's full (lang, source) cell
+    * granularity — report → weights → per-document repeat plan, one
+    * dataflow instead of a human carrying numbers between two queries.
+    * Each cell's weight targets the uniform token share
+    * (`total/ncells / cell_tokens`); each document repeats
+    * `floor(weight)` times plus one more on a deterministic md5 draw
+    * (salt `#mix`, independent of the resample query's `#rep` stream),
+    * so the materialized epoch plan is reproducible bit-for-bit by the
+    * oracle or a data loader.
+    *
+    * Scale shape: ONE corpus aggregate builds the cells (map-side
+    * partials; the shuffle carries per-cell sums), the share/weight
+    * windows run over the cell-sized aggregated frame, and the weight
+    * table broadcasts back onto the second corpus scan — the corpus
+    * itself never shuffles.
+    */
+  def qPipelineMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = split(col("text"), " ")
+    val cells = docs.groupBy(col("lang"), col("source"))
+      .agg(sum(size(toks)).as("cell_tokens"))
+    val total = sum(col("cell_tokens")).over(Window.partitionBy())
+    val weights = cells
+      .withColumn("token_share",
+        col("cell_tokens").cast("double") / total.cast("double"))
+      .withColumn("weight",
+        (total.cast("double") / count(lit(1)).over(Window.partitionBy())) /
+          col("cell_tokens"))
+      .select(col("lang"), col("source"), col("token_share"), col("weight"))
+    val frac16 = floor((col("weight") - floor(col("weight"))) * 65536)
+    val extraDraw = upper(substring(
+      md5(concat(col("doc_id").cast("string"), lit("#mix"))), 1, 4)) <
+      lpad(hex(frac16), 4, "0")
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(broadcast(weights), Seq("lang", "source"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("token_share"), col("weight"),
+        (floor(col("weight")) + when(extraDraw, 1).otherwise(0))
+          .cast("long").as("n_repeats"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Publish the manifest as the durable training-run artifact:
     * parquet partitioned by (split_name, shard) and sorted by doc_id
     * within files — the same write-once/read-many posture as the
@@ -275,12 +328,18 @@ object Pipelines {
     * (directory-pruned at plan time, no data touched for val/test when
     * training), and an individual data-loader rank reads its own shard
     * subdirectory; the in-file doc_id sort means a pack's members are
-    * contiguous. */
-  def writeManifest(manifest: DataFrame, path: String): Unit =
+    * contiguous. `maxRecordsPerFile` bounds each (split, shard)
+    * partition's files (r8 verdict item 5): one partition = one writer
+    * task here, and without the bound that task emits ONE arbitrarily
+    * large file at corpus scale — the option rolls to a new file every
+    * n records, preserving the in-file sort across the roll. */
+  def writeManifest(manifest: DataFrame, path: String,
+      maxRecordsPerFile: Long = 1L << 22): Unit =
     manifest
       .repartition(col("split_name"), col("shard"))
       .sortWithinPartitions(col("split_name"), col("shard"), col("doc_id"))
       .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("split_name", "shard")
       .parquet(path)
 

@@ -233,4 +233,87 @@ class PipelinesSpec extends SparkTestBase {
         s"split read touched $readFiles of $allFiles files — no pruning")
     } finally graft.sources.TempDirs.deleteTree(tmpPath)
   }
+
+  test("manifest shard width widens packing shards without moving splits") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val narrow = Pipelines.manifestFlags(docs, shardHexLen = 1)
+    val wide = Pipelines.manifestFlags(docs, shardHexLen = 2)
+    // the declared query IS the 1-hex core
+    assert(Pipelines.qPipelineManifest(spark, sfDir).collect()
+      .map(_.toSeq).toSeq == narrow.collect().map(_.toSeq).toSeq)
+    // 2 hex digits -> up to 256 shards, well past the 16 executors of
+    // the narrow layout; every wide shard refines its narrow shard
+    val shards = wide.select("shard").distinct().collect()
+      .map(_.getString(0))
+    assert(shards.length > 16 && shards.forall(_.length == 2))
+    val refined = wide.select(col("doc_id"), col("shard"),
+        col("split_name"))
+      .join(narrow.select(col("doc_id"), col("shard").as("s1"),
+        col("split_name").as("sp1")), "doc_id")
+    assert(refined.filter(substring(col("shard"), 1, 1) =!= col("s1") ||
+      col("split_name") =!= col("sp1")).isEmpty)
+  }
+
+  test("q_pipeline_mix carries the corpus-mix report's shares verbatim") {
+    import org.apache.spark.sql.functions._
+    val mix = Pipelines.qPipelineMix(spark, sfDir)
+    val gotCells = mix.select("lang", "source", "token_share")
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val report = graft.operators.Curation.qCorpusMix(spark, sfDir)
+      .select("lang", "source", "token_share").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(gotCells == report)
+  }
+
+  test("q_pipeline_mix repeat draws match an independent md5 recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipelines.qPipelineMix(spark, sfDir).collect()
+    // independent driver-side recompute of the epoch plan from raw cells
+    val cells = graft.sources.Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(size(split(col("text"), " "))).as("t")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val total = cells.values.sum.toDouble
+    def weightOf(lang: String, source: String): Double =
+      (total / cells.size) / cells((lang, source))
+    def md5hex4(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4).toUpperCase
+    rows.foreach { r =>
+      val (id, lang, source) = (r.getLong(0), r.getString(1), r.getString(2))
+      val w = weightOf(lang, source)
+      val frac16 = math.floor((w - math.floor(w)) * 65536).toLong
+      val draw = md5hex4(s"$id#mix") <
+        ("0000" + java.lang.Long.toHexString(frac16).toUpperCase).takeRight(4)
+      val expected = math.floor(w).toLong + (if (draw) 1L else 0L)
+      assert(r.getLong(5) == expected, s"doc $id: ${r.getLong(5)} != $expected")
+      assert(math.abs(r.getDouble(4) - w) < 1e-12)
+    }
+    // the mixing is non-trivial on this corpus: some docs repeat more
+    // than once, some draws differ
+    assert(rows.map(_.getLong(5)).distinct.length > 1)
+  }
+
+  test("writeManifest rolls files at maxRecordsPerFile within a partition") {
+    import org.apache.spark.sql.functions._
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft_manifest_roll")
+    try {
+      val manifest = Pipelines.qPipelineManifest(spark, sfDir)
+      Pipelines.writeManifest(manifest, tmpPath.toString,
+        maxRecordsPerFile = 3)
+      val back = spark.read.parquet(tmpPath.toString)
+      assert(back.count() == manifest.count())
+      // at 3 records/file some (split, shard) directory must hold
+      // several part files — the bound actually rolls
+      val filesPerDir = back.select(input_file_name().as("f"),
+          col("split_name"), col("shard"))
+        .distinct().groupBy("split_name", "shard").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      assert(filesPerDir >= 2,
+        s"expected rolled files, max files per partition = $filesPerDir")
+    } finally graft.sources.TempDirs.deleteTree(tmpPath)
+  }
 }
