@@ -105,6 +105,7 @@ object SparkEntry {
     "q_ann_ivf_full"    -> (Vectors.qAnnIvfFull _),
     // M5 — multimodal binary columns
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
+    "q_image_meta"      -> (Multimodal.qImageMeta _),
     "q_frame_sample"    -> (Multimodal.qFrameSample _),
     // M6 — corpus curation (split / sample / decontaminate / pack / mix)
     "q_train_split"       -> (Curation.qTrainSplit _),
@@ -893,6 +894,18 @@ object SparkEntry {
         |         AS probe_width,
         |       CAST(240 + octet_length(encode(text)) % 240 AS INTEGER)
         |         AS probe_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q_image_meta: the Spark side BUILDS genuine PNG/JPEG header bytes
+    // (dimensions from doc_id, big-endian) and PARSES them back with the
+    // codegen'd header walker; the oracle recomputes the dimensions
+    // independently from the arithmetic, so any offset/endianness/marker
+    // bug in the parser breaks the hash compare.
+    "q_image_meta" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END
+        |         AS format,
+        |       CAST(16 + doc_id % 640 AS INTEGER) AS width,
+        |       CAST(16 + doc_id % 480 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_frame_sample" ->
       """SELECT doc_id, CAST(f.frame_idx AS INTEGER) AS frame_idx,

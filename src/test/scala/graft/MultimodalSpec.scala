@@ -60,4 +60,77 @@ class MultimodalSpec extends SparkTestBase {
     // empty payload still yields the minimum single probe frame
     assert(frames.toSeq == Seq(Frame(1L, 0, 320, 240, 1000003L)))
   }
+
+  // ---- real header parsing (ImageMeta) --------------------------------
+
+  private def hexBytes(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def parse(b: Array[Byte]): Option[(String, Int, Int)] = {
+    import spark.implicits._
+    Seq(Tuple1(b)).toDF("bin")
+      .select(graft.functions.BinaryFunctions.imageMeta(col("bin")).as("m"))
+      .select("m.format", "m.width", "m.height").collect().headOption
+      .flatMap(r => if (r.isNullAt(0) && r.isNullAt(1)) None
+        else Some((r.getString(0), r.getInt(1), r.getInt(2))))
+  }
+
+  test("ImageMeta parses real PNG and JPEG headers, edge markers included") {
+    // 3x2 PNG: signature, IHDR len/tag, w=3, h=2, depth/color/crc
+    assert(parse(hexBytes(
+      "89504E470D0A1A0A 0000000D 49484452 00000003 00000002" +
+        " 0806000000 DEADBEEF")) == Some(("png", 3, 2)))
+    // baseline JPEG: SOI, JFIF APP0, SOF0 h=16 w=32
+    assert(parse(hexBytes(
+      "FFD8 FFE00010 4A46494600 0101 00 0001 0001 00 00" +
+        " FFC00011 08 0010 0020 03 012200 021101 031101 FFD9")) ==
+      Some(("jpeg", 32, 16)))
+    // progressive JPEG (SOF2) with a COM segment and a TEM standalone
+    // marker before the frame header
+    assert(parse(hexBytes(
+      "FFD8 FF01 FFFE0004 4849 FFC20011 08 0100 0180 03 012200 021101" +
+        " 031101")) == Some(("jpeg", 384, 256)))
+    // fill bytes before a marker are legal padding
+    assert(parse(hexBytes(
+      "FFD8 FFFF FFC00011 08 000A 0014 03 012200 021101 031101")) ==
+      Some(("jpeg", 20, 10)))
+  }
+
+  test("ImageMeta rejects corrupt payloads as NULL rows, never failures") {
+    assert(parse("not an image".getBytes("UTF-8")).isEmpty)
+    assert(parse(Array.empty[Byte]).isEmpty)
+    // PNG signature but truncated before the IHDR payload
+    assert(parse(hexBytes("89504E470D0A1A0A 0000000D 494844")).isEmpty)
+    // PNG signature with a non-IHDR first chunk
+    assert(parse(hexBytes(
+      "89504E470D0A1A0A 0000000D 58585858 00000003 00000002" +
+        " 0806000000 DEADBEEF")).isEmpty)
+    // JPEG that ends (EOI) before any SOF
+    assert(parse(hexBytes("FFD8 FFE00004 4A46 FFD9")).isEmpty)
+    // JPEG marker desynchronization (a non-FF where a marker must be)
+    assert(parse(hexBytes("FFD8 00C0")).isEmpty)
+    // JPEG SOF truncated mid-dimensions
+    assert(parse(hexBytes("FFD8 FFC00011 08 00")).isEmpty)
+    // zero dimensions are not an image
+    assert(parse(hexBytes(
+      "89504E470D0A1A0A 0000000D 49484452 00000000 00000002" +
+        " 0806000000 DEADBEEF")).isEmpty)
+  }
+
+  test("q_image_meta roundtrips built headers through the parser") {
+    val rows = Multimodal.qImageMeta(spark, sfDir).collect()
+    assert(rows.length ==
+      spark.read.parquet(s"$sfDir/documents.parquet").count())
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == (if (id % 2 == 0) "png" else "jpeg"))
+      assert(r.getInt(2) == 16 + (id % 640).toInt)
+      assert(r.getInt(3) == 16 + (id % 480).toInt)
+    }
+    // stays a pure expression plan (no UDF, no object boundary)
+    val plan = Multimodal.qImageMeta(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions") && !plan.contains("BatchEvalPython"))
+  }
 }
