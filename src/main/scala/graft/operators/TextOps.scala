@@ -643,6 +643,19 @@ object TextOps {
     */
   private[graft] def compactClusters(baseStaged: DataFrame,
     basePairs: DataFrame, recrawledDocs: DataFrame, corpus: DataFrame,
+    joinBack: Boolean): DataFrame =
+    Components.flagCorpus(corpus, "doc_id",
+      Components.labelComponents(
+        compactPairs(baseStaged, basePairs, recrawledDocs, joinBack)))
+
+  /** The repaired pair graph of a compaction — retained published pairs
+    * (both ids surviving) ∪ fresh probes of the re-crawled text; the
+    * pair-stage is exposed so the plan audit can pin the broadcast
+    * anti-join retirement (the label propagation executes its input
+    * eagerly, so the declared query's final plan shows only the corpus
+    * flag join). */
+  private[graft] def compactPairs(baseStaged: DataFrame,
+    basePairs: DataFrame, recrawledDocs: DataFrame,
     joinBack: Boolean): DataFrame = {
     val ids = recrawledDocs.select(col("doc_id"))
     val retainedStaged = baseStaged
@@ -654,10 +667,8 @@ object TextOps {
         Seq("id_a"), "left_anti")
       .join(broadcast(ids.select(col("doc_id").as("id_b"))),
         Seq("id_b"), "left_anti")
-    Components.flagCorpus(corpus, "doc_id",
-      Components.labelComponents(
-        keptPairs.select(col("id_a"), col("id_b"))
-          .unionByName(freshPairs.select(col("id_a"), col("id_b")))))
+    keptPairs.select(col("id_a"), col("id_b"))
+      .unionByName(freshPairs.select(col("id_a"), col("id_b")))
   }
 
   /** The deterministic re-crawl subset the declared compaction query

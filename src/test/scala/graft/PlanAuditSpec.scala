@@ -229,4 +229,54 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan(Multimodal.qMultimodalMeta(spark, sfDir))
       .contains("MapPartitions"))
   }
+
+  test("banded self-join keeps exchange reuse under the hot-bucket guard") {
+    // the guard anti-filters BOTH sides with the same broadcast hot set
+    // precisely so the two shuffle exchanges stay plan-identical; a
+    // drifted filter on one side would silently double the banded
+    // projection's evaluation
+    val df = TextOps.qDedupMinhash(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"no exchange reuse in the banded self-join:\n${p.take(3000)}")
+  }
+
+  test("q_pipeline_mix broadcasts the cell weights; corpus never shuffles") {
+    val df = Pipelines.qPipelineMix(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"))
+    // shuffles: the cell aggregate's partials and the final orderBy's
+    // range partitioning — nothing corpus-keyed beyond them
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllIn(p).length
+    assert(exchanges <= 3, s"$exchanges exchanges in q_pipeline_mix:\n$p")
+  }
+
+  test("compaction retires stale rows through broadcast anti-joins") {
+    // the declared query's final plan shows only the corpus flag join
+    // (label propagation executes its input eagerly), so the audit pins
+    // the exposed pair stage: stale-row retirement and pair drops must
+    // be BROADCAST anti-joins — the re-crawl id set is increment-sized
+    // and the corpus-sized index must not shuffle for it
+    import org.apache.spark.sql.functions.col
+    val st = TextOps.compactStateFor(spark, sfDir)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val p = plan(TextOps.compactPairs(
+      TextOps.stagedFrame(spark, st.index),
+      spark.read.parquet(st.pairsPath),
+      docs.filter(TextOps.isRecrawlDoc), st.index.joinBack))
+    val anti = "BroadcastHashJoin .*LeftAnti".r.findAllIn(p).length
+    assert(anti >= 3, s"expected 3 broadcast anti-joins, got $anti:\n" +
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin(LeftAnti)"))
+  }
+
+  test("q_image_meta stays a pure whole-stage-codegen expression plan") {
+    val df = Multimodal.qImageMeta(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(") && !p.contains("MapPartitions"))
+  }
 }
