@@ -101,6 +101,7 @@ object SparkEntry {
     "q_dedup_embed_lsh" -> (Vectors.qDedupEmbedLsh _),
     "q_dedup_embed_clusters" -> (Vectors.qDedupEmbedClusters _),
     "q_dedup_embed_incremental" -> (Vectors.qDedupEmbedIncremental _),
+    "q_dedup_embed_compact" -> (Vectors.qDedupEmbedCompact _),
     "q_ann_ivf"         -> (Vectors.qAnnIvf _),
     "q_ann_ivf_full"    -> (Vectors.qAnnIvfFull _),
     // M5 — multimodal binary columns
@@ -864,6 +865,10 @@ object SparkEntry {
     // and extending the base labels must equal a full recompute, so
     // the oracle is the identical full-corpus reachability SQL.
     "q_dedup_embed_incremental" -> embedClustersOracle,
+    // q_dedup_embed_compact: stale-model vectors retired, true vectors
+    // re-paired — must equal a full recompute over the true corpus, so
+    // the same exact-reachability SQL is the oracle.
+    "q_dedup_embed_compact" -> embedClustersOracle,
     "q_cosine_topk" ->
       """WITH base AS (
         |  SELECT vec_id,

@@ -456,6 +456,14 @@ object Vectors {
       .scratchDir("graft_embed_base_index").toString
     stageVectors(unit(s, d).filter(!isIncrementVec))
       .write.mode("overwrite").parquet(sp)
+    // the same loud hot-bucket marker as the text fit (r8 verdict item
+    // 1): count the buckets the probe joins will star-reduce off the
+    // persisted index
+    val nHot = BandedJoins.hotBuckets(
+      s.read.parquet(sp)
+        .select(posexplode(col("sigs")).as(Seq("band", "band_sig"))),
+      "band", "band_sig").count()
+    graft.sources.Markers.write(s, sp, "_graft_hot_buckets", nHot.toString)
     val lp = graft.sources.TempDirs
       .scratchDir("graft_embed_base_labels").toString
     Components.labelComponents(lshVerifiedPairsStaged(s.read.parquet(sp))
@@ -486,6 +494,97 @@ object Vectors {
       newStaged)
     Components.flagCorpus(all, "vec_id",
       Components.extendLabels(spark.read.parquet(st.labelsPath), inc))
+  }
+
+  /** RE-CRAWL COMPACTION, embedding modality — the twin of
+    * [[graft.operators.TextOps.compactClusters]] (same reasoning: a
+    * re-embedded document's stale signature rows and published pairs
+    * must retire BEFORE its new vector is paired in, and the label map
+    * alone cannot repair a retired bridge, so the fit publishes the
+    * verified pair set). Retirement and pair drops are broadcast
+    * anti-joins against the increment-sized re-embed id set; the fresh
+    * probe is the [[embedIncrementPairs]] shape; the relabeled graph is
+    * dup-set-sized. A production trigger for this path: an embedding
+    * MODEL upgrade re-embeds a corpus slice — ids unchanged, vectors
+    * superseded.
+    */
+  private[graft] def embedCompactClusters(baseStaged: DataFrame,
+    basePairs: DataFrame, recrawled: DataFrame,
+    corpus: DataFrame): DataFrame =
+    Components.flagCorpus(corpus, "vec_id",
+      Components.labelComponents(
+        embedCompactPairs(baseStaged, basePairs, recrawled)))
+
+  /** The repaired pair graph (retained ∪ fresh) — exposed for the plan
+    * audit, mirroring [[TextOps.compactPairs]]. `recrawled` is a
+    * (vec_id, u) unit-vector frame holding the NEW vectors. */
+  private[graft] def embedCompactPairs(baseStaged: DataFrame,
+    basePairs: DataFrame, recrawled: DataFrame): DataFrame = {
+    val ids = recrawled.select(col("vec_id"))
+    val retainedStaged = baseStaged
+      .join(broadcast(ids), Seq("vec_id"), "left_anti")
+    val newStaged = stageVectors(recrawled).localCheckpoint(true)
+    val fresh = embedIncrementPairs(retainedStaged, newStaged)
+    val kept = basePairs
+      .join(broadcast(ids.select(col("vec_id").as("id_a"))),
+        Seq("id_a"), "left_anti")
+      .join(broadcast(ids.select(col("vec_id").as("id_b"))),
+        Seq("id_b"), "left_anti")
+    kept.select(col("id_a"), col("id_b"))
+      .unionByName(fresh.select(col("id_a"), col("id_b")))
+  }
+
+  /** The deterministic re-embed subset the declared query simulates
+    * (~14% of vectors by id hash — ids that EXIST in the base with a
+    * superseded vector). */
+  private[graft] def isRecrawlVec: Column =
+    pmod(xxhash64(col("vec_id")), lit(7)) === 0
+
+  /** Fitted embedding-compaction base state: the staged signature
+    * parquet and verified pair set over the corpus WITH STALE VECTORS
+    * (component-reversed — a deterministic stand-in for the previous
+    * embedding model's output) for the re-embed subset. */
+  private[graft] case class EmbedCompactState(stagedPath: String,
+    pairsPath: String)
+
+  private val fittedEmbedCompact = new FitCache[EmbedCompactState](
+    (s, d) => {
+      val stale = Tables.embeddings(s, d)
+        .withColumn("embedding",
+          when(isRecrawlVec, reverse(col("embedding")))
+            .otherwise(col("embedding")))
+      val staleU = prepUnit(stale)
+      val sp = graft.sources.TempDirs
+        .scratchDir("graft_embed_compact_index").toString
+      stageVectors(staleU).write.mode("overwrite").parquet(sp)
+      val pp = graft.sources.TempDirs
+        .scratchDir("graft_embed_compact_pairs").toString
+      lshVerifiedPairsStaged(s.read.parquet(sp))
+        .write.mode("overwrite").parquet(pp)
+      EmbedCompactState(sp, pp)
+    })
+  private[graft] def embedCompactStateFor(spark: SparkSession,
+    dir: String): EmbedCompactState = fittedEmbedCompact.get(spark, dir)
+
+  /** (vec_id, u) normalization of any embeddings-shaped frame. */
+  private def prepUnit(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), col("label"),
+      graft.functions.VectorFunctions.unitv(col("embedding")).as("u"))
+      .select(col("vec_id"), col("u"))
+
+  /** Declared embedding compaction: the base index holds reversed
+    * (stale-model) vectors for the ~14% re-embed subset; tonight they
+    * arrive re-embedded with the true vectors. After retirement +
+    * re-pairing + relabeling the flags must equal a full recompute over
+    * the true corpus — the same exact-reachability oracle as
+    * [[qDedupEmbedClusters]].
+    */
+  def qDedupEmbedCompact(spark: SparkSession, dir: String): DataFrame = {
+    val st = embedCompactStateFor(spark, dir)
+    val all = unit(spark, dir)
+    embedCompactClusters(spark.read.parquet(st.stagedPath),
+      spark.read.parquet(st.pairsPath),
+      all.filter(isRecrawlVec), all)
   }
 
   /** LSH-bucketed embedding near-dup — the scale path for

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, TextOps}
+import graft.operators.{Components, TextOps, Vectors}
 
 /** Re-crawl compaction (r8 verdict item 3): retiring a re-crawled
   * document's stale index rows, dropping its published pairs,
@@ -91,6 +91,52 @@ class CompactionSpec extends SparkTestBase {
     val flags = got.map(s => s.head.asInstanceOf[Long] ->
       s(1).asInstanceOf[Long]).toMap
     assert(flags(10L) == 2L && flags(2L) == 2L)
+  }
+
+  test("embedding compaction splits a vector-bridged component") {
+    import spark.implicits._
+    def unit(v: Array[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n).toSeq
+    }
+    def basis(i: Int): Array[Double] =
+      Array.tabulate(64)(j => if (j == i) 1.0 else 0.0)
+    // A and C at cosine 0.7 (below the 0.8 near-dup threshold); the
+    // stale bridge B_old = normalized midpoint, cosine ~0.92 with each
+    val a = basis(0)
+    val c = Array.tabulate(64)(j =>
+      if (j == 0) 0.7 else if (j == 1) math.sqrt(0.51) else 0.0)
+    val bOld = unit(a.zip(c).map { case (x, y) => x + y }).toArray
+    val bNew = basis(20)
+    val staleU = Seq((1L, unit(a)), (2L, bOld.toSeq), (3L, unit(c)),
+      (10L, unit(basis(30)))).toDF("vec_id", "u")
+    val trueU = Seq((1L, unit(a)), (2L, unit(bNew)), (3L, unit(c)),
+      (10L, unit(basis(30)))).toDF("vec_id", "u")
+    val baseStaged = Vectors.stageVectors(staleU).localCheckpoint(true)
+    val basePairs = Vectors.lshVerifiedPairsStaged(baseStaged)
+      .localCheckpoint(true)
+    // fixture sanity: the stale graph is exactly the bridge
+    assert(basePairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (2L, 3L)))
+    val out = Vectors.embedCompactClusters(baseStaged, basePairs,
+      trueU.filter(org.apache.spark.sql.functions.col("vec_id") === 2L),
+      trueU).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    Seq(1L, 2L, 3L, 10L).foreach { id =>
+      assert(out(id) == ((id, true)), s"vec $id: ${out(id)}")
+    }
+    // and it equals the full recompute on the true corpus
+    val full = Vectors.embedClusters(trueU).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out == full)
+  }
+
+  test("declared q_dedup_embed_compact equals a full recompute") {
+    val got = Vectors.qDedupEmbedCompact(spark, sfDir).collect()
+      .map(_.toSeq)
+    val want = Vectors.qDedupEmbedClusters(spark, sfDir).collect()
+      .map(_.toSeq)
+    assert(got.sameElements(want))
   }
 
   test("declared q_dedup_compact equals a full recompute on the corpus") {
