@@ -346,12 +346,13 @@ object Vectors {
     * per row); the alternative — bare-id candidates then two corpus
     * re-joins — costs two more stages and re-evaluates the normalized
     * corpus. */
-  private def lshCandidatePairsStaged(staged: DataFrame): DataFrame = {
+  private def lshCandidatePairsStaged(staged: DataFrame,
+    hot: Option[DataFrame] = None): DataFrame = {
     val banded = bandedVecs(staged)
     BandedJoins.emitOnce(banded, banded, "band", "band_sig", "sigs",
       "vec_id", col("x.vec_id") < col("y.vec_id"),
       Seq(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        col("x.u").as("ua"), col("y.u").as("ub")))
+        col("x.u").as("ua"), col("y.u").as("ub")), hotOpt = hot)
   }
 
   /** Candidate id pairs sharing ≥1 LSH band bucket (each pair exactly
@@ -396,9 +397,11 @@ object Vectors {
     verifyCosine(lshCandidatePairs(u))
 
   /** Same, over an already-staged (vec_id, u, sigs) frame — the shape
-    * the embedding dedup index serves. */
-  private[graft] def lshVerifiedPairsStaged(staged: DataFrame): DataFrame =
-    verifyCosine(lshCandidatePairsStaged(staged))
+    * the embedding dedup index serves; `hot` is the index's published
+    * hot set when serving from a fit. */
+  private[graft] def lshVerifiedPairsStaged(staged: DataFrame,
+    hot: Option[DataFrame] = None): DataFrame =
+    verifyCosine(lshCandidatePairsStaged(staged, hot))
 
   /** Verify stage shared by the batch and incremental paths: exact
     * cosine on the carried unit vectors, thresholded at
@@ -422,13 +425,13 @@ object Vectors {
     * fixed 64 doubles, so unlike the text path there is no long-tail
     * payload to justify a join-back layout. */
   private[graft] def embedIncrementPairs(baseStaged: DataFrame,
-    newStaged: DataFrame): DataFrame = {
+    newStaged: DataFrame, baseHot: Option[DataFrame] = None): DataFrame = {
     val cross = BandedJoins.emitOnce(
       bandedVecs(baseStaged), bandedVecs(newStaged),
       "band", "band_sig", "sigs", "vec_id",
       col("x.vec_id") =!= col("y.vec_id"),
       Seq(col("y.vec_id").as("id_a"), col("x.vec_id").as("id_b"),
-        col("y.u").as("ua"), col("x.u").as("ub")))
+        col("y.u").as("ua"), col("x.u").as("ub")), hotOpt = baseHot)
     verifyCosine(cross).unionByName(lshVerifiedPairsStaged(newStaged))
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("cosine"))
@@ -456,17 +459,18 @@ object Vectors {
       .scratchDir("graft_embed_base_index").toString
     stageVectors(unit(s, d).filter(!isIncrementVec))
       .write.mode("overwrite").parquet(sp)
-    // the same loud hot-bucket marker as the text fit (r8 verdict item
-    // 1): count the buckets the probe joins will star-reduce off the
-    // persisted index
-    val nHot = BandedJoins.hotBuckets(
+    // hot-set publication, same as the text fit: persisted inside the
+    // index, count published as the loud marker, probes read it instead
+    // of re-aggregating per query
+    val nHot = BandedJoins.publishHotSet(s,
       s.read.parquet(sp)
         .select(posexplode(col("sigs")).as(Seq("band", "band_sig"))),
-      "band", "band_sig").count()
+      "band", "band_sig", sp)
     graft.sources.Markers.write(s, sp, "_graft_hot_buckets", nHot.toString)
     val lp = graft.sources.TempDirs
       .scratchDir("graft_embed_base_labels").toString
-    Components.labelComponents(lshVerifiedPairsStaged(s.read.parquet(sp))
+    Components.labelComponents(lshVerifiedPairsStaged(s.read.parquet(sp),
+      Some(BandedJoins.loadHotSet(s, sp)))
       .select(col("id_a"), col("id_b")))
       .write.mode("overwrite").parquet(lp)
     EmbedDedupState(sp, lp)
@@ -491,7 +495,8 @@ object Vectors {
     val newStaged = stageVectors(all.filter(isIncrementVec))
       .localCheckpoint(true)
     val inc = embedIncrementPairs(spark.read.parquet(st.stagedPath),
-      newStaged)
+      newStaged,
+      baseHot = Some(BandedJoins.loadHotSet(spark, st.stagedPath)))
     Components.flagCorpus(all, "vec_id",
       Components.extendLabels(spark.read.parquet(st.labelsPath), inc))
   }
@@ -510,21 +515,23 @@ object Vectors {
     */
   private[graft] def embedCompactClusters(baseStaged: DataFrame,
     basePairs: DataFrame, recrawled: DataFrame,
-    corpus: DataFrame): DataFrame =
+    corpus: DataFrame, baseHot: Option[DataFrame] = None): DataFrame =
     Components.flagCorpus(corpus, "vec_id",
       Components.labelComponents(
-        embedCompactPairs(baseStaged, basePairs, recrawled)))
+        embedCompactPairs(baseStaged, basePairs, recrawled, baseHot)))
 
   /** The repaired pair graph (retained ∪ fresh) — exposed for the plan
     * audit, mirroring [[TextOps.compactPairs]]. `recrawled` is a
     * (vec_id, u) unit-vector frame holding the NEW vectors. */
   private[graft] def embedCompactPairs(baseStaged: DataFrame,
-    basePairs: DataFrame, recrawled: DataFrame): DataFrame = {
+    basePairs: DataFrame, recrawled: DataFrame,
+    baseHot: Option[DataFrame] = None): DataFrame = {
     val ids = recrawled.select(col("vec_id"))
     val retainedStaged = baseStaged
       .join(broadcast(ids), Seq("vec_id"), "left_anti")
     val newStaged = stageVectors(recrawled).localCheckpoint(true)
-    val fresh = embedIncrementPairs(retainedStaged, newStaged)
+    // fit-time hot set = conservative superset after retirement
+    val fresh = embedIncrementPairs(retainedStaged, newStaged, baseHot)
     val kept = basePairs
       .join(broadcast(ids.select(col("vec_id").as("id_a"))),
         Seq("id_a"), "left_anti")
@@ -557,9 +564,14 @@ object Vectors {
       val sp = graft.sources.TempDirs
         .scratchDir("graft_embed_compact_index").toString
       stageVectors(staleU).write.mode("overwrite").parquet(sp)
+      BandedJoins.publishHotSet(s,
+        s.read.parquet(sp)
+          .select(posexplode(col("sigs")).as(Seq("band", "band_sig"))),
+        "band", "band_sig", sp)
       val pp = graft.sources.TempDirs
         .scratchDir("graft_embed_compact_pairs").toString
-      lshVerifiedPairsStaged(s.read.parquet(sp))
+      lshVerifiedPairsStaged(s.read.parquet(sp),
+        Some(BandedJoins.loadHotSet(s, sp)))
         .write.mode("overwrite").parquet(pp)
       EmbedCompactState(sp, pp)
     })
@@ -584,7 +596,8 @@ object Vectors {
     val all = unit(spark, dir)
     embedCompactClusters(spark.read.parquet(st.stagedPath),
       spark.read.parquet(st.pairsPath),
-      all.filter(isRecrawlVec), all)
+      all.filter(isRecrawlVec), all,
+      baseHot = Some(BandedJoins.loadHotSet(spark, st.stagedPath)))
   }
 
   /** LSH-bucketed embedding near-dup — the scale path for

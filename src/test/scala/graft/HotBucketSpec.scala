@@ -102,6 +102,53 @@ class HotBucketSpec extends SparkTestBase {
     assert(extended.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
   }
 
+  test("fit publishes the hot set inside the index; probes serve from it") {
+    val path = graft.sources.TempDirs
+      .scratchDir("graft_hotset_fit").toString
+    val idx = TextOps.minhashFit(spark, megaDocs, path)
+    // the marker carries the count, the artifact holds the buckets, and
+    // the underscore prefix keeps it invisible to the index read
+    assert(graft.sources.Markers
+      .read(spark, path, "_graft_hot_buckets") == "16")
+    val hotSet = BandedJoins.loadHotSet(spark, path)
+    assert(hotSet.count() == 16)
+    assert(!TextOps.stagedFrame(spark, idx).columns.contains("hot_band"))
+    assert(TextOps.stagedFrame(spark, idx).count() == k + 10)
+    // a probe with the published set star-reduces identically to the
+    // inline-counting path
+    val served = TextOps.pairsCarriedStaged(
+        TextOps.stagedFrame(spark, idx), Some(hotSet))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = TextOps.pairsCarriedStaged(TextOps.stagedFrame(spark, idx))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == inline)
+    assert(served.count(_._1 < 1000L) == k - 1)
+  }
+
+  test("served probes skip the per-query bucket-count aggregation") {
+    // wall-clock at sf0.1 is noise-dominated on this box; the
+    // deterministic evidence that fit-time hot-set serving removed the
+    // guard's steady-state cost is the PLAN: an index-served probe has
+    // exactly the verify/minRows aggregates, no bucket-COUNT aggregate
+    // (the inline path has one more hash aggregate pair over the
+    // banded relation)
+    def nAggs(df: org.apache.spark.sql.DataFrame): Int =
+      "HashAggregate".r.findAllIn(
+        df.queryExecution.executedPlan.toString).length
+    val path = graft.sources.TempDirs
+      .scratchDir("graft_hotset_plan").toString
+    val idx = TextOps.minhashFit(spark, megaDocs, path)
+    val staged = TextOps.stagedFrame(spark, idx)
+    val hot = BandedJoins.loadHotSet(spark, path)
+    val served = nAggs(TextOps.pairsCarriedStaged(staged, Some(hot)))
+    val inline = nAggs(TextOps.pairsCarriedStaged(staged))
+    assert(served < inline,
+      s"served plan has $served aggregates, inline $inline — " +
+        "hot-set serving did not remove the per-query count")
+  }
+
   test("embedding mega-cluster star-reduces and clusters exactly") {
     import spark.implicits._
     def unit(v: Array[Double]): Seq[Double] = {
