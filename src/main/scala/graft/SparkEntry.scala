@@ -89,6 +89,7 @@ object SparkEntry {
     "q_dedup_clusters"  -> (TextOps.qDedupClusters _),
     "q_dedup_incremental" -> (TextOps.qDedupIncremental _),
     "q_dedup_compact"   -> (TextOps.qDedupCompact _),
+    "q_dup_spans"       -> (TextOps.qDupSpans _),
     "q_text_stats"      -> (TextOps.qTextStats _),
     "q_token_count"     -> (TextOps.qTokenCount _),
     "q_token_percentiles" -> (TextOps.qTokenPercentiles _),
@@ -671,6 +672,28 @@ object SparkEntry {
     // equal a full recompute over the TRUE corpus — the documents table
     // itself — so the same reachability SQL is the oracle.
     "q_dedup_compact" -> dedupClustersOracle,
+    // q_dup_spans: the hash/string duality again — Spark counts span
+    // document-frequency over 64-bit shingle hashes, the oracle over
+    // the span strings themselves.
+    "q_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w
+        |           FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         CASE WHEN len(w) >= 20
+        |           THEN [array_to_string(w[i:i+19],' ')
+        |                 for i in range(1, len(w) - 18)]
+        |           ELSE [array_to_string(w,' ')] END)) AS s
+        |       FROM t),
+        |df AS (SELECT s, count(*) AS span_df FROM sh GROUP BY s),
+        |agg AS (SELECT sh.doc_id,
+        |          count(*) AS n_spans,
+        |          sum(CASE WHEN df.span_df > 1 THEN 1 ELSE 0 END) AS n_dup
+        |        FROM sh JOIN df USING (s) GROUP BY sh.doc_id)
+        |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+        |       CAST(n_dup AS BIGINT) AS n_dup_spans,
+        |       CAST(n_dup AS DOUBLE) / n_spans AS dup_span_frac,
+        |       (CAST(n_dup AS DOUBLE) / n_spans <= 0.3) AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // q_pipeline_curation: the composed curation dataflow — near-dup
     // reachability (same CTE core as q_dedup_clusters) joined to the
     // q_text_stats / q_lang_id expressions and thresholded into keep

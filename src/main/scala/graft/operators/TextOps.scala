@@ -750,6 +750,55 @@ object TextOps {
       baseHot = Some(hotSetOf(spark, st.index)))
   }
 
+  /** EXACT DUPLICATE-SPAN contamination — the substring-dedup family
+    * (the published exact-span recipe: flag long token spans that recur
+    * ACROSS documents; repeated boilerplate/license blocks survive
+    * whole-document near-dup filters because the containing documents
+    * differ). Per document: how many of its distinct 20-token spans
+    * appear in at least one OTHER document, as a fraction, with a
+    * thresholded keep. Internal repetition does NOT self-flag: spans
+    * are per-document DISTINCT before the frequency count, so a
+    * document repeating its own phrase contributes one row per span —
+    * within-document repetition is [[graft.operators.Curation
+    * .qRepetition]]'s jurisdiction, cross-document recurrence is this
+    * operator's.
+    *
+    * Scale shape: spans are 64-bit hashes off the fused per-row shingle
+    * loop (constant-width keys at any span length — a 20-token string
+    * span would 20× the shuffle payload); document frequency is one
+    * hash aggregate over the exploded (span, doc) relation, joined back
+    * once, and re-aggregated per document — three shuffles, all keyed
+    * on 8-byte hashes with map-side partials. At extreme scale the
+    * published suffix-array formulation is cheaper per byte; this is
+    * the declarative formulation of the same decision metric, and the
+    * df>1 join-back side is the natural bloom-filter candidate.
+    */
+  def qDupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpans(Tables.documents(spark, dir))
+
+  /** Core of [[qDupSpans]] over any (doc_id, text) frame. */
+  private[graft] def dupSpans(docs: DataFrame, k: Int = 20,
+    maxDupFrac: Double = 0.3): DataFrame = {
+    val exploded = docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.shingleHashes(
+        split(col("text"), " "), k)).as("s"))
+    // per-doc distinct by construction, so rows per span = containing
+    // documents
+    val df = exploded.groupBy(col("s"))
+      .agg(count(lit(1)).as("span_df"))
+    exploded.join(df, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("span_df") > 1, 1L).otherwise(0L))
+          .as("n_dup_spans"))
+      .withColumn("dup_span_frac",
+        col("n_dup_spans").cast("double") / col("n_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        col("dup_span_frac"),
+        (col("dup_span_frac") <= maxDupFrac).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document quality statistics for corpus filtering: token count,
     * char length, distinct-token (type-token) ratio, stopword ratio, and
     * mean token length — the length/punct/stopword heuristics of

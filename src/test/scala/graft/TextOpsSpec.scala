@@ -6,6 +6,38 @@ import graft.operators.TextOps
 
 class TextOpsSpec extends SparkTestBase {
 
+  test("dup-span contamination flags cross-document spans only") {
+    import spark.implicits._
+    def words(tag: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"$tag$i")
+    val boiler = words("lic", 25) // 25-token shared block -> 6 20-grams
+    val docs = Seq(
+      // docs 1 and 2 share the boilerplate block inside distinct bodies
+      (1L, (boiler ++ words("a", 30)).mkString(" ")),
+      (2L, (words("b", 30) ++ boiler).mkString(" ")),
+      // doc 3 repeats ITS OWN 25-token phrase twice — internal
+      // repetition must NOT count as duplicate spans (per-doc distinct)
+      (3L, (words("c", 25) ++ words("c", 25)).mkString(" ")),
+      // doc 4 is clean
+      (4L, words("d", 40).mkString(" ")),
+      // doc 5 is SHORTER than a span: whole text is one span; doc 6 is
+      // its exact copy -> both fully contaminated
+      (5L, "tiny shared document"),
+      (6L, "tiny shared document")).toDF("doc_id", "text")
+    val out = TextOps.dupSpans(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    // docs 1/2: 36 distinct 20-grams each (55 tokens), the 6 boiler
+    // 20-grams shared -> 6 dup spans, frac 6/36 <= 0.3 -> kept
+    assert(out(1L) == ((36L, 6L, true)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((36L, 6L, true)), s"doc2: ${out(2L)}")
+    // doc 3: 50 tokens -> 31 positions but only 26 DISTINCT spans
+    // (positions 0..25 wrap to repeat); none shared with other docs
+    assert(out(3L)._2 == 0L && out(3L)._3, s"doc3: ${out(3L)}")
+    assert(out(4L) == ((21L, 0L, true)))
+    assert(out(5L) == ((1L, 1L, false)) && out(6L) == ((1L, 1L, false)))
+  }
+
   test("q_dedup_exact keeps one representative per distinct text") {
     val df = TextOps.qDedupExact(spark, sfDir)
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
