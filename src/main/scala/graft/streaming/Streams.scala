@@ -178,8 +178,9 @@ object Streams {
     * emit-once predicate makes each (new, base) pair surface exactly
     * once with no streaming state: the crawl-filter a 100 TB corpus
     * runs continuously between nightly compactions. */
-  def nearDupIntake(baseStaged: DataFrame, docs: DataFrame): DataFrame =
-    graft.operators.TextOps.intakePairs(baseStaged, docs)
+  def nearDupIntake(baseStaged: DataFrame, docs: DataFrame,
+    baseHot: Option[DataFrame] = None): DataFrame =
+    graft.operators.TextOps.intakePairs(baseStaged, docs, baseHot)
 
   /** Streaming LABEL EXTENSION (r8 verdict item 4): [[nearDupIntake]]
     * flags (new, base) pairs but never folds them into the published
@@ -210,12 +211,14 @@ object Streams {
     * cost rides on the dup-set size, not the corpus.
     */
   def extendLabelsSink(baseStaged: DataFrame, labelsRoot: String,
-    docs: DataFrame,
-    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs: DataFrame, checkpointDir: String,
+    baseHot: Option[DataFrame] = None)
+    : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val pairs = graft.operators.TextOps.intakePairs(baseStaged, batch)
+        val pairs = graft.operators.TextOps
+          .intakePairs(baseStaged, batch, baseHot)
           .select(col("doc_id").as("id_a"), col("dup_of").as("id_b"))
         // materialize BEFORE publishing: the plan reads the current
         // version's parquet, and lazy evaluation during the write of

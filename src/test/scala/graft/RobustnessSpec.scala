@@ -114,6 +114,43 @@ class RobustnessSpec extends SparkTestBase {
     assert(!TextOps.chooseJoinBack(empty))
     assert(TextOps.minhashPairsCarried(empty).count() == 0)
     assert(TextOps.minhashPairsJoinBack(empty).count() == 0)
+    assert(TextOps.dupSpans(empty).count() == 0)
+  }
+
+  test("compaction degrades gracefully on empty inputs") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val staged = TextOps.stageDocs(docs).localCheckpoint(true)
+    val pairs = TextOps.pairsCarriedStaged(staged).localCheckpoint(true)
+    val noneRecrawled = docs.filter(org.apache.spark.sql.functions
+      .col("doc_id") < 0)
+    // empty re-crawl set: compaction is a no-op relabel of the base
+    val out = TextOps.compactClusters(staged, pairs, noneRecrawled,
+      docs, joinBack = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set((1L, 1L, true), (2L, 2L, true)))
+    // every document re-crawled: the base contributes nothing and the
+    // result is a full recompute of the new text
+    val allNew = Seq((1L, "one two three four"),
+      (2L, "one two three four")).toDF("doc_id", "text")
+    val out2 = TextOps.compactClusters(staged, pairs, allNew, allNew,
+      joinBack = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out2 == Set((1L, 1L, true), (2L, 1L, false)))
+  }
+
+  test("dup-span fractions are always within [0,1] on adversarial corpora") {
+    samples(Gen.listOfN(6, textGen), 4).foreach { texts =>
+      val docs = docsOf(texts)
+      val rows = TextOps.dupSpans(docs).collect()
+      assert(rows.length == texts.length)
+      rows.foreach { r =>
+        val frac = r.getDouble(3)
+        assert(frac >= 0.0 && frac <= 1.0)
+        assert(r.getLong(2) <= r.getLong(1))
+      }
+    }
   }
 
   test("embedClusters degrades to all-kept singletons on edge-case frames") {
