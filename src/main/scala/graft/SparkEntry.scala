@@ -77,6 +77,7 @@ object SparkEntry {
     "q_pipeline_curation" -> (Pipelines.qPipelineCuration _),
     "q_pipeline_manifest" -> (Pipelines.qPipelineManifest _),
     "q_pipeline_mix"      -> (Pipelines.qPipelineMix _),
+    "q_pipeline_nightly"  -> (TextOps.qPipelineNightly _),
     // M4 — time windows (SURVEY §2.9; streaming duals in graft.streaming)
     "q_window_tumbling" -> (Windowed.qWindowTumbling _),
     "q_session_gap"     -> (Windowed.qSessionGap _),
@@ -672,6 +673,11 @@ object SparkEntry {
     // equal a full recompute over the TRUE corpus — the documents table
     // itself — so the same reachability SQL is the oracle.
     "q_dedup_compact" -> dedupClustersOracle,
+    // q_pipeline_nightly (EP6): new documents + re-crawls in ONE batch
+    // against a base missing tonight's new ids and holding stale text
+    // for its re-crawls — the whole composition must equal a full
+    // recompute of the true corpus, i.e. the same reachability SQL.
+    "q_pipeline_nightly" -> dedupClustersOracle,
     // q_dup_spans: the hash/string duality again — Spark counts span
     // document-frequency over 64-bit shingle hashes, the oracle over
     // the span strings themselves.

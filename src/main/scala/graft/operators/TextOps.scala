@@ -750,6 +750,55 @@ object TextOps {
       baseHot = Some(hotSetOf(spark, st.index)))
   }
 
+  /** EP6 — the UNIFIED NIGHTLY dedup job: a real crawl delivers BOTH
+    * brand-new documents and re-crawls of existing ones in one batch,
+    * and [[compactClusters]] already IS that job — retirement and
+    * pair-drop anti-joins are no-ops for ids absent from the base, the
+    * increment probe pairs the whole crawl against the retained index,
+    * and the within self-join covers new-vs-new, new-vs-recrawled, and
+    * recrawled-vs-recrawled alike. So the composed nightly pipeline is
+    * ONE operator call over the combined crawl; what this declared
+    * query adds is the fit posture (a base that is missing tonight's
+    * new ids AND holds stale text for tonight's re-crawls — the state
+    * an actual nightly wakes up to) and the oracle claim that the
+    * whole composition equals a full recompute of the true corpus.
+    * Crawl split: ~20% new ([[isIncrementDoc]]), plus ~11% of the rest
+    * re-crawled ([[isRecrawlDoc]] on the remainder).
+    */
+  def qPipelineNightly(spark: SparkSession, dir: String): DataFrame = {
+    val st = nightlyStateFor(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val crawl = docs.filter(isIncrementDoc ||
+      (!isIncrementDoc && isRecrawlDoc))
+    compactClusters(stagedFrame(spark, st.index),
+      spark.read.parquet(st.pairsPath), crawl, docs, st.index.joinBack,
+      baseHot = Some(hotSetOf(spark, st.index)))
+  }
+
+  /** Nightly base state: the corpus MINUS tonight's new documents,
+    * with stale text for tonight's re-crawls — published index +
+    * verified pairs, the artifacts yesterday's run left behind. */
+  private val fittedNightlyState = new FitCache[CompactState]((s, d) => {
+    val base = Tables.documents(s, d).filter(!isIncrementDoc)
+      .withColumn("text",
+        when(isRecrawlDoc,
+          concat(col("text"), lit(" legacyrev legacyrev stale marker")))
+          .otherwise(col("text")))
+    val idx = minhashFit(s, base, graft.sources.TempDirs
+      .scratchDir("graft_nightly_base_index").toString)
+    val staged = stagedFrame(s, idx)
+    val hot = Some(hotSetOf(s, idx))
+    val basePairs =
+      if (idx.joinBack) pairsJoinBackStaged(staged, hot)
+      else pairsCarriedStaged(staged, hot)
+    val pp = graft.sources.TempDirs
+      .scratchDir("graft_nightly_base_pairs").toString
+    basePairs.write.mode("overwrite").parquet(pp)
+    CompactState(idx, pp)
+  })
+  private[graft] def nightlyStateFor(spark: SparkSession,
+    dir: String): CompactState = fittedNightlyState.get(spark, dir)
+
   /** EXACT DUPLICATE-SPAN contamination — the substring-dedup family
     * (the published exact-span recipe: flag long token spans that recur
     * ACROSS documents; repeated boilerplate/license blocks survive

@@ -139,6 +139,44 @@ class CompactionSpec extends SparkTestBase {
     assert(got.sameElements(want))
   }
 
+  test("nightly pipeline (new + re-crawled in one batch) equals full recompute") {
+    import spark.implicits._
+    // base state: doc 4 is MISSING (it is tonight's new doc) and doc 2
+    // holds stale bridging text; tonight's crawl delivers both — doc 4
+    // brand-new (near-dup of filler 10) and doc 2 re-crawled unrelated
+    val staleBase = Seq((1L, aText), (2L, bOld), (3L, cText),
+      (10L, toks(40, "f").mkString(" ")),
+      (11L, toks(40, "g").mkString(" "))).toDF("doc_id", "text")
+    val new4 = (Seq("n0", "n1") ++ toks(40, "f").drop(2)).mkString(" ")
+    val crawl = Seq((2L, bNew), (4L, new4)).toDF("doc_id", "text")
+    val trueCorpus = Seq((1L, aText), (2L, bNew), (3L, cText),
+      (4L, new4),
+      (10L, toks(40, "f").mkString(" ")),
+      (11L, toks(40, "g").mkString(" "))).toDF("doc_id", "text")
+    val baseStaged = TextOps.stageDocs(staleBase).localCheckpoint(true)
+    val basePairs = TextOps.pairsCarriedStaged(baseStaged)
+      .localCheckpoint(true)
+    val got = TextOps.compactClusters(baseStaged, basePairs, crawl,
+      trueCorpus, joinBack = false).collect().map(_.toSeq).toSeq
+    val want = TextOps.dedupClusters(trueCorpus).collect()
+      .map(_.toSeq).toSeq
+    assert(got == want)
+    // the result shows BOTH effects at once: the retired bridge split
+    // {1,2,3} into singletons AND the new doc merged with filler 10
+    val flags = got.map(s => s.head.asInstanceOf[Long] ->
+      s(1).asInstanceOf[Long]).toMap
+    assert(flags(1L) == 1L && flags(2L) == 2L && flags(3L) == 3L)
+    assert(flags(4L) == 4L && flags(10L) == 4L)
+  }
+
+  test("declared q_pipeline_nightly equals the full recompute") {
+    val got = TextOps.qPipelineNightly(spark, sfDir).collect()
+      .map(_.toSeq)
+    val want = TextOps.qDedupClusters(spark, sfDir).collect()
+      .map(_.toSeq)
+    assert(got.sameElements(want))
+  }
+
   test("declared q_dedup_compact equals a full recompute on the corpus") {
     val got = TextOps.qDedupCompact(spark, sfDir).collect().map(_.toSeq)
     val want = TextOps.qDedupClusters(spark, sfDir).collect().map(_.toSeq)
