@@ -502,8 +502,10 @@ object TextOps {
     * fan-out, not corpus-sized.
     *
     * Contract: `newStaged`'s doc_ids are disjoint from `baseStaged`'s
-    * (an increment is NEW documents; re-crawled ids belong to a
-    * compaction job, not a probe). The join guard only excludes the
+    * (an increment is NEW documents; re-crawled ids belong to the
+    * compaction job — [[compactClusters]] / [[qDedupCompact]] — which
+    * retires their stale rows first and then calls this probe on the
+    * disjoint remainder). The join guard only excludes the
     * degenerate self-pair. Output orientation is normalized
     * (id_a < id_b) so pairs line up with the full-recompute path's
     * ordered emission regardless of which side a document entered on.

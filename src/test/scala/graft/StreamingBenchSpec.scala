@@ -122,4 +122,66 @@ class StreamingBenchSpec extends SparkTestBase {
     assert(emitted > 0,
       "bench stream emitted no closed windows — watermark never advanced")
   }
+
+  test("label-extension sink sustains a per-document throughput floor") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the sink's per-batch cost is dominated by the label propagation's
+    // fixed action count + the versioned publish, so its floor is in
+    // DOCUMENTS/s and sits far under the observed rate; every 10th
+    // arrival is a near-dup of a base doc so the extension does real
+    // merging work each batch
+    val docFloor = 50.0
+    def words(nw: Int, seed: Int): Seq[String] =
+      (0 until nw).map(i => s"w${(i * 31 + seed * 7919) % 100000}")
+    val baseTexts = (0 until 8).map(b => words(120, b))
+    val base = baseTexts.zipWithIndex
+      .map { case (w, b) => (b.toLong, w.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val staged = graft.operators.TextOps.stageDocs(base)
+      .localCheckpoint(true)
+    val nDocs = 1200
+    val arrivals = (0 until nDocs).map { i =>
+      val id = 1000L + i
+      if (i % 10 == 0) {
+        val b = (i / 10) % 8
+        (id, (baseTexts(b).take(115) ++ words(5, i + 100).map("q" + _))
+          .mkString(" "))
+      } else (id, words(120, i + 5000).map("z" + _).mkString(" "))
+    }
+    var labelled = 0L
+    def measure(): Double = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_label_bench").toString
+      graft.operators.Components.publishLabels(spark,
+        graft.operators.Components.labelComponents(
+          graft.operators.TextOps.pairsCarriedStaged(staged)
+            .select(col("id_a"), col("id_b"))),
+        root, "base")
+      val input = MemoryStream[(Long, String)](spark)
+      val q = Streams.extendLabelsSink(staged, root,
+        input.toDF().toDF("doc_id", "text"),
+        java.nio.file.Files.createTempDirectory("graft_label_cp").toString)
+      val t0 = System.nanoTime()
+      try {
+        arrivals.grouped(nDocs / 4).foreach { chunk =>
+          input.addData(chunk); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      labelled = graft.operators.Components.currentLabels(spark, root)
+        .count()
+      info(f"extendLabelsSink: ${nDocs / secs}%.0f docs/s " +
+        f"($nDocs docs in $secs%.2f s)")
+      nDocs / secs
+    }
+    val first = measure()
+    val rps = if (first >= docFloor) first else math.max(first, measure())
+    if (floorsEnforced) assert(rps > docFloor,
+      f"label-extension sink regressed: $rps%.0f docs/s")
+    else info(f"label sink floor informational: $rps%.0f vs $docFloor%.0f")
+    // structural: the near-dup arrivals actually extended the map
+    assert(labelled >= nDocs / 10,
+      s"label map holds $labelled nodes — extension did no merging")
+  }
 }
