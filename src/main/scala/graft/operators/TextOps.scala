@@ -827,7 +827,14 @@ object TextOps {
   def qDupSpans(spark: SparkSession, dir: String): DataFrame =
     dupSpans(Tables.documents(spark, dir))
 
-  /** Core of [[qDupSpans]] over any (doc_id, text) frame. */
+  /** Core of [[qDupSpans]] over any (doc_id, text) frame. The
+    * join-back side is only the DUPLICATED spans (`span_df > 1`) — on a
+    * real corpus the overwhelming majority of spans are unique, so the
+    * left join's build relation shrinks from all-spans-sized to
+    * boilerplate-sized (the difference between shuffling the whole
+    * span universe back through the corpus and broadcasting a
+    * comparatively tiny dup set); a span missing from it is unique by
+    * construction, which the left join encodes as a null hit. */
   private[graft] def dupSpans(docs: DataFrame, k: Int = 20,
     maxDupFrac: Double = 0.3): DataFrame = {
     val exploded = docs.select(col("doc_id"),
@@ -835,13 +842,14 @@ object TextOps {
         split(col("text"), " "), k)).as("s"))
     // per-doc distinct by construction, so rows per span = containing
     // documents
-    val df = exploded.groupBy(col("s"))
+    val dups = exploded.groupBy(col("s"))
       .agg(count(lit(1)).as("span_df"))
-    exploded.join(df, "s")
+      .filter(col("span_df") > 1)
+      .select(col("s"), lit(true).as("dup"))
+    exploded.join(dups, Seq("s"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("span_df") > 1, 1L).otherwise(0L))
-          .as("n_dup_spans"))
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_spans"))
       .withColumn("dup_span_frac",
         col("n_dup_spans").cast("double") / col("n_spans"))
       .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
