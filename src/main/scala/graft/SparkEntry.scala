@@ -91,6 +91,7 @@ object SparkEntry {
     "q_dedup_incremental" -> (TextOps.qDedupIncremental _),
     "q_dedup_compact"   -> (TextOps.qDedupCompact _),
     "q_dup_spans"       -> (TextOps.qDupSpans _),
+    "q_token_freq_score" -> (TextOps.qTokenFreqScore _),
     "q_text_stats"      -> (TextOps.qTextStats _),
     "q_token_count"     -> (TextOps.qTokenCount _),
     "q_token_percentiles" -> (TextOps.qTokenPercentiles _),
@@ -116,6 +117,7 @@ object SparkEntry {
     "q_decontaminate"     -> (Curation.qDecontaminate _),
     "q_contamination_report" -> (Curation.qContaminationReport _),
     "q_repetition"        -> (Curation.qRepetition _),
+    "q_pii_scrub"         -> (Curation.qPiiScrub _),
     "q_pack_sequences"    -> (Curation.qPackSequences _),
     "q_pack_manifest"     -> (Curation.qPackManifest _),
     "q_corpus_mix"        -> (Curation.qCorpusMix _),
@@ -1001,6 +1003,47 @@ object SparkEntry {
         |     (SELECT doc_id, count(*) AS hits FROM hp GROUP BY doc_id) h
         |     ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id""".stripMargin,
+    // q_pii_scrub: patterns restricted to Java-regex/RE2-identical
+    // constructs; DuckDB regexp_replace needs the 'g' flag to match
+    // Spark's replace-all semantics.
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INTEGER) AS n_ssns,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS INTEGER) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')
+        |    AS clean_text,
+        |  (len(regexp_extract_all(text,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |   + len(regexp_extract_all(text,
+        |     '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
+        |   + len(regexp_extract_all(text,
+        |     '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) > 0) AS has_pii
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q_token_freq_score: integer occurrence counts sum exactly in any
+    // aggregation order (unlike the float log-prob sums of the
+    // published perplexity proxies), so both engines agree bitwise.
+    "q_token_freq_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |m AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+        |agg AS (SELECT tok.doc_id, count(*) AS n_tokens,
+        |          sum(m.cnt) AS sum_freq,
+        |          sum(CASE WHEN m.cnt < 3 THEN 1 ELSE 0 END) AS n_rare
+        |        FROM tok JOIN m USING (t) GROUP BY tok.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(sum_freq AS BIGINT) AS sum_freq,
+        |       CAST(sum_freq AS DOUBLE) / n_tokens AS mean_freq,
+        |       CAST(n_rare AS DOUBLE) / n_tokens AS rare_frac
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
         |           FROM documents),

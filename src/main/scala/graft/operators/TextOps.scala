@@ -885,6 +885,46 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-frequency quality score — the order-exact cousin of the
+    * CCNet/KenLM perplexity proxy: documents dominated by tokens that
+    * are RARE corpus-wide are low-quality candidates (OCR noise,
+    * mojibake, spam vocabularies), so each document scores the
+    * arithmetic mean of its tokens' corpus-wide occurrence counts plus
+    * the fraction of rare (< 3 occurrences) tokens. The published
+    * proxies average LOG-probabilities — a float sum whose value
+    * depends on aggregation order, which no distributed engine
+    * guarantees; integer occurrence counts sum exactly in any order,
+    * so this score is bit-reproducible across partitionings AND
+    * engines (the one division per document has deterministic
+    * operands), and ranks garbage the same way.
+    *
+    * Scale shape: the unigram model is ONE hash aggregate over the
+    * exploded corpus (8-byte... string token keys, map-side partials),
+    * the score join is model-vs-exploded-corpus — the model is
+    * vocabulary-sized (millions of rows at web scale, broadcastable;
+    * Catalyst picks by stats), and the per-document re-aggregate is
+    * the second corpus-keyed shuffle.
+    */
+  def qTokenFreqScore(spark: SparkSession, dir: String): DataFrame =
+    tokenFreqScore(Tables.documents(spark, dir))
+
+  /** Core of [[qTokenFreqScore]] over any (doc_id, text) frame. */
+  private[graft] def tokenFreqScore(docs: DataFrame,
+    rareBelow: Long = 3L): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("t"))
+    val model = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    tok.join(model, "t")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("sum_freq"),
+        sum(when(col("cnt") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
+        (col("sum_freq").cast("double") / col("n_tokens")).as("mean_freq"),
+        (col("n_rare").cast("double") / col("n_tokens")).as("rare_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * segmentation (letter runs | digit runs | single non-alnum marks —
     * the shape of GPT-style pre-tokenizers), plus the chars-per-token

@@ -68,6 +68,62 @@ class CurationSpec extends SparkTestBase {
 
   // -------------------------------------------------------- decontaminate
 
+  test("pii scrub counts and redacts planted emails/ssns/phones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact Jane.Doe+spam@corp-mail.example.org or call 555-867-5309 now"),
+      (2L, "ssn on file 123-45-6789 twice 123-45-6789"),
+      (3L, "clean document with numbers 12-34 and 1234-5678"),
+      (4L, "mixed a@b.co 999-11-2222 and 800-555-1212")).toDF("doc_id", "text")
+    val out = graft.operators.Curation.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 1 && out(1L).getInt(3) == 1)
+    assert(out(1L).getString(4) ==
+      "contact <EMAIL> or call <PHONE> now")
+    assert(out(2L).getInt(2) == 2 &&
+      out(2L).getString(4) == "ssn on file <SSN> twice <SSN>")
+    assert(out(3L).getInt(1) == 0 && out(3L).getInt(2) == 0 &&
+      out(3L).getInt(3) == 0 && !out(3L).getBoolean(5))
+    assert(out(3L).getString(4) ==
+      "clean document with numbers 12-34 and 1234-5678")
+    assert(out(4L).getInt(1) == 1 && out(4L).getInt(2) == 1 &&
+      out(4L).getInt(3) == 1 && out(4L).getBoolean(5))
+    assert(out(4L).getString(4) == "mixed <EMAIL> <SSN> and <PHONE>")
+  }
+
+  test("token frequency score separates common-vocab from rare-vocab docs") {
+    import spark.implicits._
+    // docs 1-3 share one vocabulary; doc 4 is mojibake-like one-offs
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the cat"),
+      (3L, "the cat and the dog"),
+      (4L, "zxq1 vbn2 qwe3 rty4 uio5 plk6")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.tokenFreqScore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4))).toList.sortBy(_._1)
+    // driver-side recount of the unigram model
+    val toks = Seq("the cat sat on the mat", "the dog sat on the cat",
+      "the cat and the dog", "zxq1 vbn2 qwe3 rty4 uio5 plk6")
+      .flatMap(_.split(" "))
+    val cnt = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def expect(text: String) = {
+      val ws = text.split(" ").toSeq
+      (ws.size.toLong, ws.map(cnt).sum,
+        ws.count(cnt(_) < 3).toDouble / ws.size)
+    }
+    Seq((1L, "the cat sat on the mat"), (2L, "the dog sat on the cat"),
+      (3L, "the cat and the dog"),
+      (4L, "zxq1 vbn2 qwe3 rty4 uio5 plk6")).foreach { case (id, t) =>
+      val (n, s, rf) = expect(t)
+      val got = out.find(_._1 == id).get
+      assert((got._2, got._3, got._4) == ((n, s, rf)), s"doc $id")
+    }
+    // the mojibake doc is fully rare; the common docs are not
+    assert(out.find(_._1 == 4L).get._4 == 1.0)
+    assert(out.find(_._1 == 1L).get._4 <= 0.5)
+  }
+
   test("decontaminate flags 8-gram overlap, not 7-gram overlap") {
     import spark.implicits._
     val run = (s: String) => s.split(" ").toSeq
