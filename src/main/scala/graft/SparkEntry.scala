@@ -78,6 +78,7 @@ object SparkEntry {
     "q_pipeline_manifest" -> (Pipelines.qPipelineManifest _),
     "q_pipeline_mix"      -> (Pipelines.qPipelineMix _),
     "q_pipeline_nightly"  -> (TextOps.qPipelineNightly _),
+    "q_pipeline_quality"  -> (Pipelines.qPipelineQuality _),
     // M4 — time windows (SURVEY §2.9; streaming duals in graft.streaming)
     "q_window_tumbling" -> (Windowed.qWindowTumbling _),
     "q_session_gap"     -> (Windowed.qSessionGap _),
@@ -675,6 +676,54 @@ object SparkEntry {
     // equal a full recompute over the TRUE corpus — the documents table
     // itself — so the same reachability SQL is the oracle.
     "q_dedup_compact" -> dedupClustersOracle,
+    // q_pipeline_quality (EP7): the full quality-signal audit in one
+    // plan — each stage's parity is pinned standalone, the composed CTE
+    // checks flag flow and the gate conjunction.
+    "q_pipeline_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text,' ') AS w
+        |           FROM documents),
+        |rl AS (
+        |  SELECT doc_id, len(w) AS n_tok,
+        |    1 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE)
+        |      AS dup_word_frac,
+        |    CASE WHEN len(w) >= 2
+        |      THEN 1 - len(list_distinct(
+        |             list_transform(generate_series(1, len(w)-1),
+        |               i -> w[i] || ' ' || w[i+1]))) /
+        |           CAST(len(w)-1 AS DOUBLE)
+        |      ELSE 0.0 END AS dup_bigram_frac,
+        |    CAST(len(regexp_extract_all(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      + len(regexp_extract_all(text,
+        |        '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
+        |      + len(regexp_extract_all(text,
+        |        '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS INTEGER) AS n_pii
+        |  FROM t),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         CASE WHEN len(w) >= 20
+        |           THEN [array_to_string(w[i:i+19],' ')
+        |                 for i in range(1, len(w) - 18)]
+        |           ELSE [array_to_string(w,' ')] END)) AS s
+        |       FROM t),
+        |sdf AS (SELECT s, count(*) AS span_df FROM sh GROUP BY s),
+        |sp AS (SELECT sh.doc_id,
+        |         sum(CASE WHEN sdf.span_df > 1 THEN 1 ELSE 0 END) /
+        |           CAST(count(*) AS DOUBLE) AS dup_span_frac
+        |       FROM sh JOIN sdf USING (s) GROUP BY sh.doc_id),
+        |tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+        |m AS (SELECT tk, count(*) AS cnt FROM tok GROUP BY tk),
+        |fq AS (SELECT tok.doc_id,
+        |         CAST(sum(m.cnt) AS DOUBLE) / count(*) AS mean_freq,
+        |         sum(CASE WHEN m.cnt < 3 THEN 1 ELSE 0 END) /
+        |           CAST(count(*) AS DOUBLE) AS rare_frac
+        |       FROM tok JOIN m USING (tk) GROUP BY tok.doc_id)
+        |SELECT rl.doc_id, rl.n_tok, rl.dup_word_frac, rl.dup_bigram_frac,
+        |       rl.n_pii, sp.dup_span_frac, fq.mean_freq, fq.rare_frac,
+        |       (rl.dup_word_frac <= 0.7 AND rl.dup_bigram_frac <= 0.2
+        |         AND rl.n_pii = 0 AND sp.dup_span_frac <= 0.3
+        |         AND fq.rare_frac <= 0.5) AS keep
+        |FROM rl JOIN sp USING (doc_id) JOIN fq USING (doc_id)
+        |ORDER BY rl.doc_id""".stripMargin,
     // q_pipeline_nightly (EP6): new documents + re-crawls in ONE batch
     // against a base missing tonight's new ids and holding stale text
     // for its re-crawls — the whole composition must equal a full

@@ -321,6 +321,56 @@ object Pipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** EP7 — the composed QUALITY AUDIT: every per-document quality
+    * signal the engine computes, in ONE plan — the row a data-quality
+    * review actually reads before deciding thresholds, and the widest
+    * composition test of the quality family:
+    *
+    *   row-local signals on a single corpus scan (token count,
+    *   dup-word/dup-bigram fractions, PII counts — all codegen'd)
+    *   → duplicate-span contamination (span df aggregate + dup-set
+    *     join-back, [[TextOps.spanFlags]])
+    *   → corpus-frequency score (unigram model aggregate + score
+    *     join, [[TextOps.freqFlags]])
+    *   → one conjunction: keep = repetition gate ∧ no PII ∧
+    *     span gate ∧ rare-token gate.
+    *
+    * Scale shape: the row-local frame never shuffles; the two scorers
+    * contribute their own 8-byte-keyed aggregates; the final assembly
+    * is two doc_id-keyed joins. Every stage's parity with DuckDB is
+    * pinned by its standalone query, so the composed oracle checks
+    * COMPOSITION (flag flow, gate conjunction), not re-derivations.
+    */
+  def qPipelineQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = split(col("text"), " ")
+    val rowLocal = docs.select(col("doc_id"),
+      size(w).as("n_tok"),
+      Curation.dupWordFracCol(w).as("dup_word_frac"),
+      Curation.dupBigramFracCol(w).as("dup_bigram_frac"),
+      (size(regexp_extract_all(col("text"),
+          lit(Curation.emailPattern), lit(0))) +
+        size(regexp_extract_all(col("text"),
+          lit(Curation.ssnPattern), lit(0))) +
+        size(regexp_extract_all(col("text"),
+          lit(Curation.phonePattern), lit(0)))).as("n_pii"))
+    val spans = TextOps.spanFlags(docs)
+      .select(col("doc_id"), col("dup_span_frac"))
+    val freq = TextOps.freqFlags(docs)
+      .select(col("doc_id"), col("mean_freq"), col("rare_frac"))
+    rowLocal
+      .join(spans, "doc_id")
+      .join(freq, "doc_id")
+      .withColumn("keep",
+        col("dup_word_frac") <= 0.7 && col("dup_bigram_frac") <= 0.2 &&
+          col("n_pii") === 0 && col("dup_span_frac") <= 0.3 &&
+          col("rare_frac") <= 0.5)
+      .select(col("doc_id"), col("n_tok"), col("dup_word_frac"),
+        col("dup_bigram_frac"), col("n_pii"), col("dup_span_frac"),
+        col("mean_freq"), col("rare_frac"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Publish the manifest as the durable training-run artifact:
     * parquet partitioned by (split_name, shard) and sorted by doc_id
     * within files — the same write-once/read-many posture as the

@@ -836,6 +836,12 @@ object TextOps {
     * comparatively tiny dup set); a span missing from it is unique by
     * construction, which the left join encodes as a null hit. */
   private[graft] def dupSpans(docs: DataFrame, k: Int = 20,
+    maxDupFrac: Double = 0.3): DataFrame =
+    spanFlags(docs, k, maxDupFrac).orderBy(col("doc_id"))
+
+  /** Unsorted core of [[dupSpans]] — for composed pipelines that JOIN
+    * the flags downstream (the join re-shuffles anyway). */
+  private[graft] def spanFlags(docs: DataFrame, k: Int = 20,
     maxDupFrac: Double = 0.3): DataFrame = {
     val exploded = docs.select(col("doc_id"),
       explode(graft.functions.TextFunctions.shingleHashes(
@@ -855,7 +861,6 @@ object TextOps {
       .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
         col("dup_span_frac"),
         (col("dup_span_frac") <= maxDupFrac).as("keep"))
-      .orderBy(col("doc_id"))
   }
 
   /** Per-document quality statistics for corpus filtering: token count,
@@ -910,6 +915,11 @@ object TextOps {
 
   /** Core of [[qTokenFreqScore]] over any (doc_id, text) frame. */
   private[graft] def tokenFreqScore(docs: DataFrame,
+    rareBelow: Long = 3L): DataFrame =
+    freqFlags(docs, rareBelow).orderBy(col("doc_id"))
+
+  /** Unsorted core of [[tokenFreqScore]] — for composed pipelines. */
+  private[graft] def freqFlags(docs: DataFrame,
     rareBelow: Long = 3L): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("t"))
@@ -922,7 +932,6 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
         (col("sum_freq").cast("double") / col("n_tokens")).as("mean_freq"),
         (col("n_rare").cast("double") / col("n_tokens")).as("rare_frac"))
-      .orderBy(col("doc_id"))
   }
 
   /** Token counting two ways: whitespace tokens and a BPE-ish regex

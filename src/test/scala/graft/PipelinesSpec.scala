@@ -255,6 +255,32 @@ class PipelinesSpec extends SparkTestBase {
       col("split_name") =!= col("sp1")).isEmpty)
   }
 
+  test("q_pipeline_quality composes the standalone quality signals exactly") {
+    import org.apache.spark.sql.functions._
+    val audit = Pipelines.qPipelineQuality(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val spans = graft.operators.TextOps.qDupSpans(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val freq = graft.operators.TextOps.qTokenFreqScore(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val rep = graft.operators.Curation.qRepetition(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    val pii = graft.operators.Curation.qPiiScrub(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1) + r.getInt(2) + r.getInt(3))).toMap
+    assert(audit.nonEmpty && audit.size == spans.size)
+    audit.foreach { case (id, r) =>
+      assert(r.getDouble(5) == spans(id), s"span frac drift doc $id")
+      assert((r.getDouble(6), r.getDouble(7)) == freq(id))
+      assert((r.getDouble(2), r.getDouble(3)) == rep(id))
+      assert(r.getInt(4) == pii(id))
+      val expectKeep = r.getDouble(2) <= 0.7 && r.getDouble(3) <= 0.2 &&
+        r.getInt(4) == 0 && r.getDouble(5) <= 0.3 && r.getDouble(7) <= 0.5
+      assert(r.getBoolean(8) == expectKeep, s"keep drift doc $id")
+    }
+  }
+
   test("q_pipeline_mix carries the corpus-mix report's shares verbatim") {
     import org.apache.spark.sql.functions._
     val mix = Pipelines.qPipelineMix(spark, sfDir)
