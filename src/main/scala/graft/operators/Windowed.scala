@@ -31,6 +31,29 @@ object Windowed {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Sliding (hopping) 1-hour windows every 30 minutes — the overlap
+    * member of the window family (tumbling = slide == width; session =
+    * data-driven bounds). Spark's `window(ts, "1 hour", "30 minutes")`
+    * assigns each event to exactly width/slide = 2 epoch-aligned
+    * windows, which the oracle reproduces by unioning the event's
+    * 30-minute bucket with that bucket shifted back one slide.
+    *
+    * Scale shape: the window expression EXPANDS each row to its two
+    * (window, type) assignments before the hash aggregate — the fanout
+    * is width/slide (a plan constant, 2 here), map-side partials absorb
+    * it, and the shuffle still carries only (window, type) partial
+    * counts, cardinality ≈ 2 × hours × types. No join, no second pass:
+    * at 100 TB the cost is one scan with a constant-factor expand,
+    * exactly how overlap should be paid.
+    */
+  def qWindowSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** Session windows via the lag-gap cumulative-sum formulation: a new
     * session starts when the gap to the previous event of the same user
     * exceeds 30 minutes. Deterministic ordering ties broken by event_id.

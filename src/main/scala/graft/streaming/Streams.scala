@@ -48,6 +48,18 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Sliding 1-hour/30-minute window counts — streaming dual of
+    * [[graft.operators.Windowed.qWindowSliding]]. Identical expression
+    * tree; the watermark bounds state to the windows still open within
+    * the 2-hour horizon (each event lives in width/slide = 2 of them). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
   /** 30-minute-gap session windows per user via the native
     * `session_window` state operator — streaming dual of
     * [[graft.operators.Windowed.qSessionGap]]. */

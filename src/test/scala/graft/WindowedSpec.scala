@@ -21,6 +21,55 @@ class WindowedSpec extends SparkTestBase {
     assert(df.filter(minute(col("window_start")) =!= 0).count() == 0)
   }
 
+  test("q_window_sliding assigns every event to exactly width/slide windows") {
+    val df = Windowed.qWindowSliding(spark, sfDir).cache()
+    // total mass is 2x the table (each event in two overlapping windows)
+    val total = df.agg(sum("n")).collect().head.getLong(0)
+    assert(total == 2 * graft.sources.Tables.events(spark, sfDir).count())
+    // starts sit on the 30-minute slide grid
+    assert(df.filter(minute(col("window_start")) =!= 0 &&
+      minute(col("window_start")) =!= 30).count() == 0)
+    assert(df.filter(second(col("window_start")) =!= 0).count() == 0)
+    df.unpersist()
+  }
+
+  test("sliding windows on the hour grid equal the tumbling query") {
+    // a 1-hour window starting on a whole hour covers exactly the
+    // tumbling window's span, so the minute-0 slice of the sliding
+    // result must BE the tumbling result row-for-row
+    val slidingOnHours = Windowed.qWindowSliding(spark, sfDir)
+      .filter(minute(col("window_start")) === 0)
+    val tumbling = Windowed.qWindowTumbling(spark, sfDir)
+    assert(slidingOnHours.except(tumbling).count() == 0)
+    assert(tumbling.except(slidingOnHours).count() == 0)
+  }
+
+  test("streaming slidingCounts over MemoryStream assigns overlap windows") {
+    import spark.implicits._
+    val evs = Seq(
+      Ev(1, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "click"),
+      Ev(2, Timestamp.valueOf("2024-01-01 10:45:00"), 1, "click"))
+    val input = MemoryStream[Ev](spark)
+    input.addData(evs)
+    val q = Streams.slidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("sliding_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sliding_test")
+        .orderBy("window_start", "event_type")
+        .collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString,
+          r.getAs[Long]("n")))
+      // 10:05 -> windows [09:30,10:30) and [10:00,11:00)
+      // 10:45 -> windows [10:30,11:30) and [10:00,11:00)
+      assert(got.toSeq == Seq(
+        ("2024-01-01 09:30:00.0", 1L),
+        ("2024-01-01 10:00:00.0", 2L),
+        ("2024-01-01 10:30:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("q_session_gap sessions cover all events with positive gaps between them") {
     val df = Windowed.qSessionGap(spark, sfDir).cache()
     val total = df.agg(sum("n_events")).collect().head.getLong(0)
