@@ -304,6 +304,46 @@ object Curation {
         col("n_emails") + col("n_ssns") + col("n_phones") > 0)
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------------------- chunking
+
+  /** Context-window chunking with overlap — the other half of sequence
+    * preparation: where [[packSequences]] concatenates SHORT documents
+    * up to the budget, chunking cuts LONG documents down to it, with a
+    * stride shorter than the window so consecutive chunks share
+    * (window − stride) tokens of context (the standard long-document
+    * recipe for pre-training and embedding corpora). Chunk k of a
+    * document covers tokens [k·stride, k·stride + window); starts are
+    * every stride-th token index below the document length, so even an
+    * empty document yields its one (degenerate) chunk and no text is
+    * ever dropped.
+    *
+    * Scale shape: ZERO shuffle — `split` → `posexplode(sequence(...))`
+    * → `slice`/`array_join` is all row-local, the fanout per row is
+    * ⌈tokens/stride⌉, and the output streams straight to the sink. This
+    * is the multimodal frame-sample pattern applied to text: an expand,
+    * not a join, so it scales at scan speed. The declared query's
+    * orderBy exists for the oracle's presentation only.
+    */
+  def qChunkDocs(spark: SparkSession, dir: String): DataFrame =
+    chunkDocs(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Core of [[qChunkDocs]]: window/stride in plain-space tokens (the
+    * corpus tokenization contract); defaults sized so the test corpus's
+    * 10-99-token documents produce 1-5 chunks each. */
+  private[graft] def chunkDocs(docs: DataFrame, window: Int = 32,
+      stride: Int = 24): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), posexplode(
+        sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(slice(col("toks"), col("start") + 1, lit(window)), " ")
+          .as("chunk_text"),
+        least(size(col("toks")) - col("start"), lit(window))
+          .as("n_chunk_tokens"))
+
   // -------------------------------------------------------------- packing
 
   /** Sequence packing — the concat-and-chunk packing every GPT-style

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -957,6 +958,126 @@ object TextOps {
       try_divide(length(col("text")).cast("double"), bpe)
         .as("chars_per_token"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Tokenizer-vocabulary building: corpus-wide token frequencies, top
+    * 100 by count (ties broken by token text) — the first pass of any
+    * BPE/unigram tokenizer training run and the word-count shape every
+    * engine is graded on. Plain-space tokens, matching the corpus
+    * tokenization contract shared with [[qTokenCount]]/[[freqFlags]].
+    *
+    * Scale shape: explode is a row-local expand; the hash aggregate's
+    * map-side partials collapse each partition to its distinct tokens
+    * before the shuffle, so the exchange carries O(vocab × partitions)
+    * partial counts — not O(corpus tokens). The limit then runs as
+    * TakeOrderedAndProject (per-partition top-100 heaps, merged on the
+    * driver), never a global sort of the vocabulary. At 100 TB the one
+    * full-data pass is the scan+explode; everything after is
+    * vocabulary-sized.
+    */
+  def qVocabTopk(spark: SparkSession, dir: String): DataFrame =
+    vocabTopk(Tables.documents(spark, dir))
+
+  /** Core of [[qVocabTopk]] over any (doc_id, text) frame. */
+  private[graft] def vocabTopk(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
+  /** TF-IDF keyword extraction: each document's top-5 tokens by a
+    * smoothed tf-idf. The idf factor is the RATIONAL BM25 form
+    * (N − df + ½)/(df + ½) rather than its logarithm — same ranking
+    * (log is monotone), but every score is one exact integer-valued
+    * product and one IEEE division, so scores are bit-identical across
+    * engines where `ln` implementations are not (the decimal-sum
+    * lesson from `q_count_by_key` applied to floats).
+    *
+    * Scale shape: ONE corpus-scale shuffle. Documents repartition by
+    * doc_id up front; hash(doc_id) satisfies the clustered-distribution
+    * requirement of BOTH the (doc_id, token) tf aggregate (subset rule)
+    * and the per-document row_number window, so neither plans its own
+    * exchange. df reuses tf's result (tf rows are distinct (doc, token)
+    * pairs, so df = a token-keyed count over them) — its exchange
+    * carries per-partition distinct tokens, vocabulary-sized — and
+    * joins back broadcast along with the 1-row corpus count.
+    */
+  def qTfidfTopk(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopk(Tables.documents(spark, dir))
+
+  /** Core of [[qTfidfTopk]] over any (doc_id, text) frame. */
+  private[graft] def tfidfTopk(docs: DataFrame, k: Int = 5): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n"))
+    val tf = docs
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val score = col("tf").cast("double") *
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(score.desc, col("token"))
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("rk", row_number().over(byDoc))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        score.as("score"))
+      .orderBy(col("doc_id"), col("score").desc, col("token"))
+  }
+
+  /** Collocation extraction: the corpus's top-50 adjacent-token bigrams
+    * by PMI-style lift, `P(xy) / (P(x)·P(y))` — the classic phrase-mining
+    * statistic (pointwise mutual information without the log: log is
+    * monotone, so the RANKING is PMI's, while the score stays a chain of
+    * IEEE multiply/divides that is bit-identical across engines — the
+    * [[qTfidfTopk]] determinism rule; a `ln` would not be). A minimum
+    * pair count of 5 applies the standard low-frequency PMI guard.
+    *
+    * Scale shape: bigrams come from zipping each document's shifted
+    * token slices — row-local expand, and the lambda touches only its
+    * own loop variable (the CSE-safe formulation the verify notes
+    * require). Two corpus-scale aggregates (unigram and bigram counts)
+    * with map-side partials; everything after is vocabulary-sized —
+    * unigram counts broadcast back onto the ≥5-count bigram survivors,
+    * and the top-50 runs as TakeOrderedAndProject.
+    */
+  def qCollocPmi(spark: SparkSession, dir: String): DataFrame =
+    collocPmi(Tables.documents(spark, dir))
+
+  /** Core of [[qCollocPmi]] over any (doc_id, text) frame. */
+  private[graft] def collocPmi(docs: DataFrame, k: Int = 50,
+      minCount: Long = 5L): DataFrame = {
+    val t = split(col("text"), " ")
+    val uni = docs.select(explode(t).as("w"))
+    val ucnt = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nUni = uni.agg(count(lit(1)).as("n_uni"))
+    // adjacent pairs = zip(tokens, tokens shifted by one): both slices
+    // have size-1 elements, so no padding rows; single-token docs zip
+    // two empty slices and contribute nothing
+    val pairs = docs.select(explode(zip_with(
+      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val nBi = pairs.agg(count(lit(1)).as("n_bi"))
+    val bcnt = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    // left-associated op chain, mirrored exactly in the oracle SQL
+    val lift = col("c_xy").cast("double") / col("c1") / col("c2") *
+      col("n_uni") * col("n_uni") / col("n_bi")
+    bcnt
+      .join(broadcast(ucnt.select(col("w").as("w1"), col("c").as("c1"))),
+        "w1")
+      .join(broadcast(ucnt.select(col("w").as("w2"), col("c").as("c2"))),
+        "w2")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("c_xy"), lift.as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
   }
 
   /** Heuristic language identification: per-language function-word hit

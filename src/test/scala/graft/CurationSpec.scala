@@ -233,6 +233,52 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------------------------- chunking
+
+  test("chunk docs matches a driver-side re-chunk exactly") {
+    val got = Curation.qChunkDocs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"),
+        r.getAs[String]("chunk_text"), r.getAs[Int]("n_chunk_tokens")))
+      .toSet
+    val want = docs.select("doc_id", "text").collect().flatMap { r =>
+      val toks = r.getAs[String]("text").split(" ", -1)
+      (0 until toks.length by 24).zipWithIndex.map { case (s, k) =>
+        (r.getAs[Long]("doc_id"), k,
+          toks.slice(s, s + 32).mkString(" "),
+          math.min(toks.length - s, 32))
+      }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("chunks with stride == window reconstruct each document") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, Seq.tabulate(70)(i => s"t$i").mkString(" ")),
+      (2L, "one two three"),
+      (3L, "")).toDF("doc_id", "text")
+    val back = Curation.chunkDocs(fixture, window = 32, stride = 32)
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", array_sort(collect_list(
+        struct(col("chunk_id"), col("chunk_text")))
+        .getField("chunk_text"))).as("joined"))
+    // array_sort on (chunk_id, text) structs orders by chunk_id; the
+    // extracted texts re-concatenate to the original (no token dropped
+    // or doubled when the overlap is zero)
+    val got = back.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("joined")).toMap
+    assert(got(2L) == "one two three")
+    assert(got(3L) == "") // degenerate doc still yields its one chunk
+    assert(got(1L) == Seq.tabulate(70)(i => s"t$i").mkString(" "))
+  }
+
+  test("chunking stays shuffle-free before the output sort") {
+    val plan = Curation.qChunkDocs(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected only the sort exchange:\n$plan")
+  }
+
   // -------------------------------------------------------------- packing
 
   test("pack ids equal floor(prefix-sum / budget) within each shard") {

@@ -439,6 +439,123 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_vocab_topk matches a driver-side full recount") {
+    val got = TextOps.qVocabTopk(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt")))
+    // independent recount over the raw text, same top-100 cut
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect()
+      .foreach(_.getAs[String]("text").split(" ", -1)
+        .foreach(t => counts(t) = counts.getOrElse(t, 0L) + 1))
+    val want = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(100)
+    assert(got.toSeq == want)
+  }
+
+  test("vocab top-k cut is by count then token, and k binds") {
+    import spark.implicits._
+    val fixture = Seq((1L, "b b b a a c c z"), (2L, "a z"))
+      .toDF("doc_id", "text")
+    val top3 = TextOps.vocabTopk(fixture, k = 3).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt")))
+    // a=3, b=3, c=2, z=2 -> ties broken by token text at both ranks
+    assert(top3.toSeq == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
+  test("vocab plan: partial aggregate before the shuffle, top-k not a global sort") {
+    val df = TextOps.qVocabTopk(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // map-side combine: a partial_count aggregate must sit under the
+    // exchange, and the limit must run as TakeOrderedAndProject rather
+    // than a full Sort of the vocabulary
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q_tfidf_topk matches a driver-side recompute bit-for-bit") {
+    val got = TextOps.qTfidfTopk(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token"),
+        r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Double]("score")))
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val n = texts.length.toLong
+    val tf = texts.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (tok, hits) =>
+        (id, tok, hits.length.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (tok, rs) => tok -> rs.length.toLong }
+    val want = tf.groupBy(_._1).toSeq.flatMap { case (id, rs) =>
+      rs.map { case (_, tok, f) =>
+        val d = df(tok)
+        (id, tok, f, d, f.toDouble * (n - d + 0.5) / (d + 0.5))
+      }.sortBy { case (_, tok, _, _, s) => (-s, tok) }.take(5)
+    }.sortBy { case (id, tok, _, _, s) => (id, -s, tok) }
+    assert(got.toSeq == want) // exact, scores included: same IEEE ops
+  }
+
+  test("tfidf plan: one corpus shuffle, df and n broadcast back") {
+    val q = TextOps.qTfidfTopk(spark, sfDir)
+    q.collect() // finalize AQE on THIS QueryExecution (write spawns its own)
+    val plan = q.queryExecution.executedPlan.toString
+    // the doc_id repartition serves the tf aggregate AND the window
+    // (subset rule): neither the (doc_id, token) grouping nor the
+    // doc_id window plans an exchange of its own, and the df branch's
+    // identical repartition collapses to a ReusedExchange at runtime —
+    // leaving that one corpus shuffle plus the vocabulary-sized token
+    // exchange
+    assert(!"hashpartitioning\\(doc_id[^)]*token".r.findFirstIn(plan)
+      .isDefined, s"tf aggregate planned its own exchange:\n$plan")
+    assert(!("hashpartitioning\\(doc_id[^)]*ENSURE_REQUIREMENTS".r
+      .findFirstIn(plan).isDefined),
+      s"window planned its own doc_id exchange:\n$plan")
+    val corpusEx =
+      "Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).size
+    assert(corpusEx <= 1 || plan.contains("ReusedExchange"),
+      s"df branch re-shuffled the corpus instead of reusing:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan) // df joins broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // 1-row n
+  }
+
+  test("q_colloc_pmi matches a driver-side recompute bit-for-bit") {
+    val got = TextOps.qCollocPmi(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c_xy"), r.getAs[Double]("lift")))
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(_.getAs[String]("text"))
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val big = scala.collection.mutable.Map.empty[(String, String), Long]
+    var nUni = 0L; var nBi = 0L
+    texts.foreach { t =>
+      val w = t.split(" ", -1)
+      w.foreach { x => uni(x) = uni.getOrElse(x, 0L) + 1; nUni += 1 }
+      w.sliding(2).foreach {
+        case Array(a, b) =>
+          big((a, b)) = big.getOrElse((a, b), 0L) + 1; nBi += 1
+        case _ => ()
+      }
+    }
+    val want = big.toSeq.collect { case ((a, b), c) if c >= 5 =>
+      // the exact op chain of the query: /, /, *, *, / left to right
+      (a, b, c, c.toDouble / uni(a) / uni(b) * nUni * nUni / nBi)
+    }.sortBy { case (a, b, _, s) => (-s, a, b) }.take(50)
+    assert(got.toSeq == want)
+  }
+
+  test("colloc bigrams: single-token docs contribute nothing, pairs span no doc boundary") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "x"), (2L, "a b a b a b a b a b"), (3L, "b a")
+    ).toDF("doc_id", "text")
+    val got = TextOps.collocPmi(fixture, k = 10, minCount = 1L).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c_xy"))).toSet
+    // doc 2: 5x (a,b) + 4x (b,a); doc 3: 1x (b,a); doc 1: none; and no
+    // phantom (x,a)/(b,x) pairs across document boundaries
+    assert(got.map(p => (p._1, p._2) -> p._3).toMap ==
+      Map(("a", "b") -> 5L, ("b", "a") -> 5L))
+  }
+
   test("q_lang_id picks the argmax with deterministic ties") {
     val rows = TextOps.qLangId(spark, sfDir).collect()
     rows.foreach { r =>
