@@ -62,6 +62,41 @@ object Vectors {
     * query, capping the final stage's parallelism at #queries.
     * Deterministic (cosine desc, neighbor_id) order, ties included.
     */
+  /** Scalar int8 quantization of the embedding column — the standard
+    * storage/bandwidth trick for ANN at scale (4× smaller vectors;
+    * FAISS's SQ8 recipe): per-vector min/max, each coordinate mapped to
+    * round((x − min)·255 / (max − min)) ∈ [0, 255], with the (min, max)
+    * pair kept for dequantization. A constant vector (max == min) maps
+    * to code 0 rather than dividing by zero.
+    *
+    * Scale shape: zero shuffle before the presentation sort — min/max
+    * and the code mapping are per-row HOF arithmetic over the vector,
+    * and the lambda touches only its own variable plus two scalar
+    * columns staged OUTSIDE the loop (the CSE rule: `array_min`/`max`
+    * computed once per row, not once per element). Codes serialize to a
+    * comma-joined string so the oracle compare stays on flat types.
+    * Every float→double widening is exact, and the map is one exact
+    * multiply plus one IEEE divide — bit-identical in DuckDB, so even
+    * the boundary codes hash-match.
+    */
+  def qQuantizeEmbed(spark: SparkSession, dir: String): DataFrame =
+    quantizeEmbed(Tables.embeddings(spark, dir))
+
+  /** Core of [[qQuantizeEmbed]] over any (vec_id, embedding) frame. */
+  private[graft] def quantizeEmbed(vecs: DataFrame): DataFrame =
+    vecs
+      .select(col("vec_id"),
+        array_min(col("embedding")).cast("double").as("v_min"),
+        array_max(col("embedding")).cast("double").as("v_max"),
+        col("embedding"))
+      .select(col("vec_id"), col("v_min"), col("v_max"),
+        array_join(transform(col("embedding"), x =>
+          when(col("v_max") === col("v_min"), lit(0))
+            .otherwise(round((x.cast("double") - col("v_min")) * 255.0 /
+              (col("v_max") - col("v_min"))).cast("int"))), ",")
+          .as("q_codes"))
+      .orderBy(col("vec_id"))
+
   def qCosineTopk(spark: SparkSession, dir: String): DataFrame = {
     val b = base(spark, dir)
     val q = b.filter(col("vec_id") < 10)

@@ -6,6 +6,43 @@ import graft.operators.Vectors
 
 class VectorsSpec extends SparkTestBase {
 
+  test("q_quantize_embed codes match a driver-side requantization") {
+    val got = Vectors.qQuantizeEmbed(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("v_min"),
+        r.getAs[Double]("v_max"), r.getAs[String]("q_codes")))
+    val want = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect().map { r =>
+        val v = r.getSeq[Float](r.fieldIndex("embedding"))
+        val mn = v.min.toDouble; val mx = v.max.toDouble
+        val codes = v.map { x =>
+          if (mx == mn) 0
+          else BigDecimal((x.toDouble - mn) * 255.0 / (mx - mn))
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt
+        }
+        (r.getAs[Long]("vec_id"), mn, mx, codes.mkString(","))
+      }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // codes live in the int8 range and every vector keeps its arity
+    got.foreach { case (_, mn, mx, codes) =>
+      val cs = codes.split(",").map(_.toInt)
+      assert(cs.forall(c => c >= 0 && c <= 255))
+      assert(cs.min == 0 && (mx == mn || cs.max == 255)) // ends pinned
+    }
+  }
+
+  test("quantization is constant-vector safe and shuffle-free") {
+    import spark.implicits._
+    val fixture = Seq((1L, Seq(0.5f, 0.5f, 0.5f)), (2L, Seq(-1f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val rows = Vectors.quantizeEmbed(fixture).collect()
+    assert(rows(0).getAs[String]("q_codes") == "0,0,0")
+    assert(rows(1).getAs[String]("q_codes") == "0,128,255")
+    val plan = Vectors.qQuantizeEmbed(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected only the sort exchange:\n$plan")
+  }
+
   test("q_cosine_topk returns 5 ranked neighbors per query") {
     val df = Vectors.qCosineTopk(spark, sfDir).cache()
     val perQ = df.groupBy("q_id").count().collect()
