@@ -81,6 +81,7 @@ object SparkEntry {
     "q_pipeline_quality"  -> (Pipelines.qPipelineQuality _),
     // M4 — time windows (SURVEY §2.9; streaming duals in graft.streaming)
     "q_window_tumbling" -> (Windowed.qWindowTumbling _),
+    "q_window_sliding"  -> (Windowed.qWindowSliding _),
     "q_session_gap"     -> (Windowed.qSessionGap _),
     // M5 — LLM-pipeline text ops (SURVEY §2.10; BASELINE.json north star)
     "q_dedup_exact"     -> (TextOps.qDedupExact _),
@@ -95,11 +96,15 @@ object SparkEntry {
     "q_token_freq_score" -> (TextOps.qTokenFreqScore _),
     "q_text_stats"      -> (TextOps.qTextStats _),
     "q_token_count"     -> (TextOps.qTokenCount _),
+    "q_vocab_topk"      -> (TextOps.qVocabTopk _),
+    "q_tfidf_topk"      -> (TextOps.qTfidfTopk _),
+    "q_colloc_pmi"      -> (TextOps.qCollocPmi _),
     "q_token_percentiles" -> (TextOps.qTokenPercentiles _),
     "q_lang_id"         -> (TextOps.qLangId _),
     "q_simhash"         -> (TextOps.qSimhash _),
     "q_fingerprint"     -> (TextOps.qFingerprint _),
     // M5 — similarity search over embeddings
+    "q_quantize_embed"  -> (Vectors.qQuantizeEmbed _),
     "q_cosine_topk"     -> (Vectors.qCosineTopk _),
     "q_dedup_embed"     -> (Vectors.qDedupEmbed _),
     "q_dedup_embed_lsh" -> (Vectors.qDedupEmbedLsh _),
@@ -119,6 +124,7 @@ object SparkEntry {
     "q_contamination_report" -> (Curation.qContaminationReport _),
     "q_repetition"        -> (Curation.qRepetition _),
     "q_pii_scrub"         -> (Curation.qPiiScrub _),
+    "q_chunk_docs"        -> (Curation.qChunkDocs _),
     "q_pack_sequences"    -> (Curation.qPackSequences _),
     "q_pack_manifest"     -> (Curation.qPackManifest _),
     "q_corpus_mix"        -> (Curation.qCorpusMix _),
@@ -609,6 +615,20 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+    // Sliding windows: each event's two epoch-aligned 1-hour windows =
+    // its 30-minute bucket and that bucket shifted back one slide.
+    "q_window_sliding" ->
+      """SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT date_trunc('hour', ts)
+        |         + CASE WHEN extract(minute FROM ts) >= 30
+        |                THEN INTERVAL 30 MINUTE
+        |                ELSE INTERVAL 0 MINUTE END
+        |         - k * INTERVAL 30 MINUTE AS window_start,
+        |         event_type
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) off)
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
     "q_session_gap" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,
@@ -854,6 +874,59 @@ object SparkEntry {
         |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
         |    AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_vocab_topk" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    // Rational BM25-style idf: one exact integer-valued product + one
+    // IEEE division — bit-identical across engines, unlike ln().
+    "q_tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |       FROM tok GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, tf.token AS token, tf, df,
+        |    CAST(tf AS DOUBLE) * (n - df + 0.5) / (df + 0.5) AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(tf AS DOUBLE) * (n - df + 0.5) / (df + 0.5)
+        |        DESC, tf.token) AS rk
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, score
+        |FROM s WHERE rk <= 5
+        |ORDER BY doc_id, score DESC, token""".stripMargin,
+    // PMI-style lift: a left-associated multiply/divide chain mirroring
+    // the Spark expression exactly (bit-identical IEEE ops, no ln).
+    "q_colloc_pmi" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM toks),
+        |ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        |nu AS (SELECT count(*) AS n_uni FROM uni),
+        |pairs AS (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)]))
+        |          AS p FROM toks),
+        |bcnt AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS c_xy
+        |         FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5),
+        |nb AS (SELECT count(*) AS n_bi FROM pairs)
+        |SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+        |  CAST(c_xy AS DOUBLE) / u1.c / u2.c * n_uni * n_uni / n_bi
+        |    AS lift
+        |FROM bcnt JOIN ucnt u1 ON w1 = u1.w JOIN ucnt u2 ON w2 = u2.w
+        |CROSS JOIN nu CROSS JOIN nb
+        |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin,
+    "q_chunk_docs" ->
+      """SELECT doc_id, CAST(s // 24 AS INT) AS chunk_id,
+        |  array_to_string(toks[s + 1 : s + 32], ' ') AS chunk_text,
+        |  CAST(least(len(toks) - s, 32) AS INT) AS n_chunk_tokens
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |      FROM documents) d,
+        |  LATERAL (SELECT unnest(generate_series(0, len(toks) - 1, 24))
+        |           AS s) g
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "q_dedup_embed" ->
       """WITH base AS (
         |  SELECT vec_id,
@@ -949,6 +1022,22 @@ object SparkEntry {
     // re-paired — must equal a full recompute over the true corpus, so
     // the same exact-reachability SQL is the oracle.
     "q_dedup_embed_compact" -> embedClustersOracle,
+    // Quantization: float→double widenings are exact; the code map is
+    // one exact multiply + one IEEE divide + round — bit-identical.
+    "q_quantize_embed" ->
+      """SELECT vec_id,
+        |  CAST(list_min(embedding) AS DOUBLE) AS v_min,
+        |  CAST(list_max(embedding) AS DOUBLE) AS v_max,
+        |  array_to_string(list_transform(embedding, x ->
+        |    CAST(CASE WHEN list_max(embedding) = list_min(embedding)
+        |              THEN 0
+        |         ELSE round(((CAST(x AS DOUBLE)
+        |                      - CAST(list_min(embedding) AS DOUBLE))
+        |                     * 255.0)
+        |              / (CAST(list_max(embedding) AS DOUBLE)
+        |                 - CAST(list_min(embedding) AS DOUBLE)))
+        |         END AS INT)), ',') AS q_codes
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_cosine_topk" ->
       """WITH base AS (
         |  SELECT vec_id,
