@@ -124,6 +124,7 @@ object SparkEntry {
     "q_contamination_report" -> (Curation.qContaminationReport _),
     "q_repetition"        -> (Curation.qRepetition _),
     "q_pii_scrub"         -> (Curation.qPiiScrub _),
+    "q_source_cap"        -> (Curation.qSourceCap _),
     "q_chunk_docs"        -> (Curation.qChunkDocs _),
     "q_pack_sequences"    -> (Curation.qPackSequences _),
     "q_pack_manifest"     -> (Curation.qPackManifest _),
@@ -918,6 +919,13 @@ object SparkEntry {
         |FROM bcnt JOIN ucnt u1 ON w1 = u1.w JOIN ucnt u2 ON w2 = u2.w
         |CROSS JOIN nu CROSS JOIN nb
         |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin,
+    "q_source_cap" ->
+      """SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap'), doc_id)
+        |    AS rk
+        |  FROM documents) t
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
     "q_chunk_docs" ->
       """SELECT doc_id, CAST(s // 24 AS INT) AS chunk_id,
         |  array_to_string(toks[s + 1 : s + 32], ' ') AS chunk_text,

@@ -304,6 +304,66 @@ object Curation {
         col("n_emails") + col("n_ssns") + col("n_phones") > 0)
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------------------ source cap
+
+  /** Per-source document cap — the anti-domination quota every crawl
+    * mix applies so one mega-domain can't swamp the corpus: each source
+    * keeps its `cap` documents with the smallest stable per-document
+    * hashes (md5 over a salted doc_id — the [[trainSplit]] determinism
+    * discipline: reproducible outside Spark, stable as the corpus
+    * grows, uncorrelated with the split/sample draws by the salt).
+    *
+    * This declared form is the one-window EXACT semantics: a
+    * row_number over each source ordered by (hash, doc_id). Its scale
+    * exposure is the window sort itself — one reducer sees a whole
+    * mega-source. [[sourceCapPruned]] is the 100 TB path: broadcast
+    * per-source counts, keep rows whose 32-bit hash prefix falls under
+    * `margin·cap/n_src` of the keyspace (row-local), and run the exact
+    * window on the ~margin·cap survivors per source. Under-selection
+    * (a source's cap-th smallest hash above the bound) is the binomial
+    * lower tail at mean margin·cap — for margin 4, cap 10 that is
+    * P[Bin(n, 40/n) < 10] < 1e-9 for any n, and sources at or below
+    * margin·cap keep everything (bound 1), so the pruned plan equals
+    * this one except with negligible probability on adversarial data —
+    * the parity spec pins equality on real and synthetic corpora.
+    */
+  def qSourceCap(spark: SparkSession, dir: String): DataFrame =
+    sourceCap(Tables.documents(spark, dir))
+
+  private[graft] def capHash(id: Column): Column =
+    md5(concat(id.cast("string"), lit(":cap")))
+
+  /** Core of [[qSourceCap]]: exact one-window form. */
+  private[graft] def sourceCap(docs: DataFrame, cap: Int = 10): DataFrame =
+    docs
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(capHash(col("doc_id")), col("doc_id"))))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy(col("doc_id"))
+
+  /** Scale path of [[qSourceCap]]: hash-prefix pruning ahead of the
+    * exact window (see the declared query's scaladoc for the
+    * under-selection bound). The window input shrinks from the corpus
+    * to ~margin·cap rows per source; the broadcast count table is
+    * source-cardinality-sized. */
+  private[graft] def sourceCapPruned(docs: DataFrame, cap: Int = 10,
+      margin: Int = 4): DataFrame = {
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+    val bound = least(lit(1.0),
+      lit(margin.toDouble * cap) / col("n_src"))
+    val hash32 = conv(substring(capHash(col("doc_id")), 1, 8), 16, 10)
+      .cast("long").cast("double")
+    docs.join(broadcast(counts), "source")
+      .filter(hash32 < bound * lit(4294967296.0))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(capHash(col("doc_id")), col("doc_id"))))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- chunking
 
   /** Context-window chunking with overlap — the other half of sequence

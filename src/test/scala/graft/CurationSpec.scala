@@ -200,6 +200,31 @@ class CurationSpec extends SparkTestBase {
       assert(r.getDouble(r.fieldIndex("dup_bigram_frac")) == 0.0)
     }
     assert(Curation.packSequences(weird).count() == 3)
+    // round-9 ops on the same degenerate corpora
+    assert(Curation.chunkDocs(empty).count() == 0)
+    assert(Curation.sourceCap(empty).count() == 0)
+    assert(Curation.sourceCapPruned(empty).count() == 0)
+    assert(graft.operators.TextOps.vocabTopk(empty).count() == 0)
+    assert(graft.operators.TextOps.tfidfTopk(empty).count() == 0)
+    assert(graft.operators.TextOps.collocPmi(empty).count() == 0)
+    assert(Curation.chunkDocs(weird).count() == 3) // one chunk each
+    // the whitespace doc splits to two EMPTY tokens -> exactly one
+    // (empty, empty) bigram; "" and "x" contribute no pairs
+    val weirdPairs = graft.operators.TextOps
+      .collocPmi(weird, minCount = 1L).collect()
+    assert(weirdPairs.length == 1 &&
+      weirdPairs.head.getAs[String]("w1") == "" &&
+      weirdPairs.head.getAs[String]("w2") == "")
+    // genuinely single-token docs have zero bigrams
+    val singles = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    assert(graft.operators.TextOps.collocPmi(singles, minCount = 1L)
+      .count() == 0)
+    import org.apache.spark.sql.types._
+    val emptyVecs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    assert(graft.operators.Vectors.quantizeEmbed(emptyVecs).count() == 0)
   }
 
   // ----------------------------------------------------------- repetition
@@ -231,6 +256,39 @@ class CurationSpec extends SparkTestBase {
       val exchanges = "Exchange".r.findAllIn(plan).size
       assert(exchanges <= 1, s"expected only the sort exchange:\n$plan")
     }
+  }
+
+  // ------------------------------------------------------------ source cap
+
+  test("q_source_cap keeps at most cap docs per source, hash-ordered") {
+    val got = Curation.qSourceCap(spark, sfDir).collect()
+    val bySource = got.groupBy(_.getAs[String]("source"))
+    bySource.values.foreach { rows =>
+      assert(rows.length <= 10)
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq ==
+        (1 to rows.length).toSeq)
+    }
+    // every source present in the corpus keeps something
+    val srcCount = docs.select("source").distinct().count()
+    assert(bySource.size == srcCount)
+  }
+
+  test("pruned source cap equals the exact window (real + synthetic corpora)") {
+    import spark.implicits._
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[Long]("doc_id"),
+      r.getAs[String]("source"), r.getAs[Int]("rk"))
+    // real corpus: sources at/below margin*cap -> bound 1, trivial path
+    assert(Curation.sourceCapPruned(docs).collect().map(key).toSet ==
+      Curation.sourceCap(docs).collect().map(key).toSet)
+    // synthetic: 4 sources x 500 docs -> bound 40/500, real pruning
+    val big = spark.range(2000).select(col("id").as("doc_id"),
+      concat(lit("s"), (col("id") % 4).cast("string")).as("source"))
+    val pruned = Curation.sourceCapPruned(big)
+    assert(pruned.collect().map(key).toSet ==
+      Curation.sourceCap(big).collect().map(key).toSet)
+    // and the prune actually shrank the window input
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
   // ------------------------------------------------------------- chunking

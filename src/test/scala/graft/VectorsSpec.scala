@@ -30,6 +30,26 @@ class VectorsSpec extends SparkTestBase {
     }
   }
 
+  test("dequantization reconstructs within half a code step") {
+    // the point of keeping (v_min, v_max): x ≈ min + code·(max−min)/255
+    // with error ≤ half a step — the SQ8 accuracy contract
+    val rows = Vectors.qQuantizeEmbed(spark, sfDir).collect()
+    val orig = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding"))).toMap
+    rows.foreach { r =>
+      val mn = r.getAs[Double]("v_min"); val mx = r.getAs[Double]("v_max")
+      val step = if (mx == mn) 0.0 else (mx - mn) / 255.0
+      val codes = r.getAs[String]("q_codes").split(",").map(_.toInt)
+      codes.zip(orig(r.getAs[Long]("vec_id"))).foreach { case (c, x) =>
+        val dq = mn + c * step
+        assert(math.abs(dq - x.toDouble) <= step / 2 + 1e-9,
+          s"code $c reconstructs $dq for $x (step $step)")
+      }
+    }
+  }
+
   test("quantization is constant-vector safe and shuffle-free") {
     import spark.implicits._
     val fixture = Seq((1L, Seq(0.5f, 0.5f, 0.5f)), (2L, Seq(-1f, 0f, 1f)))
