@@ -78,6 +78,7 @@ object SparkEntry {
     "q_pipeline_manifest" -> (Pipelines.qPipelineManifest _),
     "q_pipeline_mix"      -> (Pipelines.qPipelineMix _),
     "q_pipeline_nightly"  -> (TextOps.qPipelineNightly _),
+    "q_pipeline_sequence" -> (Pipelines.qPipelineSequence _),
     "q_pipeline_quality"  -> (Pipelines.qPipelineQuality _),
     // M4 — time windows (SURVEY §2.9; streaming duals in graft.streaming)
     "q_window_tumbling" -> (Windowed.qWindowTumbling _),
@@ -919,6 +920,37 @@ object SparkEntry {
         |FROM bcnt JOIN ucnt u1 ON w1 = u1.w JOIN ucnt u2 ON w2 = u2.w
         |CROSS JOIN nu CROSS JOIN nb
         |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin,
+    // EP8: cap window -> chunk lateral -> unit key -> pack window, the
+    // exact composition of the standalone stages' SQL.
+    "q_pipeline_sequence" ->
+      """WITH kept AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap'), doc_id)
+        |      AS rk
+        |    FROM documents) t WHERE rk <= 10),
+        |ch AS (
+        |  SELECT doc_id, CAST(s // 24 AS INT) AS chunk_id,
+        |    array_to_string(toks[s + 1 : s + 32], ' ') AS chunk_text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM kept) d,
+        |    LATERAL (SELECT unnest(generate_series(0, len(toks) - 1, 24))
+        |             AS s) g),
+        |u AS (
+        |  SELECT doc_id * 256 + chunk_id AS uid,
+        |    CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_tok,
+        |    substring(md5(CAST(doc_id * 256 + chunk_id AS VARCHAR)), 1, 1)
+        |      AS shard
+        |  FROM ch),
+        |p AS (
+        |  SELECT uid, shard, n_tok,
+        |    CAST(floor((sum(n_tok) OVER (PARTITION BY shard ORDER BY uid
+        |      ROWS UNBOUNDED PRECEDING) - n_tok) / 512.0) AS BIGINT)
+        |      AS pack_id
+        |  FROM u)
+        |SELECT CAST(uid // 256 AS BIGINT) AS doc_id,
+        |  CAST(uid % 256 AS INT) AS chunk_id, shard, n_tok, pack_id
+        |FROM p ORDER BY doc_id, chunk_id""".stripMargin,
     "q_source_cap" ->
       """SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source

@@ -398,4 +398,45 @@ object Pipelines {
   def readManifestSplit(spark: SparkSession, path: String,
       split: String): DataFrame =
     spark.read.parquet(path).filter(col("split_name") === split)
+
+  /** EP8 — the composed LONG-DOCUMENT SEQUENCE PREP: the other
+    * sequence-shaping lane next to EP4's short-document packing —
+    * quota the crawl, cut what survives into overlapping context
+    * windows, pack the windows:
+    *
+    *   per-source cap ([[Curation.capHash]] window, anti-domination
+    *     quota)
+    *   → context-window chunking of the kept documents
+    *     ([[Curation.chunkDocs]], 32-token window / 24-token stride)
+    *   → each chunk becomes a packing unit under the synthetic key
+    *     doc_id·256 + chunk_id (contract: chunk_id < 256, i.e.
+    *     documents under ~6.1k tokens at this stride; longer corpora
+    *     widen the factor — the key only has to be unique and
+    *     order-preserving within a document)
+    *   → token-budget packing of the chunk units
+    *     ([[Curation.packAssign]], 512-token budget, hash-sharded).
+    *
+    * Scale shape: two window shuffles bracket a row-local expand — the
+    * cap window on source, the chunk fanout local, the running-sum
+    * pack window on the md5 shard; nothing else is corpus-scale. Every
+    * stage is the SHARED expression/operator used by its standalone
+    * declared query, so the composition cannot drift from the pieces
+    * (the EP3—EP7 discipline).
+    */
+  def qPipelineSequence(spark: SparkSession, dir: String): DataFrame = {
+    val kept = Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(Curation.capHash(col("doc_id")), col("doc_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("doc_id"), col("text"))
+    val units = Curation.chunkDocs(kept)
+      .select((col("doc_id") * 256 + col("chunk_id")).as("doc_id"),
+        col("chunk_text").as("text"))
+    Curation.packAssign(units, budget = 512)
+      .select((col("doc_id") / 256).cast("long").as("doc_id"),
+        (col("doc_id") % 256).cast("int").as("chunk_id"),
+        col("shard"), col("n_tok"), col("pack_id"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
 }

@@ -342,4 +342,42 @@ class PipelinesSpec extends SparkTestBase {
         s"expected rolled files, max files per partition = $filesPerDir")
     } finally graft.sources.TempDirs.deleteTree(tmpPath)
   }
+
+  test("q_pipeline_sequence composes cap, chunking and packing exactly") {
+    import graft.operators.Curation
+    val df = Pipelines.qPipelineSequence(spark, sfDir).cache()
+    // stage parity 1: the documents entering the pipeline are exactly
+    // the standalone source-cap survivors
+    val pipeDocs = df.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    val capDocs = Curation.qSourceCap(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(pipeDocs == capDocs)
+    // stage parity 2: per-document chunk counts equal standalone
+    // chunking of the kept documents
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val keptChunks = Curation.chunkDocs(
+      docs.filter(col("doc_id").isin(capDocs.toSeq: _*))
+        .select(col("doc_id"), col("text")))
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pipeChunks = df.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pipeChunks == keptChunks)
+    // packing invariant on the composed output: within every shard,
+    // pack_id = floor(prefix-sum-before / 512) in unit-key order
+    val rows = df.collect().map(r => (r.getAs[String]("shard"),
+      r.getAs[Long]("doc_id") * 256 + r.getAs[Int]("chunk_id"),
+      r.getAs[Int]("n_tok").toLong, r.getAs[Long]("pack_id")))
+    rows.groupBy(_._1).values.foreach { sh =>
+      var cum = 0L
+      sh.sortBy(_._2).foreach { case (_, _, n, pid) =>
+        assert(pid == cum / 512, s"pack id drift at cum=$cum")
+        cum += n
+      }
+    }
+    // chunks never exceed the window and cover kept docs fully
+    assert(rows.forall(r => r._3 >= 1 && r._3 <= 32))
+    df.unpersist()
+  }
 }
