@@ -55,6 +55,7 @@ object SparkEntry {
     "q_child_lookup"    -> (Joins.qChildLookup _),
     "q_code_map"        -> (Joins.qCodeMap _),
     "q_anti_missing"    -> (Joins.qAntiMissing _),
+    "q_asof_join"       -> (Joins.qAsofJoin _),
     "q_hierarchy_closure" -> (Joins.qHierarchyClosure _),
     "q_resource_counts" -> (Joins.qResourceCounts _),
     "q_rollup_counts"   -> (Joins.qRollupCounts _),
@@ -407,6 +408,20 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_partkey, p_brand AS map_target
         |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
         |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin,
+    // The oracle uses DuckDB's NATIVE ASOF JOIN — the engine's
+    // union-window formulation must reproduce it row-for-row.
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |buys AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT b.event_id, b.user_id, b.ts, b.value,
+        |       c.ts AS click_ts, c.click_value
+        |FROM buys b ASOF JOIN clicks c
+        |  ON b.user_id = c.user_id AND b.ts >= c.ts
+        |ORDER BY b.event_id""".stripMargin,
     "q_anti_missing" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -124,6 +125,56 @@ object Joins {
     * Observation" query verbatim). LEFT ANTI join; the date filter is
     * pushed into the orders scan so only recent keys shuffle.
     */
+  /** As-of join — each purchase matched to the same user's most recent
+    * click at or before it (the canonical time-series enrichment join;
+    * kdb/Pandas `merge_asof`, DuckDB `ASOF JOIN`). Spark has no native
+    * operator, and the naive range join (`b.ts >= c.ts` + max per
+    * purchase) explodes quadratically per user. This is the published
+    * UNION-WINDOW formulation instead: tag both sides, interleave on
+    * (ts, tag) with right rows first at ties (the `>=` bound), and let
+    * a `last(ignoreNulls)` running carry deliver each purchase its
+    * match — NO join operator in the plan at all.
+    *
+    * Ties are pinned deterministic: clicks pre-aggregate to one row per
+    * (user, ts) — also what makes the oracle's ASOF well-defined — and
+    * equal-ts purchases all read the same carry.
+    *
+    * Scale shape: ONE shuffle (user_id), a per-user sort, zero joins —
+    * the reducer bound is the busiest single user, the same skew
+    * posture as [[graft.operators.Windowed.qSessionGap]]. Unmatched
+    * purchases (no prior click) drop, matching the oracle's inner ASOF.
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("click_value"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val tagged = clicks
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value"),
+        col("ts").as("click_ts"), col("click_value"))
+      .unionByName(buys
+        .select(col("user_id"), col("ts"), lit(1).as("tag"),
+          col("event_id"), col("value"),
+          lit(null).cast("timestamp").as("click_ts"),
+          lit(null).cast("double").as("click_value")))
+    val carry = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("m_ts", last(col("click_ts"), ignoreNulls = true)
+        .over(carry))
+      .withColumn("m_val", last(col("click_value"), ignoreNulls = true)
+        .over(carry))
+      .filter(col("tag") === 1 && col("m_ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("m_ts").as("click_ts"), col("m_val").as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
   def qAntiMissing(spark: SparkSession, dir: String): DataFrame = {
     val recent = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp"))

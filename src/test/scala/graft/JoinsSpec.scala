@@ -6,6 +6,69 @@ import graft.operators.Joins
 
 class JoinsSpec extends SparkTestBase {
 
+  test("q_asof_join matches a driver-side as-of scan with boundary semantics") {
+    import java.sql.Timestamp
+    val got = Joins.qAsofJoin(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        r.getAs[Timestamp]("click_ts"), r.getAs[Double]("click_value")))
+    // independent oracle: for each purchase, linear scan of the user's
+    // pre-aggregated clicks for the max ts <= purchase ts
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts", "event_type", "value").collect()
+    val clicks = ev.filter(_.getAs[String]("event_type") == "click")
+      .groupBy(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("ts")))
+      .map { case ((u, t), rs) =>
+        (u, t, rs.map(_.getAs[Double]("value")).max) }.toSeq
+    val want = ev.filter(_.getAs[String]("event_type") == "purchase")
+      .flatMap { b =>
+        val bt = b.getAs[Timestamp]("ts")
+        val cands = clicks.filter(c =>
+          c._1 == b.getAs[Long]("user_id") && !c._2.after(bt))
+        if (cands.isEmpty) None
+        else {
+          val best = cands.maxBy(_._2.getTime)
+          Some((b.getAs[Long]("event_id"), best._2, best._3))
+        }
+      }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("as-of join: equal-ts match, no-prior-click drop, no join in the plan") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: purchase exactly AT a click ts (>= bound matches it) and
+    // a later purchase matching the latest prior click; user 2: purchase
+    // BEFORE any click -> dropped
+    def ns(s: String) = t(s).getTime * 1000000L // Tables.events reads NANOS
+    val fixture = Seq(
+      (1L, ns("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      (2L, ns("2024-01-01 10:00:00"), 1L, "purchase", 5.0),
+      (3L, ns("2024-01-01 11:00:00"), 1L, "click", 2.0),
+      (4L, ns("2024-01-01 12:00:00"), 1L, "purchase", 6.0),
+      (5L, ns("2024-01-01 09:00:00"), 2L, "purchase", 7.0),
+      (6L, ns("2024-01-01 10:00:00"), 2L, "click", 3.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    // reroute the declared query's shape onto the fixture by rebuilding
+    // its stages (same code path via a temp view is overkill here; the
+    // operator body is exercised at sfDir by the other test)
+    val tmpPath = java.nio.file.Files.createTempDirectory("asof_fix")
+    val tmp = tmpPath.toString
+    fixture.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    try {
+      val got = Joins.qAsofJoin(spark, tmp).collect()
+        .map(r => (r.getAs[Long]("event_id"),
+          r.getAs[Timestamp]("click_ts"), r.getAs[Double]("click_value")))
+      assert(got.toSeq == Seq(
+        (2L, t("2024-01-01 10:00:00"), 1.0),
+        (4L, t("2024-01-01 11:00:00"), 2.0)))
+      val plan = Joins.qAsofJoin(spark, tmp)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"expected a join-free plan:\n$plan")
+    } finally graft.sources.TempDirs.deleteTree(tmpPath)
+  }
+
   test("q_child_records matches an independently-computed FK join") {
     val df = Joins.qChildRecords(spark, sfDir)
     val rows = df.collect()
