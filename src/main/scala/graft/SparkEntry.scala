@@ -59,6 +59,8 @@ object SparkEntry {
     "q_hierarchy_closure" -> (Joins.qHierarchyClosure _),
     "q_resource_counts" -> (Joins.qResourceCounts _),
     "q_rollup_counts"   -> (Joins.qRollupCounts _),
+    "q_pivot_lang"      -> (Joins.qPivotLang _),
+    "q_value_histogram" -> (Joins.qValueHistogram _),
     "q_approx_distinct" -> (Joins.qApproxDistinct _),
     // M2.5 — nested-JSON ingestion + corrupt-input quarantine (SURVEY
     // §1.3, §2.2 P1/P3/P7; r3 verdict items 1 & 4)
@@ -480,6 +482,19 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_pivot_lang" ->
+      """SELECT source,
+        |  CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS n_de,
+        |  CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_en,
+        |  CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS n_es,
+        |  CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS n_fr,
+        |  CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS n_zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_value_histogram" ->
+      """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_build_struct" ->
       """SELECT c_custkey, to_json(struct_pack(
         |  resourceType := 'Patient',

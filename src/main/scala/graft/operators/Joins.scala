@@ -205,6 +205,41 @@ object Joins {
         col("n"))
       .orderBy(col("status"), col("priority"))
 
+  /** Pivot — the wide-form dual of the rollup/mixture long-form
+    * aggregates: per-source document counts spread across one column
+    * per language. The value list is EXPLICIT (the five corpus
+    * languages), which both fixes the output schema at plan time and
+    * skips the extra distinct-values pass Spark otherwise runs before
+    * pivoting; empty cells coalesce to 0 (SQL FILTER-count semantics).
+    * One hash aggregate with map-side partials — the pivot is a
+    * projection trick on the grouping, not an extra shuffle.
+    */
+  def qPivotLang(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+      .select(col("source") +:
+        langs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+      .orderBy(col("source"))
+  }
+
+  /** Width-bucket histogram over the event value column — the binning
+    * aggregate every monitoring/profiling surface needs. Buckets are
+    * floor(value/50); per-bucket count plus min/max (order-independent
+    * statistics only — a float SUM would be aggregation-order-dependent
+    * and break bit-exact comparison, the same determinism rule as the
+    * rational tf-idf). One map-side-combined aggregate, bucket-count
+    * cardinality on the shuffle.
+    */
+  def qValueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(floor(col("value") / 50).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .orderBy(col("bucket"))
+
   /** §2.10 — approximate distinct at scale: HyperLogLog++ cardinality
     * per group. The sketch is mergeable, so the shuffle carries
     * fixed-size HLL buffers instead of value sets — the 100 TB answer

@@ -6,6 +6,34 @@ import graft.operators.Joins
 
 class JoinsSpec extends SparkTestBase {
 
+  test("q_pivot_lang cells re-sum to the corpus and match the long form") {
+    val wide = Joins.qPivotLang(spark, sfDir).collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    assert(wide.map(r => langs.map(l => r.getAs[Long](s"n_$l")).sum).sum ==
+      docs.count()) // no document lost or double-counted by the spread
+    val long = docs.groupBy("source", "lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    wide.foreach { r =>
+      val s = r.getAs[String]("source")
+      langs.foreach { l =>
+        assert(r.getAs[Long](s"n_$l") == long.getOrElse((s, l), 0L))
+      }
+    }
+  }
+
+  test("q_value_histogram buckets partition the table with true extrema") {
+    val h = Joins.qValueHistogram(spark, sfDir).collect()
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    assert(h.map(_.getAs[Long]("n")).sum == ev.count())
+    h.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Double]("min_v") >= b * 50.0)
+      assert(r.getAs[Double]("max_v") < (b + 1) * 50.0)
+      assert(r.getAs[Double]("min_v") <= r.getAs[Double]("max_v"))
+    }
+  }
+
   test("q_asof_join matches a driver-side as-of scan with boundary semantics") {
     import java.sql.Timestamp
     val got = Joins.qAsofJoin(spark, sfDir).collect()
