@@ -98,6 +98,7 @@ object SparkEntry {
     "q_dedup_compact"   -> (TextOps.qDedupCompact _),
     "q_dup_spans"       -> (TextOps.qDupSpans _),
     "q_token_freq_score" -> (TextOps.qTokenFreqScore _),
+    "q_quality_quartiles" -> (TextOps.qQualityQuartiles _),
     "q_text_stats"      -> (TextOps.qTextStats _),
     "q_token_count"     -> (TextOps.qTokenCount _),
     "q_vocab_topk"      -> (TextOps.qVocabTopk _),
@@ -1252,6 +1253,22 @@ object SparkEntry {
         |       CAST(sum_freq AS DOUBLE) / n_tokens AS mean_freq,
         |       CAST(n_rare AS DOUBLE) / n_tokens AS rare_frac
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // Exact-regime GK boundaries == quantile_disc (the
+    // q_token_percentiles rank-convention precedent).
+    "q_quality_quartiles" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |m AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+        |score AS (SELECT tok.doc_id,
+        |            CAST(sum(m.cnt) AS DOUBLE) / count(*) AS mean_freq
+        |          FROM tok JOIN m USING (t) GROUP BY tok.doc_id),
+        |b AS (SELECT quantile_disc(mean_freq, [0.25, 0.5, 0.75]) AS q
+        |      FROM score)
+        |SELECT doc_id, mean_freq,
+        |  CASE WHEN mean_freq <= q[1] THEN 1
+        |       WHEN mean_freq <= q[2] THEN 2
+        |       WHEN mean_freq <= q[3] THEN 3 ELSE 4 END AS quartile
+        |FROM score CROSS JOIN b ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
         |           FROM documents),

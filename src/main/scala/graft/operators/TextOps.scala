@@ -935,6 +935,34 @@ object TextOps {
         (col("n_rare").cast("double") / col("n_tokens")).as("rare_frac"))
   }
 
+  /** Quality-quartile bucketing — the curriculum/data-mix assignment
+    * step: every document labeled 1–4 by which corpus-frequency-score
+    * quartile it falls in. The SCALE-CORRECT form of "bucket by global
+    * rank": a global `ntile` window would range-shuffle the corpus into
+    * one ordered line; instead the three boundary values come from the
+    * mergeable GK quantile sketch (the [[qTokenPercentiles]] machinery —
+    * fixed-size sketch buffers on the shuffle), broadcast as one row,
+    * and the assignment is a row-local comparison chain. At test scale
+    * the sketch runs in its exact regime (accuracy ≥ corpus size), where
+    * Spark's percentile and DuckDB `quantile_disc` share the same
+    * discrete rank convention — so even the boundary documents
+    * hash-match; beyond it the boundaries are rank-bounded approximate,
+    * which is the published practice for corpus-scale bucketing.
+    */
+  def qQualityQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val scored = freqFlags(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("mean_freq"))
+    val bounds = scored.agg(percentile_approx(col("mean_freq"),
+      array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("b"))
+    scored.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("mean_freq"),
+        when(col("mean_freq") <= col("b")(0), 1)
+          .when(col("mean_freq") <= col("b")(1), 2)
+          .when(col("mean_freq") <= col("b")(2), 3)
+          .otherwise(4).as("quartile"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * segmentation (letter runs | digit runs | single non-alnum marks —
     * the shape of GPT-style pre-tokenizers), plus the chars-per-token

@@ -439,6 +439,30 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_quality_quartiles buckets by exact rank quartiles") {
+    val rows = TextOps.qQualityQuartiles(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("mean_freq"),
+        r.getAs[Int]("quartile")))
+    assert(rows.length == 500)
+    // independent check: sort by score; each bucket's scores must all
+    // be <= the next bucket's (bucketing respects the global order)
+    val byQ = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byQ.keySet == Set(1, 2, 3, 4))
+    for (q <- 1 to 3)
+      assert(byQ(q).max <= byQ(q + 1).min,
+        s"quartile $q overlaps ${q + 1}")
+    // bucket mass stays a quarter each, up to boundary ties (the exact
+    // rank CONVENTION is the oracle's job — quantile_disc equality)
+    for (q <- 1 to 4) {
+      val n = byQ(q).length
+      assert(n >= 100 && n <= 150, s"quartile $q holds $n of 500")
+    }
+    // equal scores never straddle a bucket boundary
+    rows.groupBy(_._2).values.foreach { same =>
+      assert(same.map(_._3).distinct.length == 1)
+    }
+  }
+
   test("q_vocab_topk matches a driver-side full recount") {
     val got = TextOps.qVocabTopk(spark, sfDir).collect()
       .map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt")))
