@@ -59,6 +59,7 @@ object SparkEntry {
     "q_hierarchy_closure" -> (Joins.qHierarchyClosure _),
     "q_resource_counts" -> (Joins.qResourceCounts _),
     "q_rollup_counts"   -> (Joins.qRollupCounts _),
+    "q_cube_counts"     -> (Joins.qCubeCounts _),
     "q_pivot_lang"      -> (Joins.qPivotLang _),
     "q_value_histogram" -> (Joins.qValueHistogram _),
     "q_approx_distinct" -> (Joins.qApproxDistinct _),
@@ -482,6 +483,12 @@ object SparkEntry {
         |       coalesce(o_orderpriority, 'ALL') AS priority,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_cube_counts" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
     "q_pivot_lang" ->
       """SELECT source,

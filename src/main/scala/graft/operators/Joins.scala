@@ -205,6 +205,22 @@ object Joins {
         col("n"))
       .orderBy(col("status"), col("priority"))
 
+  /** CUBE — the full grouping-set lattice next to [[qRollupCounts]]'s
+    * hierarchy: all four groupings of (status, priority) in one pass,
+    * null markers replaced by 'ALL'. Same execution shape as the
+    * rollup — a single Expand + hash aggregate with map-side partials;
+    * the lattice multiplies the expand factor (4 grouping sets), never
+    * the shuffle count.
+    */
+  def qCubeCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"))
+      .orderBy(col("status"), col("priority"))
+
   /** Pivot — the wide-form dual of the rollup/mixture long-form
     * aggregates: per-source document counts spread across one column
     * per language. The value list is EXPLICIT (the five corpus

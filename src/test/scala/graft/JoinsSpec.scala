@@ -6,6 +6,17 @@ import graft.operators.Joins
 
 class JoinsSpec extends SparkTestBase {
 
+  test("q_cube_counts holds the full grouping lattice consistently") {
+    val rows = Joins.qCubeCounts(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val total = rows.collect { case ("ALL", "ALL", n) => n }.head
+    // each of the four grouping sets independently sums to the table
+    assert(rows.filter(r => r._1 != "ALL" && r._2 != "ALL").map(_._3).sum == total)
+    assert(rows.filter(r => r._1 != "ALL" && r._2 == "ALL").map(_._3).sum == total)
+    assert(rows.filter(r => r._1 == "ALL" && r._2 != "ALL").map(_._3).sum == total)
+    assert(total == spark.read.parquet(s"$sfDir/orders.parquet").count())
+  }
+
   test("q_pivot_lang cells re-sum to the corpus and match the long form") {
     val wide = Joins.qPivotLang(spark, sfDir).collect()
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
