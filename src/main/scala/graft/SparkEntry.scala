@@ -83,6 +83,7 @@ object SparkEntry {
     "q_pipeline_mix"      -> (Pipelines.qPipelineMix _),
     "q_pipeline_nightly"  -> (TextOps.qPipelineNightly _),
     "q_pipeline_sequence" -> (Pipelines.qPipelineSequence _),
+    "q_pipeline_multimodal" -> (Pipelines.qPipelineMultimodal _),
     "q_pipeline_quality"  -> (Pipelines.qPipelineQuality _),
     // M4 — time windows (SURVEY §2.9; streaming duals in graft.streaming)
     "q_window_tumbling" -> (Windowed.qWindowTumbling _),
@@ -958,6 +959,56 @@ object SparkEntry {
         |FROM bcnt JOIN ucnt u1 ON w1 = u1.w JOIN ucnt u2 ON w2 = u2.w
         |CROSS JOIN nu CROSS JOIN nb
         |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin,
+    // EP9: text quality gate + embedding reachability + quantize range
+    // joined on the shared id space.
+    "q_pipeline_multimodal" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') AS toks
+        |                     FROM documents),
+        |g AS (SELECT doc_id, len(toks) AS n_tok,
+        |        len(list_distinct(toks)) AS n_uniq,
+        |        list_transform(generate_series(1, len(toks)-1),
+        |          i -> toks[i] || ' ' || toks[i+1]) AS bi
+        |      FROM t),
+        |txt AS (SELECT doc_id, n_tok,
+        |          ((1 - n_uniq / CAST(n_tok AS DOUBLE)) <= 0.7 AND
+        |           (CASE WHEN n_tok >= 2
+        |             THEN 1 - len(list_distinct(bi)) /
+        |                      CAST(len(bi) AS DOUBLE)
+        |             ELSE 0.0 END) <= 0.2) AS quality_keep
+        |        FROM g),
+        |base AS (SELECT vec_id,
+        |           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |         FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_reduce(list_transform(v, x -> x * x),
+        |          (a, b) -> a + b)) AS nrm
+        |      FROM base),
+        |un AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+        |       FROM n),
+        |jp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |       FROM un a, un b
+        |       WHERE a.vec_id < b.vec_id
+        |         AND list_reduce(list_transform(list_zip(a.u, b.u),
+        |             p -> p[1] * p[2]), (x, y) -> x + y) >= 0.8),
+        |e AS (SELECT id_a AS a, id_b AS b FROM jp
+        |      UNION ALL SELECT id_b, id_a FROM jp),
+        |reach AS (SELECT vec_id AS node, vec_id AS r FROM embeddings
+        |          UNION
+        |          SELECT e.a, reach.r FROM reach JOIN e
+        |            ON reach.node = e.b),
+        |emb AS (SELECT node AS doc_id, min(r) AS embed_cluster,
+        |          (min(r) = node) AS embed_kept
+        |        FROM reach GROUP BY node),
+        |q AS (SELECT vec_id AS doc_id,
+        |        CAST(list_min(embedding) AS DOUBLE) AS v_min,
+        |        CAST(list_max(embedding) AS DOUBLE) AS v_max
+        |      FROM embeddings)
+        |SELECT txt.doc_id, CAST(txt.n_tok AS INT) AS n_tok,
+        |  txt.quality_keep, emb.embed_cluster, emb.embed_kept,
+        |  q.v_min, q.v_max,
+        |  (txt.quality_keep AND emb.embed_kept) AS keep
+        |FROM txt JOIN emb USING (doc_id) JOIN q USING (doc_id)
+        |ORDER BY txt.doc_id""".stripMargin,
     // EP8: cap window -> chunk lateral -> unit key -> pack window, the
     // exact composition of the standalone stages' SQL.
     "q_pipeline_sequence" ->

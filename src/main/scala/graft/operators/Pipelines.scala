@@ -423,6 +423,44 @@ object Pipelines {
     * declared query, so the composition cannot drift from the pieces
     * (the EP3—EP7 discipline).
     */
+  /** EP9 — the composed CROSS-MODALITY audit: one row per document
+    * joining what the TEXT side and the EMBEDDING side each know about
+    * it (the corpus and its embedding table share the id space) — the
+    * review a multimodal curation run reads before dropping anything:
+    *
+    *   text signals: token count + the Gopher-rule quality gate
+    *     ([[Curation.curationFlags]], row-local codegen scan)
+    *   → embedding near-dup flags: cluster label + keep decision over
+    *     the LSH-verified ≥0.8-cosine pair graph (the
+    *     [[Vectors.qDedupEmbedClusters]] machinery, unsorted flags)
+    *   → int8 quantization range ([[Vectors.quantizeEmbed]] sans codes)
+    *   → one conjunction: keep = text gate ∧ embedding-unique.
+    *
+    * Scale shape: two doc_id/vec_id-keyed joins assemble three frames
+    * whose own plans are already audited by their standalone queries;
+    * nothing new shuffles beyond the 8-byte-keyed assembly — the EP7
+    * assembly discipline applied across modalities.
+    */
+  def qPipelineMultimodal(spark: SparkSession, dir: String): DataFrame = {
+    val text = Curation.curationFlags(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_tok"), col("quality_keep"))
+    val u = Vectors.unit(spark, dir)
+    val labels = Components.labelComponents(
+      Vectors.lshVerifiedPairs(u).select(col("id_a"), col("id_b")))
+    val embed = Components.flagsUnsorted(u, "vec_id", labels)
+      .select(col("vec_id").as("doc_id"),
+        col("cluster_id").as("embed_cluster"),
+        col("is_kept").as("embed_kept"))
+    val quant = Vectors.quantizeEmbed(Tables.embeddings(spark, dir))
+      .select(col("vec_id").as("doc_id"), col("v_min"), col("v_max"))
+    text.join(embed, "doc_id").join(quant, "doc_id")
+      .select(col("doc_id"), col("n_tok"), col("quality_keep"),
+        col("embed_cluster"), col("embed_kept"), col("v_min"),
+        col("v_max"),
+        (col("quality_keep") && col("embed_kept")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def qPipelineSequence(spark: SparkSession, dir: String): DataFrame = {
     val kept = Tables.documents(spark, dir)
       .withColumn("rk", row_number().over(

@@ -317,7 +317,7 @@ object Vectors {
     * SortAggregate chain.) Zero vectors normalize to NULL and drop out
     * of every cosine predicate downstream.
     */
-  private def unit(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def unit(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         graft.functions.VectorFunctions.unitv(col("embedding")).as("u"))

@@ -343,6 +343,40 @@ class PipelinesSpec extends SparkTestBase {
     } finally graft.sources.TempDirs.deleteTree(tmpPath)
   }
 
+  test("q_pipeline_multimodal agrees with each modality's standalone query") {
+    import graft.operators.{Curation, Joins => _, Vectors}
+    val df = Pipelines.qPipelineMultimodal(spark, sfDir).cache()
+    assert(df.count() ==
+      spark.read.parquet(s"$sfDir/documents.parquet").count())
+    // embedding flags equal the standalone clustering query
+    val gotEmbed = df.select(col("doc_id"), col("embed_cluster"),
+      col("embed_kept")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val wantEmbed = Vectors.qDedupEmbedClusters(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Boolean]("is_kept"))).toSet
+    assert(gotEmbed == wantEmbed)
+    // quality gate equals the standalone repetition keep
+    val gotKeep = df.select("doc_id", "quality_keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val wantKeep = Curation.qRepetition(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(gotKeep == wantKeep)
+    // quantization range equals the standalone quantize query
+    val gotQ = df.select("doc_id", "v_min", "v_max").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val wantQ = Vectors.qQuantizeEmbed(spark, sfDir)
+      .select("vec_id", "v_min", "v_max").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(gotQ == wantQ)
+    // the conjunction is exactly the two gates
+    df.collect().foreach { r =>
+      assert(r.getAs[Boolean]("keep") ==
+        (r.getAs[Boolean]("quality_keep") && r.getAs[Boolean]("embed_kept")))
+    }
+    df.unpersist()
+  }
+
   test("q_pipeline_sequence composes cap, chunking and packing exactly") {
     import graft.operators.Curation
     val df = Pipelines.qPipelineSequence(spark, sfDir).cache()
