@@ -63,6 +63,7 @@ object SparkEntry {
     "q_pivot_lang"      -> (Joins.qPivotLang _),
     "q_value_histogram" -> (Joins.qValueHistogram _),
     "q_approx_distinct" -> (Joins.qApproxDistinct _),
+    "q_distinct_exact"  -> (Joins.qDistinctExact _),
     // M2.5 — nested-JSON ingestion + corrupt-input quarantine (SURVEY
     // §1.3, §2.2 P1/P3/P7; r3 verdict items 1 & 4)
     "q_patient_ingest"    -> (Ingest.qPatientIngest _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "q_lang_id"         -> (TextOps.qLangId _),
     "q_simhash"         -> (TextOps.qSimhash _),
     "q_fingerprint"     -> (TextOps.qFingerprint _),
+    "q_fingerprint_checked" -> (TextOps.qFingerprintChecked _),
     // M5 — similarity search over embeddings
     "q_quantize_embed"  -> (Vectors.qQuantizeEmbed _),
     "q_cosine_topk"     -> (Vectors.qCosineTopk _),
@@ -485,6 +487,27 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_distinct_exact" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // md5 winnowing ride: same shingling semantics as q_fingerprint,
+    // DuckDB-shared hash.
+    "q_fingerprint_checked" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_distinct(list_transform(
+        |              generate_series(1, len(toks)-2),
+        |              i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+        |                   toks[i+2]))
+        |  END AS sh FROM t)
+        |SELECT doc_id,
+        |  array_to_string(list_sort(list_transform(sh, x -> md5(x)))[1:4],
+        |    '-') AS fingerprint
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_cube_counts" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,

@@ -221,6 +221,20 @@ object Joins {
         col("n"))
       .orderBy(col("status"), col("priority"))
 
+  /** The exact per-group distinct count — the oracle-checked BASELINE
+    * of the [[qApproxDistinct]] pair (the `q_cosine_topk`-vs-ANN
+    * pattern applied to cardinality): this query PAYS the Expand +
+    * value-set shuffle that the HLL sketch exists to avoid, and is
+    * declared so the approximate/exact pairing has a green row and the
+    * 5%-error spec a declared reference. At 100 TB you run the sketch;
+    * this is the semantics it approximates.
+    */
+  def qDistinctExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy(col("l_returnflag"))
+
   /** Pivot — the wide-form dual of the rollup/mixture long-form
     * aggregates: per-source document counts spread across one column
     * per language. The value list is EXPLICIT (the five corpus

@@ -1199,4 +1199,30 @@ object TextOps {
           slice(array_sort(col("shash")), 1, 4),
           v => format_string("%016x", v))).as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  /** The fingerprint family's ORACLE RIDE (the `q_dedup_minhash_carried`
+    * pattern): the identical winnowing shape — distinct 3-gram shingles,
+    * 4 smallest hashes, dash-joined — but hashed with md5, which DuckDB
+    * shares, where xxhash64 has no DuckDB dual. Any drift in the
+    * shingling semantics (k, the short-document whole-text fallback,
+    * distinctness, the sort-and-take-4 winnowing) fails this query's
+    * hash compare; the declared [[qFingerprint]] keeps the 8-byte
+    * production hash.
+    */
+  def qFingerprintChecked(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val gram3 = zip_with(
+      slice(toks, lit(1), size(toks) - 2),
+      zip_with(slice(toks, lit(2), size(toks) - 2),
+        slice(toks, lit(3), size(toks) - 2),
+        (b, c) => concat(b, lit(" "), c)),
+      (a, bc) => concat(a, lit(" "), bc))
+    val sh = when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(gram3))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat_ws("-", slice(array_sort(transform(sh, s => md5(s))),
+          1, 4)).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
 }

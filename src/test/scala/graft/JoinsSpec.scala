@@ -221,6 +221,20 @@ class JoinsSpec extends SparkTestBase {
     }
   }
 
+  test("q_distinct_exact is the sketch's declared reference, within 5%") {
+    val exact = Joins.qDistinctExact(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Joins.qApproxDistinct(spark, sfDir).collect().foreach { r =>
+      val want = exact(r.getString(0)).toDouble
+      assert(math.abs(r.getLong(1).toDouble - want) / want <= 0.05)
+    }
+    // and the exact query really pays the expand the sketch avoids
+    val plan = Joins.qDistinctExact(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("count(distinct") || plan.contains("Expand"),
+      plan)
+  }
+
   test("q_approx_distinct plan contains no exact-distinct expand") {
     val p = Joins.qApproxDistinct(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -439,6 +439,22 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("checked fingerprint rides the same winnowing as the declared query") {
+    // different hash, same shingle machinery: per doc the two queries
+    // must take min(4, #distinct shingles) components
+    def parts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("fingerprint").split("-").length).toMap
+    val declared = parts(TextOps.qFingerprint(spark, sfDir))
+    val checked = parts(TextOps.qFingerprintChecked(spark, sfDir))
+    assert(declared == checked)
+    // and the md5 components are well-formed 32-hex strings
+    TextOps.qFingerprintChecked(spark, sfDir).collect().take(5).foreach {
+      r => r.getAs[String]("fingerprint").split("-").foreach(h =>
+        assert(h.matches("[0-9a-f]{32}")))
+    }
+  }
+
   test("q_quality_quartiles buckets by exact rank quartiles") {
     val rows = TextOps.qQualityQuartiles(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("mean_freq"),
