@@ -451,7 +451,7 @@ object Pipelines {
       .select(col("vec_id").as("doc_id"),
         col("cluster_id").as("embed_cluster"),
         col("is_kept").as("embed_kept"))
-    val quant = Vectors.quantizeEmbed(Tables.embeddings(spark, dir))
+    val quant = Vectors.quantCodes(Tables.embeddings(spark, dir))
       .select(col("vec_id").as("doc_id"), col("v_min"), col("v_max"))
     text.join(embed, "doc_id").join(quant, "doc_id")
       .select(col("doc_id"), col("n_tok"), col("quality_keep"),

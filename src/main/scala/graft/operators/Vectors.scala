@@ -84,6 +84,13 @@ object Vectors {
 
   /** Core of [[qQuantizeEmbed]] over any (vec_id, embedding) frame. */
   private[graft] def quantizeEmbed(vecs: DataFrame): DataFrame =
+    quantCodes(vecs).orderBy(col("vec_id"))
+
+  /** [[quantizeEmbed]] without the presentation sort — the row-local
+    * form composed pipelines join downstream and the one that runs
+    * unchanged under `readStream` (streaming append mode forbids a
+    * global sort, and the codes need none). */
+  private[graft] def quantCodes(vecs: DataFrame): DataFrame =
     vecs
       .select(col("vec_id"),
         array_min(col("embedding")).cast("double").as("v_min"),
@@ -95,7 +102,6 @@ object Vectors {
             .otherwise(round((x.cast("double") - col("v_min")) * 255.0 /
               (col("v_max") - col("v_min"))).cast("int"))), ",")
           .as("q_codes"))
-      .orderBy(col("vec_id"))
 
   def qCosineTopk(spark: SparkSession, dir: String): DataFrame = {
     val b = base(spark, dir)

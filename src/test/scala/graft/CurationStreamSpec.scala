@@ -55,6 +55,48 @@ class CurationStreamSpec extends SparkTestBase {
       batch.exceptAll(streamed).isEmpty)
   }
 
+  test("chunking streams unchanged: micro-batched chunks equal the batch cut") {
+    import spark.implicits._
+    // chunkDocs is a row-local expand, so the SAME shared core runs
+    // under readStream in append mode with no adaptation
+    val input = tmp("graft_chunk_stream_in")
+    Seq((1L, words(40, 1).mkString(" ")), (2L, "short doc"))
+      .toDF("doc_id", "text").write.mode("append").json(input)
+    Seq((3L, words(70, 2).mkString(" ")))
+      .toDF("doc_id", "text").write.mode("append").json(input)
+    val out = tmp("graft_chunk_stream_out")
+    runStream(df => Curation.chunkDocs(df), input, out)
+    val streamed = spark.read.parquet(out)
+    val batch = Curation.chunkDocs(
+      spark.read.schema(docSchema).json(input))
+    assert(streamed.count() == batch.count() && streamed.count() > 3)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("quantization streams unchanged over an embedding stream") {
+    import spark.implicits._
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val input = tmp("graft_quant_stream_in")
+    Seq((1L, Seq(0.1f, -0.4f, 0.9f)), (2L, Seq(0.5f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding").write.mode("append").json(input)
+    val out = tmp("graft_quant_stream_out")
+    val q = graft.operators.Vectors.quantCodes(
+      spark.readStream.schema(vecSchema).json(input))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", tmp("graft_quant_stream_ck"))
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(out)
+    val batch = graft.operators.Vectors.quantCodes(
+      spark.read.schema(vecSchema).json(input))
+    assert(streamed.count() == 2)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming near-dup intake flags arrivals against the published index") {
     import spark.implicits._
     // published base: two long distinctive documents
