@@ -87,6 +87,29 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!d.contains("l_tax") && !d.contains("l_discount"))
   }
 
+  test("round-9 queries prune their scans to the referenced columns") {
+    // text ops must never drag lang/source/n_chars through the scan
+    for (df <- Seq(TextOps.qVocabTopk(spark, sfDir),
+        Curation.qChunkDocs(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("n_chars") && !p.contains("source"),
+        s"scan reads unreferenced document columns:\n$p")
+    }
+    // the source cap needs only (doc_id, source)
+    val cap = plan(Curation.qSourceCap(spark, sfDir))
+    assert(!cap.contains("n_chars") && !cap.contains("text#"),
+      s"source cap reads text:\n$cap")
+    // the as-of join needs no props column and pushes the type filters
+    val asof = plan(Joins.qAsofJoin(spark, sfDir))
+    assert(!asof.contains("props"), s"as-of reads props:\n$asof")
+    assert(asof.contains("PushedFilters: [IsNotNull(event_type)") ||
+      asof.contains("EqualTo(event_type"), s"type filter not pushed:\n$asof")
+    // the histogram needs only value
+    val hist = plan(Joins.qValueHistogram(spark, sfDir))
+    assert(!hist.contains("user_id") && !hist.contains("props"),
+      s"histogram reads unreferenced event columns:\n$hist")
+  }
+
   test("bucketed tables co-locate the fact-to-fact join with zero exchanges") {
     // the 100 TB answer to a REPEATED fact⋈fact join on one key
     // (SURVEY §7.1: "bucketing for co-located joins"): bucket both
