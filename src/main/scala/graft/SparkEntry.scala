@@ -90,6 +90,10 @@ object SparkEntry {
     "q_window_tumbling" -> (Windowed.qWindowTumbling _),
     "q_window_sliding"  -> (Windowed.qWindowSliding _),
     "q_session_gap"     -> (Windowed.qSessionGap _),
+    // M4.5 — event analytics (bin-bucketed range join, funnel, retention)
+    "q_range_join"      -> (Events.qRangeJoin _),
+    "q_funnel"          -> (Events.qFunnel _),
+    "q_retention"       -> (Events.qRetention _),
     // M5 — LLM-pipeline text ops (SURVEY §2.10; BASELINE.json north star)
     "q_dedup_exact"     -> (TextOps.qDedupExact _),
     "q_jaccard_pairs"   -> (TextOps.qJaccardPairs _),
@@ -105,6 +109,7 @@ object SparkEntry {
     "q_text_stats"      -> (TextOps.qTextStats _),
     "q_token_count"     -> (TextOps.qTokenCount _),
     "q_vocab_topk"      -> (TextOps.qVocabTopk _),
+    "q_heavy_hitters"   -> (TextOps.qHeavyHitters _),
     "q_tfidf_topk"      -> (TextOps.qTfidfTopk _),
     "q_colloc_pmi"      -> (TextOps.qCollocPmi _),
     "q_token_percentiles" -> (TextOps.qTokenPercentiles _),
@@ -125,6 +130,7 @@ object SparkEntry {
     // M5 — multimodal binary columns
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_image_meta"      -> (Multimodal.qImageMeta _),
+    "q_audio_meta"      -> (Multimodal.qAudioMeta _),
     "q_frame_sample"    -> (Multimodal.qFrameSample _),
     // M6 — corpus curation (split / sample / decontaminate / pack / mix)
     "q_train_split"       -> (Curation.qTrainSplit _),
@@ -429,6 +435,65 @@ object SparkEntry {
         |FROM buys b ASOF JOIN clicks c
         |  ON b.user_id = c.user_id AND b.ts >= c.ts
         |ORDER BY b.event_id""".stripMargin,
+    // The oracle states the range join DECLARATIVELY (BETWEEN, no
+    // bins) — the engine's bin-bucketed equi-join must reproduce the
+    // inequality join's pair set exactly (a bin off-by-one or a
+    // double-emitted boundary pair fails the hash compare).
+    "q_range_join" ->
+      """WITH w AS (
+        |  SELECT event_id AS win_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) - 300 AS lo,
+        |         CAST(floor(epoch(ts)) AS BIGINT) + 300 AS hi
+        |  FROM events WHERE event_type = 'error' AND value >= 15.0),
+        |p AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS p_ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT win_id, count(*) AS n_purchases,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS purchase_value
+        |  FROM w JOIN p ON p.p_ts BETWEEN w.lo AND w.hi
+        |  GROUP BY win_id)
+        |SELECT w.win_id, w.lo, w.hi,
+        |       coalesce(m.n_purchases, 0) AS n_purchases, m.purchase_value
+        |FROM w LEFT JOIN m USING (win_id)
+        |ORDER BY win_id""".stripMargin,
+    // Staged-min funnel semantics: clicks count only at-or-after the
+    // first view, purchases only at-or-after the first qualified click.
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |v AS (SELECT user_id, min(ts) AS view_ts FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS click_ts
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts >= v.view_ts
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+        |      GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+        |       CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+        |            WHEN c.click_ts IS NOT NULL THEN 2
+        |            WHEN v.view_ts IS NOT NULL THEN 1
+        |            ELSE 0 END AS stage
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |       LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id)
+        |SELECT f.cohort,
+        |       CAST(datediff('day', f.cohort, ev.day) AS BIGINT)
+        |         AS day_offset,
+        |       count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN f USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q_anti_missing" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
@@ -943,6 +1008,14 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    // Exact-regime contract (the GK-percentiles precedent): corpus
+    // vocabulary ≪ sketch capacity, so Misra-Gries counters are exact
+    // and the oracle's true top-20 is the required answer bit-for-bit.
+    "q_heavy_hitters" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS est
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY est DESC, token LIMIT 20""".stripMargin,
     // Rational BM25-style idf: one exact integer-valued product + one
     // IEEE division — bit-identical across engines, unlike ln().
     "q_tfidf_topk" ->
@@ -1233,6 +1306,25 @@ object SparkEntry {
         |       CAST(16 + doc_id % 640 AS INTEGER) AS width,
         |       CAST(16 + doc_id % 480 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q_audio_meta: same roundtrip discipline as q_image_meta for the
+    // audio modality — Spark builds genuine little-endian WAV/RIFF
+    // containers from doc_id (odd ids carry an odd-sized LIST chunk the
+    // walk must word-align past) and parses them back; the oracle
+    // recomputes the fields and the floor-division duration directly.
+    "q_audio_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         1 + doc_id % 2 AS channels,
+        |         8000 * (1 + doc_id % 4) AS sample_rate,
+        |         1000 + doc_id % 9000 AS data_size
+        |  FROM documents)
+        |SELECT doc_id, 'wav' AS format,
+        |       CAST(channels AS INTEGER) AS channels,
+        |       CAST(sample_rate AS INTEGER) AS sample_rate,
+        |       CAST(16 AS INTEGER) AS bits_per_sample,
+        |       CAST((data_size * 1000) // (sample_rate * channels * 2)
+        |         AS BIGINT) AS duration_ms
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q_frame_sample" ->
       """SELECT doc_id, CAST(f.frame_idx AS INTEGER) AS frame_idx,
         |       CAST(320 + nb % 320 AS INTEGER) AS width,

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Event-analytics operators over the `events` audit table — the
+  * analytics dual of the reference's audit/event logging surface
+  * (/root/reference/insights.md:169-172 nightly-sync posture; the
+  * events table is the driver's streaming-shaped fixture, TESTDATA.md).
+  * Three operators every large-scale event engine ships and Spark has
+  * no single native operator for:
+  *
+  *   - interval/range join ([[qRangeJoin]]) — the bin-bucketed
+  *     formulation, turning an inequality-only join into an equi-join;
+  *   - ordered funnel ([[qFunnel]]) — staged conversion per user in ONE
+  *     user-keyed shuffle via the same union-window carry discipline as
+  *     [[Joins.qAsofJoin]];
+  *   - cohort retention ([[qRetention]]) — first-touch cohorts ×
+  *     activity-day offsets.
+  */
+object Events {
+
+  /** Interval (range) join, bin-bucketed — the published scale
+    * formulation of a join whose ONLY predicate is range containment
+    * (no equi-key at all): each high-value error event opens a ±5-minute
+    * incident window; every purchase landing inside a window is
+    * attributed to it. Spark's native plan for `p.ts BETWEEN w.lo AND
+    * w.hi` is BroadcastNestedLoopJoin — O(|W|·|P|) compares, a
+    * scale-killer. The bin trick (Databricks range-join hints, Flink
+    * interval joins, the classic spatial-grid join) makes it an
+    * EQUI-join:
+    *
+    *   - each point belongs to exactly ONE bin: floor(ts / binW);
+    *   - each window replicates to EVERY bin it overlaps —
+    *     `explode(sequence(floor(lo/binW), floor(hi/binW)))`, a
+    *     replication factor of ≤ ⌈width/binW⌉ + 1 = 2 here (binW is
+    *     chosen equal to the window width, the standard heuristic);
+    *   - the equi-join on `bin` plus the residual containment filter
+    *     yields each qualifying (window, point) pair EXACTLY once,
+    *     because the point's single bin appears once in the window's
+    *     bin list.
+    *
+    * Scale shape: a hash join on a dense integer key with bounded
+    * constant replication — shuffles partition by bin (time-local, so
+    * skew equals temporal burstiness, handled by AQE), and the
+    * nested-loop compare is gone. Zero-match windows are kept by the
+    * final windows-side left join (count 0, null value sum), matching
+    * the oracle's LEFT JOIN.
+    */
+  /** The bin-bucketed core: every (window, point) pair with
+    * `lo <= p_ts <= hi`, emitted EXACTLY once. `windows` must carry
+    * (win_id, lo, hi), `points` (p_ts, …payload); both bounds in the
+    * same integer domain (seconds here). Exactly-once is structural,
+    * not a dedup: a point has one bin, the window lists each overlapped
+    * bin once, so the equi-join can produce each qualifying pair only
+    * via that single shared bin.
+    */
+  def rangeJoinPairs(windows: DataFrame, points: DataFrame,
+    binW: Long): DataFrame = {
+    val winBinned = windows.withColumn("bin",
+      explode(sequence(floor(col("lo") / binW), floor(col("hi") / binW))))
+    val ptBinned = points.withColumn("bin", floor(col("p_ts") / binW))
+    winBinned
+      .join(ptBinned, winBinned("bin") === ptBinned("bin") &&
+        col("p_ts") >= col("lo") && col("p_ts") <= col("hi"))
+      .drop("bin")
+  }
+
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val binW = 600L // seconds; == window width → ≤2 bins per window
+    val ev = Tables.events(spark, dir)
+    val windows = ev
+      .filter(col("event_type") === "error" && col("value") >= lit(15.0))
+      .select(col("event_id").as("win_id"),
+        (unix_timestamp(col("ts")) - 300).as("lo"),
+        (unix_timestamp(col("ts")) + 300).as("hi"))
+    val points = ev
+      .filter(col("event_type") === "purchase")
+      .select(unix_timestamp(col("ts")).as("p_ts"), col("value"))
+    val matched = rangeJoinPairs(windows, points, binW)
+      .groupBy(col("win_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("purchase_value"))
+    windows
+      .join(matched, Seq("win_id"), "left")
+      .select(col("win_id"), col("lo"), col("hi"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        col("purchase_value"))
+      .orderBy(col("win_id"))
+  }
+
+  /** Ordered conversion funnel (view → click → purchase) per user — the
+    * staged-min semantics every funnel engine implements: the click
+    * stage counts only clicks at-or-after the user's FIRST view, and
+    * the purchase stage only purchases at-or-after that first qualified
+    * click. A join formulation needs two self-joins of the event table;
+    * this is the union-window carry instead (the [[Joins.qAsofJoin]]
+    * discipline): ONE user_id shuffle, one per-user sort, three chained
+    * running-min carries over the SAME window spec — Spark plans them
+    * as consecutive Window operators over one exchange+sort (the
+    * second and third reuse the first's ordering; no re-shuffle).
+    *
+    * Per-row logic: sorted by (ts, stage-tag) — views before clicks
+    * before purchases at equal timestamps, which implements the `>=`
+    * stage bound — `v_ts` carries the first view so far; a click row
+    * with `v_ts` set is a qualified click, and `c_ts` carries the first
+    * of those; purchases qualify against `c_ts` the same way. The final
+    * per-user aggregate collapses the carries (each is constant once
+    * set) and labels the reached stage 0–3.
+    *
+    * Scale shape: identical to sessionization — reducer bound is the
+    * busiest single user; no self-join, no data explosion. Emitted per
+    * user, so downstream rates are one tiny aggregate away.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"),
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .otherwise(2).as("tag"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("v_ts", min(when(col("tag") === 0, col("ts"))).over(w))
+      .withColumn("c_ts", min(when(col("tag") === 1 &&
+        col("v_ts").isNotNull, col("ts"))).over(w))
+      .withColumn("p_ts", min(when(col("tag") === 2 &&
+        col("c_ts").isNotNull, col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("v_ts")).as("view_ts"),
+        min(col("c_ts")).as("click_ts"),
+        min(col("p_ts")).as("purchase_ts"))
+      .withColumn("stage",
+        when(col("purchase_ts").isNotNull, 3)
+          .when(col("click_ts").isNotNull, 2)
+          .when(col("view_ts").isNotNull, 1)
+          .otherwise(0))
+      .orderBy(col("user_id"))
+  }
+
+  /** Cohort retention matrix: users cohorted by FIRST-touch date (their
+    * earliest event of any type), then each (cohort, day-offset) cell
+    * counts distinct users active that many days after joining — the
+    * canonical product-analytics rollup.
+    *
+    * Scale shape: two aggregates. The cohort map is one user-keyed
+    * hash aggregate (user-dimension sized — at 100 TB this is the
+    * small side and broadcasts back); activity days dedupe through
+    * `countDistinct` partial aggregation on (cohort, offset) — the
+    * distinct expand is bounded by active (user, day) pairs, which is
+    * the already-deduped event granularity, NOT raw event volume. No
+    * window over the full event set, no per-event join fanout.
+    */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort"))
+    ev.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+}
