@@ -1014,6 +1014,35 @@ object TextOps {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** Frequent tokens via the [[graft.functions.MisraGries]] sketch —
+    * the BOUNDED-STATE path to the same question [[qVocabTopk]] answers
+    * exactly: the exact form must aggregate the full vocabulary before
+    * it can rank (fine for word-level corpora, state grows with the
+    * keyspace — think URLs, n-grams, user-ids at 100 TB); the sketch
+    * caps state at `capacity` counters per partition, shuffles one
+    * bounded summary per map task, and guarantees every token with
+    * true count > N/(capacity+1) appears with est ≥ true − N/(capacity+1).
+    *
+    * Oracle contract (the GK-percentiles precedent): the driver corpora
+    * hold ≤31 distinct tokens, far below the 64-counter capacity, so no
+    * decrement ever fires and the counters are EXACT — the oracle's
+    * exact top-20 must match bitwise. The approximation behavior under
+    * capacity pressure is pinned separately in TextOpsSpec.
+    */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHitters(Tables.documents(spark, dir))
+
+  /** Core of [[qHeavyHitters]] over any (…, text) frame. */
+  private[graft] def heavyHitters(docs: DataFrame, capacity: Int = 64,
+    k: Int = 20): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("token"))
+      .agg(graft.functions.MisraGries.heavyHitters(capacity)(col("token"))
+        .as("summary"))
+      .select(explode(col("summary")).as("h"))
+      .select(col("h.token").as("token"), col("h.est").as("est"))
+      .orderBy(col("est").desc, col("token"))
+      .limit(k)
+
   /** TF-IDF keyword extraction: each document's top-5 tokens by a
     * smoothed tf-idf. The idf factor is the RATIONAL BM25 form
     * (N − df + ½)/(df + ½) rather than its logarithm — same ranking

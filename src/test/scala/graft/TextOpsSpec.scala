@@ -696,4 +696,50 @@ class TextOpsSpec extends SparkTestBase {
         assert(r.getString(1) == want, r.getString(0))
       }
   }
+
+  test("q_heavy_hitters is exact below capacity and matches the recount") {
+    val got = TextOps.qHeavyHitters(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("t")).collect()
+      .map(_.getString(0)).groupBy(identity)
+      .map { case (t, ts) => (t, ts.length.toLong) }.toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(20)
+    assert(got.toSeq == want)
+  }
+
+  test("Misra-Gries under capacity pressure keeps both published bounds") {
+    import spark.implicits._
+    // 3 hot tokens (600 each) + 120 cold singleton tokens, capacity 16:
+    // decrements MUST fire, hot tokens MUST survive
+    val toks = (Seq.fill(600)(Seq("hot_a", "hot_b", "hot_c")).flatten ++
+      (0 until 120).map(i => s"cold_$i")).mkString(" ")
+    val docs = Seq((1L, toks)).toDF("doc_id", "text")
+    val n = 3 * 600 + 120
+    val cap = 16
+    val summary = TextOps.heavyHitters(docs, capacity = cap, k = 1000)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val truth = Map("hot_a" -> 600L, "hot_b" -> 600L, "hot_c" -> 600L)
+      .withDefaultValue(1L)
+    assert(summary.length <= cap)
+    summary.foreach { case (t, est) =>
+      assert(est <= truth(t), s"$t overcounted") // lower-bound property
+      assert(truth(t) - est <= n / (cap + 1), s"$t undercount too large")
+    }
+    // guaranteed presence: true count > N/(capacity+1)
+    Seq("hot_a", "hot_b", "hot_c").foreach { t =>
+      assert(summary.exists(_._1 == t), s"$t missing from summary")
+    }
+  }
+
+  test("heavy-hitter summaries are partitioning-independent when exact") {
+    import spark.implicits._
+    val docs = (0 until 64).map(i => (i.toLong, s"tok_${i % 7} shared"))
+      .toDF("doc_id", "text")
+    val a = TextOps.heavyHitters(docs.repartition(1), capacity = 32)
+      .collect().toSeq
+    val b = TextOps.heavyHitters(docs.repartition(13), capacity = 32)
+      .collect().toSeq
+    assert(a == b)
+  }
 }
