@@ -126,9 +126,115 @@ case class ImageMeta(child: Expression) extends UnaryExpression {
     newChild: Expression): ImageMeta = copy(child = newChild)
 }
 
+/** Audio metadata from REAL container bytes — the audio dual of
+  * [[ImageMeta]], closing the multimodal metadata family (image +
+  * audio) without a codec: WAV is RIFF, a public fixed chunk format.
+  *
+  *   - `RIFF <size32le> WAVE`, then a chunk walk: each chunk is
+  *     `<id4> <size32le> <payload>` with chunks WORD-aligned (odd sizes
+  *     pad one byte — the classic parser bug, handled here);
+  *   - the `fmt ` chunk carries audio_format(2le), channels(2le),
+  *     sample_rate(4le), byte_rate(4le), block_align(2le),
+  *     bits_per_sample(2le) at payload offsets 0/2/4/8/12/14;
+  *   - the `data` chunk's size is the PCM byte count, so
+  *     duration_ms = data_size * 1000 / byte_rate — exact integer
+  *     arithmetic, floor division.
+  *
+  * Chunk order is NOT fixed by the spec (LIST/INFO chunks commonly
+  * precede `fmt `), so the walk is generic — both chunks must be found
+  * before emitting. NULL for anything that does not parse (bad magic,
+  * truncated walk, missing fmt/data, zero byte_rate or channels) —
+  * same quarantine posture as [[ImageMeta]]: corrupt bytes become
+  * filterable rows, never task failures. Codegen'd, so a 100 TB
+  * audio-corpus filter on sample-rate/duration runs at scan speed.
+  */
+case class AudioMeta(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("duration_ms", org.apache.spark.sql.types.LongType,
+      nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_audio_meta"
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8)
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+      b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+
+  def compute(b: Array[Byte]): InternalRow = {
+    if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE"))
+      return null
+    var i = 12
+    var channels = -1; var sampleRate = -1L; var byteRate = -1L
+    var bits = -1; var dataSize = -1L
+    while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
+      val size = le32(b, i + 4)
+      if (size < 0 || size > Int.MaxValue) return null
+      if (tag(b, i, "fmt ")) {
+        if (size < 16 || i + 8 + 16 > b.length) return null
+        channels = le16(b, i + 10)
+        sampleRate = le32(b, i + 12)
+        byteRate = le32(b, i + 16)
+        bits = le16(b, i + 22)
+      } else if (tag(b, i, "data")) {
+        dataSize = size
+      }
+      // chunks are WORD-aligned: odd payloads carry one pad byte
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (channels <= 0 || sampleRate <= 0 || byteRate <= 0 || bits <= 0 ||
+        dataSize < 0 || sampleRate > Int.MaxValue) return null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString("wav"), channels, sampleRate.toInt,
+        bits, dataSize * 1000L / byteRate))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+    ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("audioMeta", this,
+      classOf[AudioMeta].getName)
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = $self.compute($b);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(
+    newChild: Expression): AudioMeta = copy(child = newChild)
+}
+
 object BinaryFunctions {
   /** struct(format, width, height) parsed from real PNG/JPEG header
     * bytes; NULL when the payload is not a parseable image header. */
   def imageMeta(bin: Column): Column =
     ColumnBridge.column(ImageMeta(ColumnBridge.expression(bin)))
+
+  /** struct(format, channels, sample_rate, bits_per_sample,
+    * duration_ms) parsed from real WAV/RIFF header bytes; NULL when the
+    * payload is not a parseable WAV container. */
+  def audioMeta(bin: Column): Column =
+    ColumnBridge.column(AudioMeta(ColumnBridge.expression(bin)))
 }

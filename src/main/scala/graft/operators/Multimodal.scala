@@ -97,6 +97,52 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Real WAV/RIFF header parsing — the audio member of the multimodal
+    * metadata family, same discipline as [[qImageMeta]]: the corpus
+    * rows become GENUINE WAV containers (RIFF/WAVE magic, a chunk walk
+    * with an odd-sized LIST chunk planted before `fmt ` on odd ids to
+    * exercise the WORD-alignment rule, the 16-byte PCM `fmt ` payload,
+    * a `data` chunk header) serialized little-endian by pure
+    * expressions, and the codegen'd [[graft.functions.AudioMeta]]
+    * expression parses them BACK. The oracle recomputes
+    * channels/rate/duration independently from doc_id, so any
+    * endianness, offset, chunk-skip, or padding bug breaks the hash
+    * compare. Duration is exact integer floor arithmetic:
+    * data_bytes × 1000 / byte_rate.
+    */
+  def qAudioMeta(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    def le(x: Column, nBytes: Int): Column =
+      unhex(concat((0 until nBytes).map(k =>
+        lpad(hex(shiftright(x, 8 * k).bitwiseAND(lit(255))), 2, "0")): _*))
+    def ascii(s: String): Column = encode(lit(s), "UTF-8")
+    val ch = (lit(1) + col("doc_id") % 2).cast("int")
+    val sr = (lit(8000) * (lit(1) + col("doc_id") % 4)).cast("int")
+    val bits = lit(16)
+    val ba = (ch * lit(2)).cast("int")
+    val br = (sr * ba).cast("int")
+    val ds = (lit(1000) + col("doc_id") % 9000).cast("int")
+    val riff = concat(ascii("RIFF"), le(lit(36) + ds, 4), ascii("WAVE"))
+    // odd-sized LIST payload + its pad byte: the walk must skip 8+5+1
+    val junk = concat(ascii("LIST"), le(lit(5), 4), ascii("INFOx"),
+      unhex(lit("00")))
+    val fmt = concat(ascii("fmt "), le(lit(16), 4), le(lit(1), 2),
+      le(ch, 2), le(sr, 4), le(br, 4), le(ba, 2), le(bits, 2))
+    val dataHdr = concat(ascii("data"), le(ds, 4))
+    val bin = when(col("doc_id") % 2 === 1,
+      concat(riff, junk, fmt, dataHdr))
+      .otherwise(concat(riff, fmt, dataHdr))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.BinaryFunctions.audioMeta(bin).as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.channels").as("channels"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.bits_per_sample").as("bits_per_sample"),
+        col("m.duration_ms").as("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Decode + frame-sample through the typed boundary. A real build
     * would invoke an image/video codec per record here; the container
     * has none, so the decode is a STUB: deterministic fake frames whose

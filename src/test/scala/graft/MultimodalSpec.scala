@@ -133,4 +133,79 @@ class MultimodalSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("MapPartitions") && !plan.contains("BatchEvalPython"))
   }
+
+  // ---- real header parsing (AudioMeta) --------------------------------
+
+  private def parseWav(
+    b: Array[Byte]): Option[(String, Int, Int, Int, Long)] = {
+    import spark.implicits._
+    Seq(Tuple1(b)).toDF("bin")
+      .select(graft.functions.BinaryFunctions.audioMeta(col("bin")).as("m"))
+      .select("m.format", "m.channels", "m.sample_rate",
+        "m.bits_per_sample", "m.duration_ms").collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None
+        else Some((r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getLong(4))))
+  }
+
+  /** Hand-serialized canonical WAV header: mono, 8 kHz, 16-bit PCM,
+    * byte_rate 16000, data 32000 bytes → exactly 2000 ms. */
+  private val canonicalWav: String =
+    "52494646 247D0000 57415645" + // RIFF <size> WAVE
+      " 666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
+      " 64617461 007D0000" // data 32000
+
+  test("AudioMeta parses real WAV headers, chunk order and padding included") {
+    assert(parseWav(hexBytes(canonicalWav)) ==
+      Some(("wav", 1, 8000, 16, 2000L)))
+    // an odd-sized LIST chunk before fmt must be skipped WITH its pad
+    // byte; stereo 44100 Hz, data 88200 → 500 ms
+    assert(parseWav(hexBytes(
+      "52494646 00000000 57415645" +
+        " 4C495354 05000000 494E464F 78 00" + // LIST len 5 + pad
+        " 666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000" +
+        " 64617461 88580100")) == Some(("wav", 2, 44100, 16, 500L)))
+  }
+
+  test("AudioMeta rejects corrupt payloads as NULL rows, never failures") {
+    assert(parseWav("not audio at all, nowhere near".getBytes).isEmpty)
+    assert(parseWav(Array.empty[Byte]).isEmpty)
+    // RIFF magic but not WAVE
+    assert(parseWav(hexBytes(canonicalWav.replace("57415645",
+      "58585858"))).isEmpty)
+    // truncated before the fmt payload completes
+    assert(parseWav(hexBytes(
+      "52494646 24000000 57415645 666D7420 10000000 0100")).isEmpty)
+    // missing data chunk entirely
+    assert(parseWav(hexBytes(
+      "52494646 24000000 57415645" +
+        " 666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000"))
+      .isEmpty)
+    // zero byte_rate would divide by zero → quarantined, not thrown
+    assert(parseWav(hexBytes(canonicalWav.replace("803E0000",
+      "00000000"))).isEmpty)
+    // zero channels
+    assert(parseWav(hexBytes(canonicalWav.replace("0100 0100",
+      "0100 0000"))).isEmpty)
+  }
+
+  test("q_audio_meta roundtrips built WAV containers through the parser") {
+    val rows = Multimodal.qAudioMeta(spark, sfDir).collect()
+    assert(rows.length ==
+      spark.read.parquet(s"$sfDir/documents.parquet").count())
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val ch = 1 + (id % 2).toInt
+      val sr = 8000 * (1 + (id % 4).toInt)
+      val ds = 1000L + id % 9000
+      assert(r.getString(1) == "wav")
+      assert(r.getInt(2) == ch)
+      assert(r.getInt(3) == sr)
+      assert(r.getInt(4) == 16)
+      assert(r.getLong(5) == ds * 1000L / (sr.toLong * ch * 2))
+    }
+    val plan = Multimodal.qAudioMeta(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions") && !plan.contains("BatchEvalPython"))
+  }
 }
