@@ -85,6 +85,7 @@ object SparkEntry {
     "q_pipeline_nightly"  -> (TextOps.qPipelineNightly _),
     "q_pipeline_sequence" -> (Pipelines.qPipelineSequence _),
     "q_pipeline_multimodal" -> (Pipelines.qPipelineMultimodal _),
+    "q_pipeline_engagement" -> (Pipelines.qPipelineEngagement _),
     "q_pipeline_quality"  -> (Pipelines.qPipelineQuality _),
     // M4 — time windows (SURVEY §2.9; streaming duals in graft.streaming)
     "q_window_tumbling" -> (Windowed.qWindowTumbling _),
@@ -94,6 +95,8 @@ object SparkEntry {
     "q_range_join"      -> (Events.qRangeJoin _),
     "q_funnel"          -> (Events.qFunnel _),
     "q_retention"       -> (Events.qRetention _),
+    "q_click_attribution" -> (Events.qClickAttribution _),
+    "q_gap_fill"        -> (Events.qGapFill _),
     // M5 — LLM-pipeline text ops (SURVEY §2.10; BASELINE.json north star)
     "q_dedup_exact"     -> (TextOps.qDedupExact _),
     "q_jaccard_pairs"   -> (TextOps.qJaccardPairs _),
@@ -110,6 +113,7 @@ object SparkEntry {
     "q_token_count"     -> (TextOps.qTokenCount _),
     "q_vocab_topk"      -> (TextOps.qVocabTopk _),
     "q_heavy_hitters"   -> (TextOps.qHeavyHitters _),
+    "q_heavy_hitters_by_lang" -> (TextOps.qHeavyHittersByLang _),
     "q_tfidf_topk"      -> (TextOps.qTfidfTopk _),
     "q_colloc_pmi"      -> (TextOps.qCollocPmi _),
     "q_token_percentiles" -> (TextOps.qTokenPercentiles _),
@@ -483,6 +487,85 @@ object SparkEntry {
         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
         |       LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // EP10 — the full composed engagement dataflow: per-user aggregate
+    // (cohort/counts/lag-gap session sum) joined with the staged-min
+    // funnel, stage coalesced to 0 for funnel-less users.
+    "q_pipeline_engagement" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CAST(ts AS DATE) AS day
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |agg AS (
+        |  SELECT e.user_id, min(e.day) AS cohort,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(count(DISTINCT e.day) AS BIGINT) AS active_days
+        |  FROM e GROUP BY e.user_id),
+        |sess AS (
+        |  SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions
+        |  FROM g GROUP BY user_id),
+        |fe AS (SELECT user_id, ts, event_type FROM e
+        |       WHERE event_type IN ('view', 'click', 'purchase')),
+        |v AS (SELECT user_id, min(ts) AS view_ts FROM fe
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT fe.user_id, min(fe.ts) AS click_ts
+        |      FROM fe JOIN v USING (user_id)
+        |      WHERE fe.event_type = 'click' AND fe.ts >= v.view_ts
+        |      GROUP BY fe.user_id),
+        |p AS (SELECT fe.user_id, min(fe.ts) AS purchase_ts
+        |      FROM fe JOIN c USING (user_id)
+        |      WHERE fe.event_type = 'purchase' AND fe.ts >= c.click_ts
+        |      GROUP BY fe.user_id)
+        |SELECT agg.user_id, agg.cohort,
+        |       CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+        |            WHEN c.click_ts IS NOT NULL THEN 2
+        |            WHEN v.view_ts IS NOT NULL THEN 1
+        |            ELSE 0 END AS stage,
+        |       sess.n_sessions, agg.n_events, agg.active_days
+        |FROM agg JOIN sess USING (user_id)
+        |  LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |  LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    // Batch instantiation of the stream-stream interval join core
+    // (Streams.attributionStream shares the identical join).
+    "q_click_attribution" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       p.ts AS purchase_ts, p.value,
+        |       c.event_id AS click_id, c.ts AS click_ts
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    // Densified hourly grid: every (hour, type) cell exists, zero or
+    // not, each carrying its delta vs the previous hour of its type.
+    "q_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT unnest(generate_series((SELECT min(hour) FROM hourly),
+        |                                (SELECT max(hour) FROM hourly),
+        |                                INTERVAL 1 HOUR)) AS hour),
+        |dense AS (
+        |  SELECT g.hour, t.event_type,
+        |         coalesce(h.cnt, 0) AS n
+        |  FROM grid g
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t
+        |  LEFT JOIN hourly h
+        |    ON h.hour = g.hour AND h.event_type = t.event_type)
+        |SELECT hour, event_type, CAST(n AS BIGINT) AS n,
+        |       CAST(n - lag(n) OVER (PARTITION BY event_type
+        |                             ORDER BY hour) AS BIGINT) AS delta
+        |FROM dense
+        |ORDER BY hour, event_type""".stripMargin,
     "q_retention" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -1016,6 +1099,18 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY est DESC, token LIMIT 20""".stripMargin,
+    "q_heavy_hitters_by_lang" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS est
+        |      FROM t GROUP BY lang, token),
+        |r AS (SELECT lang, token, est,
+        |             row_number() OVER (PARTITION BY lang
+        |               ORDER BY est DESC, token) AS rk
+        |      FROM c)
+        |SELECT lang, token, est FROM r WHERE rk <= 5
+        |ORDER BY lang, est DESC, token""".stripMargin,
     // Rational BM25-style idf: one exact integer-valued product + one
     // IEEE division — bit-identical across engines, unlike ln().
     "q_tfidf_topk" ->

@@ -116,8 +116,16 @@ object Events {
     * busiest single user; no self-join, no data explosion. Emitted per
     * user, so downstream rates are one tiny aggregate away.
     */
-  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def qFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelStages(Tables.events(spark, dir)).orderBy(col("user_id"))
+
+  /** Core of [[qFunnel]] over any (user_id, ts, event_type, …) frame:
+    * one row per user with any funnel event — stage timestamps and the
+    * reached stage 0–3. Shared by EP10, which feeds it an
+    * already-user-partitioned frame (the windows' requirement is then
+    * satisfied, so no second exchange plans). */
+  private[graft] def funnelStages(events: DataFrame): DataFrame = {
+    val ev = events
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), col("ts"),
         when(col("event_type") === "view", 0)
@@ -140,7 +148,73 @@ object Events {
           .when(col("click_ts").isNotNull, 2)
           .when(col("view_ts").isNotNull, 1)
           .otherwise(0))
-      .orderBy(col("user_id"))
+  }
+
+  /** Attribution interval join: every click within the 10 minutes
+    * BEFORE a purchase by the same user (marketing attribution's
+    * lookback window — ALL touches in window, unlike [[Joins.qAsofJoin]]
+    * which picks only the latest). The join is a plain equi-join on
+    * user_id with the time bounds as residual predicates — per-user
+    * candidate pairs are bounded by per-user activity, so no bin trick
+    * is needed (contrast [[rangeJoinPairs]], where no equi-key exists).
+    *
+    * This core is deliberately watermark-free and shared verbatim by
+    * the streaming dual ([[graft.streaming.Streams.attributionStream]]):
+    * under `readStream` inputs the SAME join becomes Spark's
+    * stream-stream interval join, with watermarks bounding both sides'
+    * state to the lookback horizon.
+    */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases.select(col("user_id"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+      col("value"))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 10 minutes"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("value"), col("click_id"), col("click_ts"))
+  }
+
+  def qClickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    clickAttribution(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  /** Time-series gap fill + lag delta: hourly counts per event type
+    * DENSIFIED — hours with no events appear explicitly with n = 0 —
+    * then each row carries its change vs the previous hour. Resampling
+    * a sparse event stream onto a regular grid is the step every
+    * downstream forecast/alerting consumer needs and a bare groupBy
+    * cannot produce (missing groups simply don't exist).
+    *
+    * Scale shape: the only corpus-scale work is the (hour, type) hash
+    * aggregate with map-side partials. The hour grid derives from a
+    * ONE-ROW bounds aggregate (`sequence(min, max, 1 hour)` exploded —
+    * never a driver-side loop), cross-joined with the distinct type set
+    * (broadcast, ≤ types rows); the left join back and the lag window
+    * run on the cell-sized frame. At 100 TB nothing after the first
+    * aggregate sees more than hours × types rows.
+    */
+  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = hourly.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("hour"))
+      .crossJoin(broadcast(hourly.select(col("event_type")).distinct()))
+    val dense = grid.join(hourly, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("n"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    dense
+      .withColumn("delta", col("n") - lag(col("n"), 1).over(byType))
+      .orderBy(col("hour"), col("event_type"))
   }
 
   /** Cohort retention matrix: users cohorted by FIRST-touch date (their

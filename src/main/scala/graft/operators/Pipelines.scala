@@ -461,6 +461,56 @@ object Pipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** EP10 — composed ENGAGEMENT-ANALYTICS pipeline: one row per user
+    * carrying every event-analytics signal in ONE dataflow — first-touch
+    * cohort date, ordered funnel stage ([[Events.funnelStages]], the
+    * q_funnel core), lag-gap session count (the q_session_gap
+    * new-session flag summed per user), event count and distinct active
+    * days.
+    *
+    * Scale shape: each branch shuffles by user_id exactly once and only
+    * what it needs — Catalyst pushes the funnel branch's event-type
+    * filter THROUGH the shared repartition down to the scan, so that
+    * branch's exchange carries only view/click/purchase rows while the
+    * session branch's carries the full event set it genuinely needs
+    * (two minimal shuffles beat one full-width reused one here: 1.6×
+    * the rows of a shared exchange would be saved, but the funnel
+    * would then window over 5/3× its rows). Every aggregate rides its
+    * branch's hash(user_id) partitioning (subset rule — the
+    * countDistinct expands through extra HashAggregate levels, never
+    * an exchange), and the funnel frame is user-dimension sized, so
+    * assembly is a broadcast join: no third shuffle exists. Users with
+    * no funnel event coalesce to stage 0. Reducer bound everywhere is
+    * the busiest single user — the sessionization posture.
+    */
+  def qPipelineEngagement(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+      .repartition(col("user_id"))
+    val lagW = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    val perUser = byUser
+      .withColumn("prev_ts", lag(col("ts"), 1).over(lagW))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort"),
+        count(lit(1)).as("n_events"),
+        countDistinct(to_date(col("ts"))).as("active_days"),
+        sum(col("new_session")).as("n_sessions"))
+    val stages = Events.funnelStages(byUser)
+      .select(col("user_id"), col("stage"))
+    perUser.join(stages, Seq("user_id"), "left")
+      .select(col("user_id"), col("cohort"),
+        coalesce(col("stage"), lit(0)).as("stage"),
+        col("n_sessions"), col("n_events"), col("active_days"))
+      .orderBy(col("user_id"))
+  }
+
   def qPipelineSequence(spark: SparkSession, dir: String): DataFrame = {
     val kept = Tables.documents(spark, dir)
       .withColumn("rk", row_number().over(

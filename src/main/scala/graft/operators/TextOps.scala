@@ -1043,6 +1043,34 @@ object TextOps {
       .orderBy(col("est").desc, col("token"))
       .limit(k)
 
+  /** GROUPED heavy hitters: the same Misra-Gries aggregate under a
+    * groupBy — per-language top-5 tokens. What this adds over the
+    * global query: sketch state is bounded PER GROUP KEY and merges
+    * per key through map-side partials, so the shuffle carries
+    * #groups × capacity counters — the grouped-frequency shape (top
+    * URLs per domain, top n-grams per source) that at 100 TB cannot
+    * afford the exact (group, token)-keyed aggregate's state. Exact
+    * regime (per-group vocabulary ≪ capacity) makes the top-5 cut
+    * oracle-checkable, per the global query's contract; the row_number
+    * window runs on the group×capacity-sized summary frame, not the
+    * corpus. */
+  def qHeavyHittersByLang(spark: SparkSession, dir: String): DataFrame = {
+    val summaries = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.MisraGries.heavyHitters(64)(col("token"))
+        .as("summary"))
+      .select(col("lang"), explode(col("summary")).as("h"))
+      .select(col("lang"), col("h.token").as("token"),
+        col("h.est").as("est"))
+    summaries
+      .withColumn("rk", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("est").desc, col("token"))))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("token"), col("est"))
+      .orderBy(col("lang"), col("est").desc, col("token"))
+  }
+
   /** TF-IDF keyword extraction: each document's top-5 tokens by a
     * smoothed tf-idf. The idf factor is the RATIONAL BM25 form
     * (N − df + ½)/(df + ½) rather than its logarithm — same ranking

@@ -172,6 +172,22 @@ object Streams {
       }
   }
 
+  /** STREAM-STREAM interval join: arriving purchases join arriving
+    * clicks of the same user within a 10-minute lookback — the same
+    * [[graft.operators.Events.clickAttribution]] core as the batch
+    * oracle query, with watermarks added on both inputs. Spark derives
+    * the state bound from the time-range condition: a buffered click
+    * can only match purchases up to 10 minutes later, so click state
+    * older than watermark + lookback is evicted, and purchase state
+    * needs no lookback slack at all — state scales with the active
+    * horizon on both sides, never the stream history.
+    */
+  def attributionStream(clicks: DataFrame,
+    purchases: DataFrame): DataFrame =
+    graft.operators.Events.clickAttribution(
+      clicks.withWatermark("ts", "30 minutes"),
+      purchases.withWatermark("ts", "30 minutes"))
+
   // ------------------------------------------------- corpus intake duals
 
   /** Streaming dual of the row-local curation stages: quality fractions,

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.Events
@@ -140,6 +141,91 @@ class EventsSpec extends SparkTestBase {
     val exchanges = "Exchange hashpartitioning".r
       .findAllIn(p.replace("ReusedExchange", "reused")).length
     assert(exchanges == 1, s"expected one user shuffle:\n${p.take(2000)}")
+  }
+
+  test("q_gap_fill densifies every hour of the span for every type") {
+    val rows = Events.qGapFill(spark, sfDir).collect()
+      .map(r => (r.getAs[Timestamp]("hour"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), Option(r.getAs[Any]("delta"))))
+    val types = rows.map(_._2).distinct.sorted
+    val hours = rows.map(_._1).distinct.sorted(
+      Ordering.by((t: Timestamp) => t.getTime))
+    // the grid is complete: |rows| = |hours| x |types|, hours contiguous
+    assert(rows.length == hours.length * types.length)
+    hours.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getTime - a.getTime == 3600 * 1000L)
+    case _ => ()
+    }
+    // zero cells exist (densification is real on this fixture) and
+    // totals conserve the event count
+    assert(rows.exists(_._3 == 0L))
+    assert(rows.map(_._3).sum ==
+      graft.sources.Tables.events(spark, sfDir).count())
+    // delta is n - previous n within the type, null on each type's
+    // first hour
+    types.foreach { t =>
+      val series = rows.filter(_._2 == t).sortBy(_._1.getTime)
+      assert(series.head._4.isEmpty)
+      series.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._4.contains(b._3 - a._3), s"$t delta drift")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q_click_attribution matches a driver-side lookback scan") {
+    val got = Events.qClickAttribution(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id")))
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("ts"), r.getAs[String]("event_type")))
+    val clicks = ev.filter(_._4 == "click")
+    val want = for {
+      (pid, pu, pts, _) <- ev.filter(_._4 == "purchase")
+      (cid, cu, cts, _) <- clicks
+      if cu == pu && !pts.before(cts) &&
+        pts.getTime <= cts.getTime + 10 * 60 * 1000
+    } yield (pid, cid)
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("attributionStream equals the batch core across micro-batches") {
+    import spark.implicits._
+    def ts(m: Int) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 10:00:00").getTime + m * 60000L)
+    val clicks = Seq(Ev(1, ts(0), 1, "click"), Ev(2, ts(5), 1, "click"),
+      Ev(3, ts(0), 2, "click"), Ev(4, ts(40), 2, "click"))
+    val buys = Seq(Ev(10, ts(8), 1, "purchase"),   // matches clicks 1,2
+      Ev(11, ts(11), 1, "purchase"),               // matches click 2 only
+      Ev(12, ts(45), 2, "purchase"),               // matches click 4 only
+      Ev(13, ts(30), 3, "purchase"))               // no clicks at all
+    val cIn = MemoryStream[Ev](spark)
+    val pIn = MemoryStream[Ev](spark)
+    val q = graft.streaming.Streams
+      .attributionStream(cIn.toDF().withColumn("value", lit(1.0)),
+        pIn.toDF().withColumn("value", lit(1.0)))
+      .writeStream.format("memory").queryName("attrib_test")
+      .outputMode("append").start()
+    try {
+      // split across triggers: the join must buffer clicks in state
+      cIn.addData(clicks.take(2)); q.processAllAvailable()
+      pIn.addData(buys.take(2)); q.processAllAvailable()
+      cIn.addData(clicks.drop(2)); pIn.addData(buys.drop(2))
+      q.processAllAvailable()
+      val got = spark.table("attrib_test")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val batch = Events.clickAttribution(
+        clicks.toDF().withColumn("value", lit(1.0)),
+        buys.toDF().withColumn("value", lit(1.0)))
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == batch)
+      assert(got == Seq((10L, 1L), (10L, 2L), (11L, 2L), (12L, 4L)))
+    } finally q.stop()
   }
 
   /** Write an events-shaped fixture and run `f` against its dir. The

@@ -414,4 +414,54 @@ class PipelinesSpec extends SparkTestBase {
     assert(rows.forall(r => r._3 >= 1 && r._3 <= 32))
     df.unpersist()
   }
+
+  test("EP10 engagement pipeline equals its standalone stages") {
+    val df = Pipelines.qPipelineEngagement(spark, sfDir)
+    val rows = df.collect()
+    // stage parity 1: funnel stage equals q_funnel per user (0 for
+    // users q_funnel does not cover)
+    val funnel = graft.operators.Events.qFunnel(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("stage")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Int]("stage") ==
+        funnel.getOrElse(r.getAs[Long]("user_id"), 0))
+    }
+    // stage parity 2: session count equals q_session_gap's sessions
+    val sess = graft.operators.Windowed.qSessionGap(spark, sfDir)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sessions") == sess(r.getAs[Long]("user_id")))
+    }
+    // stage parity 3: cohort equals q_retention's first-touch cohort
+    val coh = graft.operators.Events.qRetention(spark, sfDir)
+      .filter(col("day_offset") === 0).select("cohort").distinct()
+      .collect().map(_.getAs[java.sql.Date](0).toString).toSet
+    assert(rows.map(_.getAs[java.sql.Date]("cohort").toString)
+      .toSet == coh)
+    // every user appears exactly once with consistent counts
+    assert(rows.map(_.getAs[Long]("user_id")).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events") >= r.getAs[Long]("active_days"))
+      assert(r.getAs[Long]("n_sessions") <= r.getAs[Long]("n_events"))
+    }
+  }
+
+  test("EP10 plans two minimal user shuffles and a broadcast assembly") {
+    val p = Pipelines.qPipelineEngagement(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // one user_id exchange per branch, nothing else hash-shuffles —
+    // the aggregates (incl. the countDistinct expansion) all ride
+    // their branch's partitioning
+    val fresh = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(fresh == 2, s"expected the two branch shuffles, got $fresh:\n" +
+      p.take(3000))
+    // the funnel branch's event-type filter reaches its scan, so its
+    // exchange carries only funnel rows
+    assert(p.contains("In(event_type") || p.contains("in(event_type"),
+      s"funnel filter not pushed:\n${p.take(3000)}")
+    // user-dimension-sized funnel frame broadcasts back; no third
+    // shuffle for the assembly join
+    assert(p.contains("BroadcastHashJoin"))
+  }
 }

@@ -732,6 +732,20 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_heavy_hitters_by_lang cuts per-group top-5 exactly") {
+    val got = TextOps.qHeavyHittersByLang(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val counts = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("lang", "t").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val want = counts.groupBy(_._1).toSeq.flatMap { case (_, ts) =>
+      ts.sortBy { case (_, t, n) => (-n, t) }.take(5)
+    }.sortBy { case (l, t, n) => (l, -n, t) }
+    assert(got.toSeq == want)
+    assert(got.map(_._1).distinct.length > 1) // several languages cut
+  }
+
   test("heavy-hitter summaries are partitioning-independent when exact") {
     import spark.implicits._
     val docs = (0 until 64).map(i => (i.toLong, s"tok_${i % 7} shared"))
