@@ -228,6 +228,41 @@ class EventsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("events operators degrade gracefully on edge-case fixtures") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:30:00")
+    // no funnel event types at all: funnel is empty, retention and
+    // gap fill still cover the signup-only stream
+    val signupOnly = Seq((1L, t0, "signup"), (2L, t0, "signup"))
+      .toDF("user_id", "ts", "event_type")
+    withEventsFixture(signupOnly) { dir =>
+      assert(Events.qFunnel(spark, dir).count() == 0)
+      val ret = Events.qRetention(spark, dir).collect()
+      assert(ret.map(_.getAs[Long]("n_users")).sum == 2)
+      // single-hour span: the grid is exactly one row per type, all
+      // deltas null
+      val gf = Events.qGapFill(spark, dir).collect()
+      assert(gf.length == 1 && gf.head.getAs[Long]("n") == 2
+        && gf.head.isNullAt(3))
+      // no windows and no points: zero rows, no failure
+      assert(Events.qRangeJoin(spark, dir).count() == 0)
+      assert(Events.qClickAttribution(spark, dir).count() == 0)
+    }
+    // a lone user whose only activity is one purchase: stage 0 (no
+    // view), one session, cohort offset 0
+    val loner = Seq((7L, t0, "purchase")).toDF("user_id", "ts", "event_type")
+    withEventsFixture(loner) { dir =>
+      val f = Events.qFunnel(spark, dir).collect()
+      assert(f.length == 1 && f.head.getAs[Int]("stage") == 0)
+      val ep = graft.operators.Pipelines.qPipelineEngagement(spark, dir)
+        .collect()
+      assert(ep.length == 1 &&
+        ep.head.getAs[Int]("stage") == 0 &&
+        ep.head.getAs[Long]("n_sessions") == 1L &&
+        ep.head.getAs[Long]("active_days") == 1L)
+    }
+  }
+
   /** Write an events-shaped fixture and run `f` against its dir. The
     * driver's events.parquet stores `ts` as raw nanosecond longs
     * (TESTDATA.md; [[graft.sources.Tables.events]] decodes them), so
