@@ -24,6 +24,20 @@ case class SessionBuffer(ivs: List[SessionState])
 case class SessionOut(user_id: Long, session_start: Timestamp,
   session_end: Timestamp, n_events: Long)
 
+/** Input/state/output records for the stateful streaming funnel. */
+case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
+/** Buffered not-yet-finalized event: epoch micros + stage tag (0 view,
+  * 1 click, 2 purchase). */
+case class PendEv(us: Long, tag: Int)
+/** Per-user funnel state: the three staged-min timestamps already
+  * FINALIZED (watermark has passed them — they can never change), plus
+  * the in-watermark buffer. Once the buffer drains the state is three
+  * longs — O(1) per user. */
+case class FunnelState(vTs: Option[Long], cTs: Option[Long],
+  pTs: Option[Long], pending: List[PendEv])
+/** One emitted stage transition: the user reached `stage` at `at`. */
+case class FunnelStageOut(user_id: Long, stage: Int, at: Timestamp)
+
 /** Structured Streaming generalization of the reference's scheduled /
   * nightly incremental sync (/root/reference/insights.md:169-172;
   * SURVEY.md §2.9). Each transform takes any events-shaped DataFrame —
@@ -169,6 +183,82 @@ object Streams {
           }
           expired.map(s => SessionOut(user, fromMicros(s.start),
             fromMicros(s.end), s.n)).iterator
+      }
+  }
+
+  /** STREAMING FUNNEL — the stateful dual of
+    * [[graft.operators.Events.qFunnel]]'s staged-min semantics, emitting
+    * a row whenever a user REACHES a new stage. The batch carries fold
+    * events in (ts, tag) order; a stream delivers them out of order, so
+    * events buffer per user until the watermark passes them and only
+    * then fold into the staged-min triple — finalized minima can never
+    * be perturbed by a late arrival, which is exactly the property the
+    * batch ordering provides (the sessionizer's finalize-behind-the-
+    * watermark discipline applied to funnel stages).
+    *
+    * Fold rule per finalized event, in (ts, tag) order: a view sets
+    * v_ts once; a click with v_ts set sets c_ts once (its ts ≥ v_ts
+    * because the fold is ordered); a purchase with c_ts set sets p_ts
+    * once. Each set emits one transition row — stages are monotone, so
+    * append mode is exact.
+    *
+    * State at scale: the buffer holds only in-watermark events of the
+    * three funnel types for users active inside the horizon; after the
+    * watermark drains it, state is three longs per user (the funnel
+    * never closes — a user can convert a month later — so the triple
+    * persists; a production deployment bounds lifetime with a TTL
+    * policy, orthogonal here). Timeouts fire at the earliest pending
+    * event's finalization so buffered stages drain without requiring
+    * new events for that user.
+    *
+    * Exactness contract: Spark's stateful late-row filter DROPS any
+    * event whose ts is already behind the watermark on arrival, so
+    * equality with the batch fold holds exactly when arrival disorder
+    * is bounded by `delay` — events later than that are lost to the
+    * stream (the standard streaming trade; the batch dual is the
+    * backfill for anything beyond the horizon).
+    */
+  def funnelStateful(events: Dataset[FunnelEvent],
+      delay: String = "2 hours"): Dataset[FunnelStageOut] = {
+    implicit val outEnc = Encoders.product[FunnelStageOut]
+    implicit val stEnc = Encoders.product[FunnelState]
+    val tags = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    events
+      .filter(e => tags.contains(e.event_type))
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelState, FunnelStageOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[FunnelEvent],
+          state: GroupState[FunnelState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption
+            .getOrElse(FunnelState(None, None, None, Nil))
+          val pend = (st.pending ++ evs.map(e =>
+            PendEv(toMicros(e.ts), tags(e.event_type))))
+            .sortBy(p => (p.us, p.tag))
+          // an event is finalized once no earlier event can still
+          // arrive: ts < watermark (Spark admits ts == watermark)
+          val (ready, hold) = pend.partition(_.us < wmUs)
+          var (v, c, p) = (st.vTs, st.cTs, st.pTs)
+          val out = ready.flatMap { e =>
+            if (e.tag == 0 && v.isEmpty) {
+              v = Some(e.us); Some(FunnelStageOut(user, 1, fromMicros(e.us)))
+            } else if (e.tag == 1 && v.isDefined && c.isEmpty) {
+              c = Some(e.us); Some(FunnelStageOut(user, 2, fromMicros(e.us)))
+            } else if (e.tag == 2 && c.isDefined && p.isEmpty) {
+              p = Some(e.us); Some(FunnelStageOut(user, 3, fromMicros(e.us)))
+            } else None
+          }
+          state.update(FunnelState(v, c, p, hold))
+          if (hold.nonEmpty) {
+            // wake when the earliest buffered event finalizes (ms,
+            // rounded up, strictly above the current watermark)
+            state.setTimeoutTimestamp(math.max(
+              math.floorDiv(hold.head.us + 999L, 1000L),
+              state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
       }
   }
 

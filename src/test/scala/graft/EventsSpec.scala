@@ -228,6 +228,86 @@ class EventsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("funnelStateful finalizes out-of-order stages behind the watermark") {
+    import spark.implicits._
+    import graft.streaming.FunnelEvent
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[FunnelEvent](spark)
+    val q = graft.streaming.Streams.funnelStateful(input.toDS())
+      .writeStream.format("memory").queryName("funnel_stateful")
+      .outputMode("append").start()
+    try {
+      // trigger 1: the click ARRIVES first though its event time is
+      // after the view's — a naive incremental fold would discard it
+      input.addData(FunnelEvent(1, t("2024-01-01 10:05:00"), "click"))
+      q.processAllAvailable()
+      // trigger 2: the earlier view and the completing purchase, plus
+      // a view-less purchase for user 2; watermark still behind all
+      input.addData(FunnelEvent(1, t("2024-01-01 10:00:00"), "view"),
+        FunnelEvent(1, t("2024-01-01 10:07:00"), "purchase"),
+        FunnelEvent(2, t("2024-01-01 10:30:00"), "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_stateful").count() == 0)
+      // two watermark pushers: the first advances the watermark past
+      // every buffered event at its END, the second's trigger then
+      // finalizes and emits
+      input.addData(FunnelEvent(99, t("2024-01-01 13:00:00"), "view"))
+      q.processAllAvailable()
+      input.addData(FunnelEvent(98, t("2024-01-01 13:30:00"), "view"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_stateful").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage"),
+          r.getAs[Timestamp]("at").toString)).sortBy(x => (x._1, x._2))
+      // user 1 walks all three stages in EVENT-time order; user 2's
+      // view-less purchase finalizes silently (stage 0, the batch
+      // dual's answer); the pushers are still in-watermark
+      assert(got.toSeq == Seq(
+        (1L, 1, "2024-01-01 10:00:00.0"),
+        (1L, 2, "2024-01-01 10:05:00.0"),
+        (1L, 3, "2024-01-01 10:07:00.0")))
+    } finally q.stop()
+  }
+
+  test("funnelStateful equals the batch funnel on randomized arrivals") {
+    import spark.implicits._
+    import graft.streaming.FunnelEvent
+    val rnd = new scala.util.Random(421)
+    val types = Array("view", "click", "purchase")
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val evs = (1 to 120).map { i =>
+      FunnelEvent(rnd.nextInt(20).toLong,
+        new Timestamp(base + rnd.nextInt(6 * 3600) * 1000L),
+        types(rnd.nextInt(3)))
+    }
+    val arrival = rnd.shuffle(evs)
+    val input = MemoryStream[FunnelEvent](spark)
+    // delay must cover the full 6 h disorder span: the shuffled arrival
+    // order delivers events arbitrarily late, and Spark's stateful
+    // late-row filter drops anything behind the watermark on arrival —
+    // the batch-equality contract is "disorder bounded by delay"
+    val q = graft.streaming.Streams.funnelStateful(input.toDS(), "6 hours")
+      .writeStream.format("memory").queryName("funnel_rand")
+      .outputMode("append").start()
+    try {
+      arrival.grouped(17).foreach { batch =>
+        input.addData(batch); q.processAllAvailable()
+      }
+      // push the watermark past every event, then trigger the drain
+      val push = new Timestamp(base + 12 * 3600 * 1000L)
+      input.addData(FunnelEvent(900, push, "view")); q.processAllAvailable()
+      input.addData(FunnelEvent(901, push, "view")); q.processAllAvailable()
+      val gotStages = spark.table("funnel_rand").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage")))
+        .filter(_._1 < 900)
+        .groupBy(_._1).map { case (u, ss) => u -> ss.map(_._2).max }
+      val want = graft.operators.Events.funnelStages(
+        evs.toDF("user_id", "ts", "event_type")).collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("stage"))
+        .filter(_._2 > 0).toMap // stage-0 users emit no transitions
+      assert(gotStages == want)
+    } finally q.stop()
+  }
+
   test("events operators degrade gracefully on edge-case fixtures") {
     import spark.implicits._
     val t0 = Timestamp.valueOf("2024-01-01 00:30:00")
