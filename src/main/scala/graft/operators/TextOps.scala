@@ -513,7 +513,8 @@ object TextOps {
     */
   private[graft] def incrementPairs(baseStaged: DataFrame,
     newStaged: DataFrame, joinBack: Boolean,
-    baseHot: Option[DataFrame] = None): DataFrame = {
+    baseHot: Option[DataFrame] = None,
+    bloomPrune: Boolean = true): DataFrame = {
     // the increment goes on the RIGHT — emitOnce's SHUFFLE_HASH build
     // side (round-8 review: hinting the corpus-sized base relation
     // built per-partition hash maps over the whole index while
@@ -526,9 +527,20 @@ object TextOps {
       else
         Seq(col("y.doc_id").as("id_a"), col("x.doc_id").as("id_b"),
           col("y.shash").as("sa"), col("x.shash").as("sb"))
+    val newBanded = bandedRows(newStaged, carry = !joinBack)
+    // bloom prune (ProbeFilters): the corpus-sized index branch drops
+    // its partnerless banded rows BEFORE its exchange, keyed by the
+    // increment's (band, bhash) set — parity- and prune-pinned in
+    // ProbeFilterSpec; false positives only add verify work
+    val baseBanded = {
+      val b = bandedRows(baseStaged, carry = !joinBack)
+      if (bloomPrune)
+        ProbeFilters.bloomSemi(b,
+          newBanded.select(col("band"), col("bhash")), Seq("band", "bhash"))
+      else b
+    }
     val crossCands = BandedJoins.emitOnce(
-      bandedRows(baseStaged, carry = !joinBack),
-      bandedRows(newStaged, carry = !joinBack),
+      baseBanded, newBanded,
       "band", "bhash", "bsigs", "doc_id",
       col("x.doc_id") =!= col("y.doc_id"), crossOut, hotOpt = baseHot)
     val cross =

@@ -466,9 +466,22 @@ object Vectors {
     * fixed 64 doubles, so unlike the text path there is no long-tail
     * payload to justify a join-back layout. */
   private[graft] def embedIncrementPairs(baseStaged: DataFrame,
-    newStaged: DataFrame, baseHot: Option[DataFrame] = None): DataFrame = {
+    newStaged: DataFrame, baseHot: Option[DataFrame] = None,
+    bloomPrune: Boolean = true): DataFrame = {
+    val newBanded = bandedVecs(newStaged)
+    // same pre-shuffle bloom prune as the text probe (ProbeFilters):
+    // the index branch sheds partnerless banded rows before its
+    // exchange, keyed by the increment's (band, band_sig) set
+    val baseBanded = {
+      val b = bandedVecs(baseStaged)
+      if (bloomPrune)
+        ProbeFilters.bloomSemi(b,
+          newBanded.select(col("band"), col("band_sig")),
+          Seq("band", "band_sig"))
+      else b
+    }
     val cross = BandedJoins.emitOnce(
-      bandedVecs(baseStaged), bandedVecs(newStaged),
+      baseBanded, newBanded,
       "band", "band_sig", "sigs", "vec_id",
       col("x.vec_id") =!= col("y.vec_id"),
       Seq(col("y.vec_id").as("id_a"), col("x.vec_id").as("id_b"),
