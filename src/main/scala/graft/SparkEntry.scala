@@ -135,6 +135,7 @@ object SparkEntry {
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_image_meta"      -> (Multimodal.qImageMeta _),
     "q_audio_meta"      -> (Multimodal.qAudioMeta _),
+    "q_video_meta"      -> (Multimodal.qVideoMeta _),
     "q_frame_sample"    -> (Multimodal.qFrameSample _),
     // M6 — corpus curation (split / sample / decontaminate / pack / mix)
     "q_train_split"       -> (Curation.qTrainSplit _),
@@ -1419,6 +1420,23 @@ object SparkEntry {
         |       CAST(16 AS INTEGER) AS bits_per_sample,
         |       CAST((data_size * 1000) // (sample_rate * channels * 2)
         |         AS BIGINT) AS duration_ms
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // q_video_meta: the video modality's roundtrip — Spark builds
+    // genuine big-endian MP4 box sequences (ftyp brand by id, a free
+    // box the walk must skip on doc_id%3==1, mvhd in v0 OR v1 layout
+    // by id parity) and the box walk parses them back; the oracle
+    // recomputes brand/timescale/floor-division duration from doc_id.
+    "q_video_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'isom'
+        |           WHEN 1 THEN 'mp42' ELSE 'avc1' END AS major_brand,
+        |         600 * (1 + doc_id % 5) AS ts,
+        |         1000 + doc_id % 90000 AS dur
+        |  FROM documents)
+        |SELECT doc_id, 'mp4' AS format, major_brand,
+        |       CAST(ts AS INTEGER) AS timescale,
+        |       CAST((dur * 1000) // ts AS BIGINT) AS duration_ms
         |FROM p ORDER BY doc_id""".stripMargin,
     "q_frame_sample" ->
       """SELECT doc_id, CAST(f.frame_idx AS INTEGER) AS frame_idx,

@@ -226,6 +226,146 @@ case class AudioMeta(child: Expression) extends UnaryExpression {
     newChild: Expression): AudioMeta = copy(child = newChild)
 }
 
+/** Video metadata from REAL container bytes — the video member of the
+  * decoder-free metadata family ([[ImageMeta]] PNG/JPEG, [[AudioMeta]]
+  * WAV/RIFF): MP4 is ISO base-media (ISO/IEC 14496-12), a public
+  * nested-box format whose movie header needs no codec.
+  *
+  *   - a file is a sequence of boxes `size32be type4 payload`; size
+  *     includes the 8-byte header; size==1 means a 64-bit `largesize`
+  *     follows the type; size==0 means the box runs to EOF (legal for
+  *     the last top-level box only);
+  *   - `ftyp` (spec: should be first) opens with major_brand(4 ascii);
+  *   - `moov` is a pure container; its child `mvhd` carries
+  *     version(1)+flags(3), then v0: creation(4) modification(4)
+  *     timescale(4be) duration(4be) — or v1 with 64-bit
+  *     creation/modification/duration;
+  *   - duration_ms = duration * 1000 / timescale, exact floor
+  *     arithmetic, the same discipline as the WAV duration.
+  *
+  * The walk skips unknown boxes at both levels (free/skip/mdat before
+  * moov is common in real files) and recurses exactly one level, into
+  * moov. NULL for anything that does not parse (no ftyp, truncated
+  * box or header, moov without mvhd, zero timescale, negative or
+  * overflowing sizes) — corrupt bytes become filterable rows, never
+  * task failures. Codegen'd: a 100 TB video-corpus filter on
+  * duration/timescale runs at scan speed with zero decoder
+  * involvement.
+  */
+case class VideoMeta(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("major_brand", StringType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration_ms", org.apache.spark.sql.types.LongType,
+      nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_video_meta"
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+      (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+      b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+
+  /** mvhd payload → (timescale, duration) or null. `i` is the payload
+    * start (after the 8-byte box header), `end` its exclusive bound. */
+  private def mvhdFields(b: Array[Byte], i: Int, end: Int): Array[Long] = {
+    if (i + 4 > end) return null
+    u8(b, i) match {
+      case 0 =>
+        if (i + 20 > end) return null
+        Array(be32(b, i + 12), be32(b, i + 16))
+      case 1 =>
+        if (i + 32 > end) return null
+        Array(be32(b, i + 20), be64(b, i + 24))
+      case _ => null // unknown mvhd version
+    }
+  }
+
+  def compute(b: Array[Byte]): InternalRow = {
+    val n = b.length
+    var i = 0
+    var brand: String = null
+    var ts = -1L; var dur = -1L
+    while (i + 8 <= n && (brand == null || ts < 0)) {
+      val size0 = be32(b, i)
+      var payload = i + 8
+      var boxEnd = 0L
+      if (size0 == 1) { // 64-bit largesize follows the type
+        if (i + 16 > n) return null
+        val ls = be64(b, i + 8)
+        if (ls < 16) return null
+        payload = i + 16
+        boxEnd = i + ls
+      } else if (size0 == 0) { // to EOF — last box only
+        boxEnd = n
+      } else {
+        if (size0 < 8) return null
+        boxEnd = i + size0
+      }
+      if (boxEnd > n) return null // truncated box
+      if (tag(b, i + 4, "ftyp")) {
+        if (payload + 4 > boxEnd) return null
+        brand = new String(b, payload, 4, "US-ASCII")
+      } else if (tag(b, i + 4, "moov")) {
+        // one-level recursion: scan moov's children for mvhd
+        var j = payload
+        while (j + 8 <= boxEnd && ts < 0) {
+          val cs = be32(b, j)
+          if (cs < 8 || j + cs > boxEnd) return null
+          if (tag(b, j + 4, "mvhd")) {
+            val f = mvhdFields(b, j + 8, (j + cs).toInt)
+            if (f == null) return null
+            ts = f(0); dur = f(1)
+          }
+          j += cs.toInt
+        }
+        if (ts < 0) return null // moov without mvhd
+      }
+      if (boxEnd <= i) return null // no forward progress
+      i = boxEnd.toInt
+    }
+    if (brand == null || ts <= 0 || dur < 0 || ts > Int.MaxValue)
+      return null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString("mp4"), UTF8String.fromString(brand),
+        ts.toInt, dur * 1000L / ts))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+    ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("videoMeta", this,
+      classOf[VideoMeta].getName)
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = $self.compute($b);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(
+    newChild: Expression): VideoMeta = copy(child = newChild)
+}
+
 object BinaryFunctions {
   /** struct(format, width, height) parsed from real PNG/JPEG header
     * bytes; NULL when the payload is not a parseable image header. */
@@ -237,4 +377,10 @@ object BinaryFunctions {
     * payload is not a parseable WAV container. */
   def audioMeta(bin: Column): Column =
     ColumnBridge.column(AudioMeta(ColumnBridge.expression(bin)))
+
+  /** struct(format, major_brand, timescale, duration_ms) parsed from
+    * real MP4/ISO-BMFF box bytes; NULL when the payload is not a
+    * parseable movie container. */
+  def videoMeta(bin: Column): Column =
+    ColumnBridge.column(VideoMeta(ColumnBridge.expression(bin)))
 }

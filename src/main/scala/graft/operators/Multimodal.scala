@@ -143,6 +143,57 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Real MP4/ISO-BMFF header parsing — the VIDEO member of the
+    * decoder-free metadata family, same roundtrip discipline as
+    * [[qImageMeta]]/[[qAudioMeta]]: the corpus rows become genuine
+    * big-endian MP4 box sequences (ftyp with a per-id major brand, a
+    * `free` box planted before moov on doc_id%3==1 to exercise the
+    * unknown-box skip, moov/mvhd in BOTH spec versions — v0 32-bit and
+    * v1 64-bit fields by id parity, full-length 100/112-byte payloads)
+    * and the codegen'd [[graft.functions.VideoMeta]] box walk parses
+    * them back. The oracle recomputes brand/timescale and the exact
+    * floor-division duration_ms directly from doc_id, so a size
+    * off-by-one, version-branch, or big-endian bug breaks the hash.
+    */
+  def qVideoMeta(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    def be(x: Column, nBytes: Int): Column =
+      unhex(concat((nBytes - 1 to 0 by -1).map(k =>
+        lpad(hex(shiftright(x, 8 * k).bitwiseAND(lit(255))), 2, "0")): _*))
+    def ascii(s: String): Column = encode(lit(s), "UTF-8")
+    val brand = when(col("doc_id") % 3 === 0, lit("isom"))
+      .when(col("doc_id") % 3 === 1, lit("mp42"))
+      .otherwise(lit("avc1"))
+    val ts = (lit(600) * (lit(1) + col("doc_id") % 5)).cast("int")
+    val dur = (lit(1000) + col("doc_id") % 90000).cast("long")
+    val ftyp = concat(be(lit(16), 4), ascii("ftyp"),
+      encode(brand, "UTF-8"), be(lit(0), 4))
+    val free = concat(be(lit(11), 4), ascii("free"), ascii("pad"))
+    val tail80 = unhex(lit("00" * 80))
+    // v0: 4 version+flags, 4+4 times, 4 timescale, 4 duration, 80 tail
+    val mvhd0 = concat(be(lit(108), 4), ascii("mvhd"), be(lit(0), 4),
+      be(lit(0), 4), be(lit(0), 4), be(ts, 4), be(dur.cast("int"), 4),
+      tail80)
+    // v1: version byte 1, 8+8 times, 4 timescale, 8 duration, 80 tail
+    val mvhd1 = concat(be(lit(120), 4), ascii("mvhd"),
+      unhex(lit("01000000")), be(lit(0), 8), be(lit(0), 8), be(ts, 4),
+      be(dur, 8), tail80)
+    val isV0 = col("doc_id") % 2 === 0
+    val moov = concat(
+      be(when(isV0, lit(116)).otherwise(lit(128)), 4), ascii("moov"),
+      when(isV0, mvhd0).otherwise(mvhd1))
+    val bin = when(col("doc_id") % 3 === 1, concat(ftyp, free, moov))
+      .otherwise(concat(ftyp, moov))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.BinaryFunctions.videoMeta(bin).as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.major_brand").as("major_brand"),
+        col("m.timescale").as("timescale"),
+        col("m.duration_ms").as("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Decode + frame-sample through the typed boundary. A real build
     * would invoke an image/video codec per record here; the container
     * has none, so the decode is a STUB: deterministic fake frames whose

@@ -208,4 +208,98 @@ class MultimodalSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("MapPartitions") && !plan.contains("BatchEvalPython"))
   }
+
+  private def parseMp4(b: Array[Byte]): Option[(String, String, Int, Long)] = {
+    import spark.implicits._
+    Seq(Tuple1(b)).toDF("bin")
+      .select(graft.functions.BinaryFunctions.videoMeta(col("bin")).as("m"))
+      .select("m.format", "m.major_brand", "m.timescale", "m.duration_ms")
+      .collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None
+        else Some((r.getString(0), r.getString(1), r.getInt(2),
+          r.getLong(3))))
+  }
+
+  /** Hand-serialized canonical MP4: ftyp isom + moov/mvhd v0,
+    * timescale 600, duration 6000 units → exactly 10000 ms. */
+  private val mvhdV0: String =
+    "0000006C 6D766864 00000000 00000000 00000000 00000258 00001770" +
+      " " + "00" * 80
+  private val canonicalMp4: String =
+    "00000010 66747970 69736F6D 00000000" + // ftyp isom
+      " 00000074 6D6F6F76 " + mvhdV0 // moov > mvhd
+
+  test("VideoMeta walks real MP4 boxes: v0/v1, skips, largesize, to-EOF") {
+    assert(parseMp4(hexBytes(canonicalMp4)) ==
+      Some(("mp4", "isom", 600, 10000L)))
+    // a free box between ftyp and moov must be skipped
+    assert(parseMp4(hexBytes(
+      "00000010 66747970 6D703432 00000000" + // ftyp mp42
+        " 0000000B 66726565 706164" + // free, 3-byte payload
+        " 00000074 6D6F6F76 " + mvhdV0)) ==
+      Some(("mp4", "mp42", 600, 10000L)))
+    // v1 mvhd: 64-bit times/duration; timescale 1000, duration 2500
+    assert(parseMp4(hexBytes(
+      "00000010 66747970 61766331 00000000" +
+        " 00000080 6D6F6F76" +
+        " 00000078 6D766864 01000000" +
+        " 0000000000000000 0000000000000000 000003E8" +
+        " 00000000000009C4 " + "00" * 80)) ==
+      Some(("mp4", "avc1", 1000, 2500L)))
+    // largesize moov (size==1, 64-bit 124 = 16-byte header + mvhd 108)
+    assert(parseMp4(hexBytes(
+      "00000010 66747970 69736F6D 00000000" +
+        " 00000001 6D6F6F76 000000000000007C " + mvhdV0)) ==
+      Some(("mp4", "isom", 600, 10000L)))
+    // size==0: moov runs to EOF (legal for the last top-level box)
+    assert(parseMp4(hexBytes(
+      "00000010 66747970 69736F6D 00000000" +
+        " 00000000 6D6F6F76 " + mvhdV0)) ==
+      Some(("mp4", "isom", 600, 10000L)))
+  }
+
+  test("VideoMeta rejects corrupt payloads as NULL rows, never failures") {
+    assert(parseMp4("definitely not a movie file".getBytes).isEmpty)
+    assert(parseMp4(Array.empty[Byte]).isEmpty)
+    // moov/mvhd but no ftyp anywhere → no brand → quarantined
+    assert(parseMp4(hexBytes("00000074 6D6F6F76 " + mvhdV0)).isEmpty)
+    // moov without an mvhd child
+    assert(parseMp4(hexBytes(
+      "00000010 66747970 69736F6D 00000000 00000008 6D6F6F76")).isEmpty)
+    // mvhd truncated: child size runs past the moov bound
+    assert(parseMp4(hexBytes(
+      "00000010 66747970 69736F6D 00000000" +
+        " 00000018 6D6F6F76 0000006C 6D766864 00000000")).isEmpty)
+    // zero timescale would divide by zero → quarantined, not thrown
+    assert(parseMp4(hexBytes(canonicalMp4.replace("00000258",
+      "00000000"))).isEmpty)
+    // unknown mvhd version (2)
+    assert(parseMp4(hexBytes(canonicalMp4.replace("6D766864 00000000",
+      "6D766864 02000000"))).isEmpty)
+    // child box with size < 8 cannot make progress
+    assert(parseMp4(hexBytes(
+      "00000010 66747970 69736F6D 00000000" +
+        " 00000010 6D6F6F76 00000004 6D766864")).isEmpty)
+  }
+
+  test("q_video_meta roundtrips built MP4 containers through the parser") {
+    val rows = Multimodal.qVideoMeta(spark, sfDir).collect()
+    assert(rows.length ==
+      spark.read.parquet(s"$sfDir/documents.parquet").count())
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val brand = (id % 3) match {
+        case 0 => "isom"; case 1 => "mp42"; case _ => "avc1"
+      }
+      val ts = 600 * (1 + (id % 5).toInt)
+      val dur = 1000L + id % 90000
+      assert(r.getString(1) == "mp4")
+      assert(r.getString(2) == brand)
+      assert(r.getInt(3) == ts)
+      assert(r.getLong(4) == dur * 1000L / ts)
+    }
+    val plan = Multimodal.qVideoMeta(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions") && !plan.contains("BatchEvalPython"))
+  }
 }
