@@ -55,6 +55,7 @@ object SparkEntry {
     "q_child_lookup"    -> (Joins.qChildLookup _),
     "q_code_map"        -> (Joins.qCodeMap _),
     "q_anti_missing"    -> (Joins.qAntiMissing _),
+    "q_semi_exists"     -> (Joins.qSemiExists _),
     "q_asof_join"       -> (Joins.qAsofJoin _),
     "q_hierarchy_closure" -> (Joins.qHierarchyClosure _),
     "q_resource_counts" -> (Joins.qResourceCounts _),
@@ -583,6 +584,11 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '2000-06-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_semi_exists" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 150000)
         |ORDER BY c_custkey""".stripMargin,
     "q_hierarchy_closure" ->
       """WITH RECURSIVE mf AS (

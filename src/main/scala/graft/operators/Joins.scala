@@ -185,6 +185,25 @@ object Joins {
       .orderBy(col("c_custkey"))
   }
 
+  /** P6 declared — the EXISTENCE predicate as a first-class query, the
+    * semi twin of [[qAntiMissing]]'s anti: customers WITH at least one
+    * high-value recent order, via LEFT SEMI join (one probe per build
+    * row, no fan-out — a plain inner join would duplicate a customer
+    * per matching order and need a distinct shuffle on top; the semi
+    * form stops at the first match). Same scale posture as the anti:
+    * the filter on orders pushes to its scan, both sides shuffle once
+    * on the key, AQE is free to broadcast the filtered build side.
+    */
+  def qSemiExists(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 150000)
+      .select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** A2 — resource-type rollup counts, source-vs-target
     * (/root/reference/src/insights.py:9-14): union of per-type tallies →
     * one 2-key hash aggregate. Partial aggregation runs on each union

@@ -177,6 +177,23 @@ class JoinsSpec extends SparkTestBase {
     assert(gap.union(recent) == all)
   }
 
+  test("q_semi_exists equals the distinct-inner set, one row per customer") {
+    val df = Joins.qSemiExists(spark, sfDir)
+    val got = df.select("c_custkey").collect().map(_.getLong(0))
+    // semi join must not fan out: strictly one row per qualifying key
+    assert(got.length == got.toSet.size)
+    val want = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_totalprice") > 150000)
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(got.toSet == want)
+    assert(want.nonEmpty) // the predicate must bite at every SF
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"))
+    // the totalprice filter reaches the orders scan
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(o_totalprice"))
+  }
+
   test("q_resource_counts totals match the table sizes") {
     val df = Joins.qResourceCounts(spark, sfDir)
     val byType = df.groupBy("resource_type").agg(sum("n").as("t"))
