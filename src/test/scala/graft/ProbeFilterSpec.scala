@@ -81,6 +81,51 @@ class ProbeFilterSpec extends SparkTestBase {
       .contains("might_contain"))
   }
 
+  test("bloom prune cuts the probe's shuffled records where it bites") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // total records through every shuffle exchange of the EXECUTED plan
+    def shuffledRecords(df: DataFrame): Long = {
+      df.collect()
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => q +: walk(q.plan)
+        case other => other +: other.children.flatMap(walk)
+      }
+      val recs = walk(df.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike =>
+          Seq("shuffleRecordsWritten", "numOutputRows")
+            .flatMap(k => s.metrics.get(k).map(_.value)).headOption
+            .getOrElse(0L) }
+      assert(recs.exists(_ > 0L),
+        "no shuffle metrics found — exchange metric key changed?")
+      recs.sum
+    }
+    // disjoint vocabularies: the increment shares no shingles with the
+    // base, so (almost) every banded base row is partnerless
+    val base = (0 until 400)
+      .map(i => (i.toLong, s"alpha bravo charlie delta echo $i " * 4))
+      .toDF("doc_id", "text")
+    val inc = (1000 until 1010)
+      .map(i => (i.toLong, s"zulu yankee xray whiskey victor $i " * 4))
+      .toDF("doc_id", "text")
+    val baseStaged = TextOps.stageDocs(base).localCheckpoint(true)
+    val incStaged = TextOps.stageDocs(inc).localCheckpoint(true)
+    def probe(prune: Boolean) = TextOps.incrementPairs(
+      baseStaged, incStaged, joinBack = false, bloomPrune = prune)
+    val withPrune = shuffledRecords(probe(prune = true))
+    val without = shuffledRecords(probe(prune = false))
+    // without the prune every banded base row (400 docs × bands)
+    // shuffles; with it only bloom false positives survive the scan —
+    // records must drop by well over 2× (observed ~bands×hundreds → ~0)
+    assert(withPrune * 2 < without,
+      s"prune did not cut shuffle volume: with=$withPrune without=$without")
+  }
+
   test("incremental embed probe: prune-on equals prune-off on the fixture") {
     val vecs = Vectors.unit(spark, sfDir)
     val base = Vectors.stageVectors(vecs.filter(!Vectors.isIncrementVec))
