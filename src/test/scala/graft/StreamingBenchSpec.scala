@@ -123,6 +123,42 @@ class StreamingBenchSpec extends SparkTestBase {
       "bench stream emitted no closed windows — watermark never advanced")
   }
 
+  test("stateful funnel sustains the throughput floor") {
+    import spark.implicits._
+    import graft.streaming.FunnelEvent
+    // same volume/ordering shape as the sessionizer bench; the type
+    // cycle walks each user through repeated view/click/purchase so the
+    // staged-min triple does real work and buffers churn
+    val types = Array("view", "click", "purchase")
+    val evs = sessionEvents.map(e =>
+      FunnelEvent(e.user_id, e.ts, types((e.event_id % 3).toInt)))
+    var emitted = 0L
+    def measure(): Double = {
+      val name = s"stream_bench_funnel_${attempt.incrementAndGet()}"
+      val input = MemoryStream[FunnelEvent](spark)
+      val q = Streams.funnelStateful(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val t0 = System.nanoTime()
+      try {
+        evs.grouped(n / 4).foreach { chunk =>
+          input.addData(chunk); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      emitted = spark.table(name).count()
+      info(f"funnelStateful: ${n / secs}%.0f rows/s " +
+        f"($n rows in $secs%.2f s)")
+      n / secs
+    }
+    val rps = bestOfTwo(measure _)
+    assertFloor(rps, "stateful funnel")
+    // structural assert independent of the gated floor: stages must
+    // finalize behind the watermark, or the measurement is vacuous
+    assert(emitted > 0,
+      "bench stream emitted no stage transitions — watermark never advanced")
+  }
+
   test("label-extension sink sustains a per-document throughput floor") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
