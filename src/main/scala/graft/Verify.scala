@@ -40,8 +40,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Fixture-backed oracles (patient/observation ndjson) name their
+    // files under a path keyed by the sf directory NAME. The authored
+    // SQL carries the driver's sf0.01 literal; rewrite it to the dir
+    // Verify actually ran at, so a builder-side sweep at any other SF
+    // (e.g. sf0.1) compares against the matching fixture corpus. At
+    // the driver's sf0.01 this substitution is the identity.
+    val sfName = new java.io.File(sfDir).getName
+    val fixtureSf = "(/tmp/graft_fixtures/[a-z_]+/)sf[0-9.]+/".r
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        val vs = fixtureSf.replaceAllIn(v, m => m.group(1) + sfName + "/")
+        s"${q(k)}: ${q(vs)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
