@@ -116,6 +116,7 @@ object SparkEntry {
     "q_heavy_hitters"   -> (TextOps.qHeavyHitters _),
     "q_heavy_hitters_by_lang" -> (TextOps.qHeavyHittersByLang _),
     "q_tfidf_topk"      -> (TextOps.qTfidfTopk _),
+    "q_bm25_topk"       -> (TextOps.qBm25Topk _),
     "q_colloc_pmi"      -> (TextOps.qCollocPmi _),
     "q_token_percentiles" -> (TextOps.qTokenPercentiles _),
     "q_lang_id"         -> (TextOps.qLangId _),
@@ -1120,6 +1121,46 @@ object SparkEntry {
         |ORDER BY lang, est DESC, token""".stripMargin,
     // Rational BM25-style idf: one exact integer-valued product + one
     // IEEE division — bit-identical across engines, unlike ln().
+    // BM25 mirror notes: the (1.2 + 1) k1-plus-one factor is written
+    // as arithmetic in BOTH engines (IEEE-identical fold; a pre-folded
+    // Scala 2.2 could round differently), df/sum_dl are integer sums
+    // cast once, and the score's operator chain is left-associated
+    // identically on both sides.
+    "q_bm25_topk" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS dl,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x = 'spark')) AS tf0,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x = 'vector')) AS tf1,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x = 'hash')) AS tf2
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(dl) AS BIGINT) AS sum_dl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM base)
+        |SELECT doc_id, dl,
+        |  CAST((tf0 > 0)::INT + (tf1 > 0)::INT + (tf2 > 0)::INT
+        |    AS INTEGER) AS n_match,
+        |  (n - df0 + 0.5) / (df0 + 0.5)
+        |    * (CAST(tf0 AS DOUBLE) * (1.2 + 1))
+        |    / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl
+        |        / (CAST(sum_dl AS DOUBLE) / n)))
+        |  + (n - df1 + 0.5) / (df1 + 0.5)
+        |    * (CAST(tf1 AS DOUBLE) * (1.2 + 1))
+        |    / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl
+        |        / (CAST(sum_dl AS DOUBLE) / n)))
+        |  + (n - df2 + 0.5) / (df2 + 0.5)
+        |    * (CAST(tf2 AS DOUBLE) * (1.2 + 1))
+        |    / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl
+        |        / (CAST(sum_dl AS DOUBLE) / n))) AS score
+        |FROM base CROSS JOIN stats
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "q_tfidf_topk" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -1278,6 +1278,72 @@ object TextOps {
     * hash compare; the declared [[qFingerprint]] keeps the 8-byte
     * production hash.
     */
+  /** BM25 ranked retrieval: the top-k documents for a fixed keyword
+    * query, scored with the Okapi BM25 formula (k1 = 1.2, b = 0.75 —
+    * the standard defaults). Complements [[qTfidfTopk]]: tf-idf ranks
+    * tokens WITHIN each document; this ranks DOCUMENTS for a query —
+    * the retrieval primitive behind corpus search and RAG-style
+    * training-data selection. The idf factor is the RATIONAL BM25 form
+    * (N − df + ½)/(df + ½) without the usual log — the established
+    * cross-engine determinism rule ([[qTfidfTopk]]): log is monotone
+    * per term, and every score here is a chain of IEEE products and
+    * divisions that DuckDB reproduces bit-for-bit, where `ln`
+    * implementations differ. Constants that are not exactly
+    * representable (k1 + 1) are written as the same ARITHMETIC in both
+    * engines, never pre-folded by Scala — IEEE addition of identical
+    * literals is bitwise-reproducible; Scala's fold could land on the
+    * other side of a rounding tie.
+    *
+    * Scale shape: ZERO data shuffles. Per-term tf and the document
+    * length are row-local array ops (one `split` per expression, ~4
+    * per row — the cheap axis; they sit in ONE projection under the
+    * stats join, so CollapseProject cannot re-inline them into every
+    * consumer). Corpus statistics (N, Σdl, per-term df) reduce to a
+    * SINGLE row via map-side partial aggregation and broadcast back;
+    * scoring is then embarrassingly parallel and the top-k plans as
+    * TakeOrderedAndProject (per-partition heaps, k rows to the
+    * driver). At 100 TB this is a pure double scan-pass — no join, no
+    * exchange, no skew surface. Ties break on doc_id.
+    */
+  def qBm25Topk(spark: SparkSession, dir: String): DataFrame =
+    bm25Topk(Tables.documents(spark, dir))
+
+  /** Core of [[qBm25Topk]] over any (doc_id, text) frame. The oracle
+    * SQL mirrors the DEFAULT arguments; callers changing them get the
+    * spec-only contract. */
+  private[graft] def bm25Topk(docs: DataFrame,
+      query: Seq[String] = Seq("spark", "vector", "hash"),
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 10): DataFrame = {
+    val splitToks = split(col("text"), " ")
+    val tfCols = query.zipWithIndex.map { case (q, i) =>
+      size(filter(splitToks, x => x === lit(q))).as(s"tf$i")
+    }
+    val base = docs.select(
+      col("doc_id") +: size(splitToks).as("dl") +: tfCols: _*)
+    val dfCols = query.indices.map { i =>
+      sum((col(s"tf$i") > 0).cast("long")).as(s"df$i")
+    }
+    val statsCols = count(lit(1)).as("n") +:
+      sum(col("dl").cast("long")).as("sum_dl") +: dfCols
+    val stats = base.agg(statsCols.head, statsCols.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n")
+    // per-term Okapi contribution; tf = 0 ⇒ numerator 0 ⇒ exact 0.0,
+    // so unmatched terms need no conditional
+    def contrib(i: Int): Column =
+      (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)) *
+        (col(s"tf$i").cast("double") * (lit(k1) + lit(1.0))) /
+        (col(s"tf$i") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    val score = query.indices.map(contrib).reduceLeft(_ + _)
+    val nMatch = query.indices
+      .map(i => (col(s"tf$i") > 0).cast("int")).reduceLeft(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), nMatch.as("n_match"),
+        score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def qFingerprintChecked(spark: SparkSession, dir: String): DataFrame = {
     val k = 3
     val gram3 = zip_with(
