@@ -98,6 +98,7 @@ object SparkEntry {
     "q_retention"       -> (Events.qRetention _),
     "q_click_attribution" -> (Events.qClickAttribution _),
     "q_gap_fill"        -> (Events.qGapFill _),
+    "q_scd2_dim"        -> (Events.qScd2Dim _),
     // M5 — LLM-pipeline text ops (SURVEY §2.10; BASELINE.json north star)
     "q_dedup_exact"     -> (TextOps.qDedupExact _),
     "q_jaccard_pairs"   -> (TextOps.qJaccardPairs _),
@@ -569,6 +570,25 @@ object SparkEntry {
         |                             ORDER BY hour) AS BIGINT) AS delta
         |FROM dense
         |ORDER BY hour, event_type""".stripMargin,
+    "q_scd2_dim" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type AS status,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |changes AS (
+        |  SELECT * FROM marked WHERE prev IS NULL OR prev <> status)
+        |SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS BIGINT)
+        |    AS version,
+        |  status, ts AS effective_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS effective_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    IS NULL AS is_current
+        |FROM changes
+        |ORDER BY user_id, version""".stripMargin,
     "q_retention" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),

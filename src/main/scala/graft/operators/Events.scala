@@ -241,4 +241,43 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("cohort"), col("day_offset"))
   }
+
+  /** Slowly-changing-dimension (type 2) history build: collapse each
+    * user's event stream into versioned status intervals — one row per
+    * RUN of consecutive equal event_type values, with
+    * [effective_from, effective_to) validity bounds, a per-user version
+    * number, and an is_current flag on the open interval. This is the
+    * dimension-table dual of the reference's nightly upsert posture
+    * (/root/reference/insights.md:169-172): the landed updates become a
+    * point-in-time queryable history (`WHERE from <= t AND (to > t OR
+    * current)`), the canonical warehouse pattern for auditable ETL.
+    *
+    * Scale shape: ONE user-keyed shuffle serves everything. The
+    * change-row filter (status ≠ previous status) is a lag over
+    * (user_id | ts, event_id); the version bounds are a lead and a
+    * row_number over the SAME partitioning on the filtered survivors,
+    * so Catalyst plans a single exchange and runs all three window
+    * functions inside it (spec-pinned). State per key is one window
+    * frame — no accumulation; skew bounds at the busiest user's event
+    * count, the same bound every per-user window op in this family
+    * carries. event_id tie-breaks equal timestamps so version numbering
+    * is total and deterministic.
+    */
+  def qScd2Dim(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val changes = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("status"))
+      .withColumn("prev", lag(col("status"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("status"))
+    changes
+      .withColumn("version", row_number().over(byUser))
+      .withColumn("effective_to", lead(col("ts"), 1).over(byUser))
+      .select(col("user_id"), col("version").cast("long").as("version"),
+        col("status"), col("ts").as("effective_from"),
+        col("effective_to"),
+        col("effective_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
 }

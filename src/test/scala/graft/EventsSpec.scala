@@ -343,6 +343,60 @@ class EventsSpec extends SparkTestBase {
     }
   }
 
+  test("q_scd2_dim rebuilds each user's exact status timeline") {
+    val got = Events.qScd2Dim(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version"),
+        r.getAs[String]("status"), r.getAs[Timestamp]("effective_from"),
+        Option(r.getAs[Timestamp]("effective_to")),
+        r.getAs[Boolean]("is_current")))
+    // driver-side recompute: run-length collapse of the (ts, event_id)
+    // ordered stream per user
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val ordered = rows.sortBy(r => (r._2.getTime, r._3))
+      val runs = ordered.foldLeft(List.empty[(String, Timestamp)]) {
+        case (acc, (_, ts, _, st)) =>
+          if (acc.headOption.exists(_._1 == st)) acc
+          else (st, ts) :: acc
+      }.reverse
+      runs.zipWithIndex.map { case ((st, from), i) =>
+        val to = runs.lift(i + 1).map(_._2)
+        (uid, (i + 1).toLong, st, from, to, to.isEmpty)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want)
+    // interval algebra: versions abut exactly (to == next from), one
+    // open current version per user, version numbers dense from 1
+    got.groupBy(_._1).foreach { case (uid, vs) =>
+      val s = vs.sortBy(_._2)
+      assert(s.map(_._2).toSeq == (1L to s.length), s"versions $uid")
+      assert(s.count(_._6) == 1 && s.last._6, s"current flag $uid")
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a._5.contains(b._4), s"gap in $uid")
+        case _ =>
+      }
+    }
+    // consecutive versions always change status (no no-op versions)
+    got.groupBy(_._1).values.foreach { vs =>
+      vs.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(a._3 != b._3)
+        case _ =>
+      }
+    }
+  }
+
+  test("q_scd2_dim runs all three windows on one user-keyed shuffle") {
+    val p = Events.qScd2Dim(spark, sfDir).queryExecution.executedPlan
+      .toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(p.replace("ReusedExchange", "reused")).length
+    assert(exchanges == 1, s"expected one user shuffle:\n${p.take(2000)}")
+  }
+
   /** Write an events-shaped fixture and run `f` against its dir. The
     * driver's events.parquet stores `ts` as raw nanosecond longs
     * (TESTDATA.md; [[graft.sources.Tables.events]] decodes them), so
