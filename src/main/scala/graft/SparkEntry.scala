@@ -49,6 +49,7 @@ object SparkEntry {
     "q_null_impute"     -> (Relational.qNullImpute _),
     "q_concat_norm"     -> (Relational.qConcatNorm _),
     "q_string_shape"    -> (Relational.qStringShape _),
+    "q_profile"         -> (Relational.qProfile _),
     // M2 — joins & enrichment (SURVEY §2.3, §2.4 A2)
     "q_child_records"   -> (Joins.qChildRecords _),
     "q_parent_lookup"   -> (Joins.qParentLookup _),
@@ -324,6 +325,51 @@ object SparkEntry {
         |       upper(substring(o_orderpriority, 1, 1)) AS prio_code,
         |       strftime(o_orderdate, '%Y%m%d') AS date_str
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_profile" ->
+      """SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+        |  CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str,
+        |  CAST(NULL AS VARCHAR) AS max_str FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*),
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |  CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+        |  NULL, NULL FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*),
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |  NULL, NULL, min(o_orderstatus), max(o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*),
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        |  CAST(min(o_totalprice) AS DOUBLE),
+        |  CAST(max(o_totalprice) AS DOUBLE), NULL, NULL FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*),
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(count(DISTINCT o_orderdate) AS BIGINT),
+        |  CAST(epoch_us(min(o_orderdate)) AS DOUBLE),
+        |  CAST(epoch_us(max(o_orderdate)) AS DOUBLE), NULL, NULL
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |  NULL, NULL, min(o_orderpriority), max(o_orderpriority)
+        |FROM orders
+        |ORDER BY "column"""".stripMargin,
     // The nested-ingestion oracle reads the SAME fixture files the
     // declared query wrote (deterministic content derived from
     // customer/nation/region) with DuckDB's own declared struct types;

@@ -307,4 +307,78 @@ object Relational {
         upper(substring(col("o_orderpriority"), 1, 1)).as("prio_code"),
         date_format(col("o_orderdate"), "yyyyMMdd").as("date_str"))
       .orderBy(col("o_orderkey"))
+
+  /** Table profiling report: one row per column with row count, null
+    * count, EXACT distinct count, and typed min/max — the data-quality
+    * profile every ingest pipeline runs before trusting a new drop
+    * (the reference validates field-by-field before posting,
+    * /root/reference/src/coding_task_5.py:147-163; this is the
+    * table-level generalization). Numerics and timestamps report
+    * min/max as doubles (timestamps as epoch micros — exact in a
+    * double through year ~2255), strings lexicographically; each kind
+    * leaves the other's columns NULL so the report is one uniform
+    * relation.
+    *
+    * Scale shape: ONE scan, ONE wide aggregate. The exact distincts
+    * make Catalyst plan an Expand (row multiplication by the number of
+    * profiled columns + 1) with per-column partial DISTINCT
+    * aggregation below the exchange — the shuffle carries only
+    * per-partition distinct values, so cost bounds at Σ column
+    * cardinalities, not rows × columns. That is the honest price of
+    * EXACT profiling; the one-pass no-Expand alternative is
+    * `approx_count_distinct` (the engine's `q_approx_distinct` HLL
+    * path, ±2%), the right trade at 100 TB when exactness is not
+    * contractual. The unpivot to long form explodes a literal struct
+    * array over the SINGLE aggregate row — the aggregate never
+    * re-evaluates per profiled column.
+    */
+  def qProfile(spark: SparkSession, dir: String): DataFrame =
+    profile(Tables.orders(spark, dir), Seq(
+      "o_orderkey" -> "num", "o_custkey" -> "num",
+      "o_orderstatus" -> "str", "o_totalprice" -> "num",
+      "o_orderdate" -> "ts", "o_orderpriority" -> "str"))
+
+  /** Core of [[qProfile]]: `cols` maps column name → kind
+    * ("num" | "ts" | "str"), controlling which min/max slot is filled. */
+  private[graft] def profile(df: DataFrame,
+      cols: Seq[(String, String)]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, k) =>
+      Seq(
+        count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__nd")) ++ (k match {
+        case "num" => Seq(
+          min(col(c)).cast("double").as(s"${c}__min"),
+          max(col(c)).cast("double").as(s"${c}__max"))
+        // parquet NTZ timestamps cast through LTZ under the session's
+        // fixed UTC zone — the same treat-as-UTC reading DuckDB's
+        // epoch_us applies to naive timestamps
+        case "ts" => Seq(
+          unix_micros(min(col(c)).cast("timestamp")).cast("double")
+            .as(s"${c}__min"),
+          unix_micros(max(col(c)).cast("timestamp")).cast("double")
+            .as(s"${c}__max"))
+        case "str" => Seq(
+          min(col(c)).as(s"${c}__min"),
+          max(col(c)).as(s"${c}__max"))
+      })
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { case (c, k) =>
+      val (minN, maxN, minS, maxS) =
+        if (k == "str")
+          (lit(null).cast("double"), lit(null).cast("double"),
+            col(s"${c}__min"), col(s"${c}__max"))
+        else
+          (col(s"${c}__min"), col(s"${c}__max"),
+            lit(null).cast("string"), lit(null).cast("string"))
+      struct(lit(c).as("column"), col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__nd").as("n_distinct"), minN.as("min_num"),
+        maxN.as("max_num"), minS.as("min_str"), maxS.as("max_str"))
+    }
+    wide.select(col("n_rows"), explode(array(entries: _*)).as("p"))
+      .select(col("p.column"), col("n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_num"), col("p.max_num"),
+        col("p.min_str"), col("p.max_str"))
+      .orderBy(col("column"))
+  }
 }

@@ -138,6 +138,74 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("q_profile matches a driver-side per-column recompute") {
+    val got = Relational.qProfile(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("column"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_nulls"), r.getAs[Long]("n_distinct"),
+        Option(r.getAs[Any]("min_num")), Option(r.getAs[Any]("max_num")),
+        Option(r.getAs[String]("min_str")),
+        Option(r.getAs[String]("max_str"))))
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet").collect()
+    val n = orders.length.toLong
+    def stat[T](c: String)(implicit ord: Ordering[T]) = {
+      val vs: Seq[T] = orders.toSeq.flatMap(r => Option(r.getAs[T](c)))
+      (n, (orders.length - vs.length).toLong, vs.distinct.length.toLong,
+        vs.min(ord), vs.max(ord))
+    }
+    got.foreach {
+      case ("o_orderkey", nr, nn, nd, mn, mx, None, None) =>
+        val s = stat[Long]("o_orderkey")
+        assert((nr, nn, nd) == (s._1, s._2, s._3))
+        assert(mn.contains(s._4.toDouble) && mx.contains(s._5.toDouble))
+      case ("o_orderstatus", nr, nn, nd, None, None, mn, mx) =>
+        val s = stat[String]("o_orderstatus")
+        assert((nr, nn, nd) == (s._1, s._2, s._3))
+        assert(mn.contains(s._4) && mx.contains(s._5))
+      case ("o_totalprice", nr, nn, nd, mn, mx, None, None) =>
+        val s = stat[Double]("o_totalprice")
+        assert((nr, nn, nd) == (s._1, s._2, s._3))
+        assert(mn.contains(s._4) && mx.contains(s._5))
+      case (c, nr, nn, nd, mn, mx, mns, mxs) =>
+        assert(nr == n && nn == 0L && nd > 0L, c)
+        assert(mn.isDefined != mns.isDefined, c) // exactly one kind
+    }
+    assert(got.map(_._1).toSeq ==
+      Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",
+        "o_orderstatus", "o_totalprice"))
+  }
+
+  test("profile counts nulls, excludes them from distinct, all-null min is null") {
+    import spark.implicits._
+    val fx = Seq(
+      (Some(1L), Some("a"), Option.empty[Long]),
+      (Some(1L), None, None),
+      (None, Some("b"), None))
+      .toDF("k", "s", "dead")
+    val rows = Relational.profile(fx,
+      Seq("k" -> "num", "s" -> "str", "dead" -> "num")).collect()
+      .map(r => r.getAs[String]("column") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"),
+          r.getAs[Long]("n_distinct"), Option(r.getAs[Any]("min_num")),
+          Option(r.getAs[String]("min_str")))).toMap
+    assert(rows("k") == ((3L, 1L, 1L, Some(1.0), None)))
+    assert(rows("s") == ((3L, 1L, 2L, None, Some("a"))))
+    // a fully-null column: 3 nulls, zero distinct, NULL min/max
+    assert(rows("dead") == ((3L, 3L, 0L, None, None)))
+  }
+
+  test("profile plan: one scan, Expand-based exact distincts") {
+    val q = Relational.qProfile(spark, sfDir)
+    q.collect()
+    // AQE's toString repeats the initial plan below the final one —
+    // pin the FINAL section only
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the exact multi-column distinct plans ONE Expand over ONE scan of
+    // the table — not a scan or aggregate per profiled column
+    assert(plan.contains("Expand"), plan)
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
