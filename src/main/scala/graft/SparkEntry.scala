@@ -100,6 +100,7 @@ object SparkEntry {
     "q_click_attribution" -> (Events.qClickAttribution _),
     "q_gap_fill"        -> (Events.qGapFill _),
     "q_scd2_dim"        -> (Events.qScd2Dim _),
+    "q_outliers"        -> (Events.qOutliers _),
     // M5 — LLM-pipeline text ops (SURVEY §2.10; BASELINE.json north star)
     "q_dedup_exact"     -> (TextOps.qDedupExact _),
     "q_jaccard_pairs"   -> (TextOps.qJaccardPairs _),
@@ -616,6 +617,27 @@ object SparkEntry {
         |                             ORDER BY hour) AS BIGINT) AS delta
         |FROM dense
         |ORDER BY hour, event_type""".stripMargin,
+    // Outlier mirror notes: quantile_cont interpolates lower +
+    // (upper - lower) * frac exactly like Spark's exact percentile;
+    // the modified-z expression is left-associated identically.
+    "q_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, "value" FROM events),
+        |med AS (
+        |  SELECT event_type, quantile_cont("value", 0.5) AS med
+        |  FROM ev GROUP BY event_type),
+        |d AS (
+        |  SELECT ev.event_id, ev.event_type, ev."value", med.med,
+        |         abs(ev."value" - med.med) AS dev
+        |  FROM ev JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_id, d.event_type, d."value", d.med, mad.mad,
+        |  0.6745 * (d."value" - d.med) / mad.mad AS m_score,
+        |  abs(0.6745 * (d."value" - d.med) / mad.mad) > 3.5 AS is_outlier
+        |FROM d JOIN mad USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     "q_scd2_dim" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id, event_type AS status,

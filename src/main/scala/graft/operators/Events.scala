@@ -242,6 +242,42 @@ object Events {
       .orderBy(col("cohort"), col("day_offset"))
   }
 
+  /** Robust per-group outlier detection — the Iglewicz–Hoaglin modified
+    * z-score over each event type's value distribution: M = 0.6745 ·
+    * (x − median) / MAD, flagged when |M| > 3.5 (the published
+    * recommendation). Median/MAD instead of mean/stddev for BOTH
+    * robustness (one wild sensor value cannot drag the threshold) and
+    * cross-engine determinism: a stddev is an FP sum whose order
+    * differs per engine, while an exact median is order-free — the
+    * interpolated midpoint is one IEEE expression both engines compute
+    * identically.
+    *
+    * Scale posture: Spark's exact `percentile` buffers per-group value
+    * counts in the aggregation state — bounded by DISTINCT values per
+    * event type, not rows, but still the honest exactness price; the
+    * 100 TB path swaps in `approx_percentile` (the `q_token_percentiles`
+    * GK-sketch precedent) at the same plan shape. Two value-keyed
+    * aggregates (median, then MAD over deviations), each reduced to a
+    * handful of rows and broadcast back — the corpus itself never
+    * shuffles; every join against it is broadcast.
+    */
+  def qOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val d = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = d.groupBy(col("event_type"))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    val m = lit(0.6745) * (col("value") - col("med")) / col("mad")
+    d.join(broadcast(mad), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"), m.as("m_score"),
+        (abs(m) > lit(3.5)).as("is_outlier"))
+      .orderBy(col("event_id"))
+  }
+
   /** Slowly-changing-dimension (type 2) history build: collapse each
     * user's event stream into versioned status intervals — one row per
     * RUN of consecutive equal event_type values, with

@@ -389,6 +389,68 @@ class EventsSpec extends SparkTestBase {
     }
   }
 
+  test("q_outliers matches a driver-side median/MAD recompute") {
+    val got = Events.qOutliers(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("med"),
+        r.getAs[Double]("mad"), r.getAs[Double]("m_score"),
+        r.getAs[Boolean]("is_outlier")))
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
+    // Spark's exact percentile: sorted, rank = p*(n-1), lower +
+    // (upper - lower) * frac — reproduce the IEEE op order exactly
+    def pct50(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      val rank = 0.5 * (s.length - 1)
+      val lo = rank.toInt
+      if (lo + 1 >= s.length) s(lo)
+      else s(lo) + (s(lo + 1) - s(lo)) * (rank - lo)
+    }
+    val meds = ev.groupBy(_._2).map { case (t, rs) =>
+      t -> pct50(rs.map(_._3).toSeq) }
+    val mads = ev.groupBy(_._2).map { case (t, rs) =>
+      t -> pct50(rs.map(r => math.abs(r._3 - meds(t))).toSeq) }
+    val want = ev.map { case (id, t, v) =>
+      val m = 0.6745 * (v - meds(t)) / mads(t)
+      (id, meds(t), mads(t), m, math.abs(m) > 3.5)
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // the fixture's uniform values produce SOME inliers and the flag
+    // rule actually bites somewhere in the m-score range
+    assert(got.exists(!_._5))
+  }
+
+  test("q_outliers flags a planted wild value and nothing near the median") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val vals = (1 to 60).map(i => (i.toLong, t0, "purchase",
+      10.0 + (i % 7))) :+ (99L, t0, "purchase", 10000.0)
+    val fx = vals.toDF("user_id", "ts", "event_type", "value")
+    withValuedEventsFixture(fx) { dir =>
+      val rows = Events.qOutliers(spark, dir).collect()
+        .map(r => (r.getAs[Double]("value"),
+          r.getAs[Boolean]("is_outlier")))
+      assert(rows.filter(_._1 == 10000.0).forall(_._2 == true))
+      assert(rows.filter(_._1 < 20.0).forall(_._2 == false))
+    }
+  }
+
+  /** Events fixture that keeps a caller-supplied value column. */
+  private def withValuedEventsFixture(ev: org.apache.spark.sql.DataFrame)(
+    f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-")
+    try {
+      ev.withColumn("event_id", monotonically_increasing_id())
+        .withColumn("props", lit("{}"))
+        .withColumn("ts", expr("unix_micros(ts) * 1000"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      f(dir.toString)
+    } finally {
+      graft.sources.TempDirs.deleteTreeQuietly(dir)
+    }
+  }
+
   test("q_scd2_dim runs all three windows on one user-keyed shuffle") {
     val p = Events.qScd2Dim(spark, sfDir).queryExecution.executedPlan
       .toString
