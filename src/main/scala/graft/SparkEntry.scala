@@ -101,6 +101,7 @@ object SparkEntry {
     "q_gap_fill"        -> (Events.qGapFill _),
     "q_scd2_dim"        -> (Events.qScd2Dim _),
     "q_outliers"        -> (Events.qOutliers _),
+    "q_ri_audit"        -> (Joins.qRiAudit _),
     // M5 — LLM-pipeline text ops (SURVEY §2.10; BASELINE.json north star)
     "q_dedup_exact"     -> (TextOps.qDedupExact _),
     "q_jaccard_pairs"   -> (TextOps.qJaccardPairs _),
@@ -617,6 +618,76 @@ object SparkEntry {
         |                             ORDER BY hour) AS BIGINT) AS delta
         |FROM dense
         |ORDER BY hour, event_type""".stripMargin,
+    "q_ri_audit" ->
+      """WITH rel AS (
+        |  SELECT 'customer.c_nationkey->nation' AS relation,
+        |    count(*) AS n_child,
+        |    CAST(sum(CASE WHEN c.c_nationkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_null_fk,
+        |    CAST(sum(CASE WHEN c.c_nationkey IS NOT NULL AND p.k IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+        |    CAST(count(DISTINCT CASE WHEN c.c_nationkey IS NOT NULL
+        |      AND p.k IS NULL THEN c.c_nationkey END) AS BIGINT)
+        |      AS n_orphan_keys
+        |  FROM customer c LEFT JOIN
+        |    (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        |    ON c.c_nationkey = p.k
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey->orders', count(*),
+        |    CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL AND p.k IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT CASE WHEN l.l_orderkey IS NOT NULL
+        |      AND p.k IS NULL THEN l.l_orderkey END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |    ON l.l_orderkey = p.k
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part', count(*),
+        |    CAST(sum(CASE WHEN l.l_partkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(sum(CASE WHEN l.l_partkey IS NOT NULL AND p.k IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT CASE WHEN l.l_partkey IS NOT NULL
+        |      AND p.k IS NULL THEN l.l_partkey END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT p_partkey AS k FROM part) p
+        |    ON l.l_partkey = p.k
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->supplier', count(*),
+        |    CAST(sum(CASE WHEN l.l_suppkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(sum(CASE WHEN l.l_suppkey IS NOT NULL AND p.k IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT CASE WHEN l.l_suppkey IS NOT NULL
+        |      AND p.k IS NULL THEN l.l_suppkey END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT s_suppkey AS k FROM supplier) p
+        |    ON l.l_suppkey = p.k
+        |  UNION ALL
+        |  SELECT 'nation.n_regionkey->region', count(*),
+        |    CAST(sum(CASE WHEN n.n_regionkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(sum(CASE WHEN n.n_regionkey IS NOT NULL AND p.k IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT CASE WHEN n.n_regionkey IS NOT NULL
+        |      AND p.k IS NULL THEN n.n_regionkey END) AS BIGINT)
+        |  FROM nation n LEFT JOIN
+        |    (SELECT DISTINCT r_regionkey AS k FROM region) p
+        |    ON n.n_regionkey = p.k
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer', count(*),
+        |    CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(sum(CASE WHEN o.o_custkey IS NOT NULL AND p.k IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT CASE WHEN o.o_custkey IS NOT NULL
+        |      AND p.k IS NULL THEN o.o_custkey END) AS BIGINT)
+        |  FROM orders o LEFT JOIN
+        |    (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |    ON o.o_custkey = p.k)
+        |SELECT * FROM rel ORDER BY relation""".stripMargin,
     // Outlier mirror notes: quantile_cont interpolates lower +
     // (upper - lower) * frac exactly like Spark's exact percentile;
     // the modified-z expression is left-associated identically.

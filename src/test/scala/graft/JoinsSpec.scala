@@ -373,4 +373,47 @@ class JoinsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("cycle"))
   }
+
+  test("q_ri_audit reports all six relations clean on the generated data") {
+    val rows = Joins.qRiAudit(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("relation"), r.getAs[Long]("n_child"),
+        r.getAs[Long]("n_null_fk"), r.getAs[Long]("n_orphans"),
+        r.getAs[Long]("n_orphan_keys")))
+    assert(rows.map(_._1).toSeq == Seq(
+      "customer.c_nationkey->nation", "lineitem.l_orderkey->orders",
+      "lineitem.l_partkey->part", "lineitem.l_suppkey->supplier",
+      "nation.n_regionkey->region", "orders.o_custkey->customer"))
+    // the driver's TPC-H-ish generator emits consistent keys: child
+    // counts match the tables, zero nulls, zero orphans
+    val counts = Map(
+      "customer" -> spark.read.parquet(s"$sfDir/customer.parquet").count(),
+      "lineitem" -> spark.read.parquet(s"$sfDir/lineitem.parquet").count(),
+      "nation" -> spark.read.parquet(s"$sfDir/nation.parquet").count(),
+      "orders" -> spark.read.parquet(s"$sfDir/orders.parquet").count())
+    rows.foreach { case (rel, nc, nn, no, nok) =>
+      assert(nc == counts(rel.takeWhile(_ != '.')), rel)
+      assert((nn, no, nok) == ((0L, 0L, 0L)), rel)
+    }
+  }
+
+  test("riRelation counts planted orphans, null FKs, and distinct keys") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(9L),
+      Some(9L), None, None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Joins.riRelation("t", child, "fk", parent, "pk",
+      bcastParent = true).collect().head
+    assert(r.getAs[Long]("n_child") == 8L)
+    assert(r.getAs[Long]("n_null_fk") == 2L)   // NULL FK is not an orphan
+    assert(r.getAs[Long]("n_orphans") == 3L)   // the three 9s
+    assert(r.getAs[Long]("n_orphan_keys") == 1L)
+  }
+
+  test("ri audit plans broadcast anti-joins for dimension parents") {
+    val plan = Joins.qRiAudit(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // five dimension-sized parents broadcast; only lineitem->orders may
+    // shuffle both sides
+    assert("BroadcastHashJoin.*LeftAnti".r.findAllIn(plan).size >= 5, plan)
+  }
 }
