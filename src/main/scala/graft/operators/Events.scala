@@ -299,12 +299,19 @@ object Events {
     * carries. event_id tie-breaks equal timestamps so version numbering
     * is total and deterministic.
     */
-  def qScd2Dim(spark: SparkSession, dir: String): DataFrame = {
+  def qScd2Dim(spark: SparkSession, dir: String): DataFrame =
+    scd2Dim(Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("status")))
+
+  /** Core of [[qScd2Dim]] over any (user_id, ts, event_id, status)
+    * frame — shared with the streaming dual
+    * [[graft.streaming.Streams.scd2Stateful]], whose closed versions
+    * must equal this result's non-current rows. */
+  private[graft] def scd2Dim(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val changes = Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type").as("status"))
+    val changes = ev
       .withColumn("prev", lag(col("status"), 1).over(byUser))
       .filter(col("prev").isNull || col("prev") =!= col("status"))
     changes

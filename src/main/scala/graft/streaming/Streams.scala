@@ -38,6 +38,22 @@ case class FunnelState(vTs: Option[Long], cTs: Option[Long],
 /** One emitted stage transition: the user reached `stage` at `at`. */
 case class FunnelStageOut(user_id: Long, stage: Int, at: Timestamp)
 
+/** Input/state/output records for the streaming SCD2 builder. */
+case class Scd2Event(user_id: Long, event_id: Long, ts: Timestamp,
+  status: String)
+/** Buffered not-yet-finalized status observation (epoch micros;
+  * event_id tie-breaks equal timestamps like the batch window). */
+case class PendSt(us: Long, eventId: Long, status: String)
+/** Per-user SCD2 state: the OPEN version (status + start, absent until
+  * the first finalized event) plus the next version number and the
+  * in-watermark buffer. After the buffer drains this is one string and
+  * two longs per user — O(1). */
+case class Scd2State(nextVersion: Long, curStatus: Option[String],
+  curFrom: Option[Long], pending: List[PendSt])
+/** One emitted CLOSED dimension version ([from, to) interval). */
+case class Scd2Out(user_id: Long, version: Long, status: String,
+  effective_from: Timestamp, effective_to: Timestamp)
+
 /** Structured Streaming generalization of the reference's scheduled /
   * nightly incremental sync (/root/reference/insights.md:169-172;
   * SURVEY.md §2.9). Each transform takes any events-shaped DataFrame —
@@ -254,6 +270,70 @@ object Streams {
           if (hold.nonEmpty) {
             // wake when the earliest buffered event finalizes (ms,
             // rounded up, strictly above the current watermark)
+            state.setTimeoutTimestamp(math.max(
+              math.floorDiv(hold.head.us + 999L, 1000L),
+              state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+      }
+  }
+
+  /** STREAMING SCD2 — the stateful dual of
+    * [[graft.operators.Events.qScd2Dim]], emitting a dimension version
+    * the moment a status CHANGE closes it. Events buffer per user until
+    * the watermark passes them ([[funnelStateful]]'s finalize-behind-
+    * the-watermark discipline), then fold in (ts, event_id) order —
+    * the batch window's exact ordering — so a closed version's
+    * [from, to) bounds can never be perturbed by a late arrival.
+    * Append mode is exact because only CLOSED versions emit; the open
+    * version lives in state (it is the row the batch dual marks
+    * is_current, still mutable by definition). Equality contract:
+    * closed versions equal the batch result's non-current rows when
+    * arrival disorder is bounded by `delay` — beyond that Spark's
+    * late-row filter drops the event and the batch dual is the
+    * backfill, the same trade every stateful op in this family
+    * documents.
+    *
+    * State at scale: one (status, from, version) triple per user plus
+    * the in-watermark buffer — active-horizon bounded, never
+    * stream-history bounded. Timeouts fire at the earliest pending
+    * event's finalization so buffered changes drain without new
+    * traffic for that user.
+    */
+  def scd2Stateful(events: Dataset[Scd2Event],
+      delay: String = "2 hours"): Dataset[Scd2Out] = {
+    implicit val outEnc = Encoders.product[Scd2Out]
+    implicit val stEnc = Encoders.product[Scd2State]
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[Scd2Event],
+          state: GroupState[Scd2State]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(Scd2State(1L, None, None, Nil))
+          val pend = (st.pending ++ evs.map(e =>
+            PendSt(toMicros(e.ts), e.event_id, e.status)))
+            .sortBy(p => (p.us, p.eventId))
+          // finalized once no earlier event can still arrive (strict:
+          // Spark admits ts == watermark)
+          val (ready, hold) = pend.partition(_.us < wmUs)
+          var nv = st.nextVersion
+          var cs = st.curStatus
+          var cf = st.curFrom
+          val out = ready.flatMap { e =>
+            if (cs.isEmpty) {
+              cs = Some(e.status); cf = Some(e.us); None
+            } else if (cs.get != e.status) {
+              val closed = Scd2Out(user, nv, cs.get,
+                fromMicros(cf.get), fromMicros(e.us))
+              nv += 1; cs = Some(e.status); cf = Some(e.us)
+              Some(closed)
+            } else None // same status: the run continues
+          }
+          state.update(Scd2State(nv, cs, cf, hold))
+          if (hold.nonEmpty) {
             state.setTimeoutTimestamp(math.max(
               math.floorDiv(hold.head.us + 999L, 1000L),
               state.getCurrentWatermarkMs() + 1))

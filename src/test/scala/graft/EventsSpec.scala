@@ -436,6 +436,79 @@ class EventsSpec extends SparkTestBase {
     }
   }
 
+  test("scd2Stateful closed versions equal the batch non-current rows") {
+    import spark.implicits._
+    import graft.streaming.Scd2Event
+    val rnd = new scala.util.Random(1187)
+    val statuses = Array("bronze", "silver", "gold")
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val evs = (1 to 150).map { i =>
+      Scd2Event(rnd.nextInt(12).toLong, i.toLong,
+        new Timestamp(base + rnd.nextInt(6 * 3600) * 1000L),
+        statuses(rnd.nextInt(3)))
+    }
+    val arrival = rnd.shuffle(evs)
+    val input = MemoryStream[Scd2Event](spark)
+    // delay covers the full disorder span — the batch-equality
+    // contract is "disorder bounded by delay"
+    val q = graft.streaming.Streams.scd2Stateful(input.toDS(), "6 hours")
+      .writeStream.format("memory").queryName("scd2_rand")
+      .outputMode("append").start()
+    try {
+      arrival.grouped(23).foreach { batch =>
+        input.addData(batch); q.processAllAvailable()
+      }
+      // push the watermark past every event, then fire the drain
+      val push = new Timestamp(base + 13 * 3600 * 1000L)
+      input.addData(Scd2Event(900, 9000, push, "bronze"))
+      q.processAllAvailable()
+      input.addData(Scd2Event(901, 9001, push, "bronze"))
+      q.processAllAvailable()
+      val got = spark.table("scd2_rand").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version"),
+          r.getAs[String]("status"), r.getAs[Timestamp]("effective_from"),
+          r.getAs[Timestamp]("effective_to")))
+        .filter(_._1 < 900).sortBy(r => (r._1, r._2))
+      val want = graft.operators.Events.scd2Dim(
+        evs.toDF("user_id", "event_id", "ts", "status")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("status")))
+        .filter(!col("is_current")).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version"),
+          r.getAs[String]("status"), r.getAs[Timestamp]("effective_from"),
+          r.getAs[Timestamp]("effective_to")))
+        .sortBy(r => (r._1, r._2))
+      assert(got.toSeq == want.toSeq)
+      assert(got.nonEmpty) // the fixture actually exercises changes
+    } finally q.stop()
+  }
+
+  test("scd2Stateful holds the open version in state, never emits it") {
+    import spark.implicits._
+    import graft.streaming.Scd2Event
+    val t = (s: String) => Timestamp.valueOf(s)
+    val input = MemoryStream[Scd2Event](spark)
+    val q = graft.streaming.Streams.scd2Stateful(input.toDS(), "1 hour")
+      .writeStream.format("memory").queryName("scd2_open")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Scd2Event(1, 1, t("2024-01-01 00:00:00"), "bronze"),
+        Scd2Event(1, 2, t("2024-01-01 01:00:00"), "silver"))
+      q.processAllAvailable()
+      // watermark has not passed the silver event: nothing final yet
+      input.addData(Scd2Event(5, 9, t("2024-01-01 09:00:00"), "x"))
+      q.processAllAvailable()
+      input.addData(Scd2Event(5, 10, t("2024-01-01 09:00:01"), "x"))
+      q.processAllAvailable()
+      val rows = spark.table("scd2_open").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => (r.getAs[Long]("version"), r.getAs[String]("status")))
+      // exactly the closed bronze version; silver stays open in state
+      assert(rows.toSeq == Seq((1L, "bronze")))
+    } finally q.stop()
+  }
+
   /** Events fixture that keeps a caller-supplied value column. */
   private def withValuedEventsFixture(ev: org.apache.spark.sql.DataFrame)(
     f: String => Unit): Unit = {
