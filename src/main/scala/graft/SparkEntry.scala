@@ -102,6 +102,7 @@ object SparkEntry {
     "q_scd2_dim"        -> (Events.qScd2Dim _),
     "q_outliers"        -> (Events.qOutliers _),
     "q_ri_audit"        -> (Joins.qRiAudit _),
+    "q_temporal_join"   -> (Events.qTemporalJoin _),
     // M5 — LLM-pipeline text ops (SURVEY §2.10; BASELINE.json north star)
     "q_dedup_exact"     -> (TextOps.qDedupExact _),
     "q_jaccard_pairs"   -> (TextOps.qJaccardPairs _),
@@ -688,6 +689,35 @@ object SparkEntry {
         |    (SELECT DISTINCT c_custkey AS k FROM customer) p
         |    ON o.o_custkey = p.k)
         |SELECT * FROM rel ORDER BY relation""".stripMargin,
+    // The temporal-join oracle states the INTERVAL semantics directly
+    // (from <= ts < to with an open current version) over the same
+    // SCD2 CTE — the engine's union-window carry must reproduce it.
+    "q_temporal_join" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type AS status,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type <> 'purchase'),
+        |changes AS (
+        |  SELECT * FROM marked WHERE prev IS NULL OR prev <> status),
+        |dim AS (
+        |  SELECT user_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS BIGINT)
+        |      AS version,
+        |    status, ts AS effective_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS effective_to
+        |  FROM changes),
+        |probes AS (
+        |  SELECT event_id, user_id, ts, "value" FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, p."value",
+        |       d.version, d.status
+        |FROM probes p LEFT JOIN dim d
+        |  ON p.user_id = d.user_id AND d.effective_from <= p.ts
+        |  AND (d.effective_to > p.ts OR d.effective_to IS NULL)
+        |ORDER BY p.event_id""".stripMargin,
     // Outlier mirror notes: quantile_cont interpolates lower +
     // (upper - lower) * frac exactly like Spark's exact percentile;
     // the modified-z expression is left-associated identically.

@@ -242,6 +242,55 @@ object Events {
       .orderBy(col("cohort"), col("day_offset"))
   }
 
+  /** Point-in-time (temporal) dimension join: each purchase event is
+    * enriched with the SCD2 status version its user held AT the
+    * purchase instant — the classic warehouse "as-of the fact's
+    * timestamp" join against a versioned dimension, here composed
+    * directly over [[scd2Dim]] built from the user's NON-purchase
+    * events (so the join is never degenerate). Interval semantics are
+    * [from, to): a purchase exactly at a change boundary takes the NEW
+    * version; purchases before any status observation keep NULL
+    * version/status (LEFT-join semantics).
+    *
+    * Scale shape: NO inequality join anywhere — the naive formulation
+    * (`p.user = d.user AND d.from <= p.ts AND (p.ts < d.to OR d.to IS
+    * NULL)`) would plan a per-user nested-loop over versions. Instead
+    * dimension rows (at their effective_from) and probe rows union
+    * into ONE stream and a per-user running `last(..., ignoreNulls)`
+    * carries the active version onto every probe — the [[Joins
+    * .qAsofJoin]] union-window discipline applied to a versioned
+    * dimension. Linear in |dim| + |probes|, one user-keyed exchange
+    * for the carry window; at equal timestamps dimension rows sort
+    * before probes (side key) so the boundary instant is inclusive,
+    * and same-instant version chains resolve to the highest version.
+    */
+  def qTemporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dim = scd2Dim(ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("status")))
+    val dimSide = dim.select(col("user_id"),
+      col("effective_from").as("ts"), lit(0).as("side"),
+      col("version"), col("status"),
+      lit(null).cast("long").as("event_id"),
+      lit(null).cast("double").as("value"))
+    val probeSide = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("version"),
+        lit(null).cast("string").as("status"),
+        col("event_id"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), coalesce(col("version"), lit(0L)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dimSide.unionByName(probeSide)
+      .withColumn("v", last(col("version"), ignoreNulls = true).over(w))
+      .withColumn("st", last(col("status"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("v").as("version"), col("st").as("status"))
+      .orderBy(col("event_id"))
+  }
+
   /** Robust per-group outlier detection — the Iglewicz–Hoaglin modified
     * z-score over each event type's value distribution: M = 0.6745 ·
     * (x − median) / MAD, flagged when |M| > 3.5 (the published

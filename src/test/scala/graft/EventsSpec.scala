@@ -389,6 +389,72 @@ class EventsSpec extends SparkTestBase {
     }
   }
 
+  test("q_temporal_join matches a driver-side interval scan") {
+    val got = Events.qTemporalJoin(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[Any]("version")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[String]("status"))))
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("ts").getTime,
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    // per user: run-collapse the non-purchase stream into versions,
+    // then give each purchase the version with from <= ts and the
+    // highest version number (= interval containment)
+    val dims = ev.filter(_._4 != "purchase").groupBy(_._1).map {
+      case (u, rows) =>
+        val runs = rows.sortBy(r => (r._2, r._3))
+          .foldLeft(List.empty[(String, Long)]) {
+            case (acc, (_, ts, _, st)) =>
+              if (acc.headOption.exists(_._1 == st)) acc
+              else (st, ts) :: acc
+          }.reverse.zipWithIndex
+          .map { case ((st, from), i) => (i + 1L, st, from) }
+        u -> runs
+    }
+    val want = ev.filter(_._4 == "purchase").map { case (u, ts, id, _) =>
+      val hit = dims.getOrElse(u, Nil).filter(_._3 <= ts)
+        .sortBy(_._1).lastOption
+      (id, hit.map(_._1), hit.map(_._2))
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    assert(got.exists(_._2.isEmpty)) // some purchase precedes any status
+    assert(got.exists(_._2.isDefined))
+  }
+
+  test("temporal join boundary: a probe at the change instant takes the new version") {
+    import spark.implicits._
+    val t = (s: String) => Timestamp.valueOf(s)
+    val fx = Seq(
+      (1L, t("2024-01-01 00:00:00"), "signup"),
+      (1L, t("2024-01-01 02:00:00"), "error"),
+      // purchase exactly at the second change's instant
+      (1L, t("2024-01-01 02:00:00"), "purchase"),
+      // and one before ANY status event
+      (2L, t("2024-01-01 00:00:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    withEventsFixture(fx) { dir =>
+      val rows = Events.qTemporalJoin(spark, dir).collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          Option(r.getAs[Any]("version")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[String]("status"))))
+      assert(rows.toSet == Set(
+        (1L, Some(2L), Some("error")), // [from, to): boundary inclusive
+        (2L, None, None)))             // no dimension yet: LEFT semantics
+    }
+  }
+
+  test("temporal join plans the carry window, not an interval join") {
+    val p = Events.qTemporalJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the naive plan is a per-user nested loop over versions; the
+    // union-window carry must plan NO join operator at all
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(500))
+  }
+
   test("q_outliers matches a driver-side median/MAD recompute") {
     val got = Events.qOutliers(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("med"),
