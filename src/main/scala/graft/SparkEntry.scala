@@ -103,6 +103,7 @@ object SparkEntry {
     "q_outliers"        -> (Events.qOutliers _),
     "q_ri_audit"        -> (Joins.qRiAudit _),
     "q_temporal_join"   -> (Events.qTemporalJoin _),
+    "q_pipeline_landing" -> (Pipelines.qPipelineLanding _),
     // M5 — LLM-pipeline text ops (SURVEY §2.10; BASELINE.json north star)
     "q_dedup_exact"     -> (TextOps.qDedupExact _),
     "q_jaccard_pairs"   -> (TextOps.qJaccardPairs _),
@@ -122,6 +123,7 @@ object SparkEntry {
     "q_heavy_hitters_by_lang" -> (TextOps.qHeavyHittersByLang _),
     "q_tfidf_topk"      -> (TextOps.qTfidfTopk _),
     "q_bm25_topk"       -> (TextOps.qBm25Topk _),
+    "q_score_deciles"   -> (TextOps.qScoreDeciles _),
     "q_colloc_pmi"      -> (TextOps.qCollocPmi _),
     "q_token_percentiles" -> (TextOps.qTokenPercentiles _),
     "q_lang_id"         -> (TextOps.qLangId _),
@@ -1310,6 +1312,119 @@ object SparkEntry {
         |ORDER BY lang, est DESC, token""".stripMargin,
     // Rational BM25-style idf: one exact integer-valued product + one
     // IEEE division — bit-identical across engines, unlike ln().
+    "q_pipeline_landing" ->
+      """WITH nulls AS (
+        |  SELECT 'nulls:o_custkey' AS "check",
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS metric, CAST(0.0 AS DOUBLE) AS threshold FROM orders
+        |  UNION ALL
+        |  SELECT 'nulls:o_orderdate',
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE), CAST(0.0 AS DOUBLE) FROM orders
+        |  UNION ALL
+        |  SELECT 'nulls:o_orderkey',
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE), CAST(0.0 AS DOUBLE) FROM orders
+        |  UNION ALL
+        |  SELECT 'nulls:o_orderpriority',
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE), CAST(0.0 AS DOUBLE) FROM orders
+        |  UNION ALL
+        |  SELECT 'nulls:o_orderstatus',
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE), CAST(0.0 AS DOUBLE) FROM orders
+        |  UNION ALL
+        |  SELECT 'nulls:o_totalprice',
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE), CAST(0.0 AS DOUBLE) FROM orders),
+        |orph AS (
+        |  SELECT 'orphans:customer.c_nationkey->nation' AS "check",
+        |    CAST(sum(CASE WHEN c.c_nationkey IS NOT NULL AND p.k IS NULL
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS metric, CAST(0.0 AS DOUBLE) AS threshold
+        |  FROM customer c LEFT JOIN
+        |    (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        |    ON c.c_nationkey = p.k
+        |  UNION ALL
+        |  SELECT 'orphans:lineitem.l_orderkey->orders',
+        |    CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL AND p.k IS NULL
+        |      THEN 1 ELSE 0 END) AS DOUBLE), CAST(0.0 AS DOUBLE)
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |    ON l.l_orderkey = p.k
+        |  UNION ALL
+        |  SELECT 'orphans:lineitem.l_partkey->part',
+        |    CAST(sum(CASE WHEN l.l_partkey IS NOT NULL AND p.k IS NULL
+        |      THEN 1 ELSE 0 END) AS DOUBLE), CAST(0.0 AS DOUBLE)
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT p_partkey AS k FROM part) p
+        |    ON l.l_partkey = p.k
+        |  UNION ALL
+        |  SELECT 'orphans:lineitem.l_suppkey->supplier',
+        |    CAST(sum(CASE WHEN l.l_suppkey IS NOT NULL AND p.k IS NULL
+        |      THEN 1 ELSE 0 END) AS DOUBLE), CAST(0.0 AS DOUBLE)
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT s_suppkey AS k FROM supplier) p
+        |    ON l.l_suppkey = p.k
+        |  UNION ALL
+        |  SELECT 'orphans:nation.n_regionkey->region',
+        |    CAST(sum(CASE WHEN n.n_regionkey IS NOT NULL AND p.k IS NULL
+        |      THEN 1 ELSE 0 END) AS DOUBLE), CAST(0.0 AS DOUBLE)
+        |  FROM nation n LEFT JOIN
+        |    (SELECT DISTINCT r_regionkey AS k FROM region) p
+        |    ON n.n_regionkey = p.k
+        |  UNION ALL
+        |  SELECT 'orphans:orders.o_custkey->customer',
+        |    CAST(sum(CASE WHEN o.o_custkey IS NOT NULL AND p.k IS NULL
+        |      THEN 1 ELSE 0 END) AS DOUBLE), CAST(0.0 AS DOUBLE)
+        |  FROM orders o LEFT JOIN
+        |    (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |    ON o.o_custkey = p.k),
+        |ev AS (SELECT event_id, event_type, "value" FROM events),
+        |med AS (
+        |  SELECT event_type, quantile_cont("value", 0.5) AS med
+        |  FROM ev GROUP BY event_type),
+        |d AS (
+        |  SELECT ev.event_type, ev."value", med.med,
+        |         abs(ev."value" - med.med) AS dev
+        |  FROM ev JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM d GROUP BY event_type),
+        |rate AS (
+        |  SELECT 'outlier_rate:' || f.event_type AS "check",
+        |    CAST(sum(CASE WHEN f.is_outlier THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*) AS metric, CAST(0.05 AS DOUBLE) AS threshold
+        |  FROM (SELECT d.event_type,
+        |          abs(0.6745 * (d."value" - d.med) / mad.mad) > 3.5
+        |            AS is_outlier
+        |        FROM d JOIN mad USING (event_type)) f
+        |  GROUP BY f.event_type)
+        |SELECT "check", metric, threshold,
+        |       metric <= threshold AS pass
+        |FROM (SELECT * FROM nulls UNION ALL SELECT * FROM orph
+        |      UNION ALL SELECT * FROM rate)
+        |ORDER BY "check"""".stripMargin,
+    // Decile mirror notes: the ttr score is integer-derived (one exact
+    // division), quantile_cont's interpolation is bit-identical to
+    // Spark's exact percentile, and bucketing is integer sums of
+    // identical comparisons.
+    "q_score_deciles" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS score
+        |  FROM documents),
+        |c AS (
+        |  SELECT quantile_cont(score,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+        |  FROM s)
+        |SELECT doc_id, score,
+        |  CAST((score > cuts[1])::INT + (score > cuts[2])::INT
+        |    + (score > cuts[3])::INT + (score > cuts[4])::INT
+        |    + (score > cuts[5])::INT + (score > cuts[6])::INT
+        |    + (score > cuts[7])::INT + (score > cuts[8])::INT
+        |    + (score > cuts[9])::INT + 1 AS INTEGER) AS decile
+        |FROM s CROSS JOIN c ORDER BY doc_id""".stripMargin,
     // BM25 mirror notes: the (1.2 + 1) k1-plus-one factor is written
     // as arithmetic in BOTH engines (IEEE-identical fold; a pre-folded
     // Scala 2.2 could round differently), df/sum_dl are integer sums

@@ -527,4 +527,44 @@ object Pipelines {
         col("shard"), col("n_tok"), col("pack_id"))
       .orderBy(col("doc_id"), col("chunk_id"))
   }
+
+  /** EP11 — the LANDING GATE: the accept/reject report a nightly load
+    * runs before publishing a landed drop, composing the three
+    * data-quality surfaces into ONE uniform checklist relation
+    * (check, metric, threshold, pass):
+    *
+    *   - `nulls:<column>` — per-column null counts from the profiling
+    *     report ([[Relational.qProfile]]), threshold 0;
+    *   - `orphans:<fk relation>` — orphan-row counts from the
+    *     referential-integrity audit ([[Joins.qRiAudit]]), threshold 0;
+    *   - `outlier_rate:<event type>` — the fraction of robust
+    *     modified-z outliers per event type ([[Events.qOutliers]]),
+    *     threshold 5%.
+    *
+    * This is the reference's validate-before-post discipline
+    * (/root/reference/src/coding_task_5.py:147-163) promoted to the
+    * whole-drop level. Every branch reduces to a handful of rows
+    * before the union — the report is driver-trivial no matter the
+    * input scale; rates divide two exact integer counts (one IEEE
+    * division, never an FP sum), so the gate is bit-reproducible.
+    */
+  def qPipelineLanding(spark: SparkSession, dir: String): DataFrame = {
+    val nulls = Relational.qProfile(spark, dir)
+      .select(concat(lit("nulls:"), col("column")).as("check"),
+        col("n_nulls").cast("double").as("metric"),
+        lit(0.0).as("threshold"))
+    val orphans = Joins.qRiAudit(spark, dir)
+      .select(concat(lit("orphans:"), col("relation")).as("check"),
+        col("n_orphans").cast("double").as("metric"),
+        lit(0.0).as("threshold"))
+    val outlierRate = Events.qOutliers(spark, dir)
+      .groupBy(col("event_type"))
+      .agg((count(when(col("is_outlier"), lit(1))).cast("double") /
+        count(lit(1))).as("metric"))
+      .select(concat(lit("outlier_rate:"), col("event_type")).as("check"),
+        col("metric"), lit(0.05).as("threshold"))
+    nulls.unionByName(orphans).unionByName(outlierRate)
+      .withColumn("pass", col("metric") <= col("threshold"))
+      .orderBy(col("check"))
+  }
 }

@@ -1278,6 +1278,43 @@ object TextOps {
     * hash compare; the declared [[qFingerprint]] keeps the 8-byte
     * production hash.
     */
+  /** Quality-decile bucketing for curriculum ordering / tiered
+    * sampling: each document gets the decile (1–10) of its type-token
+    * ratio — the [[qTextStats]] lexical-diversity score — computed
+    * against EXACT corpus-level decile cutoffs. Membership is by
+    * quantile VALUE (score > cutoff_i), not by rank: ties at a cutoff
+    * all land in the lower decile, so bucket sizes wobble under ties
+    * but assignment is a pure function of the score — reproducible
+    * row-by-row outside Spark, the same determinism contract as the
+    * md5 split family.
+    *
+    * Scale shape: the naive `ntile(10) OVER (ORDER BY score)` needs a
+    * GLOBAL total order — a single-partition window, the classic
+    * scale-killer. Instead ONE aggregate reduces the corpus to a 9-cut
+    * array (exact percentile here, bit-identical to DuckDB's
+    * quantile_cont — the [[graft.operators.Events.qOutliers]]
+    * precedent; `approx_percentile` is the documented 100 TB swap),
+    * broadcast back; bucketing is then row-local comparisons and the
+    * corpus never shuffles.
+    */
+  def qScoreDeciles(spark: SparkSession, dir: String): DataFrame =
+    scoreDeciles(Tables.documents(spark, dir))
+
+  /** Core of [[qScoreDeciles]] over any (doc_id, text) frame. */
+  private[graft] def scoreDeciles(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val scored = docs.select(col("doc_id"),
+      (size(array_distinct(w)).cast("double") / size(w)).as("score"))
+    val cuts = scored.agg(percentile(col("score"),
+      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cuts"))
+    val decile = (1 to 9)
+      .map(i => (col("score") > col("cuts").getItem(i - 1)).cast("int"))
+      .reduceLeft(_ + _) + lit(1)
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("score"), decile.as("decile"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 ranked retrieval: the top-k documents for a fixed keyword
     * query, scored with the Okapi BM25 formula (k1 = 1.2, b = 0.75 —
     * the standard defaults). Complements [[qTfidfTopk]]: tf-idf ranks

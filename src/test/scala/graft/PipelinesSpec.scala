@@ -464,4 +464,38 @@ class PipelinesSpec extends SparkTestBase {
     // shuffle for the assembly join
     assert(p.contains("BroadcastHashJoin"))
   }
+
+  test("EP11 landing gate equals its standalone quality stages") {
+    val rows = Pipelines.qPipelineLanding(spark, sfDir).collect()
+      .map(r => r.getAs[String]("check") ->
+        (r.getAs[Double]("metric"), r.getAs[Double]("threshold"),
+          r.getAs[Boolean]("pass"))).toMap
+    // null checks mirror the profiling report
+    graft.operators.Relational.qProfile(spark, sfDir).collect()
+      .foreach { p =>
+        val (m, th, pass) = rows(s"nulls:${p.getAs[String]("column")}")
+        assert(m == p.getAs[Long]("n_nulls").toDouble && th == 0.0)
+        assert(pass == (m <= 0.0))
+      }
+    // orphan checks mirror the RI audit
+    graft.operators.Joins.qRiAudit(spark, sfDir).collect().foreach { a =>
+      val (m, _, pass) = rows(s"orphans:${a.getAs[String]("relation")}")
+      assert(m == a.getAs[Long]("n_orphans").toDouble)
+      assert(pass == (m <= 0.0))
+    }
+    // outlier rates mirror a recount over the standalone outlier query
+    val outl = graft.operators.Events.qOutliers(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Boolean]("is_outlier"))
+    outl.groupBy(_._1).foreach { case (t, fs) =>
+      val (m, th, pass) = rows(s"outlier_rate:$t")
+      assert(m == fs.count(_._2).toDouble / fs.length && th == 0.05)
+      assert(pass == (m <= 0.05))
+    }
+    // the generated data is referentially clean: every gate passes
+    // except possibly outlier rates
+    assert(rows.filter(_._1.startsWith("nulls:")).values.forall(_._3))
+    assert(rows.filter(_._1.startsWith("orphans:")).values.forall(_._3))
+    assert(rows.keys.count(_.startsWith("outlier_rate:")) > 0)
+  }
 }

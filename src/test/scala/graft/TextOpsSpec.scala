@@ -756,4 +756,50 @@ class TextOpsSpec extends SparkTestBase {
       .collect().toSeq
     assert(a == b)
   }
+
+  test("q_score_deciles matches a driver-side exact-percentile recompute") {
+    val got = TextOps.qScoreDeciles(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Int]("decile")))
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val scores = texts.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      id -> (w.distinct.length.toDouble / w.length)
+    }
+    // Spark's exact percentile interpolation (the outlier-spec rule)
+    def pct(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted
+      val rank = p * (s.length - 1)
+      val lo = rank.toInt
+      if (lo + 1 >= s.length) s(lo)
+      else s(lo) + (s(lo + 1) - s(lo)) * (rank - lo)
+    }
+    val cuts = (1 to 9).map(i => pct(scores.map(_._2).toSeq, i / 10.0))
+    val want = scores.map { case (id, sc) =>
+      (id, sc, 1 + cuts.count(sc > _))
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // all ten buckets exist on the generated corpus and assignment is
+    // monotone in score
+    assert(got.map(_._3).distinct.sorted.toSeq == (1 to 10))
+    val byScore = got.sortBy(_._2)
+    byScore.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._3)
+      case _ =>
+    }
+  }
+
+  test("score deciles plan: no corpus shuffle, cutoffs broadcast back") {
+    val q = TextOps.qScoreDeciles(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // the only exchange is the 9-cut aggregate's SinglePartition
+    // gather; bucketing is row-local against the broadcast cuts (the
+    // anti-pattern would be a global-sort ntile window)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
