@@ -104,6 +104,7 @@ object SparkEntry {
     "q_ri_audit"        -> (Joins.qRiAudit _),
     "q_temporal_join"   -> (Events.qTemporalJoin _),
     "q_pipeline_landing" -> (Pipelines.qPipelineLanding _),
+    "q_transitions"     -> (Events.qTransitions _),
     // M5 — LLM-pipeline text ops (SURVEY §2.10; BASELINE.json north star)
     "q_dedup_exact"     -> (TextOps.qDedupExact _),
     "q_jaccard_pairs"   -> (TextOps.qJaccardPairs _),
@@ -1312,6 +1313,23 @@ object SparkEntry {
         |ORDER BY lang, est DESC, token""".stripMargin,
     // Rational BM25-style idf: one exact integer-valued product + one
     // IEEE division — bit-identical across engines, unlike ln().
+    "q_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM seq WHERE to_type IS NOT NULL
+        |  GROUP BY from_type, to_type),
+        |tot AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM pairs GROUP BY from_type)
+        |SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+        |       CAST(p.n AS DOUBLE) / t.n_from AS p
+        |FROM pairs p JOIN tot t USING (from_type)
+        |ORDER BY p.from_type, p.to_type""".stripMargin,
     "q_pipeline_landing" ->
       """WITH nulls AS (
         |  SELECT 'nulls:o_custkey' AS "check",

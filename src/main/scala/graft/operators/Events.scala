@@ -242,6 +242,37 @@ object Events {
       .orderBy(col("cohort"), col("day_offset"))
   }
 
+  /** Event-transition matrix (first-order Markov path analysis): for
+    * every ordered pair of consecutive events of the SAME user, count
+    * the event_type → next event_type transition and its conditional
+    * probability p = n / Σ n over the source type — the "what do users
+    * do next" primitive behind funnel discovery and anomaly-flow
+    * monitoring. Consecutive means adjacent in (ts, event_id) order —
+    * the family's total per-user ordering.
+    *
+    * Scale shape: one user-keyed shuffle for the `lead` window, then
+    * one type-pair aggregate whose output is |types|² rows at most.
+    * Probabilities divide two exact longs (per-pair count over the
+    * broadcast source-type total) — one IEEE division, deterministic.
+    */
+  def qTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("n_from")).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Point-in-time (temporal) dimension join: each purchase event is
     * enriched with the SCD2 status version its user held AT the
     * purchase instant — the classic warehouse "as-of the fact's

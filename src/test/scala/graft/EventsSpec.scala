@@ -455,6 +455,35 @@ class EventsSpec extends SparkTestBase {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(500))
   }
 
+  test("q_transitions matches a driver-side adjacent-pair recount") {
+    val got = Events.qTransitions(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("p")))
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("ts").getTime, r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type")))
+    val pairs = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val o = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      o.zip(o.drop(1))
+    }
+    val counts = pairs.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    val totals = counts.groupBy(_._1._1).map { case (f, m) =>
+      f -> m.values.sum }
+    val want = counts.toSeq.map { case ((f, t), n) =>
+      (f, t, n, n.toDouble / totals(f))
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want)
+    // each source type's outgoing probabilities sum to ~1 (exact sums
+    // of n/n_from with a shared denominator)
+    got.groupBy(_._1).values.foreach { rs =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-9)
+    }
+  }
+
   test("q_outliers matches a driver-side median/MAD recompute") {
     val got = Events.qOutliers(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("med"),
