@@ -105,6 +105,8 @@ object SparkEntry {
     "q_temporal_join"   -> (Events.qTemporalJoin _),
     "q_pipeline_landing" -> (Pipelines.qPipelineLanding _),
     "q_transitions"     -> (Events.qTransitions _),
+    "q_rolling_count"   -> (Events.qRollingCount _),
+    "q_snapshot_diff"   -> (Curation.qSnapshotDiff _),
     // M5 — LLM-pipeline text ops (SURVEY §2.10; BASELINE.json north star)
     "q_dedup_exact"     -> (TextOps.qDedupExact _),
     "q_jaccard_pairs"   -> (TextOps.qJaccardPairs _),
@@ -1330,6 +1332,36 @@ object SparkEntry {
         |       CAST(p.n AS DOUBLE) / t.n_from AS p
         |FROM pairs p JOIN tot t USING (from_type)
         |ORDER BY p.from_type, p.to_type""".stripMargin,
+    // RANGE frame keyed on whole seconds; a RANGE frame is tie-stable
+    // (equal-second peers share a frame), so no extra sort keys are
+    // needed for determinism — only for output row order.
+    "q_rolling_count" ->
+      """SELECT event_id, user_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |       CAST(count(*) OVER (PARTITION BY user_id
+        |         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS n_trailing_hour
+        |FROM events
+        |ORDER BY user_id, s, event_id""".stripMargin,
+    // Crawl-delta classes are disjoint mod-11 residues; digests are
+    // compared (not text) to mirror the engine's digest-projected join.
+    "q_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 11 = 7 THEN text || ' [stale]'
+        |                  ELSE text END) AS sig
+        |  FROM documents WHERE doc_id % 11 <> 3),
+        |nxt AS (
+        |  SELECT doc_id, md5(text) AS sig
+        |  FROM documents WHERE doc_id % 11 <> 5)
+        |SELECT COALESCE(b.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN b.sig IS NULL THEN 'added'
+        |            WHEN n.sig IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS change
+        |FROM base b FULL OUTER JOIN nxt n ON b.doc_id = n.doc_id
+        |WHERE b.sig IS DISTINCT FROM n.sig
+        |ORDER BY doc_id""".stripMargin,
     "q_pipeline_landing" ->
       """WITH nulls AS (
         |  SELECT 'nulls:o_custkey' AS "check",

@@ -539,4 +539,60 @@ object Curation {
         sum(col("n_tokens")).over(Window.partitionBy()).cast("double"))
       .orderBy(col("lang"), col("source"))
   }
+
+  // --------------------------------------------------------- snapshot diff
+
+  /** Snapshot delta between two corpus crawls: every `doc_id` that was
+    * `added`, `removed`, or `changed` from `base` to `next` (unchanged
+    * documents — the overwhelming majority of a re-crawl — are dropped,
+    * so the output is delta-sized, not corpus-sized). This is the
+    * change-detection front half of the nightly re-crawl posture the
+    * compaction operator ([[TextOps.qDedupCompact]]) consumes: diff the
+    * crawls first, then re-shingle ONLY the changed/added slice instead
+    * of the whole snapshot (reference nightly-sync cadence,
+    * /root/reference/insights.md:169-172).
+    *
+    * Scale shape: both sides are projected to `(doc_id, md5(text))`
+    * BEFORE the full-outer join, so the shuffle moves a 16-byte digest
+    * per document, not the document bytes — on a 100 TB corpus with
+    * ~1 KB-1 MB documents that is a 100-1000× cut in exchange volume,
+    * and the digest runs map-side in whole-stage codegen at scan speed.
+    * The join itself is a sort-merge on `doc_id`; snapshots bucketed by
+    * `doc_id` (the natural layout for crawl storage, and what
+    * [[graft.operators.Relational]]'s silver table already does) make
+    * it shuffle-free entirely. Equal-digest ⇒ unchanged has the
+    * standard content-hash caveat (md5 collision ~2^-64 birthday bound
+    * corpus-wide), the same trade every published crawl differ makes;
+    * swapping in a wider digest is a one-line change.
+    */
+  private[graft] def snapshotDiff(base: DataFrame, next: DataFrame): DataFrame = {
+    val b = base.select(col("doc_id"), md5(col("text")).as("b_sig"))
+    val n = next.select(col("doc_id"), md5(col("text")).as("n_sig"))
+    b.join(n, Seq("doc_id"), "full_outer")
+      .filter(!(col("b_sig") <=> col("n_sig"))) // IS DISTINCT FROM
+      .select(col("doc_id"),
+        when(col("b_sig").isNull, lit("added"))
+          .when(col("n_sig").isNull, lit("removed"))
+          .otherwise(lit("changed")).as("change"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Declared snapshot-diff query. The two crawls are derived
+    * deterministically from the `documents` table (mirrored in the
+    * DuckDB oracle): the base crawl is missing `doc_id % 11 = 3`
+    * (those arrive in the next crawl ⇒ `added`), the next crawl is
+    * missing `doc_id % 11 = 5` (⇒ `removed`), and `doc_id % 11 = 7`
+    * documents carry stale text in the base crawl (⇒ `changed`). The
+    * mod-11 classes are disjoint, so the spec can pin the class of
+    * every emitted row exactly.
+    */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 11 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 7, concat(col("text"), lit(" [stale]")))
+          .otherwise(col("text")))
+    val next = docs.filter(col("doc_id") % 11 =!= 5)
+    snapshotDiff(base, next)
+  }
 }

@@ -403,4 +403,35 @@ object Events {
         col("effective_to").isNull.as("is_current"))
       .orderBy(col("user_id"), col("version"))
   }
+
+  /** Trailing time-RANGE window: for every event, how many events the
+    * same user produced in the trailing hour (current event included) —
+    * the per-entity rate signal behind rate limiting, burst detection,
+    * and activity features. This is a frame class the engine's window
+    * family didn't cover yet: tumbling/sliding/session windows bucket
+    * BY window, while a RANGE frame answers per ROW over a frame whose
+    * extent is a time interval, not a row count — `rowsBetween` cannot
+    * express it when event spacing is irregular.
+    *
+    * Scale shape: ONE user-keyed exchange, then the frame is evaluated
+    * inside the partition-local sort — Spark's `rangeBetween` keeps a
+    * sliding [lo, hi] pointer pair over the sorted run, O(n) per user,
+    * never materializing per-row frames. Determinism: the frame is
+    * keyed on whole SECONDS (`ts` cast to long, the [[qRangeJoin]]
+    * convention mirrored by the oracle's `floor(epoch(ts))`), and a
+    * RANGE frame is tie-stable by construction — peers at the same
+    * second fall in the same frame regardless of their sort order, so
+    * equal-timestamp events cannot produce order-lottery counts (the
+    * reason this is NOT an `orderBy(ts, event_id)` + rowsBetween
+    * formulation). The count is an exact long; no FP anywhere.
+    */
+  def qRollingCount(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("s"))
+      .withColumn("n_trailing_hour", count(lit(1)).over(w))
+      .orderBy(col("user_id"), col("s"), col("event_id"))
+  }
 }

@@ -448,4 +448,44 @@ class CurationSpec extends SparkTestBase {
       assert(top == df.agg(max("n_tokens")).collect().head.getLong(0))
     } finally df.unpersist()
   }
+
+  // -------------------------------------------------------- snapshot diff
+
+  test("q_snapshot_diff classifies exactly the planted mod-11 residues") {
+    val got = Curation.qSnapshotDiff(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("change"))
+    // every emitted row's class is forced by its residue; nothing else
+    // appears (unchanged documents are dropped)
+    got.foreach { case (id, change) =>
+      val want = (id % 11) match {
+        case 3 => "added"; case 5 => "removed"; case 7 => "changed"
+        case other => fail(s"unexpected doc $id (residue $other) emitted")
+      }
+      assert(change == want, s"doc $id")
+    }
+    // and every planted document IS emitted (delta is complete)
+    val byRes = docs.select("doc_id").collect().map(_.getLong(0))
+      .groupBy(_ % 11).view.mapValues(_.length).toMap
+    val byChange = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byChange.getOrElse("added", 0) == byRes.getOrElse(3L, 0))
+    assert(byChange.getOrElse("removed", 0) == byRes.getOrElse(5L, 0))
+    assert(byChange.getOrElse("changed", 0) == byRes.getOrElse(7L, 0))
+    assert(got.nonEmpty)
+  }
+
+  test("snapshotDiff joins digests, not document text") {
+    // both inputs of the full-outer join must be pruned to
+    // (doc_id, digest) — the shuffle moves 16-byte digests, never the
+    // document bytes
+    val qe = Curation.qSnapshotDiff(spark, sfDir).queryExecution
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      val joinInputs = j.children.flatMap(_.output).map(_.name)
+      assert(!joinInputs.contains("text"),
+        s"text column reached the join: $joinInputs")
+    }
+  }
 }

@@ -619,6 +619,40 @@ class EventsSpec extends SparkTestBase {
     }
   }
 
+  test("q_rolling_count matches a brute-force trailing-hour scan") {
+    val got = Events.qRollingCount(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("s"), r.getAs[Long]("n_trailing_hour")))
+    val byUser = got.groupBy(_._2)
+    got.foreach { case (_, u, s, n) =>
+      val want = byUser(u).count(e => e._3 >= s - 3600 && e._3 <= s)
+      assert(n == want.toLong, s"user $u at s=$s")
+    }
+    assert(got.exists(_._4 > 1L)) // the fixture really has bursts
+  }
+
+  test("q_rolling_count RANGE frame is tie-stable at equal seconds") {
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00")
+    // three events in the SAME second for one user: each must count all
+    // three peers regardless of sort order within the second
+    val ev = Seq.tabulate(3)(_ => (7L, base, "view"))
+      .toDF("user_id", "ts", "event_type")
+    withEventsFixture(ev) { dir =>
+      val ns = Events.qRollingCount(spark, dir).collect()
+        .map(_.getAs[Long]("n_trailing_hour")).toSeq
+      assert(ns == Seq(3L, 3L, 3L))
+    }
+  }
+
+  test("q_rolling_count runs the frame on one user-keyed shuffle") {
+    val p = Events.qRollingCount(spark, sfDir).queryExecution.executedPlan
+      .toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(p.replace("ReusedExchange", "reused")).length
+    assert(exchanges == 1, s"expected one user shuffle:\n${p.take(2000)}")
+  }
+
   test("q_scd2_dim runs all three windows on one user-keyed shuffle") {
     val p = Events.qScd2Dim(spark, sfDir).queryExecution.executedPlan
       .toString
