@@ -107,6 +107,7 @@ object SparkEntry {
     "q_transitions"     -> (Events.qTransitions _),
     "q_rolling_count"   -> (Events.qRollingCount _),
     "q_snapshot_diff"   -> (Curation.qSnapshotDiff _),
+    "q_cdc_merge"       -> (Curation.qCdcMerge _),
     // M5 — LLM-pipeline text ops (SURVEY §2.10; BASELINE.json north star)
     "q_dedup_exact"     -> (TextOps.qDedupExact _),
     "q_jaccard_pairs"   -> (TextOps.qJaccardPairs _),
@@ -1361,6 +1362,13 @@ object SparkEntry {
         |            ELSE 'changed' END AS change
         |FROM base b FULL OUTER JOIN nxt n ON b.doc_id = n.doc_id
         |WHERE b.sig IS DISTINCT FROM n.sig
+        |ORDER BY doc_id""".stripMargin,
+    // The merged snapshot must equal the next crawl exactly — the
+    // oracle states the POSTCONDITION, so the diff→batch→merge loop is
+    // checked end-to-end rather than fixture-trusted.
+    "q_cdc_merge" ->
+      """SELECT doc_id, text FROM documents
+        |WHERE doc_id % 11 <> 5
         |ORDER BY doc_id""".stripMargin,
     "q_pipeline_landing" ->
       """WITH nulls AS (

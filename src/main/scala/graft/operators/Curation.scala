@@ -577,6 +577,66 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Apply a CDC change batch onto a base snapshot — MERGE semantics
+    * without a table format: `upsert` rows replace (or insert) their
+    * `doc_id`, `delete` ids disappear, untouched base rows pass
+    * through. Composed after [[snapshotDiff]] this closes the re-crawl
+    * loop: diff the crawls, turn the delta into a change batch, merge
+    * it onto the published snapshot — the batch dual of the reference's
+    * nightly upsert sink posture (/root/reference/insights.md:169-172;
+    * the same op a lakehouse MERGE INTO runs, expressed as a plain
+    * plan so it works on bare parquet).
+    *
+    * Scale shape: the change batch is delta-sized (re-crawls touch a
+    * fraction of the corpus), so BOTH joins keep the corpus on the
+    * streamed side — a broadcast-able right side when the delta fits,
+    * hash-partitioned otherwise. The copy-on-write framing: with the
+    * snapshot laid out doc_id-partitioned, the anti+outer pair rewrites
+    * only partitions the batch's keys touch (plan-time pruning by the
+    * batch's key bounds), which is exactly what table formats do under
+    * MERGE. No wide columns cross an exchange redundantly: the upsert
+    * side carries its
+    * replacement text once, the base carries its text once, and the
+    * coalesce picks per row.
+    */
+  private[graft] def cdcMerge(base: DataFrame, changes: DataFrame): DataFrame = {
+    val ups = changes.filter(col("op") === "upsert")
+      .select(col("doc_id"), col("text").as("u_text"))
+    val dels = changes.filter(col("op") === "delete")
+      .select(col("doc_id"))
+    base.select(col("doc_id"), col("text").as("b_text"))
+      .join(dels, Seq("doc_id"), "left_anti")
+      .join(ups, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("u_text"), col("b_text")).as("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Declared CDC-merge query: the change batch is the
+    * [[qSnapshotDiff]] delta materialized as operations (added/changed
+    * ⇒ upsert with the new crawl's text, removed ⇒ delete), applied
+    * onto the same derived base crawl. By construction the merged
+    * result must equal the next crawl EXACTLY — which is what the
+    * oracle checks, making the whole diff→batch→merge loop
+    * self-verifying rather than fixture-trusted.
+    */
+  def qCdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 11 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 7, concat(col("text"), lit(" [stale]")))
+          .otherwise(col("text")))
+    val next = docs.filter(col("doc_id") % 11 =!= 5)
+    val delta = snapshotDiff(base, next)
+    val changes = delta
+      .join(next.select(col("doc_id"), col("text")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        col("text"))
+    cdcMerge(base, changes)
+  }
+
   /** Declared snapshot-diff query. The two crawls are derived
     * deterministically from the `documents` table (mirrored in the
     * DuckDB oracle): the base crawl is missing `doc_id % 11 = 3`

@@ -473,6 +473,29 @@ class CurationSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("q_cdc_merge reproduces the next crawl exactly from base + delta") {
+    val merged = Curation.qCdcMerge(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val next = docs.filter(col("doc_id") % 11 =!= 5)
+      .select("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    assert(merged.toSeq == next.toSeq)
+  }
+
+  test("cdcMerge applies upserts, inserts, and deletes on a planted base") {
+    import spark.implicits._
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("doc_id", "text")
+    val changes = Seq(
+      (2L, "upsert", "two-v2"),   // replace
+      (4L, "upsert", "four"),     // insert (no base row)
+      (3L, "delete", null)        // remove
+    ).toDF("doc_id", "op", "text")
+    val got = Curation.cdcMerge(base, changes).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(1L -> "one", 2L -> "two-v2", 4L -> "four"))
+  }
+
   test("snapshotDiff joins digests, not document text") {
     // both inputs of the full-outer join must be pruned to
     // (doc_id, digest) — the shuffle moves 16-byte digests, never the
