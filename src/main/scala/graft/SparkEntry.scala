@@ -108,6 +108,7 @@ object SparkEntry {
     "q_rolling_count"   -> (Events.qRollingCount _),
     "q_snapshot_diff"   -> (Curation.qSnapshotDiff _),
     "q_cdc_merge"       -> (Curation.qCdcMerge _),
+    "q_edit_pairs"      -> (TextOps.qEditPairs _),
     // M5 — LLM-pipeline text ops (SURVEY §2.10; BASELINE.json north star)
     "q_dedup_exact"     -> (TextOps.qDedupExact _),
     "q_jaccard_pairs"   -> (TextOps.qJaccardPairs _),
@@ -1363,6 +1364,20 @@ object SparkEntry {
         |FROM base b FULL OUTER JOIN nxt n ON b.doc_id = n.doc_id
         |WHERE b.sig IS DISTINCT FROM n.sig
         |ORDER BY doc_id""".stripMargin,
+    // The oracle is the NAIVE per-lang self-join; the engine's
+    // length-bucket candidate pruning must be invisible in the result.
+    "q_edit_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, substr(text, 1, 30) AS head,
+        |         length(substr(text, 1, 30)) AS len
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |       CAST(levenshtein(a.head, b.head) AS INTEGER) AS dist
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE abs(a.len - b.len) <= 3
+        |  AND levenshtein(a.head, b.head) <= 3
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     // The merged snapshot must equal the next crawl exactly — the
     // oracle states the POSTCONDITION, so the diff→batch→merge loop is
     // checked end-to-end rather than fixture-trusted.

@@ -1381,6 +1381,57 @@ object TextOps {
       .limit(k)
   }
 
+  /** Bounded edit-distance similarity join over document heads — the
+    * fuzzy-dedup companion to the set-based families: MinHash/Jaccard
+    * see REORDERED overlap, while edit distance catches the near-miss
+    * class token sets can't (typo'd titles, OCR slips, boilerplate with
+    * one field changed). Standard Levenshtein, emitted for pairs within
+    * `maxDist` on the first `prefixLen` characters (heads, not whole
+    * documents: the DP is O(|s|·|t|) per pair, so production use
+    * compares a short normalized key — title, URL path, first line —
+    * never megabyte bodies).
+    *
+    * Scale shape — candidate pruning BEFORE any distance evaluation:
+    * edit distance ≤ d forces |len(a) − len(b)| ≤ d, so rows bucket by
+    * `floor(len / bucketW)` and only the probe side replicates to the
+    * ≤ ⌈2d/bucketW⌉ + 1 neighbor buckets its matches can inhabit (the
+    * [[graft.operators.Events.rangeJoinPairs]] bin discipline applied
+    * to length space). Each build row lives in exactly ONE bucket, so
+    * every qualifying pair meets structurally exactly once — never a
+    * dedup pass. The join is an equi-join on (lang, bucket); the
+    * quadratic DP runs only inside survivor cells, and the length
+    * filter re-checks exactly so bucket width only tunes replication
+    * vs cell size, never results. At 100 TB the (lang, bucket) key is
+    * dense and low-skew (lengths clip at `prefixLen`), and AQE splits
+    * any hot cell; the 30-char heads shuffle, not documents.
+    */
+  private[graft] def editDistancePairs(docs: DataFrame, prefixLen: Int,
+      maxDist: Int, bucketW: Int): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, prefixLen).as("head"))
+      .withColumn("len", length(col("head")))
+    val probe = keyed.withColumn("bucket",
+      explode(sequence(floor((col("len") - lit(maxDist)) / lit(bucketW)),
+        floor((col("len") + lit(maxDist)) / lit(bucketW)))))
+    val build = keyed.withColumn("bucket",
+      floor(col("len") / lit(bucketW)))
+    probe.as("a").join(build.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= maxDist &&
+          levenshtein(col("a.head"), col("b.head")) <= maxDist)
+      .select(col("a.doc_id").as("doc_id_a"),
+        col("b.doc_id").as("doc_id_b"),
+        levenshtein(col("a.head"), col("b.head")).as("dist"))
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
+  /** Declared edit-distance join: 30-char heads, distance ≤ 3,
+    * bucket width 4 (≤ 2 extra replicas per probe row). */
+  def qEditPairs(spark: SparkSession, dir: String): DataFrame =
+    editDistancePairs(Tables.documents(spark, dir), 30, 3, 4)
+
   def qFingerprintChecked(spark: SparkSession, dir: String): DataFrame = {
     val k = 3
     val gram3 = zip_with(

@@ -802,4 +802,49 @@ class TextOpsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("q_edit_pairs equals a driver-side brute-force distance scan") {
+    val got = TextOps.qEditPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id_a"), r.getAs[Long]("doc_id_b"),
+        r.getAs[Int]("dist"))).toSeq
+    val heads = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 30).as("head"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("head")))
+    def lev(s: String, t: String): Int = {
+      val d = Array.tabulate(s.length + 1, t.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+      d(s.length)(t.length)
+    }
+    val want = (for {
+      a <- heads; b <- heads
+      if a._2 == b._2 && a._1 < b._1
+      dist = lev(a._3, b._3) if dist <= 3
+    } yield (a._1, b._1, dist)).sortBy(p => (p._1, p._2)).toSeq
+    assert(got == want)
+    assert(want.nonEmpty) // the corpus really has near-miss heads
+  }
+
+  test("editDistancePairs meets each pair exactly once across bucket edges") {
+    import spark.implicits._
+    // heads straddling bucket boundaries (bucketW=4, maxDist=3): equal
+    // heads, 1-off lengths across a boundary, and an out-of-range pair
+    val docs = Seq(
+      (1L, "en", "abcd"),     // len 4, bucket 1
+      (2L, "en", "abcd"),     // dist 0, same bucket
+      (3L, "en", "abcdefg"),  // len 7, bucket 1; dist 3 to abcd
+      (4L, "en", "abcdefgh"), // len 8, bucket 2; dist 1 to abcdefg,
+                              // len-gap 4 to abcd => pruned
+      (5L, "de", "abcd")      // other lang: never paired
+    ).toDF("doc_id", "lang", "text")
+    val got = TextOps.editDistancePairs(docs, 30, 3, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got ==
+      Seq((1L, 2L, 0), (1L, 3L, 3), (2L, 3L, 3), (3L, 4L, 1)))
+  }
 }
