@@ -109,6 +109,7 @@ object SparkEntry {
     "q_snapshot_diff"   -> (Curation.qSnapshotDiff _),
     "q_cdc_merge"       -> (Curation.qCdcMerge _),
     "q_edit_pairs"      -> (TextOps.qEditPairs _),
+    "q_cluster_assign"  -> (Vectors.qClusterAssign _),
     // M5 — LLM-pipeline text ops (SURVEY §2.10; BASELINE.json north star)
     "q_dedup_exact"     -> (TextOps.qDedupExact _),
     "q_jaccard_pairs"   -> (TextOps.qJaccardPairs _),
@@ -1364,6 +1365,33 @@ object SparkEntry {
         |FROM base b FULL OUTER JOIN nxt n ON b.doc_id = n.doc_id
         |WHERE b.sig IS DISTINCT FROM n.sig
         |ORDER BY doc_id""".stripMargin,
+    // Fixed Forgy seeds (vec_id < 3) make the assignment exact; the
+    // list_reduce left fold matches the codegen'd dot product bitwise.
+    "q_cluster_assign" ->
+      """WITH base AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x * x),
+        |         (a, b) -> a + b)) AS nrm
+        |  FROM base),
+        |seeds AS (
+        |  SELECT vec_id AS seed_id, v AS sv, nrm AS sn
+        |  FROM n WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT x.vec_id, s.seed_id,
+        |    list_reduce(list_transform(list_zip(x.v, s.sv),
+        |        p -> p[1] * p[2]), (a, b) -> a + b) / (x.nrm * s.sn)
+        |      AS sim
+        |  FROM n x, seeds s),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, seed_id) AS rk
+        |  FROM scored WHERE sim IS NOT NULL)
+        |SELECT vec_id, CAST(seed_id AS BIGINT) AS cluster, sim
+        |FROM ranked WHERE rk = 1 ORDER BY vec_id""".stripMargin,
     // The oracle is the NAIVE per-lang self-join; the engine's
     // length-bucket candidate pruning must be invisible in the result.
     "q_edit_pairs" ->

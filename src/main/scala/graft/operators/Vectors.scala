@@ -787,4 +787,46 @@ object Vectors {
   private[graft] def ivfBucket(cents: Seq[Seq[Double]]): Column =
     element_at(
       graft.functions.VectorFunctions.topDotIdx(col("u"), cents, 1), 1)
+
+  /** Spherical k-means ASSIGNMENT as a first-class declared query: each
+    * vector goes to its most-cosine-similar seed, ties to the lowest
+    * seed id. The clustering family's fit already lives in
+    * [[trainCentroids]] (IVF's Lloyd's iterations on the unit sphere);
+    * this operator declares the assignment step — the piece every
+    * corpus-organization pass runs per document — against FIXED Forgy
+    * seeds (`vec_id < k`), which makes the whole query exact and
+    * oracle-checkable (no iterative FP drift to mirror: the DuckDB dual
+    * computes the same left-fold dot products bitwise).
+    *
+    * Scale shape: seeds broadcast (k rows), scoring is a map-side
+    * cross join in codegen, and the per-vector argmax is a `max_by`
+    * AGGREGATE, not a rank window — partial aggregation collapses each
+    * vector's k scored rows to one best-so-far BEFORE the exchange, so
+    * the shuffle carries one small row per vector and never the k×
+    * scored frame (the same partial-agg-over-window discipline as
+    * [[qCosineTopk]]'s TopKByCosine). The tie-break struct
+    * (sim, −seed_id) makes the ordering total, so the combine order of
+    * partials can never change the winner. Zero-norm vectors score
+    * NULL everywhere and drop, mirrored by the oracle's NULL filter.
+    */
+  def qClusterAssign(spark: SparkSession, dir: String): DataFrame =
+    clusterAssign(base(spark, dir), 3)
+
+  /** Core of [[qClusterAssign]] over any prepped (vec_id, v, nrm)
+    * frame; seeds are the `vec_id < k` rows. */
+  private[graft] def clusterAssign(p: DataFrame, k: Int): DataFrame = {
+    val seeds = p.filter(col("vec_id") < k)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"),
+        col("nrm").as("sn"))
+    p.crossJoin(broadcast(seeds))
+      .withColumn("sim",
+        try_divide(dot(col("v"), col("sv")), col("nrm") * col("sn")))
+      .filter(col("sim").isNotNull)
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("seed_id"), col("sim")),
+        struct(col("sim"), (-col("seed_id")).as("tb"))).as("best"))
+      .select(col("vec_id"), col("best.seed_id").as("cluster"),
+        col("best.sim").as("sim"))
+      .orderBy(col("vec_id"))
+  }
 }

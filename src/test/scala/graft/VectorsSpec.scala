@@ -515,4 +515,39 @@ class VectorsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
     assert(warm == full && warm.nonEmpty)
   }
+
+  test("q_cluster_assign matches a driver-side nearest-seed scan") {
+    val got = Vectors.qClusterAssign(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Double]("sim")))
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def d(x: Array[Double], y: Array[Double]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p * q }
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    assert(got.length == vecs.size) // no zero-norm drops in the corpus
+    got.foreach { case (id, cluster, sim) =>
+      val sims = (0L until 3L).map(s => s -> cos(vecs(id), vecs(s)))
+      val (wantSeed, wantSim) = sims.maxBy { case (s, v) => (v, -s) }
+      assert(cluster == wantSeed, s"vec $id")
+      assert(math.abs(sim - wantSim) < 1e-12, s"vec $id")
+    }
+    // seeds are their own clusters, and every cluster is non-empty
+    (0L until 3L).foreach { s =>
+      assert(got.find(_._1 == s).exists(g => g._2 == s && g._3 > 0.999999))
+    }
+    assert(got.map(_._2).distinct.sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("clusterAssign argmax survives partial aggregation, not a window") {
+    val q = Vectors.qClusterAssign(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("partial_max_by") || plan.contains("max_by"),
+      plan.take(2000))
+  }
 }
