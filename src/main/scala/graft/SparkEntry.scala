@@ -110,6 +110,7 @@ object SparkEntry {
     "q_cdc_merge"       -> (Curation.qCdcMerge _),
     "q_edit_pairs"      -> (TextOps.qEditPairs _),
     "q_cluster_assign"  -> (Vectors.qClusterAssign _),
+    "q_mix_drift"       -> (Curation.qMixDrift _),
     // M5 — LLM-pipeline text ops (SURVEY §2.10; BASELINE.json north star)
     "q_dedup_exact"     -> (TextOps.qDedupExact _),
     "q_jaccard_pairs"   -> (TextOps.qJaccardPairs _),
@@ -1365,6 +1366,36 @@ object SparkEntry {
         |FROM base b FULL OUTER JOIN nxt n ON b.doc_id = n.doc_id
         |WHERE b.sig IS DISTINCT FROM n.sig
         |ORDER BY doc_id""".stripMargin,
+    // Shares are one IEEE division of exact longs; drift is one
+    // subtraction of two such quotients — no FP summation anywhere.
+    "q_mix_drift" ->
+      """WITH b AS (
+        |  SELECT lang, source, count(*) AS n FROM documents
+        |  WHERE doc_id % 11 <> 3 GROUP BY lang, source),
+        |bs AS (
+        |  SELECT lang, source, CAST(n AS BIGINT) AS n_base,
+        |    CAST(n AS DOUBLE) / CAST((SELECT sum(n) FROM b) AS DOUBLE)
+        |      AS share_base
+        |  FROM b),
+        |x AS (
+        |  SELECT lang, source, count(*) AS n FROM documents
+        |  WHERE doc_id % 11 <> 5 GROUP BY lang, source),
+        |xs AS (
+        |  SELECT lang, source, CAST(n AS BIGINT) AS n_next,
+        |    CAST(n AS DOUBLE) / CAST((SELECT sum(n) FROM x) AS DOUBLE)
+        |      AS share_next
+        |  FROM x)
+        |SELECT COALESCE(bs.lang, xs.lang) AS lang,
+        |       COALESCE(bs.source, xs.source) AS source,
+        |       COALESCE(n_base, 0) AS n_base,
+        |       COALESCE(n_next, 0) AS n_next,
+        |       COALESCE(share_base, CAST(0.0 AS DOUBLE)) AS share_base,
+        |       COALESCE(share_next, CAST(0.0 AS DOUBLE)) AS share_next,
+        |       COALESCE(share_next, CAST(0.0 AS DOUBLE)) -
+        |         COALESCE(share_base, CAST(0.0 AS DOUBLE)) AS share_drift
+        |FROM bs FULL OUTER JOIN xs
+        |  ON bs.lang = xs.lang AND bs.source = xs.source
+        |ORDER BY lang, source""".stripMargin,
     // Fixed Forgy seeds (vec_id < 3) make the assignment exact; the
     // list_reduce left fold matches the codegen'd dot product bitwise.
     "q_cluster_assign" ->

@@ -540,6 +540,58 @@ object Curation {
       .orderBy(col("lang"), col("source"))
   }
 
+  // ------------------------------------------------------------ mix drift
+
+  /** Mixture-drift report between two corpus snapshots: per
+    * (lang, source) cell, document counts and corpus shares in each
+    * snapshot plus the share delta — the guard a training pipeline
+    * runs before accepting a new crawl, so a silent collapse of one
+    * source (or a flood from another) is caught as a mix shift BEFORE
+    * it skews the sampled training distribution (the drift dual of
+    * [[qCorpusMix]]'s static report).
+    *
+    * Scale shape: one groupBy per snapshot (map-side partials; the
+    * exchange carries per-cell counts only), shares via an
+    * unpartitioned window over the AGGREGATED frames — langs × sources
+    * rows, regardless of corpus size — and a full-outer join of the two
+    * tiny cell tables. Cells present in only one snapshot surface with
+    * zero count/share on the other side rather than dropping.
+    * Determinism: each share is ONE IEEE division of two exact longs,
+    * and the drift is one subtraction of two such quotients — no FP
+    * summation order anywhere.
+    */
+  private[graft] def mixDrift(base: DataFrame, next: DataFrame): DataFrame = {
+    def cells(df: DataFrame): DataFrame = {
+      val g = df.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      g.withColumn("share", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy()).cast("double"))
+    }
+    val b = cells(base).select(col("lang"), col("source"),
+      col("n").as("n_base"), col("share").as("share_base"))
+    val n = cells(next).select(col("lang"), col("source"),
+      col("n").as("n_next"), col("share").as("share_next"))
+    b.join(n, Seq("lang", "source"), "full_outer")
+      .select(col("lang"), col("source"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_next"), lit(0L)).as("n_next"),
+        coalesce(col("share_base"), lit(0.0)).as("share_base"),
+        coalesce(col("share_next"), lit(0.0)).as("share_next"),
+        (coalesce(col("share_next"), lit(0.0)) -
+          coalesce(col("share_base"), lit(0.0))).as("share_drift"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Declared mix-drift query over the same derived crawls as
+    * [[qSnapshotDiff]] (base misses `doc_id % 11 = 3`, next misses
+    * `% 11 = 5`; text changes don't move counts, so the stale-text
+    * class needs no mirroring here). */
+  def qMixDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    mixDrift(docs.filter(col("doc_id") % 11 =!= 3),
+      docs.filter(col("doc_id") % 11 =!= 5))
+  }
+
   // --------------------------------------------------------- snapshot diff
 
   /** Snapshot delta between two corpus crawls: every `doc_id` that was

@@ -496,6 +496,34 @@ class CurationSpec extends SparkTestBase {
     assert(got == Seq(1L -> "one", 2L -> "two-v2", 4L -> "four"))
   }
 
+  test("q_mix_drift shares sum to one per snapshot and drift to zero") {
+    val rows = Curation.qMixDrift(spark, sfDir).collect()
+    val sb = rows.map(_.getAs[Double]("share_base")).sum
+    val sn = rows.map(_.getAs[Double]("share_next")).sum
+    val sd = rows.map(_.getAs[Double]("share_drift")).sum
+    assert(math.abs(sb - 1.0) < 1e-9 && math.abs(sn - 1.0) < 1e-9)
+    assert(math.abs(sd) < 1e-9)
+    assert(rows.map(_.getAs[Long]("n_base")).sum ==
+      docs.filter(col("doc_id") % 11 =!= 3).count())
+    assert(rows.map(_.getAs[Long]("n_next")).sum ==
+      docs.filter(col("doc_id") % 11 =!= 5).count())
+  }
+
+  test("mixDrift keeps cells present in only one snapshot") {
+    import spark.implicits._
+    val base = Seq(("en", "web", 1L), ("en", "web", 2L), ("de", "web", 3L))
+      .toDF("lang", "source", "doc_id")
+    val next = Seq(("en", "web", 1L), ("fr", "book", 9L))
+      .toDF("lang", "source", "doc_id")
+    val got = Curation.mixDrift(base, next).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(6))).toSeq
+    assert(got == Seq(
+      ("de", "web", 1L, 0L, 0.0 - 1.0 / 3),
+      ("en", "web", 2L, 1L, 1.0 / 2 - 2.0 / 3),
+      ("fr", "book", 0L, 1L, 1.0 / 2)))
+  }
+
   test("snapshotDiff joins digests, not document text") {
     // both inputs of the full-outer join must be pruned to
     // (doc_id, digest) — the shuffle moves 16-byte digests, never the

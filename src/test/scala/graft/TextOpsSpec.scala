@@ -830,21 +830,24 @@ class TextOpsSpec extends SparkTestBase {
     assert(want.nonEmpty) // the corpus really has near-miss heads
   }
 
-  test("editDistancePairs meets each pair exactly once across bucket edges") {
+  test("editDistancePairs emits each qualifying pair exactly once") {
     import spark.implicits._
-    // heads straddling bucket boundaries (bucketW=4, maxDist=3): equal
-    // heads, 1-off lengths across a boundary, and an out-of-range pair
+    // equal heads (multi-segment matches must dedup to one pair),
+    // insert-shifted segments, a length-gap-pruned pair, a cross-lang
+    // pair, and shorts-channel strings below the d+1 partition floor
     val docs = Seq(
-      (1L, "en", "abcd"),     // len 4, bucket 1
-      (2L, "en", "abcd"),     // dist 0, same bucket
-      (3L, "en", "abcdefg"),  // len 7, bucket 1; dist 3 to abcd
-      (4L, "en", "abcdefgh"), // len 8, bucket 2; dist 1 to abcdefg,
-                              // len-gap 4 to abcd => pruned
-      (5L, "de", "abcd")      // other lang: never paired
+      (1L, "en", "abcd"),     // len 4: one 1-char segment per slot
+      (2L, "en", "abcd"),     // dist 0: all four segments match
+      (3L, "en", "abcdefg"),  // dist 3 to abcd (shifted segments)
+      (4L, "en", "abcdefgh"), // dist 1 to abcdefg; len-gap 4 to abcd
+                              // => pruned before any DP
+      (5L, "de", "abcd"),     // other lang: never paired
+      (6L, "en", "ab"),       // shorts channel (len <= d)
+      (7L, "en", "ba")        // dist 2 to "ab"; dist 3 to "abcd"
     ).toDF("doc_id", "lang", "text")
-    val got = TextOps.editDistancePairs(docs, 30, 3, 4).collect()
+    val got = TextOps.editDistancePairs(docs, 30, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
-    assert(got ==
-      Seq((1L, 2L, 0), (1L, 3L, 3), (2L, 3L, 3), (3L, 4L, 1)))
+    assert(got == Seq((1L, 2L, 0), (1L, 3L, 3), (1L, 6L, 2), (1L, 7L, 3),
+      (2L, 3L, 3), (2L, 6L, 2), (2L, 7L, 3), (3L, 4L, 1), (6L, 7L, 2)))
   }
 }
