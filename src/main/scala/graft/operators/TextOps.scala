@@ -1452,11 +1452,12 @@ object TextOps {
           })))),
       when(col("len") <= 2 * d, array(shortKey))
         .otherwise(array().cast(s"array<struct<idx:int,seg:string>>")))
+    // key dedup is ROW-LOCAL (array_distinct before the explode) — a
+    // dropDuplicates after it would shuffle the ~100×-exploded corpus
     def exploded(keys: Column): DataFrame = keyed
       .select(col("doc_id"), col("lang"), col("head"), col("len"),
-        explode(keys).as("kseg"))
-      .filter(length(col("kseg.seg")) > 0)
-      .dropDuplicates("doc_id", "kseg")
+        explode(array_distinct(
+          filter(keys, s => length(s.getField("seg")) > 0))).as("kseg"))
     val cand = exploded(buildKeys).as("a")
       .join(exploded(probeKeys).as("b"),
         col("a.lang") === col("b.lang") &&
