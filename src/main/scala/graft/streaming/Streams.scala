@@ -38,6 +38,23 @@ case class FunnelState(vTs: Option[Long], cTs: Option[Long],
 /** One emitted stage transition: the user reached `stage` at `at`. */
 case class FunnelStageOut(user_id: Long, stage: Int, at: Timestamp)
 
+/** Input/state/output records for the streaming rolling count. */
+case class RollingEvent(user_id: Long, event_id: Long, ts: Timestamp)
+/** Buffered not-yet-finalized event (epoch micros + id). */
+case class PendRoll(us: Long, event_id: Long)
+/** One finalized second's event count inside the trailing horizon. */
+case class RollingWinCell(s: Long, n: Long)
+/** Per-user rolling state: the in-watermark buffer, the finalized
+  * (second, count) cells still inside the horizon (≤ horizon cells per
+  * user, stream-length independent), and the newest finalized second
+  * (the prune anchor). */
+case class RollingState(pending: List[PendRoll],
+  window: List[RollingWinCell], maxS: Long)
+/** One finalized event's emission: the user's trailing-horizon count
+  * at that event's second. */
+case class RollingOut(user_id: Long, event_id: Long, s: Long,
+  n_trailing_hour: Long)
+
 /** Input/state/output records for the streaming SCD2 builder. */
 case class Scd2Event(user_id: Long, event_id: Long, ts: Timestamp,
   status: String)
@@ -336,6 +353,69 @@ object Streams {
           if (hold.nonEmpty) {
             state.setTimeoutTimestamp(math.max(
               math.floorDiv(hold.head.us + 999L, 1000L),
+              state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+      }
+  }
+
+  /** STREAMING ROLLING COUNT — the stateful dual of
+    * [[graft.operators.Events.qRollingCount]]: each finalized event
+    * emits the user's trailing-hour activity count, equal to the batch
+    * time-RANGE frame when arrival disorder is bounded by `delay`.
+    *
+    * The batch frame is keyed on whole SECONDS and counts equal-second
+    * peers mutually, so the streaming finalize boundary must be a
+    * second, not an event: a second closes only once its END is at or
+    * behind the watermark (any still-arriving same-second peer would be
+    * late and dropped), and the whole second's events flush together
+    * with the same count — event-granular finalization would undercount
+    * whichever peer crossed the watermark first.
+    *
+    * State at scale: the in-watermark pending buffer plus one
+    * (second, count) cell per ACTIVE second inside the trailing
+    * horizon — ≤ 3600 cells per user however long the stream runs,
+    * pruned as the newest finalized second advances. Timeouts fire at
+    * the earliest pending second's close so buffered events drain
+    * without new traffic for that user.
+    */
+  def rollingStateful(events: Dataset[RollingEvent],
+      delay: String = "2 hours", horizonS: Long = 3600L): Dataset[RollingOut] = {
+    implicit val outEnc = Encoders.product[RollingOut]
+    implicit val stEnc = Encoders.product[RollingState]
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[RollingState, RollingOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[RollingEvent],
+          state: GroupState[RollingState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(RollingState(Nil, Nil, 0L))
+          val pend = (st.pending ++ evs.map(e =>
+            PendRoll(toMicros(e.ts), e.event_id)))
+            .sortBy(p => (p.us, p.event_id))
+          def secOf(us: Long): Long = Math.floorDiv(us, 1000000L)
+          val (ready, hold) = pend.partition(p =>
+            (secOf(p.us) + 1L) * 1000000L <= wmUs)
+          var window = st.window
+          var maxS = st.maxS
+          val out = scala.collection.mutable.ListBuffer[RollingOut]()
+          ready.groupBy(p => secOf(p.us)).toSeq.sortBy(_._1).foreach {
+            case (s, group) =>
+              val prior = window.iterator
+                .filter(c => c.s >= s - horizonS).map(_.n).sum
+              val n = prior + group.size
+              group.foreach(p => out += RollingOut(user, p.event_id, s, n))
+              maxS = math.max(maxS, s)
+              window = (RollingWinCell(s, group.size.toLong) :: window)
+                .filter(_.s >= maxS - horizonS)
+          }
+          state.update(RollingState(hold, window, maxS))
+          if (hold.nonEmpty) {
+            val finUs = (secOf(hold.head.us) + 1L) * 1000000L
+            state.setTimeoutTimestamp(math.max(
+              math.floorDiv(finUs + 999L, 1000L),
               state.getCurrentWatermarkMs() + 1))
           }
           out.iterator

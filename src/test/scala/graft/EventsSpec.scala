@@ -653,6 +653,50 @@ class EventsSpec extends SparkTestBase {
     assert(exchanges == 1, s"expected one user shuffle:\n${p.take(2000)}")
   }
 
+  test("rollingStateful equals the batch RANGE frame on randomized arrivals") {
+    import spark.implicits._
+    import graft.streaming.RollingEvent
+    val rnd = new scala.util.Random(777)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // sub-second components and planted equal-second ties: the
+    // second-granularity flush must count same-second peers mutually
+    val evs = (1 to 150).map { i =>
+      val s = rnd.nextInt(4 * 3600)
+      RollingEvent(rnd.nextInt(8).toLong, i.toLong,
+        new Timestamp(base + s * 1000L + rnd.nextInt(1000)))
+    } ++ Seq(
+      RollingEvent(7L, 901L, new Timestamp(base + 5000 * 1000L + 100)),
+      RollingEvent(7L, 902L, new Timestamp(base + 5000 * 1000L + 900)))
+    val arrival = rnd.shuffle(evs)
+    val input = MemoryStream[RollingEvent](spark)
+    val q = graft.streaming.Streams.rollingStateful(input.toDS(), "6 hours")
+      .writeStream.format("memory").queryName("rolling_stateful")
+      .outputMode("append").start()
+    try {
+      arrival.grouped(23).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val push = new Timestamp(base + 14 * 3600 * 1000L)
+      input.addData(RollingEvent(900L, 0L, push)); q.processAllAvailable()
+      input.addData(RollingEvent(901L, 0L, push)); q.processAllAvailable()
+      val got = spark.table("rolling_stateful").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          r.getAs[Long]("s"), r.getAs[Long]("n_trailing_hour")))
+        .sortBy(x => (x._1, x._2)).toSeq
+      val secs = evs.map(e => (e.user_id, e.event_id,
+        Math.floorDiv(e.ts.getTime, 1000L)))
+      val want = secs.map { case (u, id, s) =>
+        (u, id, s, secs.count(o => o._1 == u &&
+          o._3 >= s - 3600 && o._3 <= s).toLong)
+      }.sortBy(x => (x._1, x._2))
+      assert(got == want)
+      assert(want.exists(_._4 > 1L))
+      // the planted tie pair counted each other
+      assert(got.filter(g => g._2 == 901L || g._2 == 902L)
+        .forall(_._4 >= 2L))
+    } finally q.stop()
+  }
+
   test("q_scd2_dim runs all three windows on one user-keyed shuffle") {
     val p = Events.qScd2Dim(spark, sfDir).queryExecution.executedPlan
       .toString
