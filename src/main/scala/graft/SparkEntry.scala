@@ -111,6 +111,7 @@ object SparkEntry {
     "q_edit_pairs"      -> (TextOps.qEditPairs _),
     "q_cluster_assign"  -> (Vectors.qClusterAssign _),
     "q_mix_drift"       -> (Curation.qMixDrift _),
+    "q_user_journey"    -> (Events.qUserJourney _),
     // M5 — LLM-pipeline text ops (SURVEY §2.10; BASELINE.json north star)
     "q_dedup_exact"     -> (TextOps.qDedupExact _),
     "q_jaccard_pairs"   -> (TextOps.qJaccardPairs _),
@@ -1366,6 +1367,20 @@ object SparkEntry {
         |FROM base b FULL OUTER JOIN nxt n ON b.doc_id = n.doc_id
         |WHERE b.sig IS DISTINCT FROM n.sig
         |ORDER BY doc_id""".stripMargin,
+    // Total (seconds, event_id) ordering inside the rank-limited CTE
+    // mirrors the engine's sorted-struct slice exactly.
+    "q_user_journey" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+        |           AS rk,
+        |         count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events)
+        |SELECT user_id, CAST(max(n_events) AS BIGINT) AS n_events,
+        |       string_agg(event_type, '->' ORDER BY rk) AS journey
+        |FROM ranked WHERE rk <= 50
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Shares are one IEEE division of exact longs; drift is one
     // subtraction of two such quotients — no FP summation anywhere.
     "q_mix_drift" ->

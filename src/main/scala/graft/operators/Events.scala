@@ -404,6 +404,38 @@ object Events {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** Per-user event-sequence serialization: each user's first 50
+    * events, in (ts, event_id) order, joined into one `a->b->c` journey
+    * string — the behavioral-sequence extraction that turns an event
+    * log into sequence-model training rows (and the input the
+    * transition matrix summarizes one hop at a time). The cap bounds
+    * the row: an unbounded collect over a bot account would otherwise
+    * build a string the size of that user's history.
+    *
+    * Scale shape: ONE user-keyed aggregate; `collect_list` partials
+    * merge map-side so the exchange carries per-user partial arrays,
+    * and the sort + slice + join run on the aggregated row, never as a
+    * global window. Ordering is total — (seconds, event_id) packed into
+    * the sorted struct — so the emitted string is deterministic under
+    * any partitioning; the oracle mirrors it with an ORDER BY inside a
+    * rank-limited CTE.
+    */
+  def qUserJourney(spark: SparkSession, dir: String): DataFrame = {
+    val maxSteps = 50
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("long").as("s"),
+        col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        slice(array_sort(collect_list(
+          struct(col("s"), col("event_id"), col("event_type")))),
+          1, maxSteps).as("seq"))
+      .select(col("user_id"), col("n_events"),
+        array_join(transform(col("seq"), e => e.getField("event_type")),
+          "->").as("journey"))
+      .orderBy(col("user_id"))
+  }
+
   /** Trailing time-RANGE window: for every event, how many events the
     * same user produced in the trailing hour (current event included) —
     * the per-entity rate signal behind rate limiting, burst detection,

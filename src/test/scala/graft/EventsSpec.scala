@@ -653,6 +653,36 @@ class EventsSpec extends SparkTestBase {
     assert(exchanges == 1, s"expected one user shuffle:\n${p.take(2000)}")
   }
 
+  test("q_user_journey matches a driver-side ordered fold") {
+    val got = Events.qUserJourney(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[String]("journey"))).toSeq
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("long").as("s"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("s"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val want = ev.groupBy(_._1).map { case (u, es) =>
+      (u, es.length.toLong,
+        es.sortBy(e => (e._2, e._3)).take(50).map(_._4).mkString("->"))
+    }.toSeq.sortBy(_._1)
+    assert(got == want)
+    assert(got.exists(_._3.contains("->"))) // real multi-step journeys
+  }
+
+  test("q_user_journey caps the serialized steps, not the event count") {
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = (0 until 60).map(i =>
+      (5L, new Timestamp(base.getTime + i * 60000L), "view"))
+      .toDF("user_id", "ts", "event_type")
+    withEventsFixture(ev) { dir =>
+      val row = Events.qUserJourney(spark, dir).collect().head
+      assert(row.getAs[Long]("n_events") == 60L)
+      assert(row.getAs[String]("journey").split("->").length == 50)
+    }
+  }
+
   test("rollingStateful equals the batch RANGE frame on randomized arrivals") {
     import spark.implicits._
     import graft.streaming.RollingEvent
