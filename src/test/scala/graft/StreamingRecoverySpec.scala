@@ -133,4 +133,61 @@ class StreamingRecoverySpec extends SparkTestBase {
     assert(rows.head.getAs[Timestamp]("session_end") ==
       Timestamp.valueOf("2024-01-01 10:10:00"))
   }
+
+  test("rolling-count window cells survive a kill + checkpoint restart") {
+    import graft.streaming.{RollingEvent, Streams}
+    val base = Files.createTempDirectory("graft_rolling_e2e").toString
+    val (input, cp, out) = (s"$base/in", s"$base/cp", s"$base/out")
+    Files.createDirectories(java.nio.file.Paths.get(input))
+    val rollSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType)))
+    def run(): Unit = {
+      import spark.implicits._
+      val stream = spark.readStream.schema(rollSchema).json(input)
+        .as[RollingEvent]
+      val q = Streams.rollingStateful(stream)
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def dropR(evs: Seq[(Long, Long, String)]): Unit = {
+      import spark.implicits._
+      evs.map { case (u, e, t) =>
+        RollingEvent(u, e, Timestamp.valueOf(t)) }
+        .toDF().coalesce(1).write.mode("append").json(input)
+    }
+    def sec(t: String): Long =
+      Math.floorDiv(Timestamp.valueOf(t).getTime, 1000L)
+    // run 1: two user-1 events inside one hour; the 13:20 flush pushes
+    // the watermark to 11:20, finalizing both (counts 1 and 2) — their
+    // (second, count) window cells persist into the checkpoint
+    dropR(Seq((1L, 1L, "2024-01-01 10:50:00"),
+      (1L, 2L, "2024-01-01 11:10:00"),
+      (99L, 3L, "2024-01-01 13:20:00")))
+    run()
+    // run 2 (restarted): the 11:40 event's trailing hour spans BOTH
+    // recovered cells — count 3 proves the window state was restored,
+    // not rebuilt from the live stream; 16:00 pushes the watermark to
+    // 14:00, finalizing 11:40 and run 1's 13:20 flush event
+    dropR(Seq((1L, 4L, "2024-01-01 11:40:00"),
+      (99L, 5L, "2024-01-01 16:00:00")))
+    run()
+    // run 3: no new data — exactly-once, nothing re-emits
+    run()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("s"), r.getAs[Long]("n_trailing_hour")))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(rows == Seq(
+      (1L, 1L, sec("2024-01-01 10:50:00"), 1L),
+      (1L, 2L, sec("2024-01-01 11:10:00"), 2L),
+      (1L, 4L, sec("2024-01-01 11:40:00"), 3L),
+      (99L, 3L, sec("2024-01-01 13:20:00"), 1L)))
+  }
 }
