@@ -302,4 +302,35 @@ class PlanAuditSpec extends SparkTestBase {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*(") && !p.contains("MapPartitions"))
   }
+
+  test("round-10 queries prune their scans to the referenced columns") {
+    // events queries must not drag props/value (wide JSON payload)
+    // through the scan unless referenced
+    for (df <- Seq(Events.qRollingCount(spark, sfDir),
+        Events.qTransitions(spark, sfDir),
+        Events.qUserJourney(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("props") && !p.contains("value"),
+        s"events scan reads unreferenced columns:\n${p.take(2000)}")
+    }
+    // document snapshot/diff family: never read lang/source/n_chars
+    for (df <- Seq(Curation.qSnapshotDiff(spark, sfDir),
+        Curation.qCdcMerge(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("n_chars") && !p.contains("source"),
+        s"documents scan reads unreferenced columns:\n${p.take(2000)}")
+    }
+    // mix drift needs only (doc_id, lang, source): text must be pruned
+    val md = plan(Curation.qMixDrift(spark, sfDir))
+    assert(!md.contains("text") && !md.contains("n_chars"),
+      s"mix-drift scan reads text:\n${md.take(2000)}")
+    // edit pairs: heads only — n_chars/source never scanned
+    val ep = plan(TextOps.qEditPairs(spark, sfDir))
+    assert(!ep.contains("n_chars") && !ep.contains("source"),
+      s"edit-pairs scan reads unreferenced columns:\n${ep.take(2000)}")
+    // cluster assignment: label is never read from the embeddings scan
+    val ca = plan(Vectors.qClusterAssign(spark, sfDir))
+    assert(!ca.contains("label"),
+      s"cluster-assign scan reads label:\n${ca.take(2000)}")
+  }
 }
