@@ -109,6 +109,7 @@ object SparkEntry {
     "q_snapshot_diff"   -> (Curation.qSnapshotDiff _),
     "q_cdc_merge"       -> (Curation.qCdcMerge _),
     "q_edit_pairs"      -> (TextOps.qEditPairs _),
+    "q_edit_clusters"   -> (TextOps.qEditClusters _),
     "q_cluster_assign"  -> (Vectors.qClusterAssign _),
     "q_mix_drift"       -> (Curation.qMixDrift _),
     "q_user_journey"    -> (Events.qUserJourney _),
@@ -1452,6 +1453,27 @@ object SparkEntry {
         |WHERE abs(a.len - b.len) <= 3
         |  AND levenshtein(a.head, b.head) <= 3
         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    // Min-reachable-id labels over the exact edit-distance pair graph
+    // (the dedup-family reachability discipline on a new edge set).
+    "q_edit_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, substr(text, 1, 30) AS head,
+        |         length(substr(text, 1, 30)) AS len
+        |  FROM documents),
+        |jp AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE abs(a.len - b.len) <= 3
+        |    AND levenshtein(a.head, b.head) <= 3),
+        |e AS (SELECT id_a AS a, id_b AS b FROM jp
+        |      UNION ALL SELECT id_b, id_a FROM jp),
+        |reach AS (
+        |  SELECT doc_id AS node, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.a, reach.r FROM reach JOIN e ON reach.node = e.b)
+        |SELECT node AS doc_id, min(r) AS cluster_id,
+        |       (min(r) = node) AS is_kept
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     // The merged snapshot must equal the next crawl exactly — the
     // oracle states the POSTCONDITION, so the diff→batch→merge loop is
     // checked end-to-end rather than fixture-trusted.

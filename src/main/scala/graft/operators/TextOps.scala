@@ -1479,6 +1479,21 @@ object TextOps {
   def qEditPairs(spark: SparkSession, dir: String): DataFrame =
     editDistancePairs(Tables.documents(spark, dir), 30, 3)
 
+  /** Edit-distance dedup clusters — the same min-id connected-component
+    * labeling every other dedup family ends in
+    * ([[graft.operators.Components.labelComponents]]: iteration over
+    * pair-graph nodes only, the corpus joins the finished label map
+    * once), fed by the PassJoin pair set. Completes the family's
+    * contract: pairs ([[qEditPairs]]) for inspection, clusters +
+    * keeper flags for the actual drop decision. */
+  def qEditClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = editDistancePairs(docs, 30, 3)
+      .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
+    Components.flagCorpus(docs, "doc_id",
+      Components.labelComponents(pairs))
+  }
+
   def qFingerprintChecked(spark: SparkSession, dir: String): DataFrame = {
     val k = 3
     val gram3 = zip_with(

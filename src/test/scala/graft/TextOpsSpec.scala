@@ -830,6 +830,31 @@ class TextOpsSpec extends SparkTestBase {
     assert(want.nonEmpty) // the corpus really has near-miss heads
   }
 
+  test("q_edit_clusters labels match a driver-side union-find over the pairs") {
+    val pairs = TextOps.qEditPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // compress fully, then min-id per component
+    val want = ids.map(i => (i, find(i))).toMap
+    val got = TextOps.qEditClusters(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Boolean]("is_kept")))
+    assert(got.length == ids.length)
+    got.foreach { case (id, cl, kept) =>
+      assert(cl == want(id), s"doc $id")
+      assert(kept == (cl == id))
+    }
+    assert(got.exists(!_._3)) // the corpus really has dropped dups
+  }
+
   test("editDistancePairs emits each qualifying pair exactly once") {
     import spark.implicits._
     // equal heads (multi-segment matches must dedup to one pair),
