@@ -184,10 +184,18 @@ case class AudioMeta(child: Expression) extends UnaryExpression {
   def compute(b: Array[Byte]): InternalRow = {
     if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE"))
       return null
-    var i = 12
+    // The walk offset is a Long: a declared chunk size near Int.MaxValue
+    // (legal — only size > Int.MaxValue is rejected) would overflow an
+    // Int offset to a negative value that still passes the loop guard
+    // and indexes out of bounds. Long arithmetic makes an oversized
+    // advance simply exit the guard and fall through to the null return
+    // — the same corrupt-bytes-become-filterable-rows posture as
+    // [[VideoMeta]]'s Long box walk.
+    var off = 12L
     var channels = -1; var sampleRate = -1L; var byteRate = -1L
     var bits = -1; var dataSize = -1L
-    while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
+    while (off + 8 <= b.length && (channels < 0 || dataSize < 0)) {
+      val i = off.toInt // off + 8 <= length, so the Int view is exact
       val size = le32(b, i + 4)
       if (size < 0 || size > Int.MaxValue) return null
       if (tag(b, i, "fmt ")) {
@@ -200,7 +208,7 @@ case class AudioMeta(child: Expression) extends UnaryExpression {
         dataSize = size
       }
       // chunks are WORD-aligned: odd payloads carry one pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
+      off += 8L + size + (size & 1L)
     }
     if (channels <= 0 || sampleRate <= 0 || byteRate <= 0 || bits <= 0 ||
         dataSize < 0 || sampleRate > Int.MaxValue) return null

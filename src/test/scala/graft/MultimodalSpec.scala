@@ -189,6 +189,27 @@ class MultimodalSpec extends SparkTestBase {
       "0100 0000"))).isEmpty)
   }
 
+  test("AudioMeta survives a max-size chunk header without offset overflow") {
+    // A declared chunk size of 0x7FFFFFFF is legal per the size<=Int.Max
+    // gate, but 8 + size + pad overflows Int arithmetic: an Int walk
+    // offset wraps negative, passes the loop guard, and indexes out of
+    // bounds (a task failure). The Long walk must quarantine instead.
+    // size FFFFFF7F le == 0x7FFFFFFF (odd → +1 pad byte on the advance)
+    assert(parseWav(hexBytes(
+      "52494646 24000000 57415645" +
+        " 4C495354 FFFFFF7F 00000000 00000000 00000000")).isEmpty)
+    // same with an even near-max size (0x7FFFFFF0)
+    assert(parseWav(hexBytes(
+      "52494646 24000000 57415645" +
+        " 4C495354 F0FFFF7F 00000000 00000000 00000000")).isEmpty)
+    // max-size chunk AFTER a valid fmt: still no data chunk reachable →
+    // null, not an exception
+    assert(parseWav(hexBytes(
+      "52494646 24000000 57415645" +
+        " 666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
+        " 4C495354 FFFFFF7F 00000000")).isEmpty)
+  }
+
   test("q_audio_meta roundtrips built WAV containers through the parser") {
     val rows = Multimodal.qAudioMeta(spark, sfDir).collect()
     assert(rows.length ==
