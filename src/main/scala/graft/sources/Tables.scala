@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table readers over the driver's shared testdata
   * (`/root/repo/TESTDATA.md`). Role mapping to the reference's clinical
@@ -33,27 +34,48 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "lineitem")
-  /** `events.ts` is Parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as a long (legacy conf) and reduce to
-    * microsecond timestamps with FLOOR division — `ts - pmod(ts, 1000)`
-    * before the exact `div` — which matches DuckDB's ns→us floor for
-    * pre-1970 timestamps too (a bare `div` truncates toward zero and
-    * would disagree by 1 µs there; ADVICE round 1). Dividing as DOUBLE
-    * would lose precision: 2024 epoch-nanos ≈ 1.7e18 > 2^53.
+  /** `events.ts` has shipped as BOTH Parquet TIMESTAMP(NANOS) (rounds
+    * 1-10) and TIMESTAMP(MICROS) (round 11 regeneration), so the reader
+    * dispatches on the type that actually arrives:
+    *
+    *   - NANOS is rejected by Spark's vectorized reader; under the
+    *     `nanosAsLong` legacy conf it arrives as LONG, which we reduce to
+    *     microsecond timestamps with FLOOR division — `ts - pmod(ts,
+    *     1000)` before the exact `div` — matching DuckDB's ns→us floor
+    *     for pre-1970 timestamps too (a bare `div` truncates toward zero
+    *     and would disagree by 1 µs there; ADVICE round 1). Dividing as
+    *     DOUBLE would lose precision: 2024 epoch-nanos ≈ 1.7e18 > 2^53.
+    *   - MICROS arrives natively as TIMESTAMP_NTZ; the UTC-session cast
+    *     to TimestampType is instant-preserving and agrees with DuckDB's
+    *     naive read of the same file.
     *
     * The legacy conf is NOT set here (a reader mutating session conf is a
     * hidden side effect — round-1 judge feedback): it is set once at
     * session construction in [[graft.Bench]], [[graft.Verify]] and the
-    * test base. The require below turns a misconfigured session into an
-    * actionable error instead of a cryptic parquet-type failure.
+    * test base, and is a no-op for MICROS files.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet stores TIMESTAMP(NANOS): set " +
-        "spark.sql.legacy.parquet.nanosAsLong=true when building the session")
-    read(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+    val raw =
+      try read(spark, dir, "events")
+      catch {
+        case e: Exception
+            if Option(e.getMessage).exists(_.contains("NANOS")) =>
+          throw new IllegalStateException(
+            "events.parquet stores TIMESTAMP(NANOS): set " +
+              "spark.sql.legacy.parquet.nanosAsLong=true when building " +
+              "the session",
+            e)
+      }
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) surfaced as epoch-nanos long
+        raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case TimestampNTZType | TimestampType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts arrived as unsupported type $other (expected " +
+            "epoch-nanos LONG, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
