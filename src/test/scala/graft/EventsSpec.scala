@@ -670,6 +670,26 @@ class EventsSpec extends SparkTestBase {
     assert(got.exists(_._3.contains("->"))) // real multi-step journeys
   }
 
+  test("q_user_journey bounds aggregation state: rank filter below the collect") {
+    // pre-execution plan: post-collect AQE toString prints Final AND
+    // Initial plans and double-counts every exchange
+    val p = Events.qUserJourney(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // one user-keyed hash exchange shared by the rank window, the count
+    // window, and the groupBy (the final presentation orderBy is range
+    // partitioning, not counted)
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(p.replace("ReusedExchange", "reused")).length
+    assert(exchanges == 1, s"expected one user shuffle:\n${p.take(2000)}")
+    // the rank cap must sit BELOW the collect_list aggregate (top-down
+    // plan print: aggregate first, filter later) so per-group state is
+    // ≤50 structs by construction, not sliced after an unbounded collect
+    assert(p.contains("row_number"), p.take(2000))
+    val cap = p.indexOf("<= 50")
+    assert(cap >= 0 && cap > p.indexOf("collect_list"),
+      s"rank cap not below the collect:\n${p.take(2000)}")
+  }
+
   test("q_user_journey caps the serialized steps, not the event count") {
     import spark.implicits._
     val base = Timestamp.valueOf("2024-01-01 00:00:00")
