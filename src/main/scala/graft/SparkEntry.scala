@@ -137,6 +137,7 @@ object SparkEntry {
     "q_token_percentiles" -> (TextOps.qTokenPercentiles _),
     "q_lang_id"         -> (TextOps.qLangId _),
     "q_simhash"         -> (TextOps.qSimhash _),
+    "q_simhash_checked" -> (TextOps.qSimhashChecked _),
     "q_fingerprint"     -> (TextOps.qFingerprint _),
     "q_fingerprint_checked" -> (TextOps.qFingerprintChecked _),
     // M5 — similarity search over embeddings
@@ -864,6 +865,9 @@ object SparkEntry {
         |  array_to_string(list_sort(list_transform(sh, x -> md5(x)))[1:4],
         |    '-') AS fingerprint
         |FROM s ORDER BY doc_id""".stripMargin,
+    // md5 SimHash ride: same tokenize/vote/tie/bit-order semantics as
+    // q_simhash, DuckDB-shared bit planes (kept next to the query).
+    "q_simhash_checked" -> TextOps.simhashCheckedOracle,
     "q_cube_counts" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,

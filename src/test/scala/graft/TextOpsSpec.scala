@@ -635,6 +635,35 @@ class TextOpsSpec extends SparkTestBase {
       nearAvg < farAvg.sum.toDouble / farAvg.size)
   }
 
+  test("q_simhash_checked matches a driver-side md5 recompute") {
+    val got = TextOps.qSimhashChecked(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(got.size == docs.length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String = {
+      md.reset()
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    docs.foreach { case (id, text) =>
+      val cnt = new Array[Int](64)
+      // split(" ", -1) mirrors Spark's split default (trailing empties kept)
+      text.split(" ", -1).foreach { tok =>
+        val h = md5hex(tok)
+        val hi = java.lang.Long.parseLong(h.substring(0, 8), 16)
+        val lo = java.lang.Long.parseLong(h.substring(8, 16), 16)
+        (0 until 64).foreach { b =>
+          val bit = if (b >= 32) (hi >>> (b - 32)) & 1L else (lo >>> b) & 1L
+          if (bit == 1L) cnt(b) += 1 else cnt(b) -= 1
+        }
+      }
+      val want = (63 to 0 by -1).map(b => if (cnt(b) > 0) '1' else '0').mkString
+      assert(got(id) == want, s"doc $id")
+    }
+  }
+
   test("q_fingerprint is deterministic and shaped") {
     val a = TextOps.qFingerprint(spark, sfDir).collect()
     val b = TextOps.qFingerprint(spark, sfDir).collect()
@@ -874,5 +903,20 @@ class TextOpsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     assert(got == Seq((1L, 2L, 0), (1L, 3L, 3), (1L, 6L, 2), (1L, 7L, 3),
       (2L, 3L, 3), (2L, 6L, 2), (2L, 7L, 3), (3L, 4L, 1), (6L, 7L, 2)))
+  }
+
+  test("edit-join shorts channel exposes degenerate corpora, silent on healthy ones") {
+    import spark.implicits._
+    // the real corpus has no near-empty heads: the metric is empty
+    assert(TextOps.editShortsHotCells(
+      graft.sources.Tables.documents(spark, sfDir), 30, 3).collect().isEmpty)
+    // a near-empty-document corpus overfills the (lang, short) cell and
+    // the accounting names it with its size, per lang
+    val degenerate = (1 to 70).map(i => (i.toLong, "xx", "ab")) ++
+      (1 to 10).map(i => (100L + i, "yy", "cd")) // below cap: silent
+    val docs = degenerate.toDF("doc_id", "lang", "text")
+    val hot = TextOps.editShortsHotCells(docs, 30, 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(hot == Seq(("xx", "short", 70L)))
   }
 }
