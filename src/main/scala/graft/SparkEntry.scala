@@ -50,6 +50,7 @@ object SparkEntry {
     "q_concat_norm"     -> (Relational.qConcatNorm _),
     "q_string_shape"    -> (Relational.qStringShape _),
     "q_profile"         -> (Relational.qProfile _),
+    "q_profile_approx"  -> (Relational.qProfileApprox _),
     // M2 — joins & enrichment (SURVEY §2.3, §2.4 A2)
     "q_child_records"   -> (Joins.qChildRecords _),
     "q_parent_lookup"   -> (Joins.qParentLookup _),
@@ -838,6 +839,9 @@ object SparkEntry {
         |ORDER BY resource_type, code""".stripMargin,
     // q_approx_distinct: no oracle — HLL estimates are engine-specific;
     // JoinsSpec bounds the relative error against the exact count.
+    // q_profile_approx: no oracle by the same HLL contract —
+    // RelationalSpec pins every estimate within ±2% of q_profile's
+    // exact (oracle-green) row and pins the no-Expand one-pass plan.
     "q_rollup_counts" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,

@@ -193,6 +193,30 @@ class RelationalSpec extends SparkTestBase {
     assert(rows("dead") == ((3L, 3L, 0L, None, None)))
   }
 
+  test("q_profile_approx: every estimate within ±2% of the exact row, no Expand") {
+    val exact = Relational.qProfile(spark, sfDir).collect()
+      .map(r => r.getAs[String]("column") -> r.getAs[Long]("n_distinct"))
+      .toMap
+    val q = Relational.qProfileApprox(spark, sfDir)
+    val rows = q.collect()
+    assert(rows.length == exact.size)
+    rows.foreach { r =>
+      val c = r.getAs[String]("column")
+      val approx = r.getAs[Long]("n_distinct")
+      val ex = exact(c)
+      assert(math.abs(approx - ex) <= math.max(1L, (0.02 * ex).toLong),
+        s"$c: approx=$approx exact=$ex")
+      // the non-distinct stats are exact in BOTH variants — identical
+      assert(r.getAs[Long]("n_rows") > 0)
+    }
+    // swapping exactness for a sketch removes the Expand: one scan,
+    // one ordinary two-phase aggregate
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Expand"), plan)
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("profile plan: one scan, Expand-based exact distincts") {
     val q = Relational.qProfile(spark, sfDir)
     q.collect()
