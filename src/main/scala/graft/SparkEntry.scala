@@ -151,6 +151,7 @@ object SparkEntry {
     "q_dedup_embed_compact" -> (Vectors.qDedupEmbedCompact _),
     "q_ann_ivf"         -> (Vectors.qAnnIvf _),
     "q_ann_ivf_full"    -> (Vectors.qAnnIvfFull _),
+    "q_ann_ivf_pq"      -> (Vectors.qAnnIvfPq _),
     // M5 — multimodal binary columns
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_image_meta"      -> (Multimodal.qImageMeta _),
@@ -1799,6 +1800,11 @@ object SparkEntry {
     // q_ann_ivf: no oracle — approximate by design at nprobe=3; recall
     // vs the exact q_cosine_topk is property-tested in VectorsSpec, and
     // the probe machinery earns its green row through q_ann_ivf_full.
+    // q_ann_ivf_pq: no oracle by the same contract (int8-compressed
+    // scoring at nprobe=3 is approximate twice over); VectorsSpec pins
+    // full-probe recall >= 0.9 against q_ann_ivf_full's oracle-green
+    // exact pipeline (isolating quantization loss), exact re-ranked
+    // cosines, and DPP + int8-only reading on the codes scan.
     // q_dedup_embed_lsh IS oracle-checked (r8 verdict item 2): the
     // banded output is always a SUBSET of the exact >=0.8-cosine sweep
     // (every candidate is exact-verified — seed-independent,

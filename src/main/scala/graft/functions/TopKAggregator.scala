@@ -56,3 +56,49 @@ object TopKByCosine {
   def topk(k: Int)(cosine: Column, vecId: Column): Column =
     udaf(new TopKByCosine(k)).apply(cosine, vecId)
 }
+
+/** A shortlist candidate that remembers which IVF bucket it came from,
+  * so the exact re-rank fetch can equi-join the bucket-partitioned
+  * float corpus on (bucket, vec_id) and stay partition-pruned. */
+case class ScoredCandidate(score: Double, vec_id: Long, bucket: Int)
+
+/** [[TopKByCosine]] with a carried bucket payload — same bounded
+  * buffer, same (score desc, vec_id asc) total order (the bucket is
+  * payload, never a sort key), same map-side ≤k-rows-per-group
+  * guarantee before the exchange. */
+class TopKCandidates(k: Int)
+    extends Aggregator[ScoredCandidate, Seq[ScoredCandidate],
+      Seq[ScoredCandidate]] {
+
+  private def trim(b: Seq[ScoredCandidate]): Seq[ScoredCandidate] =
+    b.sortBy(s => (-s.score, s.vec_id)).take(k)
+
+  override def zero: Seq[ScoredCandidate] = Seq.empty
+
+  override def reduce(b: Seq[ScoredCandidate],
+    a: ScoredCandidate): Seq[ScoredCandidate] =
+    if (b.size >= k && {
+      val last = b.last
+      a.score < last.score ||
+        (a.score == last.score && a.vec_id > last.vec_id)
+    }) b
+    else trim(b :+ a)
+
+  override def merge(x: Seq[ScoredCandidate],
+    y: Seq[ScoredCandidate]): Seq[ScoredCandidate] = trim(x ++ y)
+
+  override def finish(b: Seq[ScoredCandidate]): Seq[ScoredCandidate] =
+    trim(b)
+
+  override def bufferEncoder: Encoder[Seq[ScoredCandidate]] =
+    ExpressionEncoder[Seq[ScoredCandidate]]()
+
+  override def outputEncoder: Encoder[Seq[ScoredCandidate]] =
+    ExpressionEncoder[Seq[ScoredCandidate]]()
+}
+
+object TopKCandidates {
+  /** Column form: `topk(score, vec_id, bucket)` usable in `agg`. */
+  def topk(k: Int)(score: Column, vecId: Column, bucket: Column): Column =
+    udaf(new TopKCandidates(k)).apply(score, vecId, bucket)
+}

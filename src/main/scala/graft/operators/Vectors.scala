@@ -285,6 +285,150 @@ object Vectors {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ------------------------------------------------ IVF + SQ8 (PQ-style)
+
+  /** IVF probe over a QUANTIZED corpus with exact re-rank — the
+    * published production ANN shape at 100 TB (FAISS IVF+SQ recipe;
+    * r10 verdict item 6 composing [[qAnnIvf]] with [[qQuantizeEmbed]]):
+    *
+    *   1. coarse probe: each query picks its nprobe=3 buckets via the
+    *      codegen'd quantizer, exactly as [[qAnnIvf]];
+    *   2. compressed scoring: the probed slice is scored from the
+    *      OFFLINE-BUILT codes table ([[pqFit]]) — per-vector int8
+    *      residual codes (u − centroid, scalar-quantized to 255
+    *      levels) plus two dequant scalars. The approximate cosine is
+    *      `dot(q, centroid) + dot(q, dequant(codes))`; the scan reads
+    *      4× smaller vectors and NEVER touches the float corpus;
+    *   3. exact re-rank: the per-query shortlist (top-20 by
+    *      approximate score, bounded map-side via [[graft.functions
+    *      .TopKCandidates]]) fetches its float vectors from the
+    *      bucket-partitioned corpus — a broadcast join on
+    *      (bucket, vec_id), dynamically partition-pruned to the
+    *      shortlist's buckets — and exact cosine picks the final
+    *      top-5. Reported cosines are therefore EXACT for the
+    *      neighbors that survive.
+    *
+    * Scale accounting at 100 TB of fp32 embeddings: step 2 scans
+    * ~nprobe/nlist of a 25 TB codes table instead of nprobe/nlist of
+    * 100 TB of floats; step 3 reads O(queries × shortlist) rows
+    * through partition pruning. Declared rows-only (approximate by
+    * design, same contract as `q_ann_ivf`); VectorsSpec pins recall
+    * ≥ 0.9 against the oracle-green exact pipeline under a full probe
+    * (isolating quantization loss), int8-not-float reading via the
+    * scan schemas, and DPP on BOTH the codes scan and the re-rank
+    * fetch.
+    */
+  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val model = ivfFit(spark, dir)
+    val codes = pqFit(spark, dir)
+    val queries = unit(spark, dir).filter(col("vec_id") < 10)
+    pqProbeTopk(spark, model, codes, queries)
+  }
+
+  /** One codes table per (JVM, corpus dir), persisted next to the IVF
+    * index — the offline compression job of the fit/probe split. */
+  private val fittedPq =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build (once) and persist the SQ8 residual codes table under the
+    * fitted index root: `(vec_id, r_min, r_max, codes array<tinyint>)`
+    * partitioned by bucket. Residuals (u − assigned centroid) are
+    * scalar-quantized per vector to 255 levels between the vector's
+    * own min/max — [[quantCodes]]'s recipe applied to residuals, with
+    * the code range shifted by −128 so the stored element type is a
+    * true signed int8. The build reads the already-bucketed corpus
+    * once, joins the broadcast centroid frame, and writes delta-free
+    * columnar int8 — at scale this is the one-off 4× compression pass
+    * every IVF deployment amortizes across all future probes. */
+  private[graft] def pqFit(spark: SparkSession, dir: String): String =
+    fittedPq.computeIfAbsent(dir, _ => {
+      val model = ivfFit(spark, dir)
+      val root = model.corpusPath.stripSuffix("/corpus")
+      val out = s"$root/pq"
+      spark.read.parquet(model.corpusPath)
+        .join(broadcast(centroidFrame(spark, model)), Seq("bucket"))
+        .select(col("vec_id"), col("bucket"),
+          zip_with(col("u"), col("centroid"), (a, b) => a - b).as("r"))
+        .select(col("vec_id"), col("bucket"),
+          array_min(col("r")).as("r_min"),
+          array_max(col("r")).as("r_max"), col("r"))
+        .select(col("vec_id"), col("bucket"), col("r_min"), col("r_max"),
+          transform(col("r"), x =>
+            when(col("r_max") === col("r_min"), lit(-128.toByte))
+              .otherwise((round((x - col("r_min")) * 255.0 /
+                (col("r_max") - col("r_min"))) - 128).cast("byte")))
+            .as("codes"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(out)
+      out
+    })
+
+  /** The centroid model as a tiny broadcastable frame
+    * (bucket, centroid) — nlist rows, the ML-model broadcast shape. */
+  private def centroidFrame(spark: SparkSession,
+    model: IvfModel): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      model.centroids.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i, c) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+  }
+
+  /** Compressed-probe pipeline (see [[qAnnIvfPq]]): quantizer probe →
+    * int8 scoring over the codes table → bounded shortlist → exact
+    * re-rank fetch. Every join keeps the corpus-sized relation on the
+    * streamed side against a broadcast of query-sized state, and both
+    * corpus scans are DPP-pruned by their broadcast's bucket set. */
+  private[graft] def pqProbeTopk(spark: SparkSession, model: IvfModel,
+    codesPath: String, queries: DataFrame, nprobe: Int = 3,
+    shortlist: Int = 20): DataFrame = {
+    val cents = centroidFrame(spark, model)
+      .select(col("bucket").as("probe_bucket"), col("centroid"))
+    val probes = queries.filter(col("u").isNotNull)
+      .select(col("vec_id").as("q_id"), col("u").as("qu"),
+        explode(graft.functions.VectorFunctions.topDotIdx(col("u"),
+          model.centroids, nprobe)).as("probe_bucket"))
+      .join(broadcast(cents), Seq("probe_bucket"))
+      // dot(q, centroid) computed ONCE per (query, bucket), not per
+      // scored corpus row
+      .select(col("q_id"), col("qu"), col("probe_bucket"),
+        dot(col("qu"), col("centroid")).as("dot_c"))
+    val scored = spark.read.parquet(codesPath)
+      .join(broadcast(probes), col("bucket") === col("probe_bucket"))
+      .withColumn("scale",
+        (col("r_max") - col("r_min")) / 255.0)
+      .withColumn("dq", transform(col("codes"), c =>
+        col("r_min") + (c.cast("double") + 128.0) * col("scale")))
+      .withColumn("approx", col("dot_c") + dot(col("qu"), col("dq")))
+      .filter(col("approx").isNotNull)
+    val cands = scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKCandidates.topk(shortlist)(
+        col("approx"), col("vec_id"), col("bucket")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("s"))
+      .select(col("q_id"), col("s.vec_id").as("cand_id"),
+        col("s.bucket").as("cand_bucket"))
+    val qside = queries.filter(col("u").isNotNull)
+      .select(col("vec_id").as("qq_id"), col("u").as("qu"))
+    spark.read.parquet(model.corpusPath)
+      .join(broadcast(cands), col("bucket") === col("cand_bucket") &&
+        col("vec_id") === col("cand_id"))
+      .join(broadcast(qside), col("q_id") === col("qq_id"))
+      .withColumn("cosine", dot(col("qu"), col("u")))
+      .filter(col("cosine").isNotNull)
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKByCosine.topk(5)(col("cosine"),
+        col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.vec_id").as("neighbor_id"), col("s.cosine").as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs — the fifth dedup flavor
     * (exact all-pairs baseline): every (a < b) pair with cosine ≥ 0.5
     * (the testdata plants exactly one such pair; the background maximum

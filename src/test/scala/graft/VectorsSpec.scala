@@ -281,6 +281,80 @@ class VectorsSpec extends SparkTestBase {
       }
   }
 
+  test("q_ann_ivf_pq: reported cosines are EXACT for surviving neighbors") {
+    val rows = Vectors.qAnnIvfPq(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val perQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(perQ.forall(_._2.length <= 5))
+    // independent driver-side recompute: the re-rank is exact, so each
+    // reported cosine must equal the unit-vector dot to the last bit
+    // (the int8 codes may pick the shortlist, never the reported value)
+    val unitVecs = Vectors.unit(spark, sfDir)
+      .select("vec_id", "u").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.foreach { r =>
+      val q = unitVecs(r.getAs[Long]("q_id"))
+      val n = unitVecs(r.getAs[Long]("neighbor_id"))
+      val exact = q.indices.foldLeft(0.0)((acc, i) => acc + q(i) * n(i))
+      assert(r.getAs[Double]("cosine") == exact,
+        s"re-ranked cosine is not the exact dot for row $r")
+    }
+  }
+
+  test("pq full probe recall >= 0.9 vs the exact q_ann_ivf_full sets") {
+    // nprobe = nlist removes the coarse-quantizer approximation, so any
+    // recall loss left is the int8 residual quantization + shortlist —
+    // the contract the compressed scoring path must honor
+    val model = Vectors.ivfFit(spark, sfDir)
+    val codes = Vectors.pqFit(spark, sfDir)
+    val queries = Vectors.unit(spark, sfDir).filter(col("vec_id") < 10)
+    val pq = Vectors.pqProbeTopk(spark, model, codes, queries,
+      nprobe = model.nlist).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val exact = Vectors.qAnnIvfFull(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val recalls = exact.map { case (q, want) =>
+      pq.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean full-probe pq recall@5 = $mean")
+  }
+
+  test("q_ann_ivf_pq plans: int8 codes scan + re-rank fetch both DPP-pruned") {
+    val df = Vectors.qAnnIvfPq(spark, sfDir)
+    df.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec => fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans)
+    }
+    val scans = fileScans(df.queryExecution.executedPlan)
+    val codesScan = scans.find(_.schema.fieldNames.contains("codes"))
+    assert(codesScan.isDefined, s"no codes scan among ${scans.length}")
+    // compressed scoring reads int8 codes, never a float/double vector
+    val codeFields = codesScan.get.schema.fields
+    assert(codeFields.exists(f => f.name == "codes" &&
+      f.dataType == org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType)),
+      codesScan.get.schema.treeString)
+    assert(!codeFields.exists(_.name == "u"),
+      "codes scan reads the float corpus column")
+    assert(codesScan.get.toString.toLowerCase.contains("dynamicpruning"),
+      "codes scan is not dynamically partition-pruned")
+    // the exact re-rank fetch reads the float corpus but only through
+    // the shortlist's bucket set
+    val fetchScan = scans.find(_.schema.fieldNames.contains("u"))
+    assert(fetchScan.isDefined, "no re-rank fetch scan found")
+    assert(fetchScan.get.toString.toLowerCase.contains("dynamicpruning"),
+      "re-rank fetch is not dynamically partition-pruned")
+  }
+
   test("ivf corpus written partitionBy(bucket) gives a partition-pruned probe") {
     val (u, _) = clusteredUnit()
     val corpus = u.filter(col("vec_id") >= 10)
