@@ -105,6 +105,7 @@ object SparkEntry {
     "q_ri_audit"        -> (Joins.qRiAudit _),
     "q_temporal_join"   -> (Events.qTemporalJoin _),
     "q_pipeline_landing" -> (Pipelines.qPipelineLanding _),
+    "q_pipeline_publish" -> (Pipelines.qPipelinePublish _),
     "q_transitions"     -> (Events.qTransitions _),
     "q_rolling_count"   -> (Events.qRollingCount _),
     "q_snapshot_diff"   -> (Curation.qSnapshotDiff _),
@@ -1490,6 +1491,15 @@ object SparkEntry {
       """SELECT doc_id, text FROM documents
         |WHERE doc_id % 11 <> 5
         |ORDER BY doc_id""".stripMargin,
+    // q_pipeline_publish: the oracle reads the SOURCE table — equality
+    // against the read-back of the published silver version certifies
+    // the land → gate → versioned publish → serve loop end to end (a
+    // wrong quarantine returns zero rows, a partial publish a hash
+    // mismatch). The failing-gate branch is pinned in SinkSpec.
+    "q_pipeline_publish" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM orders ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
     "q_pipeline_landing" ->
       """WITH nulls AS (
         |  SELECT 'nulls:o_custkey' AS "check",

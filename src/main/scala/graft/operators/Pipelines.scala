@@ -567,4 +567,92 @@ object Pipelines {
       .withColumn("pass", col("metric") <= col("threshold"))
       .orderBy(col("check"))
   }
+
+  // ------------------------------------------------------- gated publish
+
+  private[graft] val silverCurrentMarker = "_graft_silver_current"
+
+  /** EP11's gate threaded into an actual WRITE PATH (r10 verdict item
+    * 7): publish the landed drop to the silver point layout ONLY when
+    * every gate check passes; otherwise quarantine the drop together
+    * with its failing checklist and publish NOTHING. This completes
+    * the reference's validate-then-post loop
+    * (/root/reference/src/validation.py:17-21 gates the POST in
+    * /root/reference/src/coding_task_1.py:222-228) at whole-table
+    * granularity.
+    *
+    * No-partial-publish guarantee, two layers:
+    *   - the gate DECIDES before a single publish byte is written (the
+    *     checklist is cell-sized by [[qPipelineLanding]]'s contract, so
+    *     the driver-side decision collect is bounded);
+    *   - publication is versioned-then-flip (the
+    *     [[Components.publishLabels]] discipline): the layout lands
+    *     under `root/<version>` and only a successful complete write
+    *     flips the `_graft_silver_current` marker — a crash mid-write,
+    *     like a failing gate, leaves the previous version current and
+    *     readers never observe a half-published table.
+    * The quarantined drop keeps full fidelity (the re-land after the
+    * upstream fix re-reads it), and the checklist records exactly which
+    * checks sank it.
+    *
+    * @return true iff the drop was published. */
+  def landThenPublish(spark: SparkSession, landed: DataFrame,
+      gate: DataFrame, root: String, version: String, key: String,
+      shards: Int = 8): Boolean = {
+    val checks = gate.collect()
+    val failing = checks.filter(r => !r.getAs[Boolean]("pass"))
+    if (failing.isEmpty) {
+      Relational.writePointLayout(landed, key, s"$root/$version", shards)
+      graft.sources.Markers.write(spark, root, silverCurrentMarker,
+        version)
+      true
+    } else {
+      import scala.jdk.CollectionConverters._
+      landed.write.mode("overwrite")
+        .parquet(s"$root/quarantine/$version/drop")
+      spark.createDataFrame(failing.toSeq.asJava, gate.schema)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/quarantine/$version/checklist")
+      false
+    }
+  }
+
+  /** The currently-published silver version of a [[landThenPublish]]
+    * root — what every downstream reader (and
+    * [[Relational.pointLookupClustered]]) serves from. */
+  def currentSilver(spark: SparkSession, root: String): DataFrame = {
+    val v = graft.sources.Markers.read(spark, root, silverCurrentMarker)
+    spark.read.parquet(s"$root/$v")
+  }
+
+  /** One publish root per (JVM, sf dir); every invocation publishes a
+    * fresh version and flips the marker — the nightly-drop lifecycle. */
+  private val publishRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val publishSeq =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** EP12 — the gated-publish loop as a declared query: land the
+    * orders drop, run the EP11 gate over the SAME sf directory, publish
+    * through [[landThenPublish]], and return the read-back of the
+    * currently-published silver table. The oracle compares the
+    * read-back against the source table directly, so the green row
+    * certifies the whole land → validate → publish → serve loop: a
+    * wrongly-quarantined drop surfaces as a missing table (zero rows),
+    * a partial publish as a hash mismatch. (The failing-gate branch is
+    * deterministic fixture territory — SinkSpec plants a violating drop
+    * and proves nothing gets published.) */
+  def qPipelinePublish(spark: SparkSession, dir: String): DataFrame = {
+    val root = publishRoots.computeIfAbsent(dir, _ =>
+      graft.sources.TempDirs.scratchDir("graft_publish").toString)
+    val landed = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    val gate = qPipelineLanding(spark, dir)
+    landThenPublish(spark, landed, gate, root,
+      version = s"v${publishSeq.incrementAndGet()}", key = "o_orderkey")
+    currentSilver(spark, root).drop("key_shard")
+      .orderBy(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+  }
 }

@@ -128,4 +128,95 @@ class SinkSpec extends SparkTestBase {
       st.rows.values().asScala.toSeq.sorted)
     assert(slices.count(_.nonEmpty) > 1) // genuinely spread over tasks
   }
+
+  // ---------------------------------------------- gated publish (EP12)
+
+  private def gateFrame(rows: Seq[(String, Double, Double)]) = {
+    import spark.implicits._
+    rows.toDF("check", "metric", "threshold")
+      .withColumn("pass", col("metric") <= col("threshold"))
+  }
+
+  private def landedFrame(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"row-$i")).toDF("id", "payload")
+  }
+
+  private def ls(root: String): Set[String] = {
+    val d = new java.io.File(root)
+    if (!d.exists()) Set.empty
+    else d.listFiles().map(_.getName).toSet
+  }
+
+  test("failing gate publishes NOTHING and quarantines drop + checklist") {
+    import graft.operators.Pipelines
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_publish_spec").toString
+    val landed = landedFrame(57)
+    val gate = gateFrame(Seq(
+      ("nulls:id", 0.0, 0.0),
+      ("orphans:fk", 3.0, 0.0), // violated
+      ("outlier_rate:click", 0.5, 0.05))) // violated
+    val published = Pipelines.landThenPublish(spark, landed, gate,
+      root, "v1", key = "id")
+    assert(!published)
+    // NO partial publish: no version directory, no current marker —
+    // only the quarantine subtree exists under the root
+    assert(ls(root) == Set("quarantine"), ls(root).toString)
+    intercept[Exception](Pipelines.currentSilver(spark, root).collect())
+    // the quarantined drop keeps full fidelity for the re-land
+    val qDrop = spark.read.parquet(s"$root/quarantine/v1/drop")
+    assert(qDrop.count() == 57)
+    // the checklist records exactly the failing checks
+    val qChecks = spark.read
+      .parquet(s"$root/quarantine/v1/checklist").collect()
+      .map(_.getAs[String]("check")).sorted.toSeq
+    assert(qChecks == Seq("orphans:fk", "outlier_rate:click"))
+  }
+
+  test("passing gate publishes the silver layout; read-back is exact") {
+    import graft.operators.Pipelines
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_publish_spec").toString
+    val landed = landedFrame(57)
+    val published = Pipelines.landThenPublish(spark, landed,
+      gateFrame(Seq(("nulls:id", 0.0, 0.0))), root, "v1", key = "id")
+    assert(published)
+    val got = Pipelines.currentSilver(spark, root)
+      .drop("key_shard").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload")))
+      .sorted.toSeq
+    assert(got == (0 until 57).map(i => (i.toLong, s"row-$i")))
+    // and the published layout serves clustered point lookups
+    val hit = graft.operators.Relational.pointLookupClustered(spark,
+      s"$root/v1", "id", 13L).collect()
+    assert(hit.map(_.getAs[String]("payload")).toSeq == Seq("row-13"))
+  }
+
+  test("a failing later drop leaves the previous version current (flip discipline)") {
+    import graft.operators.Pipelines
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_publish_spec").toString
+    assert(Pipelines.landThenPublish(spark, landedFrame(10),
+      gateFrame(Seq(("nulls:id", 0.0, 0.0))), root, "v1", key = "id"))
+    // the next nightly drop fails its gate — the marker must still
+    // point at v1 and readers must see v1's exact content
+    assert(!Pipelines.landThenPublish(spark, landedFrame(99),
+      gateFrame(Seq(("orphans:fk", 1.0, 0.0))), root, "v2", key = "id"))
+    assert(graft.sources.Markers.read(spark, root,
+      Pipelines.silverCurrentMarker) == "v1")
+    assert(Pipelines.currentSilver(spark, root).count() == 10)
+    // v2 exists only under quarantine
+    assert(!new java.io.File(s"$root/v2").exists())
+    assert(new java.io.File(s"$root/quarantine/v2/drop").exists())
+  }
+
+  test("q_pipeline_publish publishes on driver data and reads back the drop") {
+    import graft.operators.Pipelines
+    val got = Pipelines.qPipelinePublish(spark, sfDir)
+    val n = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(got.count() == n)
+    assert(got.columns.toSeq == Seq("o_orderkey", "o_custkey",
+      "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+  }
 }
