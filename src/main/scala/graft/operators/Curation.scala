@@ -664,6 +664,27 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Versioned-then-flip snapshot publication for the streaming CDC
+    * apply path — the [[Components.publishLabels]] discipline applied
+    * to the corpus snapshot itself: a new version lands in its own
+    * directory and only a successful complete write flips the current
+    * marker, so a crash mid-publish leaves the previous snapshot
+    * readable and intact. */
+  private[graft] val snapshotCurrentMarker = "_graft_snapshot_current"
+
+  private[graft] def publishSnapshot(spark: SparkSession,
+      snap: DataFrame, root: String, version: String): Unit = {
+    snap.write.mode("overwrite").parquet(s"$root/$version")
+    graft.sources.Markers.write(spark, root, snapshotCurrentMarker,
+      version)
+  }
+
+  /** The currently-published snapshot of a [[publishSnapshot]] root. */
+  private[graft] def currentSnapshot(spark: SparkSession,
+      root: String): DataFrame =
+    spark.read.parquet(root + "/" +
+      graft.sources.Markers.read(spark, root, snapshotCurrentMarker))
+
   /** Declared CDC-merge query: the change batch is the
     * [[qSnapshotDiff]] delta materialized as operations (added/changed
     * ⇒ upsert with the new crawl's text, removed ⇒ delete), applied

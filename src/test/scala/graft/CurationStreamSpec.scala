@@ -186,4 +186,66 @@ class CurationStreamSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == finalLabels)
   }
+
+  test("streaming CDC apply survives a kill + restart; equals the batch merge fold") {
+    import spark.implicits._
+    val changeSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("op", StringType),
+      StructField("text", StringType)))
+    val snapRoot = tmp("graft_cdc_snap")
+    val input = tmp("graft_cdc_in")
+    val cp = tmp("graft_cdc_cp")
+    // published base snapshot: docs 1..8
+    val base = (1L to 8L).map(i => (i, s"text-$i")).toDF("doc_id", "text")
+    Curation.publishSnapshot(spark, base, snapRoot, "base")
+    def run(): Unit = {
+      val q = Streams.cdcApplySink(snapRoot,
+        spark.readStream.schema(changeSchema)
+          .option("maxFilesPerTrigger", 1).json(input), cp)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def dropChanges(cs: Seq[(Long, String, Option[String])]): Unit =
+      cs.map { case (id, op, t) => (id, op, t.orNull) }
+        .toDF("doc_id", "op", "text")
+        .coalesce(1).write.mode("append").json(input)
+    // batch 1: replace doc 2, delete doc 3, insert doc 100
+    dropChanges(Seq((2L, "upsert", Some("text-2-v2")),
+      (3L, "delete", None), (100L, "upsert", Some("text-100"))))
+    run() // then KILLED (stopped)
+    val afterB1 = Curation.currentSnapshot(spark, snapRoot).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(afterB1(2L) == "text-2-v2" && !afterB1.contains(3L) &&
+      afterB1(100L) == "text-100" && afterB1.size == 8)
+    // batch 2 arrives while the query is down: later-op-wins across
+    // batches (doc 100 re-upserted), plus a delete and an insert
+    dropChanges(Seq((100L, "upsert", Some("text-100-v2")),
+      (1L, "delete", None), (200L, "upsert", Some("text-200"))))
+    run() // restart from the same checkpoint: processes ONLY batch 2
+    run() // no new data: exactly-once, nothing re-applies
+    val got = Curation.currentSnapshot(spark, snapRoot).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = ((4L to 8L).map(i => i -> s"text-$i") ++
+      Seq(2L -> "text-2-v2", 100L -> "text-100-v2",
+        200L -> "text-200")).toMap
+    assert(got == expected)
+    // batch dual: the same change files folded sequentially through
+    // the SAME core the oracle-green q_cdc_merge declares
+    val allFiles = new java.io.File(input).listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.lastModified())
+    val dual = allFiles.foldLeft(base) { (snap, f) =>
+      Curation.cdcMerge(snap,
+        spark.read.schema(changeSchema).json(f.getPath))
+    }.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == dual)
+    // idempotence (what makes a crash-replayed batch exactly-once):
+    // re-merging the final batch onto the final snapshot is a fixed
+    // point
+    val again = Curation.cdcMerge(
+        Curation.currentSnapshot(spark, snapRoot),
+        spark.read.schema(changeSchema)
+          .json(allFiles.maxBy(_.lastModified()).getPath))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == got)
+  }
 }
