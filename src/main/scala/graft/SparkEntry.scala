@@ -842,7 +842,7 @@ object SparkEntry {
     // q_approx_distinct: no oracle — HLL estimates are engine-specific;
     // JoinsSpec bounds the relative error against the exact count.
     // q_profile_approx: no oracle by the same HLL contract —
-    // RelationalSpec pins every estimate within ±2% of q_profile's
+    // RelationalSpec pins every estimate within ±5% of q_profile's
     // exact (oracle-green) row and pins the no-Expand one-pass plan.
     "q_rollup_counts" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -193,7 +193,7 @@ class RelationalSpec extends SparkTestBase {
     assert(rows("dead") == ((3L, 3L, 0L, None, None)))
   }
 
-  test("q_profile_approx: every estimate within ±2% of the exact row, no Expand") {
+  test("q_profile_approx: every estimate within ±5% of the exact row, no Expand") {
     val exact = Relational.qProfile(spark, sfDir).collect()
       .map(r => r.getAs[String]("column") -> r.getAs[Long]("n_distinct"))
       .toMap
@@ -204,7 +204,7 @@ class RelationalSpec extends SparkTestBase {
       val c = r.getAs[String]("column")
       val approx = r.getAs[Long]("n_distinct")
       val ex = exact(c)
-      assert(math.abs(approx - ex) <= math.max(1L, (0.02 * ex).toLong),
+      assert(math.abs(approx - ex) <= math.max(1L, (0.05 * ex).toLong),
         s"$c: approx=$approx exact=$ex")
       // the non-distinct stats are exact in BOTH variants — identical
       assert(r.getAs[Long]("n_rows") > 0)
