@@ -102,6 +102,7 @@ object SparkEntry {
     "q_gap_fill"        -> (Events.qGapFill _),
     "q_scd2_dim"        -> (Events.qScd2Dim _),
     "q_outliers"        -> (Events.qOutliers _),
+    "q_outliers_approx" -> (Events.qOutliersApprox _),
     "q_ri_audit"        -> (Joins.qRiAudit _),
     "q_temporal_join"   -> (Events.qTemporalJoin _),
     "q_pipeline_landing" -> (Pipelines.qPipelineLanding _),
@@ -135,6 +136,7 @@ object SparkEntry {
     "q_tfidf_topk"      -> (TextOps.qTfidfTopk _),
     "q_bm25_topk"       -> (TextOps.qBm25Topk _),
     "q_score_deciles"   -> (TextOps.qScoreDeciles _),
+    "q_score_deciles_approx" -> (TextOps.qScoreDecilesApprox _),
     "q_colloc_pmi"      -> (TextOps.qCollocPmi _),
     "q_token_percentiles" -> (TextOps.qTokenPercentiles _),
     "q_lang_id"         -> (TextOps.qLangId _),
@@ -736,6 +738,10 @@ object SparkEntry {
     // Outlier mirror notes: quantile_cont interpolates lower +
     // (upper - lower) * frac exactly like Spark's exact percentile;
     // the modified-z expression is left-associated identically.
+    // q_outliers_approx / q_score_deciles_approx: no oracle — GK
+    // sketch estimates are engine-specific; each is spec-bounded
+    // against its exact oracle-green sibling (med/MAD within 2%;
+    // >=99% decile-assignment agreement).
     "q_outliers" ->
       """WITH ev AS (
         |  SELECT event_id, event_type, "value" FROM events),

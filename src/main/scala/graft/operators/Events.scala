@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -341,15 +341,38 @@ object Events {
     * handful of rows and broadcast back — the corpus itself never
     * shuffles; every join against it is broadcast.
     */
-  def qOutliers(spark: SparkSession, dir: String): DataFrame = {
+  def qOutliers(spark: SparkSession, dir: String): DataFrame =
+    outliersWith(spark, dir, c => percentile(c, lit(0.5)))
+
+  /** [[qOutliers]]'s documented 100 TB swap as a DECLARED query (the
+    * `q_profile_approx` discipline — a scale path should be a tested
+    * query, not a scaladoc remark): the identical two-aggregate /
+    * broadcast-back plan with `approx_percentile` (Greenwald–Khanna,
+    * accuracy 10000 ⇒ rank error ≤ n/10000) for the median and MAD.
+    * The GK sketch's aggregation state is a FIXED-size summary instead
+    * of exact `percentile`'s per-group value-count map — the state
+    * bound that matters when one event type holds billions of distinct
+    * values. Declared rows-only (sketch estimates are engine- and
+    * merge-shape-specific); EventsSpec pins med/MAD within 2% of the
+    * exact oracle-green row on the driver corpus and that the planted
+    * wild value is flagged while near-median values are not.
+    */
+  def qOutliersApprox(spark: SparkSession, dir: String): DataFrame =
+    outliersWith(spark, dir,
+      c => percentile_approx(c, lit(0.5), lit(10000)))
+
+  /** The ONE outlier plan both variants share; `pct` is the median
+    * estimator (exact `percentile` or the GK `approx_percentile`). */
+  private def outliersWith(spark: SparkSession, dir: String,
+      pct: Column => Column): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
     val med = ev.groupBy(col("event_type"))
-      .agg(percentile(col("value"), lit(0.5)).as("med"))
+      .agg(pct(col("value")).as("med"))
     val d = ev.join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("value") - col("med")))
     val mad = d.groupBy(col("event_type"))
-      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+      .agg(pct(col("dev")).as("mad"))
     val m = lit(0.6745) * (col("value") - col("med")) / col("mad")
     d.join(broadcast(mad), "event_type")
       .select(col("event_id"), col("event_type"), col("value"),

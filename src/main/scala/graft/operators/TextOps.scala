@@ -1300,13 +1300,34 @@ object TextOps {
   def qScoreDeciles(spark: SparkSession, dir: String): DataFrame =
     scoreDeciles(Tables.documents(spark, dir))
 
-  /** Core of [[qScoreDeciles]] over any (doc_id, text) frame. */
-  private[graft] def scoreDeciles(docs: DataFrame): DataFrame = {
+  /** [[qScoreDeciles]]'s documented 100 TB swap as a DECLARED query
+    * (the `q_profile_approx` / `q_outliers_approx` discipline): the
+    * identical one-aggregate / broadcast-9-cuts / row-local-bucketing
+    * plan with `approx_percentile` (GK, accuracy 10000) computing the
+    * cutoff array, so aggregation state is a fixed-size sketch instead
+    * of exact `percentile`'s per-distinct-value count map. Assignment
+    * stays a pure function of (score, cuts) — only the cuts are
+    * estimates, so a document can move at most into an adjacent decile
+    * when a cutoff shifts by the sketch's rank error (≤ corpus/10⁴
+    * ranks). Declared rows-only; TextOpsSpec pins ≥99% assignment
+    * agreement with the exact oracle-green row, every decile
+    * populated, and cut monotonicity.
+    */
+  def qScoreDecilesApprox(spark: SparkSession, dir: String): DataFrame =
+    scoreDeciles(Tables.documents(spark, dir), approxCuts = true)
+
+  /** Core of [[qScoreDeciles]] over any (doc_id, text) frame;
+    * `approxCuts` swaps the exact cutoff percentiles for the GK
+    * sketch ([[qScoreDecilesApprox]]). */
+  private[graft] def scoreDeciles(docs: DataFrame,
+      approxCuts: Boolean = false): DataFrame = {
     val w = split(col("text"), " ")
     val scored = docs.select(col("doc_id"),
       (size(array_distinct(w)).cast("double") / size(w)).as("score"))
-    val cuts = scored.agg(percentile(col("score"),
-      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cuts"))
+    val ps = array((1 to 9).map(i => lit(i / 10.0)): _*)
+    val cuts = scored.agg(
+      (if (approxCuts) percentile_approx(col("score"), ps, lit(10000))
+       else percentile(col("score"), ps)).as("cuts"))
     val decile = (1 to 9)
       .map(i => (col("score") > col("cuts").getItem(i - 1)).cast("int"))
       .reduceLeft(_ + _) + lit(1)

@@ -523,11 +523,32 @@ class EventsSpec extends SparkTestBase {
       10.0 + (i % 7))) :+ (99L, t0, "purchase", 10000.0)
     val fx = vals.toDF("user_id", "ts", "event_type", "value")
     withValuedEventsFixture(fx) { dir =>
-      val rows = Events.qOutliers(spark, dir).collect()
-        .map(r => (r.getAs[Double]("value"),
-          r.getAs[Boolean]("is_outlier")))
-      assert(rows.filter(_._1 == 10000.0).forall(_._2 == true))
-      assert(rows.filter(_._1 < 20.0).forall(_._2 == false))
+      // the planted-wild contract must hold for BOTH the exact query
+      // and its GK-sketch 100 TB dual
+      Seq(Events.qOutliers _, Events.qOutliersApprox _).foreach { q =>
+        val rows = q(spark, dir).collect()
+          .map(r => (r.getAs[Double]("value"),
+            r.getAs[Boolean]("is_outlier")))
+        assert(rows.filter(_._1 == 10000.0).forall(_._2 == true))
+        assert(rows.filter(_._1 < 20.0).forall(_._2 == false))
+      }
+    }
+  }
+
+  test("q_outliers_approx med/MAD land within 2% of the exact row") {
+    def stats(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_type", "med", "mad").distinct().collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("med"), r.getAs[Double]("mad"))).toMap
+    val exact = stats(Events.qOutliers(spark, sfDir))
+    val approx = stats(Events.qOutliersApprox(spark, sfDir))
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (t, (med, mad)) =>
+      val (aMed, aMad) = approx(t)
+      assert(math.abs(aMed - med) <= 0.02 * math.abs(med).max(1e-9),
+        s"$t median: approx=$aMed exact=$med")
+      assert(math.abs(aMad - mad) <= 0.02 * math.abs(mad).max(1e-9),
+        s"$t MAD: approx=$aMad exact=$mad")
     }
   }
 

@@ -820,6 +820,29 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_score_deciles_approx: >=99% agreement with exact, all buckets, sorted cuts") {
+    val exact = TextOps.qScoreDeciles(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("decile")).toMap
+    val approx = TextOps.qScoreDecilesApprox(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Int]("decile")))
+    assert(approx.length == exact.size)
+    // GK rank error can move only boundary documents, and only into an
+    // adjacent decile
+    val agree = approx.count { case (id, _, d) => exact(id) == d }
+    assert(agree.toDouble / approx.length >= 0.99,
+      s"agreement ${agree.toDouble / approx.length}")
+    approx.foreach { case (id, _, d) =>
+      assert(math.abs(exact(id) - d) <= 1, s"doc $id: $d vs ${exact(id)}")
+    }
+    assert(approx.map(_._3).distinct.sorted.toSeq == (1 to 10))
+    val byScore = approx.sortBy(_._2)
+    byScore.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._3)
+      case _ =>
+    }
+  }
+
   test("score deciles plan: no corpus shuffle, cutoffs broadcast back") {
     val q = TextOps.qScoreDeciles(spark, sfDir)
     q.collect()
