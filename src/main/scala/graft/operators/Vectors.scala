@@ -260,6 +260,24 @@ object Vectors {
     probeJoinTopk(spark.read.parquet(model.corpusPath), queries,
       model.centroids, nprobe)
 
+  /** Probe over the offline corpus PLUS a streaming intake layout
+    * ([[graft.streaming.Streams.ivfIntake]]): the union of two
+    * bucket-partitioned scans enters the ONE shared probe pipeline, so
+    * each side is dynamically partition-pruned to the probed buckets
+    * exactly as the base corpus alone would be. This is how an ANN
+    * index serves reads BETWEEN offline fits — the fit's layout plus
+    * everything committed by the intake stream since. */
+  private[graft] def probeTopkWithIntake(spark: SparkSession,
+    model: IvfModel, intakePath: String, queries: DataFrame,
+    nprobe: Int = 3): DataFrame = {
+    val base = spark.read.parquet(model.corpusPath)
+      .select(col("vec_id"), col("label"), col("u"), col("bucket"))
+    val intake = spark.read.parquet(intakePath)
+      .select(col("vec_id"), col("label"), col("u"), col("bucket"))
+    probeJoinTopk(base.unionByName(intake), queries,
+      model.centroids, nprobe)
+  }
+
   /** The ONE probe pipeline both IVF paths share (the persisted-layout
     * declared query and the in-memory [[ivfTopk]] the recall specs
     * drive — their asserted equivalence is by construction): per-query

@@ -488,6 +488,50 @@ object Streams {
     * memory holds only the micro-batch, and the per-batch propagation
     * cost rides on the dup-set size, not the corpus.
     */
+  /** Streaming ANN INDEX INTAKE — the continuous-maintenance leg of
+    * the IVF fit/probe split: new embedding arrivals are unit-
+    * normalized and assigned to their coarse bucket against the
+    * PUBLISHED centroid model (the same codegen'd quantizer expression
+    * the batch fit and every probe use), then appended as a
+    * bucket-partitioned parquet layout. Probes serve the union of the
+    * offline-built corpus and this intake layout
+    * ([[graft.operators.Vectors.probeTopkWithIntake]]) — both sides
+    * are bucket-partitioned scans, so dynamic partition pruning
+    * applies to each identically.
+    *
+    * Pipeline shape: STATELESS per row (normalize → argmax-dot →
+    * route); the centroid matrix rides in the expression's reference
+    * array like any broadcast ML model. Exactly-once lands on the
+    * parquet streaming sink's file commit log — a batch read of the
+    * intake directory sees exactly the committed files, so a crash
+    * mid-batch can never surface half-written vectors to a probe.
+    * Intake deliberately appends NEXT TO the fit's corpus rather than
+    * into it: the sink's `_spark_metadata` log governs reads of its
+    * own directory, and mixing logged and unlogged files in one
+    * directory would silently hide the offline corpus from readers.
+    * Zero-norm vectors normalize to NULL and are dropped at intake —
+    * the same quarantine the batch fit applies. Centroids drift as
+    * the corpus grows; the published recipe is periodic offline
+    * re-fit + re-bucket (the nightly compaction posture), with this
+    * intake serving reads between fits.
+    */
+  def ivfIntake(intakePath: String, centroids: Seq[Seq[Double]],
+    vectors: DataFrame, checkpointDir: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors
+      .select(col("vec_id"), col("label"),
+        graft.functions.VectorFunctions.unitv(col("embedding")).as("u"))
+      .filter(col("u").isNotNull)
+      .withColumn("bucket", element_at(
+        graft.functions.VectorFunctions.topDotIdx(col("u"), centroids, 1),
+        1))
+      .writeStream.format("parquet")
+      .option("path", intakePath)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("bucket")
+      .outputMode("append")
+      .start()
+
   /** Streaming CDC APPLY (r10 verdict item 5) — the intake dual of the
     * batch diff→merge loop (`q_snapshot_diff` → `q_cdc_merge`): change
     * batches (doc_id, op ∈ upsert|delete, text) arrive as a stream and

@@ -187,6 +187,90 @@ class CurationStreamSpec extends SparkTestBase {
     assert(again == finalLabels)
   }
 
+  test("streaming IVF intake routes arrivals to fit buckets; probes serve the union") {
+    import spark.implicits._
+    import graft.operators.Vectors
+    def vec(id: Long, c: Int): Seq[Double] =
+      (0 until 64).map { j =>
+        (if (j == c) 1.0 else 0.0) + 0.05 * math.sin(id * 64.0 + j)
+      }
+    def unitFrame(rows: Seq[(Long, Seq[Double])]) =
+      rows.toDF("vec_id", "embedding")
+        .select(col("vec_id"), lit("x").as("label"),
+          graft.functions.VectorFunctions.unitv(col("embedding")).as("u"))
+    // offline fit on the base corpus (10 clusters × 20 members)
+    val baseRows = for { c <- 0 until 10; i <- 0 until 20 }
+      yield { val id = 10L + c * 20 + i; (id, vec(id, c)) }
+    val baseU = unitFrame(baseRows)
+    val cents = Vectors.trainCentroids(baseU, 14, Vectors.ivfIters)
+    val baseDir = tmp("graft_ivf_base")
+    baseU.withColumn("bucket", Vectors.ivfBucket(cents))
+      .write.partitionBy("bucket").mode("overwrite").parquet(baseDir)
+    val model = Vectors.IvfModel(14, cents, baseDir)
+    // streaming intake of new arrivals against the published model
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("label", StringType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val (input, cp, intakeDir) =
+      (tmp("graft_ivf_in"), tmp("graft_ivf_cp"), tmp("graft_ivf_intake"))
+    def run(): Unit = {
+      val q = Streams.ivfIntake(intakeDir, cents,
+        spark.readStream.schema(embSchema)
+          .option("maxFilesPerTrigger", 1).json(input), cp)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def dropVecs(rows: Seq[(Long, Seq[Double])]): Unit =
+      rows.map { case (id, e) => (id, "x", e) }
+        .toDF("vec_id", "label", "embedding")
+        .coalesce(1).write.mode("append").json(input)
+    // arrivals are near-copies of each cluster's query vector — both a
+    // realistic re-crawl shape and a guarantee they MUST surface in the
+    // query's top-5 once the intake layout serves probes
+    dropVecs((0 until 10).map(c => (300L + c, vec(c.toLong, c))))
+    run() // then KILLED
+    // second wave lands while the query is down; includes a zero
+    // vector that must quarantine (NULL u) at intake
+    dropVecs((0 until 10).map(c => (400L + c, vec(c.toLong, c))) :+
+      (999L, Seq.fill(64)(0.0)))
+    run() // restart: processes only the second file
+    run() // no new data: exactly-once, nothing re-commits
+    val intake = spark.read.parquet(intakeDir)
+    assert(intake.count() == 20) // 21 arrivals − 1 quarantined zero
+    // assignment parity: streamed buckets equal the batch quantizer
+    val got = intake.select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = unitFrame((300 until 310).map(i => (i.toLong, vec(i - 300L, i - 300))) ++
+        (400 until 410).map(i => (i.toLong, vec(i - 400L, i - 400))))
+      .withColumn("bucket", Vectors.ivfBucket(cents))
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == want)
+    // probes over base ∪ intake equal probes over one merged layout
+    val mergedDir = tmp("graft_ivf_merged")
+    spark.read.parquet(baseDir)
+      .select(col("vec_id"), col("label"), col("u"), col("bucket"))
+      .unionByName(intake
+        .select(col("vec_id"), col("label"), col("u"), col("bucket")))
+      .write.partitionBy("bucket").mode("overwrite").parquet(mergedDir)
+    val queries = unitFrame((0 until 10).map(c => (c.toLong, vec(c.toLong, c))))
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[Long]("q_id"),
+      r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"),
+      r.getAs[Double]("cosine"))
+    val viaUnion = Vectors.probeTopkWithIntake(spark, model, intakeDir,
+      queries).collect().map(key).toSeq
+    val viaMerged = Vectors.probeTopk(spark,
+      Vectors.IvfModel(14, cents, mergedDir), queries)
+      .collect().map(key).toSeq
+    assert(viaUnion == viaMerged)
+    // the intake actually surfaces in probe results: every query's
+    // cluster got a 300- and 400-series near neighbor
+    val neighbors = viaUnion.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSet).toMap
+    assert((0L until 10L).forall(q =>
+      neighbors(q).exists(_ >= 300L)), neighbors.toString)
+  }
+
   test("streaming CDC apply survives a kill + restart; equals the batch merge fold") {
     import spark.implicits._
     val changeSchema = StructType(Seq(
