@@ -135,6 +135,7 @@ object SparkEntry {
     "q_heavy_hitters_by_lang" -> (TextOps.qHeavyHittersByLang _),
     "q_tfidf_topk"      -> (TextOps.qTfidfTopk _),
     "q_bm25_topk"       -> (TextOps.qBm25Topk _),
+    "q_lm_score"        -> (TextOps.qLmScore _),
     "q_score_deciles"   -> (TextOps.qScoreDeciles _),
     "q_score_deciles_approx" -> (TextOps.qScoreDecilesApprox _),
     "q_colloc_pmi"      -> (TextOps.qCollocPmi _),
@@ -1624,6 +1625,48 @@ object SparkEntry {
     // Scala 2.2 could round differently), df/sum_dl are integer sums
     // cast once, and the score's operator chain is left-associated
     // identically on both sides.
+    // q_lm_score: the model is the top-10000 (count desc, bigram asc)
+    // corpus bigrams — a total order, so both engines cut the SAME
+    // K-boundary; per-doc accumulators are exact long sums (order-free)
+    // and each score is one IEEE division, so the hash compare is
+    // bit-exact.
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, list_transform(generate_series(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i + 1]) AS bgs
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(bgs) AS bigram FROM bg),
+        |counts AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS n
+        |  FROM ex GROUP BY bigram),
+        |total AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM counts),
+        |model AS (
+        |  SELECT bigram, n FROM counts
+        |  ORDER BY n DESC, bigram LIMIT 10000),
+        |scored AS (
+        |  SELECT e.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(count(m.n) AS BIGINT) AS n_known,
+        |    CAST(coalesce(sum(m.n), 0) AS BIGINT) AS s_known
+        |  FROM ex e LEFT JOIN model m ON e.bigram = m.bigram
+        |  GROUP BY e.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(s.n_known, 0) AS n_known,
+        |  coalesce(s.s_known, 0) AS s_known,
+        |  CASE WHEN coalesce(s.n_bigrams, 0) = 0 THEN 0.0
+        |    ELSE CAST(s.n_known AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE)
+        |  END AS coverage,
+        |  CASE WHEN coalesce(s.n_bigrams, 0) = 0 THEN 0.0
+        |    ELSE CAST(s.s_known AS DOUBLE) /
+        |      (CAST(t.big_n AS DOUBLE) * CAST(s.n_bigrams AS DOUBLE))
+        |  END AS familiarity
+        |FROM documents d
+        |LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |CROSS JOIN total t
+        |ORDER BY d.doc_id""".stripMargin,
     "q_bm25_topk" ->
       """WITH base AS (
         |  SELECT doc_id,

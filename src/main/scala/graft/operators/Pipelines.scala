@@ -549,7 +549,11 @@ object Pipelines {
     * division, never an FP sum), so the gate is bit-reproducible.
     */
   def qPipelineLanding(spark: SparkSession, dir: String): DataFrame = {
-    val nulls = Relational.qProfile(spark, dir)
+    // null counts via the null-only aggregate, NOT qProfile: the gate
+    // never reads the distincts, and the exact-distinct Expand was the
+    // dominant branch cost (r11 plan trim; values parity-pinned equal
+    // to qProfile's n_nulls in PipelinesSpec)
+    val nulls = Relational.orderNullCounts(spark, dir)
       .select(concat(lit("nulls:"), col("column")).as("check"),
         col("n_nulls").cast("double").as("metric"),
         lit(0.0).as("threshold"))

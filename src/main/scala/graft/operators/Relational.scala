@@ -363,6 +363,29 @@ object Relational {
     "o_orderstatus" -> "str", "o_totalprice" -> "num",
     "o_orderdate" -> "ts", "o_orderpriority" -> "str")
 
+  /** Null-count-only slice of [[profile]] for consumers that read
+    * nothing else — the landing gate checks `n_nulls` and never the
+    * distincts, so paying the exact-distinct Expand there was pure
+    * waste (r11 plan trim: the Expand multiplied the scan by
+    * #columns+1 for values the gate discarded). ONE scan, ONE trivial
+    * aggregate row, the same literal-struct unpivot; values are
+    * parity-pinned equal to [[qProfile]]'s `n_nulls` column. */
+  private[graft] def nullCounts(df: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val aggs = cols.map(c =>
+      count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map(c => struct(lit(c).as("column"),
+      col(s"${c}__nulls").as("n_nulls")))
+    wide.select(explode(array(entries: _*)).as("p"))
+      .select(col("p.column"), col("p.n_nulls"))
+  }
+
+  /** The landing gate's null report over the profiled orders columns. */
+  private[graft] def orderNullCounts(spark: SparkSession,
+      dir: String): DataFrame =
+    nullCounts(Tables.orders(spark, dir), profiledOrderCols.map(_._1))
+
   /** Core of [[qProfile]]: `cols` maps column name → kind
     * ("num" | "ts" | "str"), controlling which min/max slot is filled;
     * `approxDistinct` swaps the exact DISTINCT (Expand plan) for an

@@ -1363,6 +1363,71 @@ object TextOps {
     * driver). At 100 TB this is a pure double scan-pass — no join, no
     * exchange, no skew surface. Ties break on doc_id.
     */
+  /** Statistical language-model QUALITY SCORE — the CCNet-style
+    * familiarity filter a corpus-curation pipeline runs to separate
+    * fluent text from gibberish/boilerplate, expressed exactly: the
+    * model is the corpus's top-K most frequent token BIGRAMS (count
+    * desc, bigram asc — a total order, so the K-boundary is
+    * deterministic in both engines), and each document reports
+    *
+    *   - `coverage`   = fraction of its bigrams found in the model;
+    *   - `familiarity` = Σ model-count of its matched bigrams,
+    *     normalized by (corpus bigram total × doc bigram count).
+    *
+    * Published LM filters score log-perplexity; the monotone log is
+    * dropped per this family's determinism rule ([[qTfidfTopk]],
+    * [[qBm25Topk]]: `ln` implementations differ per engine) and the
+    * per-document accumulator is a LONG sum of model counts — exact
+    * integer arithmetic, ORDER-FREE under any partitioning, where a
+    * double sum of probabilities would be shuffle-order lottery. Each
+    * output is then ONE IEEE division (by one product of exact
+    * longs widened to double) — bit-identical in DuckDB.
+    *
+    * Scale shape: bigrams are row-local (`zip_with` of two shifted
+    * slices — the lambda touches only its own variables, the
+    * [[qTextStats]] CSE discipline). The fit is one bigram-keyed
+    * count exchange (vocabulary-sized, map-side partials) reduced to
+    * a broadcast K-row model by `TakeOrderedAndProject`; scoring is a
+    * broadcast LEFT join over the exploded corpus and ONE doc-keyed
+    * aggregate of three longs. At 100 TB the fit is the offline
+    * artifact (the IVF/MinHash fit-publish posture) and the scoring
+    * pass is a pure scan + broadcast probe.
+    */
+  def qLmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScore(Tables.documents(spark, dir), 10000)
+
+  /** Core of [[qLmScore]] over any (doc_id, text) frame; `k` is the
+    * model size (top-K bigrams). */
+  private[graft] def lmScore(docs: DataFrame, k: Int): DataFrame = {
+    val w = split(col("text"), " ")
+    val bgs = zip_with(slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1), (a, b) => concat(a, lit(" "), b))
+    val ex = docs.select(col("doc_id"), explode(bgs).as("bigram"))
+    val counts = ex.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+    val model = counts.orderBy(col("n").desc, col("bigram").asc).limit(k)
+    val bigN = counts.agg(sum(col("n")).as("big_n"))
+    val perDoc = ex.join(broadcast(model), Seq("bigram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("n")).as("n_known"),
+        coalesce(sum(col("n")), lit(0L)).as("s_known"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(bigN))
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        coalesce(col("s_known"), lit(0L)).as("s_known"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_known").cast("double") /
+            col("n_bigrams").cast("double")).as("coverage"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("s_known").cast("double") /
+            (col("big_n").cast("double") *
+              col("n_bigrams").cast("double"))).as("familiarity"))
+      .orderBy(col("doc_id"))
+  }
+
   def qBm25Topk(spark: SparkSession, dir: String): DataFrame =
     bm25Topk(Tables.documents(spark, dir))
 

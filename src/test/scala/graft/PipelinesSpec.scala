@@ -497,5 +497,12 @@ class PipelinesSpec extends SparkTestBase {
     assert(rows.filter(_._1.startsWith("nulls:")).values.forall(_._3))
     assert(rows.filter(_._1.startsWith("orphans:")).values.forall(_._3))
     assert(rows.keys.count(_.startsWith("outlier_rate:")) > 0)
+    // the gate reads only null counts from the profiling surface, so
+    // its plan must NOT pay the exact-distinct Expand (r11 plan trim)
+    val q = Pipelines.qPipelineLanding(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Expand"), plan.take(2000))
   }
 }

@@ -820,6 +820,76 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_lm_score matches a driver-side bigram-model recompute") {
+    val got = TextOps.qLmScore(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("n_known"), r.getAs[Long]("s_known"),
+        r.getAs[Double]("coverage"), r.getAs[Double]("familiarity")))
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def bigrams(t: String): Seq[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 2) Seq.empty
+      else w.init.zip(w.tail).map { case (a, b) => s"$a $b" }.toSeq
+    }
+    val all = texts.flatMap { case (_, t) => bigrams(t) }
+    val counts = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val model = counts.toSeq.sortBy { case (b, n) => (-n, b) }
+      .take(10000).toMap
+    val bigNTotal = counts.values.sum
+    val want = texts.map { case (id, t) =>
+      val bs = bigrams(t)
+      val known = bs.filter(model.contains)
+      val s = known.map(model).sum
+      val n = bs.length.toLong
+      val cov = if (n == 0) 0.0 else known.length.toDouble / n.toDouble
+      val fam = if (n == 0) 0.0
+        else s.toDouble / (bigNTotal.toDouble * n.toDouble)
+      (id, n, known.length.toLong, s, cov, fam)
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // the score family actually discriminates on the generated corpus
+    assert(got.map(_._6).distinct.length > 1)
+  }
+
+  test("lm score fixture: familiarity ranks repeated text above rare text; ties and short docs") {
+    import spark.implicits._
+    val fx = Seq(
+      (1L, "a b a b a b"), // bigrams: a-b x3, b-a x2 — all in-model
+      (2L, "x y"),         // one rare bigram, out of a k=2 model
+      (3L, "z"))           // single token: zero bigrams
+      .toDF("doc_id", "text")
+    val rows = TextOps.lmScore(fx, 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_known"),
+          r.getAs[Long]("s_known"), r.getAs[Double]("coverage"),
+          r.getAs[Double]("familiarity"))).toMap
+    // model (k=2, count desc / bigram asc): {"a b" -> 3, "b a" -> 2};
+    // corpus total N = 6
+    assert(rows(1L) == ((5L, 5L, 13L, 1.0, 13.0 / (6.0 * 5.0))))
+    assert(rows(2L) == ((1L, 0L, 0L, 0.0, 0.0)))
+    assert(rows(3L) == ((0L, 0L, 0L, 0.0, 0.0)))
+    // K-boundary tie: with k=3 the tied count-1 bigrams cut on the
+    // bigram's ascending order — "x y" enters, "x z" stays out
+    val fx2 = fx.union(Seq((4L, "x z")).toDF("doc_id", "text"))
+    val r2 = TextOps.lmScore(fx2, 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_known")).toMap
+    assert(r2(2L) == 1L && r2(4L) == 0L)
+  }
+
+  test("lm score plan: TakeOrdered fit, broadcast model probe") {
+    val q = TextOps.qLmScore(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the K-row model comes from per-partition heaps, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    // scoring probes the broadcast model — the corpus-side join never
+    // shuffles on bigram
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("q_score_deciles_approx: >=99% agreement with exact, all buckets, sorted cuts") {
     val exact = TextOps.qScoreDeciles(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("decile")).toMap
