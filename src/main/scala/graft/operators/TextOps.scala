@@ -1527,8 +1527,20 @@ object TextOps {
       transform(sequence(lit(0), lit(k - 1)), i => segAt(i, col("len"))),
       when(col("len") <= d, array(shortKey))
         .otherwise(array().cast(s"array<struct<idx:int,seg:string>>")))
-    // probe: every substring one of a within-±d-length build's segments
-    // could match at (shift <= d), plus the shorts channel
+    // probe: the MULTI-MATCH-AWARE substring window (PassJoin PVLDB'11
+    // §4.2 — the tightening the first cut deferred). For probe length
+    // m against build length la (Δ = m − la), a start shift x = st − pᵢ
+    // can witness an ed ≤ d pair only if
+    //   |x| + |Δ − x|  ≤ d   (prefix edits + suffix edits share d), and
+    //   |Δ − x| ≤ d − i      (if segment i is the FIRST exact match,
+    //                         each earlier segment holds ≥ 1 edit, so
+    //                         ≥ i edits precede and ≤ d − i follow).
+    // Both engines' oracle + brute-force specs pin that the tightening
+    // is invisible in the pair set. Against the former ±d window this
+    // cuts probe keys ~2× at d = 3 (and to ONE start for the last
+    // segment); starts whose substring would truncate at the string
+    // end are dropped too — a truncated probe can never equal a
+    // full-length build segment.
     val probeKeys = concat(
       flatten(transform(sequence(lit(0), lit(k - 1)), i =>
         flatten(transform(
@@ -1536,8 +1548,15 @@ object TextOps {
             val start = floor(i * la / k).cast("int")
             val slen = (floor((i + lit(1)) * la / k) -
               floor(i * la / k)).cast("int")
+            val dl = (col("len") - la).cast("int")
+            val slack = ((lit(d) - abs(dl)) / lit(2)).cast("int")
+            val lo = greatest(least(dl, lit(0)) - slack,
+              dl - (lit(k - 1) - i.cast("int")))
+            val hi = least(greatest(dl, lit(0)) + slack,
+              dl + (lit(k - 1) - i.cast("int")))
             transform(
-              filter(sequence(start - d, start + d), st => st >= 0),
+              filter(sequence(start + lo, start + hi), st =>
+                st >= 0 && st + slen <= col("len")),
               st => struct(i.cast("int").as("idx"),
                 col("head").substr(st.cast("int") + 1, slen).as("seg")))
           })))),
