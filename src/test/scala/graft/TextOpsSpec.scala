@@ -998,6 +998,58 @@ class TextOpsSpec extends SparkTestBase {
       (2L, 3L, 3), (2L, 6L, 2), (2L, 7L, 3), (3L, 4L, 1), (6L, 7L, 2)))
   }
 
+  test("multi-match probe window is lossless on randomized corpora") {
+    import spark.implicits._
+    // the r11 window tightening (|x| + |Δ−x| ≤ d, first-match |Δ−x| ≤
+    // d−i, end-truncation dropping) is derived, not copied — sweep it
+    // against brute force over dense random corpora: a tiny alphabet
+    // maximizes near-pair density and string lengths 0..12 cross every
+    // regime (shorts ≤ d, 1-char segments, uneven segment splits)
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    val rnd = new scala.util.Random(20260814)
+    (1 to 3).foreach { round =>
+      val docs = (1 to 40).map { i =>
+        val len = rnd.nextInt(13)
+        (i.toLong, "en",
+          (1 to len).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString)
+      }
+      val got = TextOps.editDistancePairs(
+          docs.toDF("doc_id", "lang", "text"), 30, 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (ia, _, ta) <- docs; (ib, _, tb) <- docs if ia < ib
+        d = lev(ta, tb) if d <= 3
+      } yield (ia, ib, d)).toSet
+      assert(got == want,
+        s"round $round: missing=${want -- got} spurious=${got -- want}")
+    }
+  }
+
+  test("lm score is partitioning-independent (order-free long accumulators)") {
+    import spark.implicits._
+    val fx = (1L to 30L).map(i =>
+      (i, (1 to (i % 7).toInt + 1).map(j => s"w${(i + j) % 9}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("s_known"),
+        r.getAs[Double]("coverage"), r.getAs[Double]("familiarity"))).toSeq
+    val one = key(TextOps.lmScore(fx.coalesce(1), 5))
+    val many = key(TextOps.lmScore(fx.repartition(7), 5))
+    assert(one == many)
+  }
+
   test("edit-join shorts channel exposes degenerate corpora, silent on healthy ones") {
     import spark.implicits._
     // the real corpus has no near-empty heads: the metric is empty
