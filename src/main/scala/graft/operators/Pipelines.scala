@@ -599,16 +599,39 @@ object Pipelines {
     * upstream fix re-reads it), and the checklist records exactly which
     * checks sank it.
     *
+    * `retainVersions` bounds storage across nightly drops: after a
+    * successful flip, all but the newest N non-current versions are
+    * deleted (0 = keep everything; quarantine and the current version
+    * are never touched). Retention runs strictly AFTER the flip, so a
+    * reader that resolved the marker before the publish always sees a
+    * complete (possibly previous) version, never a half-deleted one —
+    * readers of retention-expired versions need the same grace window
+    * any snapshot-expiry scheme (table-format VACUUM) documents.
+    *
     * @return true iff the drop was published. */
   def landThenPublish(spark: SparkSession, landed: DataFrame,
       gate: DataFrame, root: String, version: String, key: String,
-      shards: Int = 8): Boolean = {
+      shards: Int = 8, retainVersions: Int = 0): Boolean = {
     val checks = gate.collect()
     val failing = checks.filter(r => !r.getAs[Boolean]("pass"))
     if (failing.isEmpty) {
       Relational.writePointLayout(landed, key, s"$root/$version", shards)
       graft.sources.Markers.write(spark, root, silverCurrentMarker,
         version)
+      if (retainVersions > 0) {
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val fs = rootPath.getFileSystem(
+          spark.sessionState.newHadoopConf())
+        val stale = fs.listStatus(rootPath)
+          .filter(_.isDirectory)
+          .map(st => st.getPath.getName -> st.getModificationTime)
+          .filter { case (n, _) =>
+            n != "quarantine" && n != version }
+          .sortBy(-_._2)
+          .drop(retainVersions)
+        stale.foreach { case (n, _) =>
+          fs.delete(new org.apache.hadoop.fs.Path(rootPath, n), true) }
+      }
       true
     } else {
       import scala.jdk.CollectionConverters._
@@ -654,7 +677,8 @@ object Pipelines {
         col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
     val gate = qPipelineLanding(spark, dir)
     landThenPublish(spark, landed, gate, root,
-      version = s"v${publishSeq.incrementAndGet()}", key = "o_orderkey")
+      version = s"v${publishSeq.incrementAndGet()}", key = "o_orderkey",
+      retainVersions = 2)
     currentSilver(spark, root).drop("key_shard")
       .orderBy(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))

@@ -558,26 +558,34 @@ object Streams {
     * most one op — the contract `snapshotDiff`-derived change batches
     * satisfy by construction.
     *
-    * State posture at 100 TB: streaming state is EMPTY (the merge is
-    * stream-static against a published artifact); per-batch cost is
-    * the delta-sized merge — both joins keep the corpus streamed-side,
-    * and with doc_id-partitioned snapshot layouts the rewrite touches
-    * only batch-keyed partitions (the copy-on-write framing on
-    * [[graft.operators.Curation.cdcMerge]]). */
+    * State and cost posture at 100 TB, stated honestly: streaming
+    * state is EMPTY (the merge is stream-static against a published
+    * artifact) and the merge's JOIN state is delta-sized (both joins
+    * broadcast the batch against the streamed corpus), but each
+    * publish is a full corpus PASS — scan the current version, write
+    * the next — because atomic version flips over bare parquet cannot
+    * rewrite in place (a dynamic partition overwrite is not atomic,
+    * so a crash mid-overwrite would corrupt the current snapshot; the
+    * doc_id-partitioned copy-on-write rewrite on
+    * [[graft.operators.Curation.cdcMerge]] belongs to table formats
+    * with manifest commits). The trigger interval is therefore the
+    * amortization knob: batch minutes of changes per publish, exactly
+    * the reference's nightly-cadence posture run at a faster clock.
+    * The merged plan streams straight into the new version's writer —
+    * nothing corpus-sized is ever collected or checkpointed to
+    * executor memory; reading the CURRENT version while writing the
+    * NEXT is safe because they are different directories and the flip
+    * happens only after the write completes. */
   def cdcApplySink(snapshotRoot: String, changes: DataFrame,
     checkpointDir: String)
     : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        // materialize BEFORE publishing (the extendLabelsSink
-        // discipline): the merge plan reads the current version's
-        // parquet; eager materialization keeps its actions off the
-        // publication path
-        val merged = graft.operators.Curation.cdcMerge(
-          graft.operators.Curation.currentSnapshot(s, snapshotRoot),
-          batch).localCheckpoint(true)
-        graft.operators.Curation.publishSnapshot(s, merged,
+        graft.operators.Curation.publishSnapshot(s,
+          graft.operators.Curation.cdcMerge(
+            graft.operators.Curation.currentSnapshot(s, snapshotRoot),
+            batch),
           snapshotRoot, s"b$batchId")
       }
       .option("checkpointLocation", checkpointDir)

@@ -145,7 +145,9 @@ class SinkSpec extends SparkTestBase {
   private def ls(root: String): Set[String] = {
     val d = new java.io.File(root)
     if (!d.exists()) Set.empty
-    else d.listFiles().map(_.getName).toSet
+    // drop the local FS's dot-prefixed .crc shadow files — artifacts
+    // of RawLocalFileSystem, not of the publish layout under test
+    else d.listFiles().map(_.getName).filterNot(_.startsWith(".")).toSet
   }
 
   test("failing gate publishes NOTHING and quarantines drop + checklist") {
@@ -209,6 +211,26 @@ class SinkSpec extends SparkTestBase {
     // v2 exists only under quarantine
     assert(!new java.io.File(s"$root/v2").exists())
     assert(new java.io.File(s"$root/quarantine/v2/drop").exists())
+  }
+
+  test("retention deletes only stale non-current versions, never quarantine") {
+    import graft.operators.Pipelines
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_publish_spec").toString
+    val gate = gateFrame(Seq(("nulls:id", 0.0, 0.0)))
+    // one failing drop first so a quarantine subtree exists
+    assert(!Pipelines.landThenPublish(spark, landedFrame(5),
+      gateFrame(Seq(("orphans:fk", 1.0, 0.0))), root, "q0", key = "id"))
+    (1 to 4).foreach { i =>
+      assert(Pipelines.landThenPublish(spark, landedFrame(10 * i),
+        gate, root, s"v$i", key = "id", retainVersions = 2))
+    }
+    // newest two non-current versions (v2, v3) survive with current v4;
+    // v1 is expired; quarantine is untouched
+    assert(ls(root) == Set("quarantine", "v2", "v3", "v4",
+      "_graft_silver_current"), ls(root).toString)
+    assert(Pipelines.currentSilver(spark, root).count() == 40)
+    assert(new java.io.File(s"$root/quarantine/q0/drop").exists())
   }
 
   test("q_pipeline_publish publishes on driver data and reads back the drop") {
