@@ -145,6 +145,8 @@ object SparkEntry {
     "q_simhash_checked" -> (TextOps.qSimhashChecked _),
     "q_fingerprint"     -> (TextOps.qFingerprint _),
     "q_fingerprint_checked" -> (TextOps.qFingerprintChecked _),
+    "q_bpe_encode"      -> (Bpe.qBpeEncode _),
+    "q_bpe_checked"     -> (Bpe.qBpeChecked _),
     // M5 — similarity search over embeddings
     "q_quantize_embed"  -> (Vectors.qQuantizeEmbed _),
     "q_cosine_topk"     -> (Vectors.qCosineTopk _),
@@ -881,6 +883,11 @@ object SparkEntry {
     // md5 SimHash ride: same tokenize/vote/tie/bit-order semantics as
     // q_simhash, DuckDB-shared bit planes (kept next to the query).
     "q_simhash_checked" -> TextOps.simhashCheckedOracle,
+    // fixed-merge-list BPE ride: DuckDB replays the delimiter-wrapped
+    // replace chain generated from the SAME checkedMerges constant the
+    // Spark kernel encodes with (q_bpe_encode itself is rows-only —
+    // its merges are trained on the query's own corpus).
+    "q_bpe_checked" -> Bpe.checkedOracleSql,
     "q_cube_counts" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,

@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.functions.{BpeEncode, BpeFunctions}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Trained byte-pair-encoding subword tokenization over the documents
+  * corpus — the missing real-tokenizer member of the text family
+  * (`q_token_count` counts whitespace tokens; an LLM pipeline budgets
+  * sequences in SUBWORD tokens under a vocabulary trained on its own
+  * corpus).
+  *
+  * Published recipe throughout (Sennrich/Haddow/Birch, ACL 2016): the
+  * trainer iterates "count adjacent symbol pairs over the word-
+  * frequency table, merge the most frequent" — training runs on WORD
+  * COUNTS, never on the corpus itself, which is exactly what makes it
+  * scale: one corpus pass reduces 100 TB of text to a ≤`maxVocab`-row
+  * frequency table (TakeOrderedAndProject — map-side heaps, top rows
+  * to the driver), and the merge loop is driver-side arithmetic on
+  * that bounded table (the ivfFit/minhashFit offline-fit posture; the
+  * vocabulary cap is the same bounded-model contract as the centroid
+  * matrix). Encoding is then a per-row scan-speed kernel
+  * ([[graft.functions.BpeEncode]]) against the broadcast-by-closure
+  * merge list.
+  *
+  * Determinism: the trainer's pair choice is a TOTAL order (count
+  * desc, then (a, b) lexicographic asc) and the word table is capped
+  * under a total order (count desc, word asc), so the fitted merge
+  * list is a pure function of the corpus. Encoding is
+  * character-deterministic; no floats anywhere.
+  *
+  * Two declared queries follow the approximate-family precedent
+  * (`q_fingerprint`/`q_fingerprint_checked`):
+  *   - [[qBpeEncode]] (`q_bpe_encode`): the production path — merges
+  *     TRAINED on the query's own corpus. Rows-only (the merge list
+  *     depends on the corpus, so no static oracle SQL exists);
+  *     spec-pinned against a driver-side reference trainer/encoder.
+  *   - [[qBpeChecked]] (`q_bpe_checked`): the oracle ride — a FIXED
+  *     32-rule merge list both engines replay. DuckDB reproduces the
+  *     exact token stream through [[encodeViaReplace]]'s delimiter
+  *     encoding: each symbol is rendered `<s>` with reserved
+  *     delimiters chr(30)/chr(31), so the literal replace of
+  *     `<a><b>` → `<ab>` fires exactly on adjacent WHOLE symbols
+  *     (a delimiter-free rendering would let rule (e, r) fire inside
+  *     symbol pair (xe, r) — the classic string-replace BPE bug), and
+  *     left-to-right non-overlapping replace-all IS exhaustive
+  *     leftmost pair merging. The custom kernel is parity-pinned
+  *     against the replace-chain formulation bitwise.
+  */
+object Bpe {
+
+  private val Open = "\u001E"
+  private val Close = "\u001F"
+
+  /** Sennrich-2016 BPE training over a word-frequency table. Pair
+    * statistics count every adjacent position (the reference
+    * `get_stats` convention); the merge choice is total-ordered
+    * (count desc, pair lexicographic asc) and training stops when no
+    * pair occurs at least twice — merging a once-seen pair can never
+    * change any other word's tokenization.
+    */
+  private[graft] def trainBpe(wordCounts: Seq[(String, Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    var vocab: Array[(Array[String], Int, Long)] = wordCounts.map {
+      case (w, c) =>
+        val syms = new Array[String](w.length)
+        var i = 0
+        while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+        (syms, w.length, c)
+    }.toArray
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var go = true
+    while (merges.size < numMerges && go) {
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, len, c) =>
+        var i = 0
+        while (i < len - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) go = false
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        if (best._2 < 2L) go = false
+        else {
+          val (a, b) = best._1
+          merges += ((a, b))
+          vocab = vocab.map { case (syms, len, c) =>
+            (syms, BpeEncode.mergePass(syms, len, a, b), c)
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One fitted merge list per (JVM, sf-dir): ONE corpus pass reduces
+    * the text to a capped word-frequency table (top `maxVocab` under
+    * (count desc, word asc) — a TakeOrderedAndProject, so the driver
+    * pull is bounded by construction), then the merge loop runs on
+    * that table alone. */
+  private val fitCache = new FitCache[Seq[(String, String)]]((s, d) => {
+    val words = Tables.documents(s, d)
+      .select(explode(split(regexp_replace(col("text"),
+        "[\u001E\u001F]", ""), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(50000)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainBpe(words, numMerges = 160)
+  })
+
+  private[graft] def fitFor(spark: SparkSession, dir: String):
+      Seq[(String, String)] = fitCache.get(spark, dir)
+
+  /** The built-in-functions formulation the DuckDB oracle mirrors
+    * call-for-call: strip the two reserved delimiters, render every
+    * non-space character as `<c>`, apply each merge as a LITERAL
+    * replace of `<a><b>` → `<ab>` (boundary-safe: a match needs both
+    * delimiter-wrapped symbols verbatim, and replace-all is
+    * left-to-right non-overlapping in both engines), then flatten
+    * delimiters to the space-joined token stream. Kept as the parity
+    * reference for the kernel and as the shape [[checkedOracleSql]]
+    * replays — NOT the production encode path (K nested full-string
+    * passes; the kernel is one symbol-array walk per rule with a word
+    * memo). */
+  private[graft] def encodeViaReplace(text: Column,
+      merges: Seq[(String, String)]): Column = {
+    val stripped = regexp_replace(text, "[\u001E\u001F]", "")
+    var x = regexp_replace(stripped, "(\\S)", Open + "$1" + Close)
+    merges.foreach { case (a, b) =>
+      x = replace(x, lit(Open + a + Close + Open + b + Close),
+        lit(Open + a + b + Close))
+    }
+    trim(regexp_replace(
+      replace(replace(x, lit(Open), lit("")), lit(Close), lit(" ")),
+      " +", " "))
+  }
+
+  private def tokenCount(encoded: Column): Column =
+    when(length(encoded) === 0, lit(0L))
+      .otherwise(size(split(encoded, " ")).cast("long"))
+
+  /** `q_bpe_encode` — the production tokenizer: merges trained on this
+    * corpus (fit-once per JVM/sf-dir), encoding via the codegen'd
+    * kernel. ONE scan + project; the only exchange is the
+    * determinism sort. Rows-only by contract (corpus-dependent merge
+    * list); BpeSpec pins the trainer against hand-traced Sennrich
+    * examples and the kernel against the replace-chain formulation. */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = fitFor(spark, dir)
+    val enc = BpeFunctions.bpeEncode(col("text"), merges)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast("long").as("n_words"),
+        enc.as("encoded"))
+      .select(col("doc_id"), col("n_words"),
+        tokenCount(col("encoded")).as("n_tokens"), col("encoded"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The fixed rank-ordered merge list of the oracle ride: 32 rules
+    * over the corpus alphabet, exercising multi-level fusion (whole
+    * words `the/key/scan/table/value/query/stream/order/hash`), rules
+    * over previously-merged symbols, and rules that partially overlap
+    * other words (`st` in `customer`/`fast`, `or` in `sort`). */
+  private[graft] val checkedMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e",
+    "k" -> "e", "ke" -> "y",
+    "s" -> "c", "sc" -> "a", "sca" -> "n",
+    "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+    "v" -> "a", "va" -> "l", "val" -> "u", "valu" -> "e",
+    "q" -> "u", "qu" -> "e", "que" -> "r", "quer" -> "y",
+    "s" -> "t", "st" -> "r", "str" -> "e", "stre" -> "a", "strea" -> "m",
+    "o" -> "r", "or" -> "d", "ord" -> "e", "orde" -> "r",
+    "e" -> "r",
+    "h" -> "a", "ha" -> "s", "has" -> "h")
+
+  /** `q_bpe_checked` — the oracle ride: the SAME kernel as the
+    * production query over the FIXED merge list, hash-compared against
+    * DuckDB replaying the replace-chain formulation. A kernel bug in
+    * merge order, overlap handling, or boundary safety fails the hash.
+    */
+  def qBpeChecked(spark: SparkSession, dir: String): DataFrame = {
+    val enc = BpeFunctions.bpeEncode(col("text"), checkedMerges)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), enc.as("encoded"))
+      .select(col("doc_id"), tokenCount(col("encoded")).as("n_tokens"),
+        col("encoded"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB SQL for [[qBpeChecked]], generated from the same
+    * [[checkedMerges]] constant the Spark query encodes with (one
+    * source of truth for the rule list). */
+  def checkedOracleSql: String = {
+    def sym(s: String): String = s"chr(30) || '$s' || chr(31)"
+    val wrap =
+      """regexp_replace(regexp_replace(text, '[' || chr(30) || chr(31) || ']', '', 'g'),
+        |      '(\S)', chr(30) || '\1' || chr(31), 'g')""".stripMargin
+    val merged = checkedMerges.foldLeft(wrap) { case (acc, (a, b)) =>
+      s"replace($acc,\n      ${sym(a)} || ${sym(b)}, ${sym(a + b)})"
+    }
+    s"""WITH m AS (SELECT doc_id,
+       |    $merged AS x
+       |  FROM documents),
+       |f AS (SELECT doc_id,
+       |    trim(regexp_replace(replace(replace(x, chr(30), ''),
+       |      chr(31), ' '), ' +', ' ', 'g')) AS encoded
+       |  FROM m)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN length(encoded) = 0 THEN 0
+       |            ELSE len(string_split(encoded, ' ')) END AS BIGINT)
+       |    AS n_tokens,
+       |  encoded
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+}

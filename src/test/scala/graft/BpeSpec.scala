@@ -1,0 +1,188 @@
+package graft
+
+import graft.functions.{BpeEncode, BpeFunctions}
+import graft.operators.Bpe
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Trained BPE subword tokenization: trainer vs the hand-traced
+  * Sennrich example, kernel vs the built-in replace-chain formulation
+  * (the DuckDB oracle's shape), the fixed-merge checked ride, and
+  * robustness/plan pins.
+  */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // --- trainer ----------------------------------------------------------
+
+  test("trainer reproduces the hand-traced Sennrich word-table example") {
+    // Classic corpus {low:5, lower:2, newest:6, widest:3}. Pair counts,
+    // total-ordered (count desc, pair asc):
+    //   round 1: (e,s)=9 ties (s,t)=9 -> (e,s)
+    //   round 2: (es,t)=9
+    //   round 3: (l,o)=7 ties (o,w)=7 -> (l,o)
+    //   round 4: (lo,w)=7
+    //   round 5: at 6: (n,e),(e,w),(w,est) -> (e,w)
+    val merges = Bpe.trainBpe(
+      Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L),
+      numMerges = 5)
+    assert(merges === Seq("e" -> "s", "es" -> "t", "l" -> "o",
+      "lo" -> "w", "e" -> "w"))
+  }
+
+  test("trainer stops when no pair occurs twice, and on empty input") {
+    assert(Bpe.trainBpe(Seq("abc" -> 1L), numMerges = 10).isEmpty)
+    assert(Bpe.trainBpe(Seq.empty, numMerges = 10).isEmpty)
+    assert(Bpe.trainBpe(Seq("a" -> 100L), numMerges = 10).isEmpty)
+  }
+
+  test("the classic lowest encode: trained merges yield low + est") {
+    val merges = Bpe.trainBpe(
+      Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L),
+      numMerges = 5)
+    val out = Seq("lowest newest low")
+      .toDF("text")
+      .select(BpeFunctions.bpeEncode(col("text"), merges).as("enc"))
+      .head().getString(0)
+    // lowest: (e,s): l o w es t ; (es,t): l o w est ; (l,o): lo ;
+    // (lo,w): low -> "low est". newest: n e w est, then (e,w): n ew est.
+    assert(out === "low est n ew est low")
+  }
+
+  // --- kernel vs replace-chain parity (the oracle's shape) -------------
+
+  test("kernel output equals the replace-chain formulation on the corpus") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val merges = Bpe.fitFor(spark, sfDir)
+    assert(merges.nonEmpty)
+    val diff = docs.select(
+        BpeFunctions.bpeEncode(col("text"), merges).as("kernel"),
+        Bpe.encodeViaReplace(col("text"), merges).as("chain"))
+      .filter(col("kernel") =!= col("chain"))
+    assert(diff.isEmpty, "kernel and replace-chain BPE must agree bitwise")
+  }
+
+  test("kernel/chain parity holds on the fixed checked merge list too") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val diff = docs.select(
+        BpeFunctions.bpeEncode(col("text"), Bpe.checkedMerges).as("kernel"),
+        Bpe.encodeViaReplace(col("text"), Bpe.checkedMerges).as("chain"))
+      .filter(col("kernel") =!= col("chain"))
+    assert(diff.isEmpty)
+  }
+
+  test("boundary safety: a rule never fires inside a fused symbol") {
+    // After (t,h) and (th,e), the symbol "the" contains the byte pair
+    // h+e — rule (h,e) must NOT fire inside it. And (e,r) must not
+    // fire across symbols (xe, r).
+    val merges = Seq("t" -> "h", "th" -> "e", "h" -> "e", "x" -> "e")
+    val out = Seq("the hex xer")
+      .toDF("text")
+      .select(BpeFunctions.bpeEncode(col("text"), merges).as("enc"))
+      .head().getString(0)
+    // the -> "the"; hex: (h,e) -> he x; xer: (x,e) -> xe r (no (e,r) rule,
+    // and "xe" + "r" stays split).
+    assert(out === "the he x xe r")
+    val chain = Seq("the hex xer").toDF("text")
+      .select(Bpe.encodeViaReplace(col("text"), merges)).head().getString(0)
+    assert(chain === out)
+  }
+
+  test("overlap runs merge left-to-right non-overlapping in both forms") {
+    val merges = Seq("a" -> "a")
+    val rows = Seq("aaaa aaa aa a", "aaaaa").toDF("text")
+      .select(BpeFunctions.bpeEncode(col("text"), merges).as("k"),
+        Bpe.encodeViaReplace(col("text"), merges).as("c"))
+      .collect()
+    assert(rows(0).getString(0) === "aa aa aa a aa a")
+    assert(rows(1).getString(0) === "aa aa a")
+    rows.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  // --- declared queries -------------------------------------------------
+
+  test("q_bpe_checked: hand-pinned encodings and token accounting") {
+    val out = Bpe.qBpeChecked(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // whole-word rules fuse these corpus words to single tokens
+    val fused = Set("the", "key", "scan", "table", "value", "query",
+      "stream", "order", "hash")
+    out.foreach { r =>
+      val toks = r.getString(2).split(" ").filter(_.nonEmpty)
+      assert(toks.length.toLong === r.getLong(1))
+      val words = docs(r.getLong(0)).split(" ").filter(_.nonEmpty)
+      // every fully-fused word contributes exactly one token
+      val fusedIn = words.count(fused)
+      assert(toks.count(fused) === fusedIn)
+      // token count bounded by [n_words, n_chars]
+      assert(r.getLong(1) >= words.length)
+      assert(r.getLong(1) <= words.map(_.length).sum)
+    }
+  }
+
+  test("q_bpe_encode: n_tokens between n_words and character count; " +
+      "zero merges would mean pure character tokens") {
+    val out = Bpe.qBpeEncode(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nWords = r.getLong(1)
+      val nTokens = r.getLong(2)
+      val toks = r.getString(3).split(" ").filter(_.nonEmpty)
+      assert(toks.length.toLong === nTokens)
+      assert(nTokens >= nWords)
+    }
+    // trained merges genuinely compress vs character-level
+    val charTokens = graft.sources.Tables.documents(spark, sfDir)
+      .select(BpeFunctions.bpeEncode(col("text"), Seq.empty).as("enc"))
+      .select(size(split(col("enc"), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    val bpeTokens = out.map(_.getLong(2)).sum
+    assert(bpeTokens < charTokens,
+      s"trained BPE ($bpeTokens tokens) must compress vs chars ($charTokens)")
+  }
+
+  test("fit is corpus-deterministic and serves from the cache") {
+    val a = Bpe.fitFor(spark, sfDir)
+    val b = Bpe.fitFor(spark, sfDir)
+    assert(a eq b) // same cached instance per (JVM, dir)
+    assert(a === Bpe.trainBpe(
+      graft.sources.Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w").asc)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq,
+      numMerges = 160))
+  }
+
+  // --- robustness -------------------------------------------------------
+
+  test("robustness: null, empty, reserved delimiters, unicode, spaces") {
+    val rows = Seq[Option[String]](None, Some(""), Some("   "),
+        Some("a\u001Eb\u001Fc abc"), Some("héllo wörld"), Some("a"),
+        Some("  double  spaced  "))
+      .toDF("text")
+      .select(BpeFunctions.bpeEncode(col("text"), Bpe.checkedMerges)
+        .as("enc"))
+      .collect()
+    assert(rows(0).isNullAt(0))       // null in, null out
+    assert(rows(1).getString(0) === "")
+    assert(rows(2).getString(0) === "")
+    assert(rows(3).getString(0) === "a b c a b c") // delimiters stripped
+    assert(rows(5).getString(0) === "a")
+    assert(rows(6).getString(0) === "d o u b l e s p a c e d")
+  }
+
+  // --- plan pin ---------------------------------------------------------
+
+  test("plan: q_bpe_checked is one scan + project; the only exchange " +
+      "is the determinism sort") {
+    val plan = Bpe.qBpeChecked(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected at most the sort exchange:\n$plan")
+    assert(!plan.contains("Join"), "BPE encode must not plan a join")
+  }
+}
