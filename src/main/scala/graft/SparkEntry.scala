@@ -38,6 +38,7 @@ object SparkEntry {
     "q_scan"            -> (Relational.qScan _),
     "q_point_lookup"    -> (Relational.qPointLookup _),
     "q_point_lookup_silver" -> (Relational.qPointLookupSilver _),
+    "q_zorder_search"   -> (Zorder.qZorderSearch _),
     "q_filtered_search" -> (Relational.qFilteredSearch _),
     "q_project_nested"  -> (Relational.qProjectNested _),
     "q_drop_cols"       -> (Relational.qDropCols _),
@@ -285,6 +286,11 @@ object SparkEntry {
     "q_point_lookup_silver" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey = 42 ORDER BY c_custkey""".stripMargin,
+    // q_zorder_search is served from the Morton-clustered lineitem
+    // copy; the oracle is the same 2D box over the base table — the
+    // layout may change file IO, never results (skipping pinned by
+    // metrics in ZorderSpec).
+    "q_zorder_search" -> Zorder.zorderSearchOracle,
     "q_filtered_search" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000.0
