@@ -148,6 +148,7 @@ object SparkEntry {
     "q_fingerprint_checked" -> (TextOps.qFingerprintChecked _),
     "q_bpe_encode"      -> (Bpe.qBpeEncode _),
     "q_bpe_checked"     -> (Bpe.qBpeChecked _),
+    "q_bpe_vocab"       -> (Bpe.qBpeVocab _),
     // M5 — similarity search over embeddings
     "q_quantize_embed"  -> (Vectors.qQuantizeEmbed _),
     "q_cosine_topk"     -> (Vectors.qCosineTopk _),
@@ -894,6 +895,7 @@ object SparkEntry {
     // Spark kernel encodes with (q_bpe_encode itself is rows-only —
     // its merges are trained on the query's own corpus).
     "q_bpe_checked" -> Bpe.checkedOracleSql,
+    "q_bpe_vocab" -> Bpe.vocabOracleSql,
     "q_cube_counts" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,

@@ -197,10 +197,46 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB SQL for [[qBpeChecked]], generated from the same
-    * [[checkedMerges]] constant the Spark query encodes with (one
-    * source of truth for the rule list). */
-  def checkedOracleSql: String = {
+  /** `q_bpe_vocab` — the subword-vocabulary report under the fixed
+    * tokenizer: corpus-wide count and document frequency per emitted
+    * subword token, top 100 under a (count desc, token asc) total
+    * order — [[TextOps.qVocabTopk]]'s contract transposed from words
+    * to subwords (the table an LLM pipeline inspects to size its
+    * vocabulary and spot fragmenting tokens). Same scale shape as the
+    * word version: the encode is the scan-speed kernel, the explode is
+    * row-local, map-side partials collapse each partition to its
+    * distinct subwords before the vocabulary-sized exchange, and the
+    * limit plans as TakeOrderedAndProject. Oracle-green via the
+    * [[checkedMerges]] replay (the trained-tokenizer variant would be
+    * corpus-dependent; the checked list keeps both engines in the same
+    * vocabulary). */
+  def qBpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val enc = BpeFunctions.bpeEncode(col("text"), checkedMerges)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), enc.as("encoded"))
+      .filter(length(col("encoded")) > 0)
+      .select(col("doc_id"), explode(split(col("encoded"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(100)
+      .orderBy(col("n").desc, col("tok").asc)
+  }
+
+  /** DuckDB SQL for [[qBpeVocab]]: the [[checkedOracleSql]] encode
+    * chain, unnested and counted. */
+  def vocabOracleSql: String =
+    s"""WITH enc AS (${encodedCte("documents")}),
+       |t AS (SELECT doc_id, unnest(string_split(encoded, ' ')) AS tok
+       |      FROM enc WHERE length(encoded) > 0)
+       |SELECT tok, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM t GROUP BY tok
+       |ORDER BY n DESC, tok ASC LIMIT 100""".stripMargin
+
+  /** Shared encode-chain CTE body: (doc_id, encoded) for every row of
+    * `table` under [[checkedMerges]]. */
+  private def encodedCte(table: String): String = {
     def sym(s: String): String = s"chr(30) || '$s' || chr(31)"
     val wrap =
       """regexp_replace(regexp_replace(text, '[' || chr(30) || chr(31) || ']', '', 'g'),
@@ -208,18 +244,21 @@ object Bpe {
     val merged = checkedMerges.foldLeft(wrap) { case (acc, (a, b)) =>
       s"replace($acc,\n      ${sym(a)} || ${sym(b)}, ${sym(a + b)})"
     }
-    s"""WITH m AS (SELECT doc_id,
-       |    $merged AS x
-       |  FROM documents),
-       |f AS (SELECT doc_id,
-       |    trim(regexp_replace(replace(replace(x, chr(30), ''),
+    s"""SELECT doc_id,
+       |    trim(regexp_replace(replace(replace($merged, chr(30), ''),
        |      chr(31), ' '), ' +', ' ', 'g')) AS encoded
-       |  FROM m)
+       |  FROM $table""".stripMargin
+  }
+
+  /** DuckDB SQL for [[qBpeChecked]], generated from the same
+    * [[checkedMerges]] constant the Spark query encodes with (one
+    * source of truth for the rule list). */
+  def checkedOracleSql: String =
+    s"""WITH f AS (${encodedCte("documents")})
        |SELECT doc_id,
        |  CAST(CASE WHEN length(encoded) = 0 THEN 0
        |            ELSE len(string_split(encoded, ' ')) END AS BIGINT)
        |    AS n_tokens,
        |  encoded
        |FROM f ORDER BY doc_id""".stripMargin
-  }
 }

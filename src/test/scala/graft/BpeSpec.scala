@@ -157,6 +157,62 @@ class BpeSpec extends SparkTestBase {
       numMerges = 160))
   }
 
+  test("q_bpe_vocab: driver-side recount over the checked encodings") {
+    val vocab = Bpe.qBpeVocab(spark, sfDir).collect()
+    assert(vocab.nonEmpty && vocab.length <= 100)
+    // independent recount from the checked query's own encodings
+    val enc = Bpe.qBpeChecked(spark, sfDir)
+      .select("doc_id", "encoded").as[(Long, String)].collect()
+    val counts = scala.collection.mutable.Map.empty[String, (Long, Set[Long])]
+    enc.foreach { case (id, e) =>
+      e.split(" ").filter(_.nonEmpty).foreach { t =>
+        val (n, docs) = counts.getOrElse(t, (0L, Set.empty[Long]))
+        counts(t) = (n + 1, docs + id)
+      }
+    }
+    val want = counts.toSeq
+      .map { case (t, (n, d)) => (t, n, d.size.toLong) }
+      .sortBy { case (t, n, _) => (-n, t) }
+      .take(100)
+    val got = vocab.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === want)
+    // fully-fused corpus words appear as single vocabulary tokens
+    assert(got.map(_._1).toSet.intersect(
+      Set("the", "table", "scan", "value", "query")).nonEmpty)
+  }
+
+  test("randomized kernel/chain parity over arbitrary merge lists") {
+    // deterministic pseudo-random corpora + merge lists: the kernel and
+    // the replace-chain formulation (the oracle's shape) must agree on
+    // every one — overlap runs, chained ranks, rules that never fire.
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcd"
+    def word(): String =
+      (0 until (1 + rnd.nextInt(8)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    (0 until 20).foreach { trial =>
+      val docs = (0 until 30).map(_ =>
+        (0 until (1 + rnd.nextInt(12))).map(_ => word()).mkString(" "))
+      // merges reference symbols that plausibly exist: start from
+      // single chars, occasionally reuse an earlier fused symbol
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      (0 until (1 + rnd.nextInt(10))).foreach { _ =>
+        def side(): String =
+          if (merges.nonEmpty && rnd.nextBoolean()) {
+            val m = merges(rnd.nextInt(merges.size)); m._1 + m._2
+          } else alphabet(rnd.nextInt(alphabet.length)).toString
+        merges += ((side(), side()))
+      }
+      val diff = docs.toDF("text").select(
+          BpeFunctions.bpeEncode(col("text"), merges.toSeq).as("k"),
+          Bpe.encodeViaReplace(col("text"), merges.toSeq).as("c"))
+        .filter(col("k") =!= col("c"))
+        .collect()
+      assert(diff.isEmpty,
+        s"trial $trial diverged for merges $merges: ${diff.headOption}")
+    }
+  }
+
   // --- robustness -------------------------------------------------------
 
   test("robustness: null, empty, reserved delimiters, unicode, spaces") {
