@@ -119,6 +119,41 @@ object Bpe {
   private[graft] def fitFor(spark: SparkSession, dir: String):
       Seq[(String, String)] = fitCache.get(spark, dir)
 
+  /** Persist a trained merge list as the durable tokenizer artifact —
+    * the minhashFit/ivfFit published-fit posture applied to the
+    * tokenizer: a production pipeline trains ONCE, ships the artifact,
+    * and every later encode job (batch or streaming, any JVM) loads it
+    * without refitting. One tiny parquet of rank-ordered rules plus a
+    * `_graft_bpe` marker carrying the rule count (Hadoop FS marker
+    * mechanics shared with the silver/MinHash layouts: object-store
+    * paths work, parquet listing ignores underscore files). */
+  private[graft] def publishTokenizer(spark: SparkSession,
+      merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    graft.sources.Markers.write(spark, path, "_graft_bpe",
+      merges.size.toString)
+  }
+
+  /** Re-open a [[publishTokenizer]] artifact from its path alone. A
+    * missing/foreign marker or a rule-count mismatch FAILS LOUDLY —
+    * silently encoding with a truncated rule list would fragment every
+    * token downstream with no visible error. */
+  private[graft] def loadTokenizer(spark: SparkSession,
+      path: String): Seq[(String, String)] = {
+    val n = graft.sources.Markers.read(spark, path, "_graft_bpe").toInt
+    val rows = spark.read.parquet(path)
+      .orderBy(col("rank")).collect()
+    require(rows.length == n,
+      s"$path holds ${rows.length} merge rules, marker says $n — " +
+        "not a complete published tokenizer?")
+    rows.map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+  }
+
   /** The built-in-functions formulation the DuckDB oracle mirrors
     * call-for-call: strip the two reserved delimiters, render every
     * non-space character as `<c>`, apply each merge as a LITERAL

@@ -449,6 +449,26 @@ object Streams {
   def curationFlags(docs: DataFrame): DataFrame =
     graft.operators.Curation.curationFlags(docs)
 
+  /** Streaming tokenizer application: arriving documents encode
+    * against a PUBLISHED tokenizer artifact
+    * ([[graft.operators.Bpe.publishTokenizer]]) loaded once at stream
+    * build — per-row kernel, no state, no watermark, append mode; the
+    * token-budget accounting a training-data intake runs continuously
+    * while the tokenizer itself retrains only with the offline fit
+    * (the IVF centroid-model discipline: arrivals use the published
+    * model, never refit it). */
+  def bpeIntake(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, tokenizerPath: String): DataFrame = {
+    val merges = graft.operators.Bpe.loadTokenizer(spark, tokenizerPath)
+    val enc = graft.functions.BpeFunctions.bpeEncode(col("text"), merges)
+    docs.select(col("doc_id"), enc.as("encoded"))
+      .select(col("doc_id"),
+        when(length(col("encoded")) === 0, lit(0L))
+          .otherwise(size(split(col("encoded"), " ")).cast("long"))
+          .as("n_tokens"),
+        col("encoded"))
+  }
+
   /** Streaming corpus intake near-dup flagging: arriving documents are
     * checked against the PUBLISHED MinHash index (a static staged
     * frame) — [[graft.operators.TextOps.intakePairs]] under

@@ -213,6 +213,54 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  // --- published tokenizer artifact ------------------------------------
+
+  test("published tokenizer: fit -> publish -> load roundtrip; foreign " +
+      "path fails loudly") {
+    val merges = Bpe.fitFor(spark, sfDir)
+    val p = graft.sources.TempDirs.scratchDir("graft_bpe_tok").toString
+    Bpe.publishTokenizer(spark, merges, p)
+    assert(Bpe.loadTokenizer(spark, p) === merges)
+    val bad = graft.sources.TempDirs.scratchDir("graft_bpe_bad").toString
+    intercept[Exception] { Bpe.loadTokenizer(spark, bad) }
+  }
+
+  test("streaming BPE intake equals the batch encode under the " +
+      "published tokenizer") {
+    import org.apache.spark.sql.types._
+    val p = graft.sources.TempDirs.scratchDir("graft_bpe_tok2").toString
+    Bpe.publishTokenizer(spark, Bpe.checkedMerges, p)
+    val docs = Seq((1L, "the table scan"), (2L, "stream value query"),
+      (3L, "order by hash"), (4L, ""))
+    val input = graft.sources.TempDirs.scratchDir("graft_bpe_in").toString
+    val out = graft.sources.TempDirs.scratchDir("graft_bpe_out").toString
+    val cp = graft.sources.TempDirs.scratchDir("graft_bpe_cp").toString
+    docs.toDF("doc_id", "text").write.mode("append").json(input)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = graft.streaming.Streams.bpeIntake(spark,
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).json(input), p)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val batch = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        BpeFunctions.bpeEncode(col("text"), Bpe.checkedMerges).as("enc"))
+      .orderBy("doc_id")
+      .collect().map { r =>
+        val e = r.getString(1)
+        (r.getLong(0),
+          if (e.isEmpty) 0L
+          else e.split(" ").count(_.nonEmpty).toLong, e)
+      }
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   // --- robustness -------------------------------------------------------
 
   test("robustness: null, empty, reserved delimiters, unicode, spaces") {
