@@ -169,6 +169,7 @@ object SparkEntry {
     // M6 — corpus curation (split / sample / decontaminate / pack / mix)
     "q_train_split"       -> (Curation.qTrainSplit _),
     "q_sample_stratified" -> (Curation.qSampleStratified _),
+    "q_sample_weighted" -> (Curation.qSampleWeighted _),
     "q_decontaminate"     -> (Curation.qDecontaminate _),
     "q_contamination_report" -> (Curation.qContaminationReport _),
     "q_repetition"        -> (Curation.qRepetition _),
@@ -2072,6 +2073,19 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang),1,1) <
         |      CASE WHEN lang = 'en' THEN '8' ELSE 'g' END
+        |ORDER BY doc_id""".stripMargin,
+    // token-proportional weighted sampling: keep <=> u*w_max < w*2^32,
+    // exact BIGINT products both sides (no FP anywhere) — Spark's
+    // conv(hex,16,10) and DuckDB's ('0x'||hex)::BIGINT read the same
+    // 32-bit md5 prefix.
+    "q_sample_weighted" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS weight
+        |  FROM documents),
+        |m AS (SELECT max(weight) AS max_weight FROM t)
+        |SELECT doc_id, weight FROM t, m
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsamp'),
+        |        1, 8))::BIGINT * max_weight < weight * 4294967296
         |ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks

@@ -130,6 +130,48 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-proportional weighted sampling — the per-DOCUMENT-weight
+    * member of the sampling family ([[qSampleStratified]] draws at
+    * per-STRATUM rates): each document keeps with probability
+    * proportional to its token count, the draw a pipeline uses to
+    * build token-balanced subsamples (long documents carry more of the
+    * training token mass, so a uniform doc draw under-represents
+    * them). Published practice weights by quality or length; the
+    * weight column is pluggable ([[sampleWeighted]]).
+    *
+    * Determinism discipline, ZERO floating point: the uniform draw is
+    * the first 8 md5 hex digits of the salted doc_id as a 32-bit
+    * integer u, and `keep ⟺ u · w_max < w_i · 2³²` — exact BIGINT
+    * products on both sides (u < 2³², w bounded by the corpus max, no
+    * overflow), which IS `u/2³² < w_i/w_max` with no division, no
+    * rounding, no cross-engine FP lottery. Two invariants fall out:
+    * a maximum-weight document is ALWAYS kept (u < 2³² holds for every
+    * u), and re-salting the hash re-draws an independent sample.
+    *
+    * Scale shape: ONE one-row aggregate (the corpus max) broadcast
+    * back, then a scan-speed row-local filter — the
+    * [[TextOps.scoreDeciles]] broadcast-statistic plan, with the
+    * statistic a single long.
+    */
+  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    sampleWeighted(Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("weight")))
+
+  /** Core of [[qSampleWeighted]] over any (doc_id, weight) frame with
+    * positive long weights. */
+  private[graft] def sampleWeighted(weighted: DataFrame,
+      salt: String = ":wsamp"): DataFrame = {
+    val mx = weighted.agg(max(col("weight")).as("max_weight"))
+    val u32 = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(salt))), 1, 8),
+      16, 10).cast("long")
+    weighted.crossJoin(broadcast(mx))
+      .filter(u32 * col("max_weight") < col("weight") * lit(4294967296L))
+      .select(col("doc_id"), col("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------- decontaminate
 
   /** Benchmark decontamination: flag every training document that shares

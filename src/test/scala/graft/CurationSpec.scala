@@ -54,6 +54,37 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("q_sample_weighted: max-weight docs always kept, rates track " +
+      "weights, draw is deterministic and integer-exact") {
+    import spark.implicits._
+    // synthetic frame with extreme weight separation: weight 1000 docs
+    // keep with p = 1 (u < 2^32 always), weight 10 docs at p = 0.01
+    val heavy = (0L until 50L).map((_, 1000L))
+    val light = (1000L until 6000L).map((_, 10L))
+    val frame = (heavy ++ light).toDF("doc_id", "weight")
+    val kept = Curation.sampleWeighted(frame)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val keptIds = kept.map(_._1).toSet
+    assert(heavy.forall { case (id, _) => keptIds(id) },
+      "every maximum-weight doc must be kept (p = 1)")
+    val lightKept = kept.count(_._2 == 10L)
+    assert(lightKept >= 20 && lightKept <= 120,
+      s"weight-10 docs kept $lightKept of 5000, expected ~50 (p = 0.01)")
+    // deterministic: re-running draws the identical sample
+    val again = Curation.sampleWeighted(frame)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq === kept.toSeq)
+    // re-salting draws a DIFFERENT (independent) light-doc sample
+    val resalted = Curation.sampleWeighted(frame, salt = ":wsamp2")
+      .collect().map(_.getLong(0)).toSet
+    assert(heavy.forall { case (id, _) => resalted(id) })
+    assert(resalted !== keptIds)
+    // declared query: kept set is a subset of the corpus and non-empty
+    val declared = Curation.qSampleWeighted(spark, sfDir).collect()
+    assert(declared.nonEmpty)
+    assert(declared.length < docs.count())
+  }
+
   test("stratified sample rates are per-stratum thresholds") {
     import spark.implicits._
     val d = (0L until 1000L).map(i =>
