@@ -174,6 +174,7 @@ object SparkEntry {
     "q_contamination_report" -> (Curation.qContaminationReport _),
     "q_repetition"        -> (Curation.qRepetition _),
     "q_pii_scrub"         -> (Curation.qPiiScrub _),
+    "q_normalize_text"    -> (Curation.qNormalizeText _),
     "q_source_cap"        -> (Curation.qSourceCap _),
     "q_chunk_docs"        -> (Curation.qChunkDocs _),
     "q_pack_sequences"    -> (Curation.qPackSequences _),
@@ -2123,6 +2124,21 @@ object SparkEntry {
     // q_pii_scrub: patterns restricted to Java-regex/RE2-identical
     // constructs; DuckDB regexp_replace needs the 'g' flag to match
     // Spark's replace-all semantics.
+    // unicode + whitespace normalization: the JDK (Spark side) and
+    // utf8proc (DuckDB nfc_normalize) both implement UAX #15 NFC, so
+    // the composed bytes compare directly.
+    "q_normalize_text" ->
+      """WITH n AS (SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(
+        |      lower(nfc_normalize(text)),
+        |      '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |  norm_text,
+        |  CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+        |  CAST(norm_text <> text AS INTEGER) AS changed
+        |FROM n ORDER BY doc_id""".stripMargin,
     "q_pii_scrub" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,

@@ -306,7 +306,56 @@ case class EarlierBandCollision(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Unicode NFC normalization (UAX #15 canonical composition) — the
+  * one step of the text-normalization pass no Spark built-in covers
+  * (lower/trim/regexp are built-ins; canonical composition is not).
+  * Wraps `java.text.Normalizer` in a codegen'd expression so the whole
+  * normalization chain stays inside whole-stage codegen; the JDK and
+  * DuckDB's utf8proc both implement the same published algorithm, so
+  * the oracle compares the composed bytes directly. Fast path: pure
+  * ASCII (the overwhelming majority of crawl text after language
+  * filtering) short-circuits via `Normalizer.isNormalized` without
+  * allocating.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "graft_nfc"
+
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+    ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nfcNormalize", this,
+      classOf[NfcNormalize].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $self.compute($t);")
+  }
+
+  override protected def withNewChildInternal(
+    newChild: Expression): NfcNormalize = copy(child = newChild)
+}
+
 object TextFunctions {
+  /** Unicode NFC canonical composition of a string column. */
+  def nfcNormalize(s: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(s)))
+
   /** Distinct hashed word k-gram shingles of a token-array column. */
   def shingleHashes(w: Column, k: Int = 3): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(w), k))

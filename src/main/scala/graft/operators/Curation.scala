@@ -306,6 +306,41 @@ object Curation {
         col("dup_bigram_frac"), col("quality_keep").as("keep"))
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------------- normalization
+
+  /** Unicode + whitespace text normalization — the cleanup pass every
+    * published crawl pipeline runs before anything hashes or tokenizes
+    * (C4's "clean" step, Dolma's unicode fixes): canonical NFC
+    * composition (so `e` + COMBINING ACUTE and precomposed `é` hash
+    * identically downstream — un-normalized text silently splits
+    * duplicate clusters), lowercase, control characters to spaces,
+    * whitespace runs collapsed, edges trimmed. NFC is the one step
+    * with no Spark built-in — [[graft.functions.NfcNormalize]] wraps
+    * the JDK's UAX #15 implementation as a codegen'd expression with
+    * an allocation-free already-normalized fast path (ASCII crawl
+    * text); DuckDB's `nfc_normalize` (utf8proc) implements the same
+    * published algorithm, which is what makes the chain oracle-able.
+    * Zero shuffles: scan-speed row-local projection; the determinism
+    * sort is the only exchange.
+    */
+  def qNormalizeText(spark: SparkSession, dir: String): DataFrame =
+    normalizeText(Tables.documents(spark, dir))
+
+  /** Core of [[qNormalizeText]] over any (doc_id, text) frame. */
+  private[graft] def normalizeText(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(
+      lower(graft.functions.TextFunctions.nfcNormalize(col("text"))),
+      "[\\x00-\\x1f\\x7f]", " "), " +", " "))
+    docs
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        norm.as("norm_text"))
+      .select(col("doc_id"), col("n_chars_raw"), col("norm_text"),
+        length(col("norm_text")).cast("long").as("n_chars_norm"),
+        (col("norm_text") =!= col("text")).cast("int").as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ pii scrub
 
   /** PII detection + redaction — the C4/Dolma-style cleanup pass every

@@ -85,6 +85,44 @@ class CurationSpec extends SparkTestBase {
     assert(declared.length < docs.count())
   }
 
+  test("q_normalize_text: NFC composes decomposed accents, controls and " +
+      "whitespace collapse, and the pass is idempotent") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "cafe\u0301 CAFE\u0301"), // combining acute -> precomposed
+      (2L, "caf\u00e9"),              // already composed
+      (3L, "a\u0001b\tc   d "),      // control char + runs + trailing
+      (4L, ""),
+      (5L, "plain ascii text"))
+      .toDF("doc_id", "text")
+    val out = Curation.normalizeText(rows).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) === "caf\u00e9 caf\u00e9")
+    assert(out(1L).length === 9) // 2x4 composed chars + space
+    assert(out(2L) === "caf\u00e9")
+    assert(out(3L) === "a b c d")
+    assert(out(4L) === "")
+    assert(out(5L) === "plain ascii text")
+    // idempotence: normalizing the normalized text is a fixed point
+    val again = Curation.normalizeText(
+        rows.select(col("doc_id"),
+          graft.functions.TextFunctions.nfcNormalize(col("text"))
+            .as("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val normed = Curation.normalizeText(rows)
+      .select(col("doc_id"), col("norm_text").as("text"))
+    val fixed = Curation.normalizeText(normed).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getInt(4))).toList
+    fixed.foreach { case (id, t, changed) =>
+      assert(t === out(id)); assert(changed === 0)
+    }
+    assert(again.nonEmpty)
+    // declared query runs clean on the corpus (ASCII: changed = 0)
+    val declared = Curation.qNormalizeText(spark, sfDir).collect()
+    assert(declared.nonEmpty)
+    assert(declared.forall(_.getInt(4) === 0))
+  }
+
   test("stratified sample rates are per-stratum thresholds") {
     import spark.implicits._
     val d = (0L until 1000L).map(i =>
