@@ -127,6 +127,8 @@ object SparkEntry {
     "q_dedup_incremental" -> (TextOps.qDedupIncremental _),
     "q_dedup_compact"   -> (TextOps.qDedupCompact _),
     "q_dup_spans"       -> (TextOps.qDupSpans _),
+    "q_span_scrub"      -> (TextOps.qSpanScrub _),
+    "q_boilerplate"     -> (TextOps.qBoilerplate _),
     "q_token_freq_score" -> (TextOps.qTokenFreqScore _),
     "q_quality_quartiles" -> (TextOps.qQualityQuartiles _),
     "q_text_stats"      -> (TextOps.qTextStats _),
@@ -1225,6 +1227,67 @@ object SparkEntry {
         |       CAST(n_dup AS DOUBLE) / n_spans AS dup_span_frac,
         |       (CAST(n_dup AS DOUBLE) / n_spans <= 0.3) AS keep
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // q_boilerplate: top duplicated spans with reconstructed text —
+    // the cut is deterministic because the rank order (df desc, then
+    // the span's earliest (doc, pos) occurrence) is total; the oracle
+    // ranks the same key over span strings.
+    "q_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w
+        |           FROM documents),
+        |ps AS (SELECT doc_id,
+        |         unnest(range(1, len(w) - 18)) AS pos,
+        |         unnest([array_to_string(w[i:i+19],' ')
+        |                 for i in range(1, len(w) - 18)]) AS s
+        |       FROM t),
+        |pd AS (SELECT s, doc_id, min(pos) AS pos FROM ps
+        |       GROUP BY s, doc_id),
+        |top AS (SELECT s, span_df, doc_id AS rep_doc, pos AS rep_pos
+        |        FROM (SELECT s, doc_id, pos,
+        |                count(*) OVER (PARTITION BY s) AS span_df,
+        |                row_number() OVER (PARTITION BY s
+        |                  ORDER BY doc_id, pos) AS rn
+        |              FROM pd)
+        |        WHERE rn = 1 AND span_df > 1
+        |        ORDER BY span_df DESC, rep_doc, rep_pos LIMIT 20)
+        |SELECT s AS span_text, span_df,
+        |  CAST(rep_doc AS BIGINT) AS example_doc_id,
+        |  CAST(rep_pos - 1 AS BIGINT) AS example_pos
+        |FROM top ORDER BY span_df DESC, span_text""".stripMargin,
+    // q_span_scrub: the rewrite member of the substring-dedup family —
+    // the output is hash-free (counts + rebuilt text), so the oracle
+    // recomputes the same scrub from the span STRINGS where Spark keys
+    // on 64-bit shingle hashes (the q_dup_spans duality); positional
+    // spans exist only for >= 20-token documents (no whole-text
+    // fallback — a short document HAS no 20-spans to cut).
+    "q_span_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w
+        |           FROM documents),
+        |ps AS (SELECT doc_id,
+        |         unnest(range(1, len(w) - 18)) AS pos,
+        |         unnest([array_to_string(w[i:i+19],' ')
+        |                 for i in range(1, len(w) - 18)]) AS s
+        |       FROM t),
+        |dup AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM ps)
+        |        GROUP BY s HAVING count(*) > 1),
+        |cov AS (SELECT DISTINCT doc_id,
+        |          unnest(range(pos, pos + 20)) AS ci
+        |        FROM ps WHERE s IN (SELECT s FROM dup)),
+        |toki AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i,
+        |           unnest(w) AS tok FROM t),
+        |kept AS (SELECT ti.doc_id, ti.i, ti.tok FROM toki ti
+        |         LEFT JOIN cov c
+        |           ON ti.doc_id = c.doc_id AND ti.i = c.ci
+        |         WHERE c.ci IS NULL),
+        |ka AS (SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(tok, ' ' ORDER BY i) AS txt
+        |       FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(len(t.w) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(ka.txt, '') AS scrubbed_text
+        |FROM t LEFT JOIN ka USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // q_pipeline_curation: the composed curation dataflow — near-dup
     // reachability (same CTE core as q_dedup_clusters) joined to the
     // q_text_stats / q_lang_id expressions and thresholded into keep

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression,
-  TernaryExpression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression,
+  Expression, TernaryExpression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
   ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -351,6 +351,135 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     newChild: Expression): NfcNormalize = copy(child = newChild)
 }
 
+/** POSITIONAL xxhash64 values of the word k-gram shingles of a token
+  * array: element `i` is the hash of the span starting at token `i`
+  * (length `n - k + 1`; an empty array when the document has fewer
+  * than `k` tokens — a short document HAS no k-spans, unlike
+  * [[ShingleHashes]]'s whole-text fallback, which serves the
+  * set-similarity metrics where an empty sketch would be wrong).
+  * Bit-identical to [[ShingleHashes]] on the spans both emit (same
+  * seed, same space-joined bytes), so a positional occurrence list and
+  * a distinct span sketch of the same document agree on every hash —
+  * the duplicate-span SCRUB joins positions against a document
+  * frequency computed from the distinct form.
+  */
+case class PositionalShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_positional_shingle_hashes"
+
+  private val space = UTF8String.fromString(" ")
+
+  private def hashOf(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+
+  def compute(w: ArrayData): ArrayData = {
+    val n = w.numElements()
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = w.getUTF8String(i + j); j += 1 }
+      out(i) = hashOf(UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+    ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("positionalShingleHashes", this,
+      classOf[PositionalShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, w => s"${ev.value} = $self.compute($w);")
+  }
+
+  override protected def withNewChildInternal(
+    newChild: Expression): PositionalShingleHashes = copy(child = newChild)
+}
+
+/** Duplicate-span scrub kernel: given a document's token array and the
+  * 0-based start positions of its flagged k-spans, return the tokens
+  * NOT covered by any flagged span, in order. One boolean mask pass —
+  * O(n + |starts|·k) — where the equivalent higher-order-function
+  * formulation (`filter(tokens, (t, i) -> !exists(starts, ...))`)
+  * evaluates interpreted at O(n·|starts|): a fully-boilerplate
+  * document degenerates quadratic there and stays linear here. Start
+  * positions may arrive in any order and may overlap; out-of-range
+  * starts are clipped (a start beyond `n - k` can only reach the
+  * array end).
+  */
+case class ScrubSpans(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<int>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_scrub_spans"
+
+  def compute(w: ArrayData, starts: ArrayData): ArrayData = {
+    val n = w.numElements()
+    val m = starts.numElements()
+    if (m == 0 || n == 0) return w
+    val covered = new Array[Boolean](n)
+    var i = 0
+    while (i < m) {
+      val s = starts.getInt(i)
+      var j = math.max(s, 0)
+      val end = math.min(s.toLong + k, n.toLong).toInt
+      while (j < end) { covered(j) = true; j += 1 }
+      i += 1
+    }
+    var kept = 0
+    i = 0
+    while (i < n) { if (!covered(i)) kept += 1; i += 1 }
+    val out = new Array[AnyRef](kept)
+    i = 0
+    var o = 0
+    while (i < n) {
+      if (!covered(i)) { out(o) = w.getUTF8String(i); o += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+    ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("scrubSpans", this,
+      classOf[ScrubSpans].getName)
+    nullSafeCodeGen(ctx, ev,
+      (w, s) => s"${ev.value} = $self.compute($w, $s);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+    newRight: Expression): ScrubSpans =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextFunctions {
   /** Unicode NFC canonical composition of a string column. */
   def nfcNormalize(s: Column): Column =
@@ -359,6 +488,17 @@ object TextFunctions {
   /** Distinct hashed word k-gram shingles of a token-array column. */
   def shingleHashes(w: Column, k: Int = 3): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(w), k))
+
+  /** Positional (non-distinct) hashed k-gram spans: element i = span
+    * starting at token i; empty below k tokens. */
+  def positionalShingleHashes(w: Column, k: Int): Column =
+    ColumnBridge.column(
+      PositionalShingleHashes(ColumnBridge.expression(w), k))
+
+  /** Tokens not covered by any flagged k-span start (0-based). */
+  def scrubSpans(w: Column, starts: Column, k: Int): Column =
+    ColumnBridge.column(ScrubSpans(ColumnBridge.expression(w),
+      ColumnBridge.expression(starts), k))
 
   /** MinHash LSH band hashes (array<long>, one per band). */
   def minhashBands(shash: Column, nHashes: Int, bands: Int): Column =

@@ -876,6 +876,120 @@ object TextOps {
         (col("dup_span_frac") <= maxDupFrac).as("keep"))
   }
 
+  /** BOILERPLATE REPORT — the top cross-document duplicated spans with
+    * their text reconstructed: the table a curation engineer actually
+    * reads before turning on the span scrub (WHICH license block / nav
+    * header / cookie banner dominates the corpus, and how many
+    * documents carry it). Spans rank under a (document-frequency desc,
+    * representative-occurrence asc) TOTAL order — the representative
+    * is the span's earliest (doc_id, pos) occurrence, unique per span,
+    * so the top-N cut is deterministic and both engines take the same
+    * boundary.
+    *
+    * Scale shape: positions and frequencies ride the same positional
+    * 64-bit hashes as [[spanScrub]] (text never shuffles); per-doc
+    * distinct first (span, doc) aggregate, then the span aggregate
+    * carries df + the min (doc, pos) struct, the top-N plans as
+    * TakeOrderedAndProject (per-partition heaps, N rows to the
+    * driver), and reconstruction joins the N-row result BROADCAST
+    * against the corpus, slicing the span text row-locally from the
+    * representative document. Hash-free output, so the oracle
+    * recomputes from span strings (the [[dupSpans]] duality).
+    */
+  def qBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    boilerplateReport(Tables.documents(spark, dir))
+
+  /** Core of [[qBoilerplate]] over any (doc_id, text) frame. */
+  private[graft] def boilerplateReport(docs: DataFrame, k: Int = 20,
+    topN: Int = 20): DataFrame = {
+    import graft.functions.TextFunctions
+    val occ = docs.select(col("doc_id"),
+      posexplode(TextFunctions.positionalShingleHashes(
+        split(col("text"), " "), k)).as(Seq("pos", "s")))
+    val perDoc = occ.groupBy(col("s"), col("doc_id"))
+      .agg(min(col("pos")).as("pos"))
+    val top = perDoc.groupBy(col("s"))
+      .agg(count(lit(1)).as("span_df"),
+        min(struct(col("doc_id"), col("pos"))).as("rep"))
+      .filter(col("span_df") > 1)
+      .orderBy(col("span_df").desc, col("rep"))
+      .limit(topN)
+    broadcast(top).join(docs.alias("d"),
+        col("rep.doc_id") === col("d.doc_id"))
+      .select(
+        concat_ws(" ", slice(split(col("d.text"), " "),
+          col("rep.pos") + 1, lit(k))).as("span_text"),
+        col("span_df"),
+        col("rep.doc_id").as("example_doc_id"),
+        col("rep.pos").cast("long").as("example_pos"))
+      .orderBy(col("span_df").desc, col("span_text"))
+  }
+
+  /** DUPLICATE-SPAN SCRUB — the REWRITE member of the substring-dedup
+    * family (the published exact-substring recipe: rather than drop a
+    * document because it shares a license block / nav boilerplate with
+    * others, CUT the shared block and keep the unique remainder —
+    * whole-document near-dup filters can't see it, and [[qDupSpans]]
+    * only flags it). Every occurrence of a 20-token span that appears
+    * in at least one OTHER document is removed from every document
+    * carrying it; overlapping flagged spans merge naturally under the
+    * covered-position mask. Within-document-only repetition does NOT
+    * self-flag (the df side is per-document distinct) — that remains
+    * [[graft.operators.Curation.qRepetition]]'s jurisdiction, keeping
+    * the flag/scrub pair's dup definition identical.
+    *
+    * Scale shape: span occurrences are positional 64-bit hashes off a
+    * fused per-row kernel ([[graft.functions.PositionalShingleHashes]],
+    * bit-identical to the distinct sketch's hashes so positions join
+    * the df side exactly); document frequency is one hash aggregate
+    * over the per-doc-distinct spans, the occurrence→dup match is a
+    * LEFT SEMI join whose right side is only the DUPLICATED spans
+    * (boilerplate-sized on a real corpus — the natural broadcast/bloom
+    * candidate, same argument as [[dupSpans]]), flagged starts
+    * re-aggregate per document (state bounded by the document's own
+    * span count — never beyond the text already flowing through the
+    * scan), and the rewrite is one row-local masked pass
+    * ([[graft.functions.ScrubSpans]], O(n + starts·k) where the HOF
+    * `filter(tokens, (t,i) -> !exists(starts, ...))` formulation is
+    * interpreted O(n·starts)). Four shuffles, all keyed on 8-byte
+    * hashes or doc ids; document TEXT never shuffles — unaffected
+    * documents pass the final LEFT join untouched. The kernel's three
+    * uses (kept count, removed count, rebuilt text) sit in ONE
+    * projection, so codegen subexpression elimination evaluates it
+    * once per row. Output is hash-free, so the DuckDB oracle
+    * reproduces it from the span STRINGS themselves — the hashed and
+    * string formulations agree up to 64-bit collisions.
+    */
+  def qSpanScrub(spark: SparkSession, dir: String): DataFrame =
+    spanScrub(Tables.documents(spark, dir))
+
+  /** Core of [[qSpanScrub]] over any (doc_id, text) frame. */
+  private[graft] def spanScrub(docs: DataFrame, k: Int = 20): DataFrame = {
+    import graft.functions.TextFunctions
+    val toks = split(col("text"), " ")
+    val withSpans = docs.select(col("doc_id"),
+      TextFunctions.positionalShingleHashes(toks, k).as("spans"))
+    val dups = withSpans
+      .select(col("doc_id"), explode(array_distinct(col("spans"))).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("span_df"))
+      .filter(col("span_df") > 1)
+      .select(col("s"))
+    val dupStarts = withSpans
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "s")))
+      .join(dups, Seq("s"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("starts"))
+    val kept = TextFunctions.scrubSpans(toks,
+      coalesce(col("starts"), lit(Array.empty[Int])), k)
+    docs.join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(kept).cast("long").as("n_kept"),
+        (size(toks) - size(kept)).cast("long").as("n_removed"),
+        concat_ws(" ", kept).as("scrubbed_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document quality statistics for corpus filtering: token count,
     * char length, distinct-token (type-token) ratio, stopword ratio, and
     * mean token length — the length/punct/stopword heuristics of

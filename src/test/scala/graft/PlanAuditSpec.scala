@@ -333,4 +333,26 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!ca.contains("label"),
       s"cluster-assign scan reads label:\n${ca.take(2000)}")
   }
+
+  test("span scrub: semi-join occurrence match, no nested-loop join") {
+    val p = plan(TextOps.qSpanScrub(spark, sfDir))
+    // occurrences match the dup set through a LEFT SEMI join (never a
+    // full join materializing per-occurrence dup rows)
+    assert(p.contains("LeftSemi"), s"no semi join:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+    // spans shuffle as hashes off the fused kernel, never as strings
+    assert(p.contains("graft_positional_shingle_hashes"))
+  }
+
+  test("boilerplate report: TakeOrdered cut, N-row broadcast rebuild") {
+    val df = TextOps.qBoilerplate(spark, sfDir)
+    val p = plan(df)
+    // the deterministic top-N boundary plans as per-partition heaps
+    assert(p.contains("TakeOrderedAndProject"),
+      s"no TakeOrdered:\n${p.take(2000)}")
+    // span-text reconstruction broadcasts the N-row side
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }

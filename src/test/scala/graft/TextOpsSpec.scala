@@ -38,6 +38,90 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(5L) == ((1L, 1L, false)) && out(6L) == ((1L, 1L, false)))
   }
 
+  test("span scrub cuts cross-document spans, keeps unique remainders") {
+    import spark.implicits._
+    def words(tag: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"$tag$i")
+    val boiler = words("lic", 25)
+    val docs = Seq(
+      (1L, (boiler ++ words("a", 30)).mkString(" ")),
+      (2L, (words("b", 30) ++ boiler).mkString(" ")),
+      // internal repetition only: cross-doc df stays 1, nothing cut
+      (3L, (words("c", 25) ++ words("c", 25)).mkString(" ")),
+      (4L, words("d", 40).mkString(" ")),
+      // shorter than a span: NO positional 20-grams exist, so the
+      // scrub leaves exact short duplicates alone — whole-document
+      // dedup's jurisdiction, not the span cutter's (deliberately
+      // different from dupSpans' whole-text-fallback flagging)
+      (5L, "tiny shared document"),
+      (6L, "tiny shared document")).toDF("doc_id", "text")
+    val out = TextOps.spanScrub(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    // the 6 shared 20-grams cover exactly the 25 boilerplate tokens
+    assert(out(1L) == ((55L, 30L, 25L, words("a", 30).mkString(" "))))
+    assert(out(2L) == ((55L, 30L, 25L, words("b", 30).mkString(" "))))
+    assert(out(3L)._3 == 0L && out(3L)._1 == 50L)
+    assert(out(4L)._3 == 0L)
+    assert(out(5L) == ((3L, 3L, 0L, "tiny shared document")))
+    assert(out(6L)._3 == 0L)
+  }
+
+  test("span scrub merges overlapping spans and can empty a document") {
+    import spark.implicits._
+    // two identical 5-token docs under k=3: starts 0,1,2 all dup ->
+    // every token covered -> both scrub to empty
+    val docs = Seq(
+      (1L, "v w x y z"), (2L, "v w x y z"),
+      // shares only the TAIL 3-gram "x y z" with them
+      (3L, "p q r s x y z")).toDF("doc_id", "text")
+    val out = TextOps.spanScrub(docs, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((5L, "")) && out(2L) == ((5L, "")))
+    assert(out(3L) == ((3L, "p q r s")))
+  }
+
+  test("boilerplate report ranks shared spans with reconstructed text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "m0 m1 m2 m3 x0 x1"),
+      (2L, "y0 m0 m1 m2 m3"),
+      (3L, "z0 z1 z2")).toDF("doc_id", "text")
+    val rows = TextOps.boilerplateReport(docs, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // two shared 3-gram shifts of the m-block, reconstructed from the
+    // earliest occurrence (doc 1, 0-based positions 0 and 1)
+    assert(rows.toSeq == Seq(
+      ("m0 m1 m2", 2L, 1L, 0L),
+      ("m1 m2 m3", 2L, 1L, 1L)))
+  }
+
+  test("scrub kernels: HOF parity, positional/distinct hash agreement") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+    val toks = split(col("text"), " ")
+    // positional hashes, made distinct, equal the distinct sketch
+    // (same seed, same bytes) wherever the document has >= k tokens
+    val k = 5
+    val hashAgree = docs.select(
+      array_sort(array_distinct(
+        TextFunctions.positionalShingleHashes(toks, k))).as("p"),
+      array_sort(TextFunctions.shingleHashes(toks, k)).as("d"),
+      size(toks).as("n"))
+      .filter(col("n") >= k)
+    assert(hashAgree.filter(col("p") =!= col("d")).count() == 0)
+    // ScrubSpans == interpreted HOF formulation, including overlap,
+    // unsorted and OUT-OF-RANGE starts (clipped, never a throw)
+    val starts = array(lit(7), lit(3), lit(4), lit(9999), lit(-2))
+    val parity = docs.select(
+      TextFunctions.scrubSpans(toks, starts, k).as("kernel"),
+      filter(toks, (t, i) => !exists(starts,
+        s => s <= i && i < s + k)).as("hof"))
+    assert(parity.filter(col("kernel") =!= col("hof")).count() == 0)
+  }
+
   test("q_dedup_exact keeps one representative per distinct text") {
     val df = TextOps.qDedupExact(spark, sfDir)
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
