@@ -60,6 +60,7 @@ object SparkEntry {
     "q_anti_missing"    -> (Joins.qAntiMissing _),
     "q_semi_exists"     -> (Joins.qSemiExists _),
     "q_asof_join"       -> (Joins.qAsofJoin _),
+    "q_bucket_join"     -> (Bucketed.qBucketJoin _),
     "q_hierarchy_closure" -> (Joins.qHierarchyClosure _),
     "q_resource_counts" -> (Joins.qResourceCounts _),
     "q_rollup_counts"   -> (Joins.qRollupCounts _),
@@ -112,6 +113,7 @@ object SparkEntry {
     "q_rolling_count"   -> (Events.qRollingCount _),
     "q_snapshot_diff"   -> (Curation.qSnapshotDiff _),
     "q_cdc_merge"       -> (Curation.qCdcMerge _),
+    "q_mv_refresh"      -> (Curation.qMvRefresh _),
     "q_edit_pairs"      -> (TextOps.qEditPairs _),
     "q_edit_clusters"   -> (TextOps.qEditClusters _),
     "q_cluster_assign"  -> (Vectors.qClusterAssign _),
@@ -523,6 +525,17 @@ object SparkEntry {
         |FROM buys b ASOF JOIN clicks c
         |  ON b.user_id = c.user_id AND b.ts >= c.ts
         |ORDER BY b.event_id""".stripMargin,
+    // The oracle joins the RAW parquet tables: the engine's bucketed
+    // layout is a physical re-clustering only, so values must match
+    // the plain join exactly — the co-location is pinned by plan shape
+    // in BucketedSpec, the values by this row.
+    "q_bucket_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |           AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // The oracle states the range join DECLARATIVELY (BETWEEN, no
     // bins) — the engine's bin-bucketed equi-join must reproduce the
     // inequality join's pair set exactly (a bin off-by-one or a
@@ -1578,6 +1591,15 @@ object SparkEntry {
       """SELECT doc_id, text FROM documents
         |WHERE doc_id % 11 <> 5
         |ORDER BY doc_id""".stripMargin,
+    // IVM maintenance identity: the incrementally-refreshed rollup
+    // must equal a from-scratch recompute over the next crawl — the
+    // oracle IS that recompute (q_cdc_merge's postcondition posture).
+    "q_mv_refresh" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |         AS n_tokens
+        |FROM documents WHERE doc_id % 11 <> 5
+        |GROUP BY source ORDER BY source""".stripMargin,
     // q_pipeline_publish: the oracle reads the SOURCE table — equality
     // against the read-back of the published silver version certifies
     // the land → gate → versioned publish → serve loop end to end (a

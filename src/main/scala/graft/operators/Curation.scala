@@ -805,4 +805,93 @@ object Curation {
     val next = docs.filter(col("doc_id") % 11 =!= 5)
     snapshotDiff(base, next)
   }
+
+  // --------------------------------------- incremental view maintenance
+
+  /** Incremental materialized-view maintenance: refresh a per-`source`
+    * rollup (`n_docs`, `n_tokens`) under a [[snapshotDiff]] delta
+    * WITHOUT rescanning the corpus — the third leg of the nightly
+    * re-crawl loop (diff → merge the snapshot ([[cdcMerge]]) → refresh
+    * the aggregates that serve dashboards and mixing policies, all
+    * delta-sized).
+    *
+    * The delta is applied in RETRACT/INSERT form — the standard IVM
+    * decomposition (count and sum are self-maintainable aggregates):
+    * every delta doc present in `base` contributes `(source, −1,
+    * −tokens)`, every one present in `next` contributes `(source, +1,
+    * +tokens)`; a `changed` doc emits both rows, so a document that
+    * MOVES source decrements its old cell and increments its new one —
+    * no per-op case analysis, and `added`/`removed` fall out as the
+    * one-sided cases. Groups whose refreshed count reaches zero are
+    * dropped, matching a from-scratch recompute exactly (the declared
+    * query's oracle IS that recompute over the next crawl, so the
+    * whole maintenance identity mv ⊎ Δ = eval(next) is checked
+    * end-to-end, not fixture-trusted — the [[qCdcMerge]]
+    * self-verifying posture).
+    *
+    * Scale shape: the delta (re-crawls touch a fraction of the corpus)
+    * is joined TO each crawl on `doc_id` with the corpus streamed —
+    * broadcast-able when the delta fits, hash-partitioned otherwise —
+    * and only the matched slice's token counts are computed; the
+    * retract/insert union then aggregates to source-cardinality
+    * partials. The published MV itself is group-cardinality-sized, so
+    * the final outer-join-and-coalesce costs nothing at any corpus
+    * scale. Token counts are exact longs (whitespace tokens, the
+    * [[corpusMix]] definition), so refresh arithmetic is order-free
+    * integer addition — no FP drift across refresh generations.
+    *
+    * Delta-completeness contract: the refresh is only as correct as
+    * the delta is complete — every document whose VIEW-INPUT columns
+    * (`source`, `text`) differ between the crawls must appear in it.
+    * [[snapshotDiff]]'s signature is md5(text), which covers the
+    * declared derivation (source never moves without a text change
+    * there); a deployment where metadata can change independently
+    * widens the digest to md5(source ‖ text) — a one-line change, and
+    * CurationSpec's source-move test pins the retract/insert algebra
+    * that makes the widened delta land in both cells correctly.
+    */
+  private[graft] def mvRefresh(baseMv: DataFrame, base: DataFrame,
+      next: DataFrame, delta: DataFrame): DataFrame = {
+    val ids = delta.select(col("doc_id"))
+    def side(crawl: DataFrame, sign: Int): DataFrame =
+      crawl.select(col("doc_id"), col("source"), size(toks).as("tk"))
+        .join(ids, Seq("doc_id"))
+        .select(col("source"), lit(sign.toLong).as("d_docs"),
+          (lit(sign.toLong) * col("tk")).as("d_tokens"))
+    val deltaAgg = side(base, -1).unionAll(side(next, +1))
+      .groupBy(col("source"))
+      .agg(sum(col("d_docs")).as("d_docs"),
+        sum(col("d_tokens")).as("d_tokens"))
+    baseMv.join(deltaAgg, Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("n_docs"), lit(0L)) +
+          coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+        (coalesce(col("n_tokens"), lit(0L)) +
+          coalesce(col("d_tokens"), lit(0L))).as("n_tokens"))
+      .filter(col("n_docs") =!= 0L)
+      .orderBy(col("source"))
+  }
+
+  /** The maintained view definition over any (source, text) frame —
+    * shared by the declared query's base-MV build and the specs'
+    * from-scratch oracle side. */
+  private[graft] def sourceRollup(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(toks)).as("n_tokens"))
+
+  /** Declared IVM query over the [[qSnapshotDiff]] crawl derivation:
+    * the base MV (in production the published artifact of the previous
+    * refresh; built in-plan here) is rolled forward under the
+    * diff-derived delta, and the oracle recomputes the rollup directly
+    * over the next crawl — equality is the IVM maintenance identity.
+    */
+  def qMvRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 11 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 7, concat(col("text"), lit(" [stale]")))
+          .otherwise(col("text")))
+    val next = docs.filter(col("doc_id") % 11 =!= 5)
+    mvRefresh(sourceRollup(base), base, next, snapshotDiff(base, next))
+  }
 }

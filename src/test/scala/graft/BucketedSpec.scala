@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bucketed
+
+/** Pins for the declared bucketed co-located join (`q_bucket_join`):
+  * the plan shape that makes the layout worth paying for (zero
+  * exchanges under the fact⋈fact join), the one-file-per-bucket write
+  * that also removes the per-task sort, and value equality with the
+  * plain unbucketed join (which is also what the driver's oracle
+  * checks against DuckDB).
+  */
+class BucketedSpec extends SparkTestBase {
+
+  test("co-located join plans SMJ with zero exchanges and bucket scans") {
+    val j = Bucketed.colocatedJoin(spark, sfDir)
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n${p.take(2000)}")
+    assert(p.contains("SelectedBucketsCount"), p.take(2000))
+  }
+
+  test("q_bucket_join equals the plain unbucketed join row-for-row") {
+    val out = Bucketed.qBucketJoin(spark, sfDir).collect().toSeq
+    val plain = spark.read.parquet(s"$sfDir/orders.parquet")
+      .join(spark.read.parquet(s"$sfDir/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double"), 6).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+      .collect().toSeq
+    assert(out == plain)
+    assert(out.nonEmpty)
+  }
+}

@@ -608,4 +608,38 @@ class CurationSpec extends SparkTestBase {
         s"text column reached the join: $joinInputs")
     }
   }
+
+  // ------------------------------------------------------------------ IVM
+
+  test("q_mv_refresh satisfies the maintenance identity mv ⊎ Δ = eval(next)") {
+    val out = Curation.qMvRefresh(spark, sfDir).collect().toSeq
+    val next = docs.filter(col("doc_id") % 11 =!= 5)
+    val direct = Curation.sourceRollup(next)
+      .orderBy(col("source")).collect().toSeq
+    assert(out == direct)
+    assert(out.nonEmpty)
+  }
+
+  test("mvRefresh retract/insert algebra: source moves, drops, zero groups") {
+    import spark.implicits._
+    val base = Seq((1L, "A", "x y"), (2L, "B", "a"), (4L, "B", "k l m"),
+      (5L, "C", "zz"))
+      .toDF("doc_id", "source", "text")
+    // doc 1 moved A→B (text also changed, so the digest delta sees it),
+    // doc 2 removed, doc 3 added, doc 4 untouched, doc 5 removed —
+    // emptying source C entirely
+    val next = Seq((1L, "B", "x y z"), (3L, "A", "p q"), (4L, "B", "k l m"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.mvRefresh(Curation.sourceRollup(base), base, next,
+      Curation.snapshotDiff(base, next))
+    val direct = Curation.sourceRollup(next)
+      .orderBy(col("source")).collect().toSeq
+    assert(out.collect().toSeq == direct)
+    val m = out.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the move decremented A's cell and incremented B's in one refresh
+    assert(m("A") == ((1L, 2L)), m.toString) // doc 3 only
+    assert(m("B") == ((2L, 6L)), m.toString) // docs 1 + 4
+    assert(!m.contains("C"), m.toString) // zero-count group dropped
+  }
 }
