@@ -762,6 +762,56 @@ object Curation {
     spark.read.parquet(root + "/" +
       graft.sources.Markers.read(spark, root, snapshotCurrentMarker))
 
+  /** [[cdcMerge]] widened to the full document row (doc_id, source,
+    * text) — the same anti+outer plan shape, but the upsert payload
+    * rides ONE struct so the per-row coalesce replaces the whole row
+    * atomically (a column-by-column coalesce could interleave an old
+    * source with a new text). Serves the streaming MV-maintenance leg,
+    * whose refreshed rollup needs `source` to survive the merge. */
+  private[graft] def cdcMergeDocs(base: DataFrame,
+      changes: DataFrame): DataFrame = {
+    val ups = changes.filter(col("op") === "upsert")
+      .select(col("doc_id"),
+        struct(col("source"), col("text")).as("u"))
+    val dels = changes.filter(col("op") === "delete")
+      .select(col("doc_id"))
+    base.select(col("doc_id"),
+        struct(col("source"), col("text")).as("b"))
+      .join(dels, Seq("doc_id"), "left_anti")
+      .join(ups, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), coalesce(col("u"), col("b")).as("r"))
+      .select(col("doc_id"), col("r.source").as("source"),
+        col("r.text").as("text"))
+  }
+
+  /** Transactional multi-artifact epoch publication for the streaming
+    * snapshot+MV pair: BOTH artifacts land under one version directory
+    * and ONE marker flip makes them current together — the
+    * table-format commit discipline reduced to its essence. Publishing
+    * them through two independent marker flips would leave a crash
+    * window where one artifact reflects the batch and the other does
+    * not, and a checkpoint-replayed batch then either skips or
+    * double-applies the MV delta; with a single flip, replay from
+    * EITHER side of the flip is exactly-once (before: both recompute
+    * from the old epoch; after: the merge is a fixed point and the
+    * refresh delta cancels to zero — both pinned in
+    * CurationStreamSpec). */
+  private[graft] val epochCurrentMarker = "_graft_epoch_current"
+
+  private[graft] def publishEpoch(spark: SparkSession, root: String,
+      version: String, snap: DataFrame, mv: DataFrame): Unit = {
+    snap.write.mode("overwrite").parquet(s"$root/$version/snapshot")
+    mv.write.mode("overwrite").parquet(s"$root/$version/mv")
+    graft.sources.Markers.write(spark, root, epochCurrentMarker, version)
+  }
+
+  private[graft] def currentEpoch(spark: SparkSession,
+      root: String): (DataFrame, DataFrame) = {
+    val v = graft.sources.Markers.read(spark, root, epochCurrentMarker)
+    (spark.read.parquet(s"$root/$v/snapshot"),
+      spark.read.parquet(s"$root/$v/mv"))
+  }
+
   /** Declared CDC-merge query: the change batch is the
     * [[qSnapshotDiff]] delta materialized as operations (added/changed
     * ⇒ upsert with the new crawl's text, removed ⇒ delete), applied

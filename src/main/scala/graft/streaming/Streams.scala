@@ -611,6 +611,48 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming dual of the full nightly serving loop — CDC merge PLUS
+    * incremental materialized-view maintenance in one exactly-once
+    * commit: each micro-batch of (doc_id, op, source, text) changes
+    * merges onto the current snapshot through the widened
+    * [[graft.operators.Curation.cdcMergeDocs]] core and rolls the
+    * per-source rollup forward through the SAME `mvRefresh`
+    * retract/insert core the oracle-green `q_mv_refresh` declares —
+    * the MV is never recomputed from the corpus; its per-batch cost is
+    * delta-sized.
+    *
+    * Exactly-once rests on the transactional epoch publication
+    * ([[graft.operators.Curation.publishEpoch]]): snapshot and MV land
+    * under ONE version directory and ONE marker flip. A
+    * checkpoint-replayed batch is idempotent from either side of the
+    * flip: before it, both artifacts recompute from the old epoch;
+    * after it, `cdcMergeDocs` is a fixed point on the already-merged
+    * snapshot and the refresh's retract/insert sides cancel on every
+    * delta id, so the republished epoch is byte-equal. Two separate
+    * marker flips would break this — a crash between them leaves the
+    * pair inconsistent and replay double-applies or skips the MV delta
+    * (the scenario the single flip exists to kill).
+    *
+    * Streaming state is EMPTY (stream-static against published
+    * artifacts, the [[cdcApplySink]] posture); per-batch cost is the
+    * snapshot rewrite (the honestly-stated CDC publish price) plus
+    * delta-sized MV joins. */
+  def mvApplySink(epochRoot: String, changes: DataFrame,
+    checkpointDir: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val (snap, mv) = graft.operators.Curation.currentEpoch(s, epochRoot)
+        val merged = graft.operators.Curation.cdcMergeDocs(snap, batch)
+        val mv2 = graft.operators.Curation.mvRefresh(mv, snap, merged,
+          batch.select(col("doc_id")))
+        graft.operators.Curation.publishEpoch(s, epochRoot, s"b$batchId",
+          merged, mv2)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   def extendLabelsSink(baseStaged: DataFrame, labelsRoot: String,
     docs: DataFrame, checkpointDir: String,
     baseHot: Option[DataFrame] = None)

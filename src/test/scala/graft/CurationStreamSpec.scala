@@ -332,4 +332,75 @@ class CurationStreamSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(again == got)
   }
+
+  test("streaming MV maintenance survives a kill + restart; epoch consistent") {
+    import spark.implicits._
+    val changeSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("op", StringType),
+      StructField("source", StringType),
+      StructField("text", StringType)))
+    val root = tmp("graft_mv_epoch")
+    val input = tmp("graft_mv_in")
+    val cp = tmp("graft_mv_cp")
+    val base = Seq((1L, "web", "a b"), (2L, "web", "c"),
+      (3L, "book", "d e f")).toDF("doc_id", "source", "text")
+    Curation.publishEpoch(spark, root, "base", base,
+      Curation.sourceRollup(base))
+    def run(): Unit = {
+      val q = Streams.mvApplySink(root,
+        spark.readStream.schema(changeSchema)
+          .option("maxFilesPerTrigger", 1).json(input), cp)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def drop(cs: Seq[(Long, String, Option[String], Option[String])]): Unit =
+      cs.map { case (id, op, src, t) => (id, op, src.orNull, t.orNull) }
+        .toDF("doc_id", "op", "source", "text")
+        .coalesce(1).write.mode("append").json(input)
+    // batch 1: doc 2 re-crawled LONGER and moved web→book, doc 3
+    // deleted (emptying nothing), doc 10 inserted
+    drop(Seq((2L, "upsert", Some("book"), Some("c c c")),
+      (3L, "delete", None, None),
+      (10L, "upsert", Some("web"), Some("x y"))))
+    run() // then KILLED (stopped)
+    // batch 2 arrives while the query is down: doc 10 re-upserted
+    // (later-op-wins across the restart), doc 1 deleted
+    drop(Seq((10L, "upsert", Some("web"), Some("x y z")),
+      (1L, "delete", None, None)))
+    run() // restart from the same checkpoint: processes ONLY batch 2
+    run() // no new data: exactly-once, nothing re-applies
+    val (snap, mv) = Curation.currentEpoch(spark, root)
+    // snapshot dual: fold of the widened merge over the change files
+    val allFiles = new java.io.File(input).listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.lastModified())
+    def snapKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val dual = allFiles.foldLeft(base) { (s, f) =>
+      Curation.cdcMergeDocs(s,
+        spark.read.schema(changeSchema).json(f.getPath))
+    }
+    assert(snapKey(snap) == snapKey(dual))
+    assert(snapKey(snap) == Set((2L, "book", "c c c"),
+      (10L, "web", "x y z")))
+    // the MAINTENANCE IDENTITY at the published epoch: the
+    // incrementally-maintained MV equals a from-scratch rollup of the
+    // snapshot it shipped with — including the web→book source move
+    // landing in both cells
+    def mvKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"))).toSet
+    assert(mvKey(mv) == mvKey(Curation.sourceRollup(snap)))
+    assert(mvKey(mv) == Set(("book", 1L, 3L), ("web", 1L, 3L)))
+    // replayed-batch fixed point (what makes the single-flip epoch
+    // exactly-once when the crash lands AFTER the flip): re-merging +
+    // re-refreshing the last batch over the current epoch changes
+    // nothing
+    val last = spark.read.schema(changeSchema)
+      .json(allFiles.maxBy(_.lastModified()).getPath)
+    val merged2 = Curation.cdcMergeDocs(snap, last)
+    assert(snapKey(merged2) == snapKey(snap))
+    val mv2 = Curation.mvRefresh(mv, snap, merged2,
+      last.select(col("doc_id")))
+    assert(mvKey(mv2) == mvKey(mv))
+  }
 }
