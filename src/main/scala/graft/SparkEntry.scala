@@ -174,6 +174,7 @@ object SparkEntry {
     "q_train_split"       -> (Curation.qTrainSplit _),
     "q_sample_stratified" -> (Curation.qSampleStratified _),
     "q_sample_weighted" -> (Curation.qSampleWeighted _),
+    "q_sample_reservoir" -> (Curation.qSampleReservoir _),
     "q_decontaminate"     -> (Curation.qDecontaminate _),
     "q_contamination_report" -> (Curation.qContaminationReport _),
     "q_repetition"        -> (Curation.qRepetition _),
@@ -2173,6 +2174,19 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsamp'),
         |        1, 8))::BIGINT * max_weight < weight * 4294967296
         |ORDER BY doc_id""".stripMargin,
+    // The oracle replays the derandomized draw verbatim and states the
+    // sample DECLARATIVELY (row_number over the permutation) — the
+    // engine's bounded bottom-k aggregate must reproduce the window
+    // formulation's pick set exactly.
+    "q_sample_reservoir" ->
+      """SELECT lang,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || '#resv'), 1, 8))::BIGINT, doc_id) AS INT) AS rank,
+        |  doc_id
+        |FROM documents
+        |QUALIFY rank <= 20
+        |ORDER BY lang, rank""".stripMargin,
     "q_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
         |           FROM documents),

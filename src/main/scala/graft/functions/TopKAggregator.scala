@@ -102,3 +102,49 @@ object TopKCandidates {
   def topk(k: Int)(score: Column, vecId: Column, bucket: Column): Column =
     udaf(new TopKCandidates(k)).apply(score, vecId, bucket)
 }
+
+/** One drawn document for the bounded bottom-k reservoir aggregate. */
+case class DrawnDoc(draw: Long, doc_id: Long)
+
+/** Bounded BOTTOM-k-per-group aggregate — the [[TopKByCosine]] buffer
+  * discipline pointed the other way (draw asc, doc_id asc): keeps the
+  * k smallest uniform draws per group with ≤ k rows of state per map
+  * partition per group, so an exact uniform k-subset per stratum
+  * shuffles #strata × k fixed-width rows instead of sorting the corpus
+  * (the `row_number()` window formulation's cost). Associative +
+  * commutative merge and a doc_id tie-break make the pick set
+  * deterministic under any partitioning. */
+class BottomKDraws(k: Int)
+    extends Aggregator[DrawnDoc, Seq[DrawnDoc], Seq[DrawnDoc]] {
+
+  private def trim(b: Seq[DrawnDoc]): Seq[DrawnDoc] =
+    b.sortBy(s => (s.draw, s.doc_id)).take(k)
+
+  override def zero: Seq[DrawnDoc] = Seq.empty
+
+  override def reduce(b: Seq[DrawnDoc], a: DrawnDoc): Seq[DrawnDoc] =
+    // fast path: skip entries that can't enter a full buffer
+    if (b.size >= k && {
+      val last = b.last
+      a.draw > last.draw ||
+        (a.draw == last.draw && a.doc_id > last.doc_id)
+    }) b
+    else trim(b :+ a)
+
+  override def merge(x: Seq[DrawnDoc], y: Seq[DrawnDoc]): Seq[DrawnDoc] =
+    trim(x ++ y)
+
+  override def finish(b: Seq[DrawnDoc]): Seq[DrawnDoc] = trim(b)
+
+  override def bufferEncoder: Encoder[Seq[DrawnDoc]] =
+    ExpressionEncoder[Seq[DrawnDoc]]()
+
+  override def outputEncoder: Encoder[Seq[DrawnDoc]] =
+    ExpressionEncoder[Seq[DrawnDoc]]()
+}
+
+object BottomKDraws {
+  /** Column form: `bottomk(draw, doc_id)` usable directly in `agg`. */
+  def bottomk(k: Int)(draw: Column, docId: Column): Column =
+    udaf(new BottomKDraws(k)).apply(draw, docId)
+}

@@ -592,6 +592,53 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact uniform k-per-stratum sample (distributed reservoir
+    * sampling, derandomized): exactly min(k, |stratum|) documents per
+    * language, each k-subset uniform over the stratum — the
+    * fixed-SIZE member of the sampling family ([[qSampleStratified]]
+    * draws a fixed RATE, so its output size is binomial; eval-set and
+    * human-review construction want exact counts).
+    *
+    * Bottom-k of a random permutation is a uniform k-subset, and the
+    * permutation here is the engine's standard derandomized draw: the
+    * first 8 md5 hex digits of the salted doc_id as a 32-bit integer
+    * ([[trainSplit]] lineage — reproducible row-by-row outside Spark,
+    * re-salting re-draws an independent sample, and the oracle
+    * replays it verbatim). Distinct doc_ids give distinct-enough
+    * draws; exact collisions settle on the doc_id tie-break, costing
+    * uniformity nothing measurable at 2³² resolution.
+    *
+    * Scale shape: the textbook formulation — `row_number() OVER
+    * (PARTITION BY lang ORDER BY draw)` — SORTS every stratum: a full
+    * corpus-key exchange plus per-partition sort state, all to keep k
+    * rows. Here the bounded [[graft.functions.BottomKDraws]] aggregate
+    * (the [[Vectors]] top-k shortlist discipline pointed at sampling)
+    * reduces every map partition to ≤ k draws per stratum BEFORE the
+    * exchange, so shuffle volume is #strata × k fixed-width rows —
+    * independent of corpus size — and no sort buffer ever holds a
+    * stratum. The explode after the aggregate is #strata × k rows,
+    * nothing. Deterministic under any partitioning (associative,
+    * commutative, doc_id ties).
+    */
+  def qSampleReservoir(spark: SparkSession, dir: String): DataFrame =
+    sampleReservoir(Tables.documents(spark, dir), 20)
+
+  /** Core of [[qSampleReservoir]] over any (doc_id, lang) frame. */
+  private[graft] def sampleReservoir(docs: DataFrame, k: Int,
+      salt: String = "#resv"): DataFrame = {
+    val u32 = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(salt))), 1, 8),
+      16, 10).cast("long")
+    docs.select(col("lang"), col("doc_id"), u32.as("draw"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.BottomKDraws.bottomk(k)(
+        col("draw"), col("doc_id")).as("picks"))
+      .select(col("lang"), posexplode(col("picks")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.doc_id").as("doc_id"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   // -------------------------------------------------------------- mixture
 
   /** Corpus-mixture report: documents, tokens, and token share per

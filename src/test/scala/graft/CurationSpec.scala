@@ -609,6 +609,46 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("q_sample_reservoir: exact min(k,n) per stratum, window parity, no sort") {
+    import spark.implicits._
+    val df = Curation.qSampleReservoir(spark, sfDir).cache()
+    try {
+      // exact size: min(20, |stratum|) rows per language
+      val got = df.groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val sizes = docs.groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == sizes.map { case (l, n) => l -> math.min(20L, n) })
+      // pick-set parity with the textbook row_number formulation the
+      // oracle also states — the bounded aggregate must be invisible
+      val u32 = conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit("#resv"))), 1, 8),
+        16, 10).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("draw"), col("doc_id"))
+      val win = docs.select(col("lang"), col("doc_id"), u32.as("draw"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("rank"), col("doc_id"))
+      assert(df.collect().toSet == win.collect().toSet)
+      // no Window/Sort operator anywhere: the plan is aggregate-only
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), p.take(2000))
+      // re-salting draws a DIFFERENT sample (independence smoke)
+      val resalted = Curation.sampleReservoir(docs, 20, "#resv2")
+        .select(col("lang"), col("doc_id")).collect().toSet
+      assert(resalted !=
+        df.select(col("lang"), col("doc_id")).collect().toSet)
+    } finally df.unpersist()
+    // a stratum smaller than k returns whole, ranked densely from 1
+    val tiny = Seq((1L, "xx"), (2L, "xx"), (3L, "yy"))
+      .toDF("doc_id", "lang")
+    val t = Curation.sampleReservoir(tiny, 20).collect()
+    assert(t.length == 3)
+    assert(t.filter(_.getString(0) == "xx").map(_.getInt(1)).sorted
+      .sameElements(Array(1, 2)))
+  }
+
   // ------------------------------------------------------------------ IVM
 
   test("q_mv_refresh satisfies the maintenance identity mv ⊎ Δ = eval(next)") {
