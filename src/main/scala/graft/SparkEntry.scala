@@ -141,6 +141,7 @@ object SparkEntry {
     "q_tfidf_topk"      -> (TextOps.qTfidfTopk _),
     "q_bm25_topk"       -> (TextOps.qBm25Topk _),
     "q_lm_score"        -> (TextOps.qLmScore _),
+    "q_classify_source" -> (TextOps.qClassifySource _),
     "q_score_deciles"   -> (TextOps.qScoreDeciles _),
     "q_score_deciles_approx" -> (TextOps.qScoreDecilesApprox _),
     "q_colloc_pmi"      -> (TextOps.qCollocPmi _),
@@ -1733,6 +1734,40 @@ object SparkEntry {
     // K-boundary; per-doc accumulators are exact long sums (order-free)
     // and each score is one IEEE division, so the hash compare is
     // bit-exact.
+    // The centroid classifier's oracle retrains the same top-K model
+    // and replays the exact-long scoring; the one division per (doc,
+    // class) and the (score desc, class desc) argmax order are
+    // bit-identical across engines.
+    "q_classify_source" ->
+      """WITH ex AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |top AS (
+        |  SELECT token FROM ex GROUP BY token
+        |  ORDER BY count(*) DESC, token LIMIT 2000),
+        |model AS (
+        |  SELECT token, source AS class, CAST(count(*) AS BIGINT) AS n
+        |  FROM ex WHERE token IN (SELECT token FROM top)
+        |  GROUP BY token, source),
+        |tot AS (
+        |  SELECT class, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM model GROUP BY class),
+        |scored AS (
+        |  SELECT e.doc_id, m.class, CAST(sum(m.n) AS BIGINT) AS s
+        |  FROM ex e JOIN model m ON e.token = m.token
+        |  GROUP BY e.doc_id, m.class),
+        |best AS (
+        |  SELECT s.doc_id, s.class AS predicted_source,
+        |    CAST(s.s AS DOUBLE) / CAST(t.tot AS DOUBLE) AS score
+        |  FROM scored s JOIN tot t ON s.class = t.class
+        |  QUALIFY row_number() OVER (PARTITION BY s.doc_id
+        |    ORDER BY score DESC, s.class DESC) = 1)
+        |SELECT d.doc_id,
+        |  coalesce(b.predicted_source, 'none') AS predicted_source,
+        |  coalesce(b.score, 0.0) AS score,
+        |  (coalesce(b.predicted_source, 'none') = d.source) AS hit
+        |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_lm_score" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -1542,6 +1542,78 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Trained multinomial CENTROID CLASSIFIER — the fastText-role
+    * domain/provenance classifier a curation pipeline runs (CCNet /
+    * RedPajama quality-vs-domain filtering), expressed exactly: the
+    * model is, for the corpus's top-K tokens (count desc, token asc —
+    * a total order, deterministic K-boundary like [[lmScore]]), the
+    * per-`source` occurrence counts; a document's score for class c is
+    *
+    *   score_c = (Σ_{token occurrences} n_{token,c}) / tot_c
+    *
+    * — the dot product of the document's term-frequency vector with
+    * the class centroid, normalized by the class's model-token mass.
+    * The accumulator is an exact LONG sum (order-free under any
+    * partitioning); each score is then ONE IEEE division of two exact
+    * longs widened to double — bit-identical in DuckDB (the
+    * [[qTfidfTopk]]/[[lmScore]] determinism rule; published
+    * classifiers take logs/softmax, both monotone per class here).
+    * The prediction is the max-(score, source) class — the class name
+    * is the tie-break, so the argmax is a total order. A document with
+    * zero model tokens predicts "none" at score 0. This is the text
+    * dual of [[Vectors.qClusterAssign]]'s nearest-centroid assignment;
+    * `hit` reports whether the predicted class equals the document's
+    * actual source (self-classification accuracy — the report a
+    * curation run reads to decide if provenance is learnable from
+    * content).
+    *
+    * Scale shape: the fit is one token-keyed count exchange
+    * (vocabulary-sized, map-side partials) cut to a broadcast K×classes
+    * model; scoring joins the exploded corpus to the BROADCAST model
+    * (≤ classes rows per token) and reduces straight to per-(doc,
+    * class) long partials — the only data exchange is doc-keyed and
+    * carries #classes longs per document. At 100 TB the fit is the
+    * offline published artifact (the IVF/BPE posture) and scoring is a
+    * pure scan + broadcast probe, exactly [[lmScore]]'s cost model.
+    */
+  def qClassifySource(spark: SparkSession, dir: String): DataFrame =
+    classifySource(Tables.documents(spark, dir), 2000)
+
+  /** Core of [[qClassifySource]] over any (doc_id, source, text)
+    * frame; `k` is the model vocabulary size. */
+  private[graft] def classifySource(docs: DataFrame, k: Int): DataFrame = {
+    val ex = docs.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("token"))
+    val byToken = ex.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val top = byToken.orderBy(col("n").desc, col("token").asc).limit(k)
+      .select(col("token"))
+    val model = ex.groupBy(col("token"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .join(top, Seq("token"), "left_semi")
+      .select(col("token"), col("source").as("class"), col("n"))
+    val tot = model.groupBy(col("class")).agg(sum(col("n")).as("tot"))
+    val scored = ex.select(col("doc_id"), col("token"))
+      .join(broadcast(model), Seq("token"))
+      .groupBy(col("doc_id"), col("class"))
+      .agg(sum(col("n")).as("s"))
+      .join(broadcast(tot), Seq("class"))
+      .select(col("doc_id"), col("class"),
+        (col("s").cast("double") / col("tot").cast("double")).as("score"))
+    val best = scored.groupBy(col("doc_id"))
+      .agg(max(struct(col("score"), col("class"))).as("b"))
+      .select(col("doc_id"), col("b.class").as("predicted_source"),
+        col("b.score").as("score"))
+    docs.select(col("doc_id"), col("source"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("predicted_source"), lit("none"))
+          .as("predicted_source"),
+        coalesce(col("score"), lit(0.0)).as("score"),
+        (coalesce(col("predicted_source"), lit("none")) === col("source"))
+          .as("hit"))
+      .orderBy(col("doc_id"))
+  }
+
   def qBm25Topk(spark: SparkSession, dir: String): DataFrame =
     bm25Topk(Tables.documents(spark, dir))
 

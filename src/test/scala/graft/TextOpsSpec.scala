@@ -1148,4 +1148,48 @@ class TextOpsSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(hot == Seq(("xx", "short", 70L)))
   }
+
+  test("classifySource learns a separable vocabulary; fallback + coverage") {
+    import spark.implicits._
+    // planted separable classes: webby docs use {cat, dog}, booky docs
+    // {alpha, beta}; one contested doc leans booky; one doc is all-OOV
+    // (model cap 4 keeps only the four class tokens: 'rare'/'zzz'
+    // appear once each and lose the (count desc, token asc) cut)
+    val fx = Seq(
+      (1L, "web", "cat dog cat dog cat"),
+      (2L, "web", "dog cat dog"),
+      (3L, "book", "alpha beta alpha beta"),
+      (4L, "book", "beta alpha beta"),
+      (5L, "web", "alpha beta alpha rare"),
+      (6L, "book", "zzz")
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.classifySource(fx, 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // every doc appears exactly once
+    assert(out.keySet == (1L to 6L).toSet)
+    // clean class docs classify to their own source
+    assert(out(1L)._1 == "web" && out(1L)._3)
+    assert(out(2L)._1 == "web" && out(2L)._3)
+    assert(out(3L)._1 == "book" && out(3L)._3)
+    assert(out(4L)._1 == "book" && out(4L)._3)
+    // the contested doc's tokens are all booky: predicted book, hit=false
+    assert(out(5L)._1 == "book" && !out(5L)._3)
+    // the all-OOV doc falls back to "none" at score 0
+    assert(out(6L) == (("none", 0.0, false)))
+    // scores are positive for every matched doc
+    assert((1L to 5L).forall(out(_)._2 > 0.0))
+  }
+
+  test("q_classify_source covers every document; scoring probes broadcast") {
+    val df = TextOps.qClassifySource(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the model/tot sides reach the scoring joins as broadcasts — the
+    // corpus is never the build side of anything
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val rows = df.collect()
+    assert(rows.length ==
+      spark.read.parquet(s"$sfDir/documents.parquet").count())
+    assert(rows.forall(_.getString(1) != null))
+  }
 }
