@@ -137,6 +137,7 @@ object SparkEntry {
     "q_token_count"     -> (TextOps.qTokenCount _),
     "q_vocab_topk"      -> (TextOps.qVocabTopk _),
     "q_heavy_hitters"   -> (TextOps.qHeavyHitters _),
+    "q_heavy_hitters_verified" -> (TextOps.qHeavyHittersVerified _),
     "q_heavy_hitters_by_lang" -> (TextOps.qHeavyHittersByLang _),
     "q_tfidf_topk"      -> (TextOps.qTfidfTopk _),
     "q_bm25_topk"       -> (TextOps.qBm25Topk _),
@@ -1419,6 +1420,20 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY est DESC, token LIMIT 20""".stripMargin,
+    // Sketch-blind oracle: the two-pass rectified sketch must produce
+    // EXACTLY the set of tokens with share > support — a plain
+    // grouped count with a HAVING, no sketch anywhere.
+    "q_heavy_hitters_verified" ->
+      """WITH ex AS (SELECT unnest(string_split(text, ' ')) AS token
+        |            FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM ex),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+        |      FROM ex GROUP BY token)
+        |SELECT token, n,
+        |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM c, tot
+        |WHERE CAST(n AS DOUBLE) > 0.005 * CAST(total AS DOUBLE)
+        |ORDER BY n DESC, token""".stripMargin,
     "q_heavy_hitters_by_lang" ->
       """WITH t AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS token

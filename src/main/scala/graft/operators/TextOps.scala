@@ -1169,6 +1169,57 @@ object TextOps {
       .orderBy(col("est").desc, col("token"))
       .limit(k)
 
+  /** SUPPORT-THRESHOLD heavy hitters, sketch-accelerated but EXACT —
+    * the published two-pass rectification ([[qHeavyHitters]]'s
+    * Misra-Gries summary is exact only in the vocabulary ≪ capacity
+    * regime; this variant is exact at ANY vocabulary): pass 1 runs the
+    * same bounded MG aggregate with capacity = ⌈1/support⌉, whose
+    * merge subtracts the (capacity+1)-th largest count — the Agarwal
+    * et al. mergeable-summary rule, so every token with true count
+    * > support·N provably SURVIVES (undercount ≤ N/(capacity+1) <
+    * support·N; false positives possible, false negatives not); pass 2
+    * recounts ONLY the ≤ capacity candidates exactly and keeps those
+    * strictly above the threshold. The output is therefore the exact
+    * answer to "every token with share > support" — which is precisely
+    * what the oracle recomputes with a plain HAVING, sketch-blind.
+    *
+    * Scale shape: pass 1 is one aggregate whose state is ≤ capacity
+    * counters per partition and whose exchange carries ONE summary row
+    * — where the exact (token)-keyed aggregate's exchange is
+    * vocabulary-sized (the regime that matters when the key is an
+    * n-gram and the vocabulary explodes); the candidate pull is ≤
+    * capacity rows to the driver (the bounded-model contract). Pass 2
+    * is a scan with a broadcast-small IN filter over ≤ capacity
+    * tokens, aggregating ≤ capacity groups. The threshold compare and
+    * the share are one double product/division each — bit-identical in
+    * DuckDB.
+    */
+  def qHeavyHittersVerified(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersVerified(Tables.documents(spark, dir), 0.005)
+
+  /** Core of [[qHeavyHittersVerified]] over any (…, text) frame. */
+  private[graft] def heavyHittersVerified(docs: DataFrame,
+      support: Double): DataFrame = {
+    val ex = docs.select(explode(split(col("text"), " ")).as("token"))
+    val capacity = math.ceil(1.0 / support).toInt
+    val cand = ex
+      .agg(graft.functions.MisraGries.heavyHitters(capacity)(col("token"))
+        .as("summary"))
+      .select(explode(col("summary")).as("h"))
+      .select(col("h.token"))
+      .collect().map(_.getString(0)).toSeq
+    val tot = ex.agg(count(lit(1)).as("total"))
+    ex.filter(col("token").isin(cand: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n").cast("double") >
+        lit(support) * col("total").cast("double"))
+      .select(col("token"), col("n"),
+        (col("n").cast("double") / col("total").cast("double"))
+          .as("share"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
   /** GROUPED heavy hitters: the same Misra-Gries aggregate under a
     * groupBy — per-language top-5 tokens. What this adds over the
     * global query: sketch state is bounded PER GROUP KEY and merges

@@ -1149,6 +1149,26 @@ class TextOpsSpec extends SparkTestBase {
     assert(hot == Seq(("xx", "short", 70L)))
   }
 
+  test("heavyHittersVerified is exact beyond the sketch's exact regime") {
+    import spark.implicits._
+    // vocabulary (902) ≫ capacity (1/support = 10) — the regime where
+    // the RAW summary's counts are undercounts and its tail is noise;
+    // the rectified two-pass result must still be the exact answer
+    val words = Seq.fill(300)("HOT") ++ Seq.fill(200)("WARM") ++
+      (1 to 900).map(i => s"t$i")
+    val docs = words.grouped(50).zipWithIndex
+      .map { case (w, i) => (i.toLong, w.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextOps.heavyHittersVerified(df, 0.1).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // N = 1400, threshold 140: exactly the two planted heavies, with
+    // EXACT counts (a raw MG summary would undercount)
+    assert(run(docs) == Seq(("HOT", 300L), ("WARM", 200L)))
+    // partitioning-invariant (mergeable-summary property end-to-end)
+    assert(run(docs.repartition(7)) == Seq(("HOT", 300L), ("WARM", 200L)))
+  }
+
   test("classifySource learns a separable vocabulary; fallback + coverage") {
     import spark.implicits._
     // planted separable classes: webby docs use {cat, dog}, booky docs
