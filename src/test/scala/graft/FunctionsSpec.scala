@@ -168,4 +168,45 @@ class FunctionsSpec extends SparkTestBase {
     }
     assert(chain(e3).exists(_.contains("dimension mismatch")), chain(e3))
   }
+
+  test("MisraGries property: no false negatives above N/(cap+1), any split") {
+    // load-bearing for q_heavy_hitters_verified's oracle row: the
+    // candidate pass must NEVER drop an item whose true count exceeds
+    // N/(capacity+1), under arbitrary partition splits and merge
+    // orders. Exercised directly on the Aggregator (reduce + merge),
+    // 200 random Zipf-ish streams with fixed seeds.
+    for (seed <- 0 until 200) {
+      val rnd = new scala.util.Random(seed)
+      val capacity = 1 + rnd.nextInt(12)
+      val n = 50 + rnd.nextInt(950)
+      // skewed universe: item i drawn with weight ~ 1/(i+1)
+      val universe = 1 + rnd.nextInt(40)
+      val weights = (0 until universe).map(i => 1.0 / (i + 1))
+      val cum = weights.scanLeft(0.0)(_ + _).tail
+      val total = cum.last
+      val stream = Seq.fill(n) {
+        val u = rnd.nextDouble() * total
+        s"w${cum.indexWhere(u <= _)}"
+      }
+      // split into random partitions, reduce each, merge in random order
+      val agg = new graft.functions.MisraGries(capacity)
+      val parts = stream.grouped(1 + rnd.nextInt(n)).toSeq
+      val partials = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(partials).reduce(agg.merge)
+      val survivors = agg.finish(merged).map(_.token).toSet
+      val exact = stream.groupBy(identity).view.mapValues(_.size).toMap
+      val threshold = n.toDouble / (capacity + 1)
+      val mustSurvive = exact.collect {
+        case (t, c) if c > threshold => t
+      }.toSet
+      assert(mustSurvive.subsetOf(survivors),
+        s"seed=$seed cap=$capacity n=$n missing=" +
+          (mustSurvive -- survivors))
+      // undercount bound: est ≥ true − N/(cap+1)
+      agg.finish(merged).foreach { h =>
+        assert(h.est >= exact(h.token) - threshold - 1e-9,
+          s"seed=$seed ${h.token}: est=${h.est} true=${exact(h.token)}")
+      }
+    }
+  }
 }
