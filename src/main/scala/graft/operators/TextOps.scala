@@ -1635,11 +1635,17 @@ object TextOps {
   private[graft] def classifySource(docs: DataFrame, k: Int): DataFrame = {
     val ex = docs.select(col("doc_id"), col("source"),
       explode(split(col("text"), " ")).as("token"))
-    val byToken = ex.groupBy(col("token")).agg(count(lit(1)).as("n"))
-    val top = byToken.orderBy(col("n").desc, col("token").asc).limit(k)
-      .select(col("token"))
-    val model = ex.groupBy(col("token"), col("source"))
+    // ONE corpus-sized fit exchange: the global top-K cut re-aggregates
+    // the (token × source) count frame — vocabulary×classes rows —
+    // instead of running a second count over the exploded corpus (the
+    // global count is the sum of the per-source counts, and the
+    // (count desc, token asc) total order is unchanged)
+    val counts = ex.groupBy(col("token"), col("source"))
       .agg(count(lit(1)).as("n"))
+    val top = counts.groupBy(col("token")).agg(sum(col("n")).as("tn"))
+      .orderBy(col("tn").desc, col("token").asc).limit(k)
+      .select(col("token"))
+    val model = counts
       .join(top, Seq("token"), "left_semi")
       .select(col("token"), col("source").as("class"), col("n"))
     val tot = model.groupBy(col("class")).agg(sum(col("n")).as("tot"))
