@@ -774,6 +774,16 @@ object Curation {
     * side carries its
     * replacement text once, the base carries its text once, and the
     * coalesce picks per row.
+    *
+    * Batch contract: at most ONE operation per doc_id per batch — the
+    * lakehouse MERGE precondition (Delta/Iceberg ERROR on multiple
+    * source matches for one target row; there is no order column here
+    * to resolve them by). The diff-derived batches satisfy it by
+    * construction (one delta row per doc_id), and the streaming specs'
+    * one-file-per-trigger intake keeps cross-file conflicts in
+    * separate batches, where later-op-wins is pinned. A multi-op batch
+    * would surface loudly as duplicate doc_ids in the merged snapshot,
+    * not as a silent arbitrary winner.
     */
   private[graft] def cdcMerge(base: DataFrame, changes: DataFrame): DataFrame = {
     val ups = changes.filter(col("op") === "upsert")
@@ -814,7 +824,8 @@ object Curation {
     * rides ONE struct so the per-row coalesce replaces the whole row
     * atomically (a column-by-column coalesce could interleave an old
     * source with a new text). Serves the streaming MV-maintenance leg,
-    * whose refreshed rollup needs `source` to survive the merge. */
+    * whose refreshed rollup needs `source` to survive the merge.
+    * Carries [[cdcMerge]]'s one-op-per-doc_id-per-batch contract. */
   private[graft] def cdcMergeDocs(base: DataFrame,
       changes: DataFrame): DataFrame = {
     val ups = changes.filter(col("op") === "upsert")

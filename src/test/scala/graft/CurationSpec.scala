@@ -631,9 +631,14 @@ class CurationSpec extends SparkTestBase {
         .filter(col("rank") <= 20)
         .select(col("lang"), col("rank"), col("doc_id"))
       assert(df.collect().toSet == win.collect().toSet)
-      // no Window/Sort operator anywhere: the plan is aggregate-only
+      // no Window/Sort operator anywhere: the plan is aggregate-only,
+      // and the bounded UDAF buffer plans as an ObjectHashAggregate
+      // with a map-side partial — ≤ k draws per stratum cross the wire
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("Window"), p.take(2000))
+      assert(p.contains("ObjectHashAggregate"), p.take(2000))
+      assert(p.contains("partial_bottomkdraws") ||
+        p.toLowerCase.contains("partial_"), p.take(2000))
       // re-salting draws a DIFFERENT sample (independence smoke)
       val resalted = Curation.sampleReservoir(docs, 20, "#resv2")
         .select(col("lang"), col("doc_id")).collect().toSet
@@ -681,5 +686,21 @@ class CurationSpec extends SparkTestBase {
     assert(m("A") == ((1L, 2L)), m.toString) // doc 3 only
     assert(m("B") == ((2L, 6L)), m.toString) // docs 1 + 4
     assert(!m.contains("C"), m.toString) // zero-count group dropped
+  }
+
+  test("q_mv_refresh joins carry tokens counts and digests, never text") {
+    // the snapshotDiff legs move 16-byte digests and the retract/insert
+    // legs move (doc_id, source, token-count) — document text must be
+    // reduced BEFORE every join, or the delta joins ship the corpus
+    val qe = Curation.qMvRefresh(spark, sfDir).queryExecution
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      val joinInputs = j.children.flatMap(_.output).map(_.name)
+      assert(!joinInputs.contains("text"),
+        s"text column reached a join: $joinInputs")
+    }
   }
 }
