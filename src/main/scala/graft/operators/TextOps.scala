@@ -1630,10 +1630,11 @@ object TextOps {
   def qClassifySource(spark: SparkSession, dir: String): DataFrame =
     classifySource(Tables.documents(spark, dir), 2000)
 
-  /** Core of [[qClassifySource]] over any (doc_id, source, text)
-    * frame; `k` is the model vocabulary size. */
-  private[graft] def classifySource(docs: DataFrame, k: Int): DataFrame = {
-    val ex = docs.select(col("doc_id"), col("source"),
+  /** The classifier FIT alone — the (token, class, n) centroid count
+    * frame over the corpus's top-k tokens; shared by the declared
+    * query and the published-artifact path ([[publishClassifier]]). */
+  private[graft] def fitClassifier(docs: DataFrame, k: Int): DataFrame = {
+    val ex = docs.select(col("source"),
       explode(split(col("text"), " ")).as("token"))
     // ONE corpus-sized fit exchange: the global top-K cut re-aggregates
     // the (token × source) count frame — vocabulary×classes rows —
@@ -1645,9 +1646,54 @@ object TextOps {
     val top = counts.groupBy(col("token")).agg(sum(col("n")).as("tn"))
       .orderBy(col("tn").desc, col("token").asc).limit(k)
       .select(col("token"))
-    val model = counts
+    counts
       .join(top, Seq("token"), "left_semi")
       .select(col("token"), col("source").as("class"), col("n"))
+  }
+
+  /** Publish a fitted centroid model as a durable artifact (the
+    * [[Bpe.publishTokenizer]] / IVF fit-publish posture): the
+    * vocabulary×classes count frame plus a row-count marker so a
+    * partial write can never serve silently. */
+  private[graft] def publishClassifier(spark: SparkSession,
+      docs: DataFrame, k: Int, path: String): Unit = {
+    val model = fitClassifier(docs, k).cache()
+    try {
+      val n = model.count()
+      model.write.mode("overwrite").parquet(path)
+      graft.sources.Markers.write(spark, path, "_graft_classifier",
+        n.toString)
+    } finally model.unpersist()
+  }
+
+  /** Re-open a published model as driver-held per-class structures for
+    * the ROW-LOCAL serving path: (classes sorted asc, per-class
+    * token→count map, per-class total). The pull is vocabulary×classes
+    * rows — the bounded-model contract ([[Vectors]] centroid
+    * precedent); a missing marker or row-count mismatch fails loudly
+    * ([[Bpe.loadTokenizer]] discipline). */
+  private[graft] def loadClassifier(spark: SparkSession,
+      path: String): Seq[(String, Map[String, Long], Long)] = {
+    val n = graft.sources.Markers.read(spark, path, "_graft_classifier")
+      .toLong
+    val rows = spark.read.parquet(path).collect()
+    require(rows.length == n,
+      s"$path holds ${rows.length} model rows, marker says $n — " +
+        "not a complete published classifier?")
+    rows.groupBy(_.getAs[String]("class")).toSeq.sortBy(_._1)
+      .map { case (c, rs) =>
+        val m = rs.map(r =>
+          r.getAs[String]("token") -> r.getAs[Long]("n")).toMap
+        (c, m, m.values.sum)
+      }
+  }
+
+  /** Core of [[qClassifySource]] over any (doc_id, source, text)
+    * frame; `k` is the model vocabulary size. */
+  private[graft] def classifySource(docs: DataFrame, k: Int): DataFrame = {
+    val ex = docs.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("token"))
+    val model = fitClassifier(docs, k)
     val tot = model.groupBy(col("class")).agg(sum(col("n")).as("tot"))
     val scored = ex.select(col("doc_id"), col("token"))
       .join(broadcast(model), Seq("token"))

@@ -469,6 +469,44 @@ object Streams {
         col("encoded"))
   }
 
+  /** Streaming provenance/domain scoring: arriving documents are
+    * classified against the PUBLISHED centroid model
+    * ([[graft.operators.TextOps.publishClassifier]]) — the fit is the
+    * offline artifact, arrivals never refit (the IVF/BPE discipline).
+    *
+    * The batch scorer's shape (explode → broadcast join → doc-keyed
+    * aggregate → argmax) is a streaming AGGREGATION — state, watermark,
+    * update mode. Serving wants none of that, so the scorer is
+    * re-expressed ROW-LOCALLY: the model loads as per-class
+    * token→count map LITERALS (vocabulary×classes entries, the bounded
+    * driver pull), each class score is ONE `aggregate` HOF pass over
+    * the token array (exact long sum ÷ class total — the batch
+    * arithmetic verbatim), and the argmax is a `greatest` over
+    * (score, class) structs. Stateless, append-mode, and provably the
+    * batch answer: present-class zero scores — the one shape the batch
+    * plan never materializes — cannot win unless ALL scores are zero,
+    * which is exactly the batch's "none" fallback (equality pinned in
+    * CurationStreamSpec against the oracle-green batch row).
+    */
+  def classifyIntake(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, modelPath: String): DataFrame = {
+    val classes =
+      graft.operators.TextOps.loadClassifier(spark, modelPath)
+    val toks = split(col("text"), " ")
+    val scored = classes.map { case (c, m, tot) =>
+      val s = aggregate(toks, lit(0L),
+        (acc, t) => acc + coalesce(element_at(typedlit(m), t), lit(0L)))
+      struct((s.cast("double") / lit(tot.toDouble)).as("score"),
+        lit(c).as("class"))
+    }
+    val best =
+      if (scored.size > 1) greatest(scored: _*) else scored.head
+    docs.select(col("doc_id"),
+      when(best.getField("score") === 0.0, lit("none"))
+        .otherwise(best.getField("class")).as("predicted_source"),
+      best.getField("score").as("score"))
+  }
+
   /** Streaming corpus intake near-dup flagging: arriving documents are
     * checked against the PUBLISHED MinHash index (a static staged
     * frame) — [[graft.operators.TextOps.intakePairs]] under

@@ -55,6 +55,38 @@ class CurationStreamSpec extends SparkTestBase {
       batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming classifier intake equals the batch scorer; OOV → none") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val modelPath = tmp("graft_clf_model")
+    TextOps.publishClassifier(spark, docs, 2000, modelPath)
+    // stream a real slice of the corpus plus one all-OOV arrival
+    val sample = docs.select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(25).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = tmp("graft_clf_in")
+    sample.take(12).toSeq.toDF("doc_id", "text")
+      .write.mode("append").json(input)
+    (sample.drop(12).toSeq :+ ((999999L, "zzzq qqzz")))
+      .toDF("doc_id", "text").write.mode("append").json(input)
+    val out = tmp("graft_clf_out")
+    runStream(Streams.classifyIntake(spark, _, modelPath), input, out)
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    // the model was fit on the same corpus the batch query fits on, so
+    // every corpus doc must score IDENTICALLY (same exact-long sums,
+    // same one division, same argmax order)
+    val batch = TextOps.qClassifySource(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    sample.foreach { case (id, _) =>
+      assert(streamed(id) == batch(id), s"doc $id: " +
+        s"stream=${streamed(id)} batch=${batch(id)}")
+    }
+    // the all-OOV arrival takes the batch's fallback contract
+    assert(streamed(999999L) == (("none", 0.0)))
+    assert(streamed.size == 26)
+  }
+
   test("chunking streams unchanged: micro-batched chunks equal the batch cut") {
     import spark.implicits._
     // chunkDocs is a row-local expand, so the SAME shared core runs
