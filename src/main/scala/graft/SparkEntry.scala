@@ -61,6 +61,7 @@ object SparkEntry {
     "q_semi_exists"     -> (Joins.qSemiExists _),
     "q_asof_join"       -> (Joins.qAsofJoin _),
     "q_bucket_join"     -> (Bucketed.qBucketJoin _),
+    "q_bucket_agg"      -> (Bucketed.qBucketAgg _),
     "q_hierarchy_closure" -> (Joins.qHierarchyClosure _),
     "q_resource_counts" -> (Joins.qResourceCounts _),
     "q_rollup_counts"   -> (Joins.qRollupCounts _),
@@ -532,6 +533,15 @@ object SparkEntry {
     // layout is a physical re-clustering only, so values must match
     // the plain join exactly — the co-location is pinned by plan shape
     // in BucketedSpec, the values by this row.
+    // Same raw-parquet oracle posture as q_bucket_join: the bucketed
+    // layout must be value-invisible to the per-order rollup.
+    "q_bucket_agg" ->
+      """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |       sum(l_quantity) AS sum_qty,
+        |       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |           AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
     "q_bucket_join" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
         |       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)

@@ -106,6 +106,35 @@ private[graft] object Bucketed {
     * with an explicit round(·, 6) on both engines ([[Relational
     * .qCountByKey]] determinism discipline).
     */
+  /** The layout's second dividend, declared: a grouped aggregate ON
+    * the bucket key consumes the bucketed distribution directly — the
+    * scan reports hash-partitioning on `l_orderkey`, so the per-order
+    * rollup plans as a single HashAggregate with ZERO exchange (a
+    * plain parquet scan pays a full corpus shuffle here). This is the
+    * "every subsequent join/agg/distinct on the key" half of the
+    * [[qBucketJoin]] amortization argument as its own oracle-checked
+    * row; BucketedSpec pins the exchange-free aggregate subtree. At
+    * 100 TB this shape is the repeated per-entity rollup (per-user,
+    * per-document, per-order) that dominates warehouse load — paying
+    * its shuffle once at write time is the point of the layout.
+    */
+  def qBucketAgg(spark: SparkSession, dir: String): DataFrame = {
+    val (_, lt) = layoutFor(spark, dir)
+    aggPlan(spark.table(lt))
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** The aggregate alone (no determinism sort) — shared by the
+    * declared query and the spec's exchange-count pin. */
+  private[graft] def aggPlan(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double"), 6).as("revenue"))
+
   def qBucketJoin(spark: SparkSession, dir: String): DataFrame =
     colocatedJoin(spark, dir)
       .groupBy(col("o_orderpriority"))

@@ -21,6 +21,19 @@ class BucketedSpec extends SparkTestBase {
     assert(p.contains("SelectedBucketsCount"), p.take(2000))
   }
 
+  test("grouped aggregate on the bucket key plans with zero exchanges") {
+    val (_, lt) = Bucketed.layoutFor(spark, sfDir)
+    val a = Bucketed.aggPlan(spark.table(lt))
+    val p = a.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n${p.take(2000)}")
+    // and the values are the plain-scan aggregate's, row-for-row
+    val plain = Bucketed
+      .aggPlan(spark.read.parquet(s"$sfDir/lineitem.parquet"))
+      .orderBy(col("l_orderkey")).collect().toSeq
+    assert(a.orderBy(col("l_orderkey")).collect().toSeq == plain)
+  }
+
   test("q_bucket_join equals the plain unbucketed join row-for-row") {
     val out = Bucketed.qBucketJoin(spark, sfDir).collect().toSeq
     val plain = spark.read.parquet(s"$sfDir/orders.parquet")
