@@ -8,8 +8,10 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
   ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType,
-  IntegerType, LongType, StringType}
+  DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Fused text-sketching expressions. Round 2 built the text sketches
@@ -480,10 +482,114 @@ case class ScrubSpans(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Row-local centroid-classifier scoring kernel for the streaming
+  * serving path ([[graft.streaming.Streams.classifyIntake]]): one pass
+  * over the token array accumulating exact per-class LONG hit counts
+  * through a MERGED token → counts-per-class table, then the argmax of
+  * score = hits ÷ class-total (the batch arithmetic of
+  * `TextOps.classifySource` verbatim — at most one IEEE division per
+  * class) with the `greatest(struct(score, class))` tie order
+  * (lexicographically largest class wins ties; all-zero scores fall
+  * back to "none", the batch's absent-doc shape).
+  *
+  * The model rides as a REFERENCE OBJECT in the compiled plan
+  * (`ctx.addReferenceObj`), NOT as literal maps in the expression tree
+  * (ADVICE r11): `typedlit` per-class maps grow the analyzed plan,
+  * Janino constant pool, and per-batch analysis cost linearly with
+  * vocabulary × classes and hit Janino's 64 KB method limits first;
+  * here plan size and codegen are O(1) in model size, so the same
+  * serving path holds for a 10⁶-entry vocabulary. One hash probe per
+  * token (not one per token per class) is also strictly less work than
+  * the per-class `aggregate` HOF chain it replaces. */
+case class ClassifyScore(child: Expression,
+    model: Seq[(String, Map[String, Long], Long)])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("predicted", StringType, nullable = false),
+    StructField("score", DoubleType, nullable = false)))
+
+  override def prettyName: String = "graft_classify_score"
+
+  // classes ascending so an equal-score later index IS the
+  // lexicographically larger class — the greatest(struct) tie order
+  @transient private lazy val classes: Array[UTF8String] =
+    model.map(_._1).sorted.map(UTF8String.fromString).toArray
+  @transient private lazy val totals: Array[Double] =
+    model.sortBy(_._1).map(_._3.toDouble).toArray
+  @transient private lazy val merged
+      : java.util.HashMap[UTF8String, Array[Long]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Long]]()
+    val sortedModel = model.sortBy(_._1)
+    for (((_, counts, _), i) <- sortedModel.zipWithIndex;
+         (tok, n) <- counts) {
+      val key = UTF8String.fromString(tok)
+      var arr = m.get(key)
+      if (arr == null) { arr = new Array[Long](classes.length); m.put(key, arr) }
+      arr(i) += n
+    }
+    m
+  }
+  private val none = UTF8String.fromString("none")
+
+  def compute(toks: ArrayData): InternalRow = {
+    val k = classes.length
+    val hits = new Array[Long](k)
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        val arr = merged.get(t)
+        if (arr != null) {
+          var c = 0
+          while (c < k) { hits(c) += arr(c); c += 1 }
+        }
+      }
+      i += 1
+    }
+    var best = 0
+    var bestScore = hits(0).toDouble / totals(0)
+    var c = 1
+    while (c < k) {
+      val s = hits(c).toDouble / totals(c)
+      if (s >= bestScore) { best = c; bestScore = s }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](
+      if (bestScore == 0.0) none else classes(best), bestScore))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+    ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("classifyScore", this,
+      classOf[ClassifyScore].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $self.compute($t);")
+  }
+
+  override protected def withNewChildInternal(
+    newChild: Expression): ClassifyScore = copy(child = newChild)
+}
+
 object TextFunctions {
   /** Unicode NFC canonical composition of a string column. */
   def nfcNormalize(s: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(s)))
+
+  /** struct(predicted, score) of the centroid classifier over a
+    * token-array column; the model rides as a plan reference object. */
+  def classifyScore(toks: Column,
+      model: Seq[(String, Map[String, Long], Long)]): Column =
+    ColumnBridge.column(ClassifyScore(ColumnBridge.expression(toks), model))
 
   /** Distinct hashed word k-gram shingles of a token-array column. */
   def shingleHashes(w: Column, k: Int = 3): Column =

@@ -798,19 +798,90 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Enforce [[cdcMerge]]/[[cdcMergeDocs]]'s one-op-per-doc_id-per-batch
+    * contract at the SINK boundary, where it can actually be violated:
+    * diff-derived batches satisfy it by construction, but a file-source
+    * restart with a backlog coalesces many change files into ONE
+    * micro-batch (the default trigger reads all available files), and a
+    * multi-op batch then silently corrupts the merge — duplicate
+    * doc_ids in the snapshot and, worse, a DOUBLED retract leg in the
+    * incremental MV, which just drifts with no loud symptom.
+    *
+    * Two modes, chosen by schema:
+    *   - batch carries a `seq` column (any orderable intake sequence —
+    *     an explicit change-log LSN, a file mtime, a kafka offset):
+    *     collapse to last-op-wins per doc_id under the TOTAL order
+    *     max(struct(seq, op, payload…)) — deterministic even on seq
+    *     ties (house rule: every boundary gets a total order). The
+    *     collapsed batch equals the sequential fold of the ops, so a
+    *     backlog replayed as one batch applies exactly like the
+    *     batches it coalesced.
+    *   - no `seq`: there is nothing to order duplicates by, so any
+    *     duplicate doc_id FAILS the batch loudly (the lakehouse MERGE
+    *     posture — Delta/Iceberg error on multiple source matches)
+    *     rather than letting an arbitrary winner drift the MV.
+    * Cost: one delta-sized aggregate per micro-batch — noise next to
+    * the publish. */
+  private[graft] def collapseOps(batch: DataFrame): DataFrame = {
+    val payload = batch.columns.filterNot(c => c == "doc_id" || c == "seq")
+    if (batch.columns.contains("seq")) {
+      batch.groupBy(col("doc_id"))
+        .agg(max(struct(col("seq") +: payload.map(col): _*)).as("r"))
+        .select(col("doc_id") +: payload.map(c => col(s"r.$c").as(c)): _*)
+    } else {
+      val dup = batch.groupBy(col("doc_id")).count()
+        .filter(col("count") > 1).limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalStateException(
+        s"change batch carries multiple ops for doc_id=${dup.head.get(0)} " +
+          "and no seq column to order them by; add a seq column for " +
+          "last-op-wins or deliver one op per doc_id per batch")
+      batch
+    }
+  }
+
   /** Versioned-then-flip snapshot publication for the streaming CDC
     * apply path — the [[Components.publishLabels]] discipline applied
     * to the corpus snapshot itself: a new version lands in its own
     * directory and only a successful complete write flips the current
     * marker, so a crash mid-publish leaves the previous snapshot
-    * readable and intact. */
+    * readable and intact.
+    *
+    * `retainVersions` bounds storage across micro-batches (the
+    * [[Pipelines.landThenPublish]] contract ported to the streaming
+    * loops, which otherwise grow one full snapshot per trigger
+    * forever): strictly AFTER the flip, all but the newest N
+    * non-current version directories are deleted (0 = keep
+    * everything). Keep N > 1 — a reader that resolved the marker just
+    * before the flip may still be scanning the previous version; the
+    * newest N survivors give it the same grace window any
+    * snapshot-expiry scheme (table-format VACUUM) documents. Deletion
+    * is crash-safe: versions are retired newest-first exempt, marker
+    * already points at the new version, so a crash mid-retirement
+    * leaves only unreferenced garbage, never a half-current artifact. */
   private[graft] val snapshotCurrentMarker = "_graft_snapshot_current"
 
+  private[graft] def retireVersions(spark: SparkSession, root: String,
+      current: String, retainVersions: Int): Unit =
+    if (retainVersions > 0) {
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(rootPath)
+        .filter(_.isDirectory)
+        .map(st => st.getPath.getName -> st.getModificationTime)
+        .filter(_._1 != current)
+        .sortBy(-_._2)
+        .drop(retainVersions)
+        .foreach { case (n, _) =>
+          fs.delete(new org.apache.hadoop.fs.Path(rootPath, n), true) }
+    }
+
   private[graft] def publishSnapshot(spark: SparkSession,
-      snap: DataFrame, root: String, version: String): Unit = {
+      snap: DataFrame, root: String, version: String,
+      retainVersions: Int = 0): Unit = {
     snap.write.mode("overwrite").parquet(s"$root/$version")
     graft.sources.Markers.write(spark, root, snapshotCurrentMarker,
       version)
+    retireVersions(spark, root, version, retainVersions)
   }
 
   /** The currently-published snapshot of a [[publishSnapshot]] root. */
@@ -857,10 +928,12 @@ object Curation {
   private[graft] val epochCurrentMarker = "_graft_epoch_current"
 
   private[graft] def publishEpoch(spark: SparkSession, root: String,
-      version: String, snap: DataFrame, mv: DataFrame): Unit = {
+      version: String, snap: DataFrame, mv: DataFrame,
+      retainVersions: Int = 0): Unit = {
     snap.write.mode("overwrite").parquet(s"$root/$version/snapshot")
     mv.write.mode("overwrite").parquet(s"$root/$version/mv")
     graft.sources.Markers.write(spark, root, epochCurrentMarker, version)
+    retireVersions(spark, root, version, retainVersions)
   }
 
   private[graft] def currentEpoch(spark: SparkSession,

@@ -26,4 +26,15 @@ object Markers {
     val in = fs.open(marker)
     try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
   }
+
+  /** [[read]] that treats an absent marker as None instead of an IO
+    * error — the probe the streaming sinks use to ask "did a crashed
+    * predecessor already publish this version?" without requiring the
+    * root to be initialized first. */
+  def readOption(spark: SparkSession, dir: String,
+    name: String): Option[String] = {
+    val marker = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) None else Some(read(spark, dir, name))
+  }
 }

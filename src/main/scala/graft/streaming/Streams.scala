@@ -477,34 +477,29 @@ object Streams {
     * The batch scorer's shape (explode → broadcast join → doc-keyed
     * aggregate → argmax) is a streaming AGGREGATION — state, watermark,
     * update mode. Serving wants none of that, so the scorer is
-    * re-expressed ROW-LOCALLY: the model loads as per-class
-    * token→count map LITERALS (vocabulary×classes entries, the bounded
-    * driver pull), each class score is ONE `aggregate` HOF pass over
-    * the token array (exact long sum ÷ class total — the batch
-    * arithmetic verbatim), and the argmax is a `greatest` over
-    * (score, class) structs. Stateless, append-mode, and provably the
-    * batch answer: present-class zero scores — the one shape the batch
-    * plan never materializes — cannot win unless ALL scores are zero,
-    * which is exactly the batch's "none" fallback (equality pinned in
-    * CurationStreamSpec against the oracle-green batch row).
+    * re-expressed ROW-LOCALLY as ONE codegen'd kernel
+    * ([[graft.functions.ClassifyScore]]): a single pass over the token
+    * array probes a merged token → counts-per-class table (exact long
+    * sums ÷ class totals — the batch arithmetic verbatim), argmax with
+    * the `greatest(struct(score, class))` tie order and the batch's
+    * all-zero → "none" fallback (equality pinned in CurationStreamSpec
+    * against the oracle-green batch row). The model rides in the plan
+    * as a reference object, NOT as `typedlit` map literals (ADVICE
+    * r11): plan size, Janino constant pool, and per-batch analysis
+    * cost are O(1) in vocabulary × classes, so the same serving path
+    * holds for models far past the k=2000 fit default. Stateless,
+    * append-mode.
     */
   def classifyIntake(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, modelPath: String): DataFrame = {
     val classes =
       graft.operators.TextOps.loadClassifier(spark, modelPath)
-    val toks = split(col("text"), " ")
-    val scored = classes.map { case (c, m, tot) =>
-      val s = aggregate(toks, lit(0L),
-        (acc, t) => acc + coalesce(element_at(typedlit(m), t), lit(0L)))
-      struct((s.cast("double") / lit(tot.toDouble)).as("score"),
-        lit(c).as("class"))
-    }
-    val best =
-      if (scored.size > 1) greatest(scored: _*) else scored.head
-    docs.select(col("doc_id"),
-      when(best.getField("score") === 0.0, lit("none"))
-        .otherwise(best.getField("class")).as("predicted_source"),
-      best.getField("score").as("score"))
+    val best = graft.functions.TextFunctions.classifyScore(
+      split(col("text"), " "), classes)
+    docs.select(col("doc_id"), best.as("r"))
+      .select(col("doc_id"),
+        col("r.predicted").as("predicted_source"),
+        col("r.score").as("score"))
   }
 
   /** Streaming corpus intake near-dup flagging: arriving documents are
@@ -612,9 +607,20 @@ object Streams {
     * Batch-by-batch application equals one sequential fold of the
     * batches (last op per doc wins across batches — the stream's
     * arrival order), which is what the restart spec asserts against
-    * the batch dual. Within one micro-batch each doc_id carries at
-    * most one op — the contract `snapshotDiff`-derived change batches
-    * satisfy by construction.
+    * the batch dual. The one crash window idempotence alone does not
+    * cover — dying AFTER the marker flip but BEFORE the checkpoint
+    * commit, where the replayed batch's "current" snapshot is its own
+    * output directory — is closed at the artifact layer: the marker
+    * already naming `b<batchId>` short-circuits the replay to a no-op
+    * and the checkpoint simply commits.
+    *
+    * Within one micro-batch each doc_id must carry at most one op —
+    * `snapshotDiff`-derived change batches satisfy it by construction,
+    * but a file-source restart with a backlog coalesces files into one
+    * batch, so the sink ENFORCES it through
+    * [[graft.operators.Curation.collapseOps]]: batches with a `seq`
+    * column collapse to deterministic last-op-wins; without one,
+    * duplicates fail the batch loudly instead of merging arbitrarily.
     *
     * State and cost posture at 100 TB, stated honestly: streaming
     * state is EMPTY (the merge is stream-static against a published
@@ -635,16 +641,28 @@ object Streams {
     * NEXT is safe because they are different directories and the flip
     * happens only after the write completes. */
   def cdcApplySink(snapshotRoot: String, changes: DataFrame,
-    checkpointDir: String)
+    checkpointDir: String, retainVersions: Int = 0)
     : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        graft.operators.Curation.publishSnapshot(s,
-          graft.operators.Curation.cdcMerge(
-            graft.operators.Curation.currentSnapshot(s, snapshotRoot),
-            batch),
-          snapshotRoot, s"b$batchId")
+        val version = s"b$batchId"
+        // artifact-layer idempotence for the crash window BETWEEN the
+        // marker flip and the checkpoint commit: the replayed batch's
+        // "current" snapshot would resolve to its OWN output directory
+        // (read-under-overwrite — Spark refuses, wedging the stream on
+        // every restart). The marker already naming this version IS
+        // the proof the batch published; just let the checkpoint
+        // commit.
+        if (!graft.sources.Markers.readOption(s, snapshotRoot,
+            graft.operators.Curation.snapshotCurrentMarker)
+            .contains(version)) {
+          graft.operators.Curation.publishSnapshot(s,
+            graft.operators.Curation.cdcMerge(
+              graft.operators.Curation.currentSnapshot(s, snapshotRoot),
+              graft.operators.Curation.collapseOps(batch)),
+            snapshotRoot, version, retainVersions)
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .start()
@@ -662,31 +680,55 @@ object Streams {
     * Exactly-once rests on the transactional epoch publication
     * ([[graft.operators.Curation.publishEpoch]]): snapshot and MV land
     * under ONE version directory and ONE marker flip. A
-    * checkpoint-replayed batch is idempotent from either side of the
-    * flip: before it, both artifacts recompute from the old epoch;
-    * after it, `cdcMergeDocs` is a fixed point on the already-merged
-    * snapshot and the refresh's retract/insert sides cancel on every
-    * delta id, so the republished epoch is byte-equal. Two separate
-    * marker flips would break this — a crash between them leaves the
-    * pair inconsistent and replay double-applies or skips the MV delta
-    * (the scenario the single flip exists to kill).
+    * checkpoint-replayed batch is handled from either side of the
+    * flip: BEFORE it, both artifacts recompute from the old epoch
+    * (`cdcMergeDocs` is a fixed point, the refresh's retract/insert
+    * sides cancel on every delta id — the algebra CurationStreamSpec
+    * pins); AFTER it — the window where "current" would resolve to the
+    * replaying batch's own output directory and re-deriving would read
+    * under its own overwrite — the marker short-circuit makes the
+    * replay a no-op at the artifact layer, and only the checkpoint
+    * commit remains. Two separate marker flips would break the first
+    * half — a crash between them leaves the pair inconsistent and
+    * replay double-applies or skips the MV delta (the scenario the
+    * single flip exists to kill).
+    *
+    * The per-batch one-op-per-doc_id precondition the MV's
+    * retract/insert algebra needs (a duplicate id doubles the retract
+    * leg and the MV silently drifts) is ENFORCED via
+    * [[graft.operators.Curation.collapseOps]] — deterministic
+    * last-op-wins when the batch carries a `seq` column, loud failure
+    * on unordered duplicates.
     *
     * Streaming state is EMPTY (stream-static against published
     * artifacts, the [[cdcApplySink]] posture); per-batch cost is the
     * snapshot rewrite (the honestly-stated CDC publish price) plus
-    * delta-sized MV joins. */
+    * delta-sized MV joins; `retainVersions` bounds epoch storage
+    * (newest-N grace window — the [[graft.operators.Pipelines]] gated
+    * publish retention ported here). */
   def mvApplySink(epochRoot: String, changes: DataFrame,
-    checkpointDir: String)
+    checkpointDir: String, retainVersions: Int = 0)
     : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val (snap, mv) = graft.operators.Curation.currentEpoch(s, epochRoot)
-        val merged = graft.operators.Curation.cdcMergeDocs(snap, batch)
-        val mv2 = graft.operators.Curation.mvRefresh(mv, snap, merged,
-          batch.select(col("doc_id")))
-        graft.operators.Curation.publishEpoch(s, epochRoot, s"b$batchId",
-          merged, mv2)
+        val version = s"b$batchId"
+        // same artifact-layer idempotence as [[cdcApplySink]]: if the
+        // marker already names this version, a predecessor crashed
+        // AFTER the flip but BEFORE the checkpoint commit — the epoch
+        // is published; re-deriving it would read the current epoch
+        // out of the directory this batch is about to overwrite.
+        if (!graft.sources.Markers.readOption(s, epochRoot,
+            graft.operators.Curation.epochCurrentMarker)
+            .contains(version)) {
+          val (snap, mv) = graft.operators.Curation.currentEpoch(s, epochRoot)
+          val ops = graft.operators.Curation.collapseOps(batch)
+          val merged = graft.operators.Curation.cdcMergeDocs(snap, ops)
+          val mv2 = graft.operators.Curation.mvRefresh(mv, snap, merged,
+            ops.select(col("doc_id")))
+          graft.operators.Curation.publishEpoch(s, epochRoot, version,
+            merged, mv2, retainVersions)
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .start()

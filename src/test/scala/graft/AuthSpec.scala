@@ -35,6 +35,19 @@ private[graft] class MemStore(var refreshToken: String = "r0")
   }
 }
 
+/** [[MemStore]] plus the shared access-token channel — what a store
+  * backed by real shared state (file, DB row, secret manager) exposes
+  * so racing holders reuse the winner's token instead of exchanging. */
+private[graft] class SharedMemStore extends MemStore {
+  private var cached: Option[CachedToken] = None
+  override def loadCached(): Option[CachedToken] = synchronized(cached)
+  override def saveCached(tok: CachedToken): Unit =
+    synchronized { cached = Some(tok) }
+  override def evictCached(accessToken: String): Unit = synchronized {
+    if (cached.exists(_.accessToken == accessToken)) cached = None
+  }
+}
+
 /** JVM-singleton side of the Spark composition test — the
   * [[graft.sources.InJvmUpsertStore]] pattern: closures shipped into
   * tasks reference this object STATICALLY (nothing stateful is
@@ -137,6 +150,69 @@ class AuthSpec extends SparkTestBase {
     store.refreshToken = "bogus"
     mgr.invalidate()
     intercept[AuthError] { ep.upsertBatch(Seq("k" -> "v")) }
+  }
+
+  test("N-way concurrent refresh of one rotating credential never bricks") {
+    // The ADVICE r11 scenario: N per-executor managers share ONE
+    // refresh token under strict rotation. Unserialized, the first
+    // exchange rotates the token every other manager already read —
+    // N−1 AuthErrors and (with IdP reuse detection) a revoked family.
+    // The store's exclusive section + load-inside-the-lock makes every
+    // exchange present the CURRENT token: all succeed, no AuthError.
+    val idp = new FakeIdp(ttlSec = 600)
+    val store = new MemStore() // no shared cache: reuse disabled
+    val now = new AtomicLong(0L)
+    val n = 16
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    try {
+      val futs = (1 to n).map { _ =>
+        val mgr = new TokenManager(idp, store, () => now.get())
+        pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String = { gate.await(); mgr.currentToken() }
+        })
+      }
+      gate.countDown()
+      val tokens = futs.map(_.get()) // throws if any manager bricked
+      // every serialized exchange presented the then-current token:
+      // no failures, store holds the final rotation, and every token
+      // handed out is one the IdP actually issued and still honors
+      assert(idp.exchanges == n && store.refreshToken == s"r$n")
+      assert(tokens.forall(idp.valid.contains))
+    } finally pool.shutdown()
+  }
+
+  test("shared token cache: N racers, ONE exchange; revocation evicts") {
+    val idp = new FakeIdp(ttlSec = 600)
+    val store = new SharedMemStore
+    val now = new AtomicLong(0L)
+    val n = 16
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val mgrs = (1 to n).map(_ =>
+      new TokenManager(idp, store, () => now.get()))
+    try {
+      val futs = mgrs.map { mgr =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String = { gate.await(); mgr.currentToken() }
+        })
+      }
+      gate.countDown()
+      val tokens = futs.map(_.get()).distinct
+      // the race's loser re-reads the winner's still-fresh token from
+      // the shared channel: one exchange serves the whole fleet
+      assert(tokens == Seq("a1"), tokens.toString)
+      assert(idp.exchanges == 1 && store.refreshToken == "r1")
+      // reactive revocation must EVICT the shared entry, or the
+      // refresh-once replay would re-adopt the revoked token forever
+      idp.revoke("a1")
+      mgrs.head.invalidate()
+      assert(mgrs.head.currentToken() == "a2" && idp.exchanges == 2)
+      // ...but a peer invalidating the OLD token later must not
+      // clobber the NEW shared entry
+      mgrs(1).invalidate() // holds a1 locally; cache holds a2
+      assert(mgrs(1).currentToken() == "a2" && idp.exchanges == 2)
+    } finally pool.shutdown()
   }
 
   test("composes with BatchedSink: 401 + transient blip both recover") {

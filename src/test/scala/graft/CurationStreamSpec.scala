@@ -435,4 +435,138 @@ class CurationStreamSpec extends SparkTestBase {
       last.select(col("doc_id")))
     assert(mvKey(mv2) == mvKey(mv))
   }
+
+  test("replay from the post-flip crash window is a no-op, not a wedge") {
+    // ADVICE r11 (high): die AFTER publishEpoch's marker flip but
+    // BEFORE the streaming checkpoint commits, and the replayed
+    // batch's "current" epoch IS its own output directory — re-deriving
+    // would read under its own overwrite and wedge the stream on every
+    // restart. Reproduce the window faithfully: process a batch, then
+    // delete its checkpoint COMMIT file (the crash landed between the
+    // artifact flip and the commit), restart, and require the replay to
+    // short-circuit on the already-flipped marker.
+    import spark.implicits._
+    val changeSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("op", StringType),
+      StructField("source", StringType),
+      StructField("text", StringType)))
+    val root = tmp("graft_mv_crash")
+    val input = tmp("graft_mv_crash_in")
+    val cp = tmp("graft_mv_crash_cp")
+    val base = Seq((1L, "web", "a b"), (2L, "book", "c"))
+      .toDF("doc_id", "source", "text")
+    Curation.publishEpoch(spark, root, "base", base,
+      Curation.sourceRollup(base))
+    def run(): Unit = {
+      val q = Streams.mvApplySink(root,
+        spark.readStream.schema(changeSchema)
+          .option("maxFilesPerTrigger", 1).json(input), cp,
+        retainVersions = 2)
+      try q.processAllAvailable() finally q.stop()
+    }
+    Seq((3L, "web", "x y z")).map { case (id, s, t) =>
+      (id, "upsert", s, t) }
+      .toDF("doc_id", "op", "source", "text")
+      .coalesce(1).write.mode("append").json(input)
+    run()
+    def snapKey() = Curation.currentEpoch(spark, root)._1.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val published = snapKey()
+    assert(published == Set((1L, "web", "a b"), (2L, "book", "c"),
+      (3L, "web", "x y z")))
+    // simulate the crash window: artifact published (marker = b0),
+    // checkpoint commit for batch 0 lost
+    val commit = new java.io.File(s"$cp/commits/0")
+    assert(commit.exists(), "expected checkpoint commit file")
+    assert(commit.delete())
+    // the local-FS checksum sidecar would block the recommit rename;
+    // a real crash (no file ever written) leaves neither
+    new java.io.File(s"$cp/commits/.0.crc").delete()
+    run() // replays batch 0: must short-circuit, not wedge or corrupt
+    assert(snapKey() == published)
+    val (snapAfter, mvAfter) = Curation.currentEpoch(spark, root)
+    assert(mvAfter.collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toSet ==
+      Curation.sourceRollup(snapAfter).collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens"))).toSet)
+    // retention (retainVersions = 2): after more batches the root
+    // holds the current version + at most 2 retired ones — the
+    // versions the crash-window replay left behind get collected by a
+    // LATER successful publish, so a crash mid-cycle never strands
+    // unbounded garbage
+    Seq((4L, "book", "p q")).map { case (id, s, t) =>
+      (id, "upsert", s, t) }
+      .toDF("doc_id", "op", "source", "text")
+      .coalesce(1).write.mode("append").json(input)
+    run()
+    Seq((5L, "web", "r")).map { case (id, s, t) => (id, "upsert", s, t) }
+      .toDF("doc_id", "op", "source", "text")
+      .coalesce(1).write.mode("append").json(input)
+    run()
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs.size <= 3, s"unretired versions: $dirs")
+    assert(dirs.contains("b2"), dirs.toString)
+  }
+
+  test("a multi-op batch without seq fails loudly; with seq it collapses") {
+    import spark.implicits._
+    val changeSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("op", StringType),
+      StructField("source", StringType),
+      StructField("text", StringType)))
+    val root = tmp("graft_mv_dup")
+    val input = tmp("graft_mv_dup_in")
+    val base = Seq((1L, "web", "a b")).toDF("doc_id", "source", "text")
+    Curation.publishEpoch(spark, root, "base", base,
+      Curation.sourceRollup(base))
+    // two ops for doc 5 coalesced into ONE batch (the restart-backlog
+    // shape) and no seq column: the sink must refuse — an arbitrary
+    // winner would silently double the MV's retract leg
+    Seq((5L, "upsert", "web", "x"), (5L, "delete", null, null))
+      .toDF("doc_id", "op", "source", "text")
+      .coalesce(1).write.mode("append").json(input)
+    val q = Streams.mvApplySink(root,
+      spark.readStream.schema(changeSchema).json(input),
+      tmp("graft_mv_dup_cp"))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def rootCauses(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: rootCauses(t.getCause)
+    assert(rootCauses(err).exists(c =>
+      c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("multiple ops")), err.toString)
+    // epoch untouched by the failed batch
+    assert(Curation.currentEpoch(spark, root)._1.collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+
+    // the SAME backlog with a seq column collapses deterministically to
+    // last-op-wins: doc 5's delete (seq 2) beats its upsert (seq 1),
+    // doc 6 inserts — and the batch applies exactly like the
+    // sequential fold of the ops it coalesced
+    val seqSchema = changeSchema.add(StructField("seq", LongType))
+    val input2 = tmp("graft_mv_seq_in")
+    Seq((5L, "upsert", "web", "x", 1L), (5L, "delete", null, null, 2L),
+      (6L, "upsert", "book", "y z", 1L))
+      .toDF("doc_id", "op", "source", "text", "seq")
+      .coalesce(1).write.mode("append").json(input2)
+    val q2 = Streams.mvApplySink(root,
+      spark.readStream.schema(seqSchema).json(input2),
+      tmp("graft_mv_seq_cp"))
+    try q2.processAllAvailable() finally q2.stop()
+    val (snap, mv) = Curation.currentEpoch(spark, root)
+    assert(snap.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet ==
+      Set((1L, "web", "a b"), (6L, "book", "y z")))
+    // maintenance identity holds through the collapse
+    assert(mv.collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toSet ==
+      Curation.sourceRollup(snap).collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens"))).toSet)
+  }
 }
