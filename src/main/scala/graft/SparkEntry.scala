@@ -62,6 +62,7 @@ object SparkEntry {
     "q_asof_join"       -> (Joins.qAsofJoin _),
     "q_bucket_join"     -> (Bucketed.qBucketJoin _),
     "q_bucket_agg"      -> (Bucketed.qBucketAgg _),
+    "q_bucket_ri"       -> (Bucketed.qBucketRi _),
     "q_hierarchy_closure" -> (Joins.qHierarchyClosure _),
     "q_resource_counts" -> (Joins.qResourceCounts _),
     "q_rollup_counts"   -> (Joins.qRollupCounts _),
@@ -167,6 +168,7 @@ object SparkEntry {
     "q_ann_ivf"         -> (Vectors.qAnnIvf _),
     "q_ann_ivf_full"    -> (Vectors.qAnnIvfFull _),
     "q_ann_ivf_pq"      -> (Vectors.qAnnIvfPq _),
+    "q_ann_ivf_pq_exact" -> (Vectors.qAnnIvfPqExact _),
     // M5 — multimodal binary columns
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_image_meta"      -> (Multimodal.qImageMeta _),
@@ -282,6 +284,36 @@ object SparkEntry {
       |SELECT node AS vec_id, min(r) AS cluster_id,
       |       (min(r) = node) AS is_kept
       |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin
+
+  /** Brute-force unit-cosine top-5 SQL — the oracle both exact-regime
+    * ANN rides share: `q_ann_ivf_full` (full probe of the float
+    * pipeline) and `q_ann_ivf_pq_exact` (full probe + corpus-sized
+    * shortlist of the compressed pipeline). Cosines are computed on
+    * unit vectors in both engines — the bitwise-identical left-fold
+    * dot that q_dedup_embed's green compare pins. */
+  private val annExactTopkOracle: String =
+    """WITH base AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_transform(v, x -> x * x),
+      |         (a, b) -> a + b)) AS nrm
+      |  FROM base),
+      |un AS (
+      |  SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+      |    list_reduce(list_transform(list_zip(q.u, c.u),
+      |        p -> p[1] * p[2]), (x, y) -> x + y) AS cosine
+      |  FROM un q, un c WHERE q.vec_id < 10 AND c.vec_id >= 10),
+      |ranked AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, neighbor_id, cosine FROM ranked
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->
@@ -549,6 +581,24 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // q_bucket_ri: the lineitem→orders RI leg served from the bucketed
+    // layout — the oracle is the SAME plain-parquet audit SQL as the
+    // corresponding q_ri_audit row (layout value-invisibility, third
+    // plan shape: anti-join; exchange-free subtree pinned in
+    // BucketedSpec).
+    "q_bucket_ri" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS relation,
+        |  count(*) AS n_child,
+        |  CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_null_fk,
+        |  CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL AND p.k IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+        |  CAST(count(DISTINCT CASE WHEN l.l_orderkey IS NOT NULL
+        |    AND p.k IS NULL THEN l.l_orderkey END) AS BIGINT)
+        |    AS n_orphan_keys
+        |FROM lineitem l LEFT JOIN
+        |  (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |  ON l.l_orderkey = p.k""".stripMargin,
     // The oracle states the range join DECLARATIVELY (BETWEEN, no
     // bins) — the engine's bin-bucketed equi-join must reproduce the
     // inequality join's pair set exactly (a bin off-by-one or a
@@ -2057,32 +2107,14 @@ object SparkEntry {
         |      p -> p[1] * p[2]), (x, y) -> x + y) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
     // q_ann_ivf_full: nprobe = nlist makes the probe pipeline exact, so
-    // the unit-vector brute-force top-5 SQL is its oracle (cosines are
-    // computed on unit vectors in both engines — the bitwise-identical
-    // left-fold dot that q_dedup_embed's compare already pins).
-    "q_ann_ivf_full" ->
-      """WITH base AS (
-        |  SELECT vec_id,
-        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |n AS (
-        |  SELECT vec_id, v,
-        |    sqrt(list_reduce(list_transform(v, x -> x * x),
-        |         (a, b) -> a + b)) AS nrm
-        |  FROM base),
-        |un AS (
-        |  SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
-        |scored AS (
-        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
-        |    list_reduce(list_transform(list_zip(q.u, c.u),
-        |        p -> p[1] * p[2]), (x, y) -> x + y) AS cosine
-        |  FROM un q, un c WHERE q.vec_id < 10 AND c.vec_id >= 10),
-        |ranked AS (
-        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-        |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-        |  FROM scored)
-        |SELECT q_id, rank, neighbor_id, cosine FROM ranked
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // the unit-vector brute-force top-5 SQL is its oracle.
+    "q_ann_ivf_full" -> annExactTopkOracle,
+    // q_ann_ivf_pq_exact: full probe + corpus-sized shortlist makes the
+    // COMPRESSED pipeline exact too (the int8 stage becomes an order
+    // hint; the float re-rank decides) — same brute-force oracle, which
+    // hash-certifies the codes build, dequant arithmetic, shortlist
+    // aggregate, and bucket+id re-rank fetch end to end.
+    "q_ann_ivf_pq_exact" -> annExactTopkOracle,
     // q_dedup_embed_clusters IS oracle-checked: the oracle computes true
     // reachability over the EXACT ≥0.8-cosine pair graph, which on this
     // corpus is empty (planted pairs sit at 0.50–0.60) exactly like the

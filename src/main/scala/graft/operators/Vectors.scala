@@ -343,6 +343,33 @@ object Vectors {
     pqProbeTopk(spark, model, codes, queries)
   }
 
+  /** EXACT-regime ride of the compressed-probe pipeline (r11 verdict
+    * item 4 — the [[qAnnIvfFull]] precedent applied to the PQ path):
+    * with nprobe = nlist every bucket is scored and with the re-rank
+    * shortlist opened to the corpus size every scored candidate
+    * reaches the exact re-rank, so the int8 scoring stage degenerates
+    * to a pass-through ORDER HINT and the float re-rank — the same
+    * bitwise-reproducible left-fold dot the oracle computes — picks
+    * the final top-5 over the whole corpus. The output is therefore
+    * exact brute-force cosine top-5, hash-compared against the same
+    * DuckDB SQL as `q_ann_ivf_full`, which certifies the ENTIRE
+    * compressed plumbing (codes build, dequant arithmetic, shortlist
+    * aggregate, bucket+id re-rank fetch): a wrong dequant scale, a
+    * dropped candidate, or a mis-keyed fetch surfaces as a hash
+    * mismatch. `q_ann_ivf_pq` itself stays rows-only — approximate by
+    * design at nprobe=3 with a bounded shortlist — with its recall
+    * ≥0.9 spec in VectorsSpec; this ride is the verification
+    * configuration, not the production one (the corpus-sized shortlist
+    * buffer is exactly what the bounded default exists to avoid). */
+  def qAnnIvfPqExact(spark: SparkSession, dir: String): DataFrame = {
+    val model = ivfFit(spark, dir)
+    val codes = pqFit(spark, dir)
+    val queries = unit(spark, dir).filter(col("vec_id") < 10)
+    val n = spark.read.parquet(model.corpusPath).count().toInt
+    pqProbeTopk(spark, model, codes, queries, nprobe = model.nlist,
+      shortlist = n)
+  }
+
   /** One codes table per (JVM, corpus dir), persisted next to the IVF
     * index — the offline compression job of the fit/probe split. */
   private val fittedPq =

@@ -34,6 +34,27 @@ class BucketedSpec extends SparkTestBase {
     assert(a.orderBy(col("l_orderkey")).collect().toSeq == plain)
   }
 
+  test("RI anti-join over the layout is exchange-free below the counts") {
+    val (ot, lt) = Bucketed.layoutFor(spark, sfDir)
+    // pin the anti-join SUBTREE (scan → distinct → anti SMJ), before
+    // the 1-row count aggregates that legitimately exchange one row
+    val keys = spark.table(ot).select(col("o_orderkey"))
+      .distinct().hint("merge")
+    val anti = spark.table(lt).hint("merge")
+      .filter(col("l_orderkey").isNotNull)
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val p = anti.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"),
+      p.take(2000))
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n${p.take(2000)}")
+    // and the declared audit row equals the plain-parquet leg exactly
+    val out = Bucketed.qBucketRi(spark, sfDir).collect().toSeq
+    val plain = Bucketed.riAntiPlan(
+      spark.read.parquet(s"$sfDir/lineitem.parquet"),
+      spark.read.parquet(s"$sfDir/orders.parquet")).collect().toSeq
+    assert(out == plain && out.nonEmpty)
+  }
+
   test("q_bucket_join equals the plain unbucketed join row-for-row") {
     val out = Bucketed.qBucketJoin(spark, sfDir).collect().toSeq
     val plain = spark.read.parquet(s"$sfDir/orders.parquet")

@@ -1149,6 +1149,50 @@ class TextOpsSpec extends SparkTestBase {
     assert(hot == Seq(("xx", "short", 70L)))
   }
 
+  test("shorts-channel cap: O(k) star candidates, clusters stay exact") {
+    import spark.implicits._
+    // a pure near-empty-document cell above the cap: 100 EMPTY heads in
+    // one lang — the one population whose pairs can meet ONLY in the
+    // shorts cell (every normal segment is empty and filtered), so the
+    // emission count isolates the cap. Every pair is within d=3 by
+    // construction (ed of two strings never exceeds the longer length).
+    val shorts = (1 to 100).map(i => (i.toLong, "xx", ""))
+    val docs = (shorts ++ Seq(
+      (200L, "xx", "abcdefgh"),      // len 8 > 2d: outside the channel
+      (201L, "en", ""), (202L, "en", "") // healthy-sized cell
+    )).toDF("doc_id", "lang", "text")
+    // UNCAPPED (cap above the cell): the exact all-pairs emission
+    val unc = graft.operators.TextOps
+      .editDistancePairs(docs, 30, 3, shortsCap = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unc.count(p => p._1 <= 100 && p._2 <= 100) == 100 * 99 / 2)
+    // CAPPED (default cap 64 < 100): the hot cell star-reduces to the
+    // min-id build row — O(k) candidates, every one DP-surviving
+    val capped = graft.operators.TextOps
+      .editDistancePairs(docs, 30, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cellPairs = capped.filter(p => p._1 <= 100 && p._2 <= 100)
+    assert(cellPairs == (2 to 100).map(j => (1L, j.toLong)).toSet,
+      s"expected a pure star on doc 1, got ${cellPairs.size} pairs")
+    // the below-cap lang is untouched: exact pair, both paths
+    assert(capped.contains((201L, 202L)) && unc.contains((201L, 202L)))
+    // CLUSTERS stay exact through the cap: the star edges all survive
+    // the DP (ed ≤ max len ≤ d), so the capped component equals the
+    // uncapped/brute-force component exactly
+    def clusters(pairs: Set[(Long, Long)]) = {
+      val labeled = graft.operators.Components.labelComponents(
+        pairs.toSeq.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      docs.select("doc_id").collect().map(_.getLong(0))
+        .map(id => id -> labeled.getOrElse(id, id)).toMap
+    }
+    assert(clusters(capped) == clusters(unc))
+    // and the hot-cell metric names exactly the capped cell
+    val hot = graft.operators.TextOps.editShortsHotCells(docs, 30, 3)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(hot == Seq(("xx", 100L)))
+  }
+
   test("heavyHittersVerified is exact beyond the sketch's exact regime") {
     import spark.implicits._
     // vocabulary (902) ≫ capacity (1/support = 10) — the regime where
