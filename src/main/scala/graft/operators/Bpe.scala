@@ -104,20 +104,133 @@ object Bpe {
     * (count desc, word asc) — a TakeOrderedAndProject, so the driver
     * pull is bounded by construction), then the merge loop runs on
     * that table alone. */
-  private val fitCache = new FitCache[Seq[(String, String)]]((s, d) => {
-    val words = Tables.documents(s, d)
-      .select(explode(split(regexp_replace(col("text"),
-        "[\u001E\u001F]", ""), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("w").asc)
-      .limit(50000)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    trainBpe(words, numMerges = 160)
-  })
+  private val fitCache = new FitCache[Seq[(String, String)]]((s, d) =>
+    trainBpe(cappedWords(wordCounts(Tables.documents(s, d))),
+      numMerges = 160))
 
   private[graft] def fitFor(spark: SparkSession, dir: String):
       Seq[(String, String)] = fitCache.get(spark, dir)
+
+  // ------------------------------------------------- nightly refresh
+
+  /** Suffix of the word-frequency-table artifact SIBLING to a
+    * tokenizer directory (`<path>_words`): it cannot live inside the
+    * merges directory because every republish rewrites that directory
+    * wholesale (parquet overwrite truncates the target), and the word
+    * table must survive republishes — it IS the refresh state. The
+    * table is UNCAPPED (vocabulary × counts, never corpus-sized):
+    * capping is applied only at train time, because an incremental
+    * update to a capped table could not promote a tail word whose base
+    * count was thrown away. */
+  private[graft] val wordsSuffix = "_words"
+  private[graft] val wordsCurrentMarker = "_graft_bpe_words_current"
+  private[graft] def wordsRootOf(path: String): String =
+    path.stripSuffix("/") + wordsSuffix
+
+  /** Incremented on every driver-side retrain through the refresh
+    * path — the [[TextOps.fitInvocations]] precedent: the spec pins
+    * that a warm refresh never retrains and a real delta does. */
+  private[graft] val refitInvocations =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The corpus → word-frequency map (one pass, vocabulary-sized
+    * output) shared by the fit and the refresh delta. */
+  private[graft] def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(regexp_replace(col("text"),
+        "[\u001E\u001F]", ""), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+
+  /** The capped training table: top `maxVocab` words under the
+    * (count desc, word asc) total order — a TakeOrderedAndProject, so
+    * the driver pull is bounded by construction. */
+  private[graft] def cappedWords(words: DataFrame,
+      maxVocab: Int = 50000): Seq[(String, Long)] =
+    words.orderBy(col("n").desc, col("w").asc).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Fit AND publish in the refreshable form: the corpus pass lands
+    * the full word table as a versioned artifact sibling to the
+    * tokenizer directory, the capped pull trains the merges, and both
+    * publish together — after this, [[refreshTokenizer]] keeps the
+    * artifact current with delta-sized work only. */
+  private[graft] def publishFit(spark: SparkSession, docs: DataFrame,
+      path: String, numMerges: Int = 160,
+      maxVocab: Int = 50000): Seq[(String, String)] = {
+    val wordsRoot = wordsRootOf(path)
+    wordCounts(docs).write.mode("overwrite").parquet(s"$wordsRoot/v0")
+    graft.sources.Markers.write(spark, wordsRoot, wordsCurrentMarker, "v0")
+    val merges = trainBpe(
+      cappedWords(spark.read.parquet(s"$wordsRoot/v0"), maxVocab),
+      numMerges)
+    publishTokenizer(spark, merges, path)
+    merges
+  }
+
+  private def currentWords(spark: SparkSession,
+      wordsRoot: String): (String, DataFrame) = {
+    val v = graft.sources.Markers.read(spark, wordsRoot,
+      wordsCurrentMarker)
+    (v, spark.read.parquet(s"$wordsRoot/$v"))
+  }
+
+  /** NIGHTLY TOKENIZER REFRESH (r11 verdict item 8): fold an APPEND
+    * delta (the nightly loop's newly-crawled documents) into the
+    * published artifact without re-scanning the corpus, and retrain
+    * only when the training input actually moved.
+    *
+    *   1. word-table update: the delta's word counts (a DELTA-sized
+    *      pass) full-outer-merge onto the persisted vocabulary-sized
+    *      table — exact count addition, published versioned-then-flip
+    *      (read the current version, write the next, flip the marker;
+    *      bounded newest-2 retention via the shared
+    *      [[Curation.retireVersions]]);
+    *   2. refit decision: retrain iff the CAPPED training table
+    *      changed. Because the incremental count merge is exact, the
+    *      capped table after the update is bit-identical to what a
+    *      from-scratch corpus pass over base ∪ delta would produce —
+    *      so this is not a staleness heuristic but an exactness
+    *      CONTRACT: the published tokenizer after a refresh IS the
+    *      full-refit tokenizer, with the warm path merely skipping a
+    *      retrain whose input did not change (and every path skipping
+    *      the 100 TB corpus re-scan, which is the entire point).
+    *      BpeSpec pins refresh == from-scratch refit on a planted
+    *      delta, and warm-path artifact untouchedness on an empty one.
+    *
+    * Contract: `delta` is APPENDED documents only — the nightly
+    * new-crawl posture. A re-crawl that REPLACES text would need
+    * signed count retraction of the old words (the [[Curation
+    * .mvRefresh]] retract/insert shape applied to word counts); that
+    * delta type routes through a full [[publishFit]] today and the
+    * requirement is documented here rather than silently mishandled.
+    *
+    * @return true iff the merges were retrained and republished. */
+  private[graft] def refreshTokenizer(spark: SparkSession, path: String,
+      delta: DataFrame, numMerges: Int = 160,
+      maxVocab: Int = 50000): Boolean = {
+    val wordsRoot = wordsRootOf(path)
+    val (v, prev) = currentWords(spark, wordsRoot)
+    val before = cappedWords(prev, maxVocab)
+    val updated = prev
+      .join(wordCounts(delta).select(col("w"), col("n").as("dn")),
+        Seq("w"), "full_outer")
+      .select(col("w"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n"))
+    val next = s"v${v.stripPrefix("v").toLong + 1L}"
+    updated.write.mode("overwrite").parquet(s"$wordsRoot/$next")
+    graft.sources.Markers.write(spark, wordsRoot, wordsCurrentMarker,
+      next)
+    Curation.retireVersions(spark, wordsRoot, next, retainVersions = 2)
+    val after = cappedWords(
+      spark.read.parquet(s"$wordsRoot/$next"), maxVocab)
+    if (after == before) false
+    else {
+      refitInvocations.incrementAndGet()
+      publishTokenizer(spark, trainBpe(after, numMerges), path)
+      true
+    }
+  }
 
   /** Persist a trained merge list as the durable tokenizer artifact —
     * the minhashFit/ivfFit published-fit posture applied to the
