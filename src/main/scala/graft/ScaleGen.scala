@@ -27,10 +27,13 @@ import org.apache.spark.sql.functions._
   *     copies token sets are disjoint — duplicate-cluster COUNT scales
   *     N×, cluster sizes stay constant, so dedup candidate volume
   *     scales linearly like a real corpus;
-  *   - a per-copy orthogonal sign-flip of embeddings (deterministic ±1
-  *     per dimension): an orthogonal map preserves every within-copy
-  *     cosine exactly while decorrelating copies, the embedding-space
-  *     analogue of token suffixing;
+  *   - per-vector orthogonal sign-flips of embeddings (deterministic
+  *     ±1 per dimension, rejection-verified per vector so no cross-copy
+  *     pair reaches |cos| ≥ 0.7 — see `inflateEmbeddings`): an
+  *     orthogonal map preserves every within-copy cosine exactly while
+  *     decorrelating copies, the embedding-space analogue of token
+  *     suffixing, and the rejection makes the stated no-cross-copy-
+  *     near-dup model a verified property instead of a tail-risk hope;
   *   - shifted user/event ids with UNCHANGED timestamps: N× the users
   *     over the same time span, so window/session/funnel group counts
   *     scale linearly and per-user history length stays fixed.
@@ -75,15 +78,65 @@ object ScaleGen {
           t => concat(t, lit(k.toString))), " "))
       .withColumn("n_chars", length(col("text")).cast("long"))
 
-    // deterministic ±1 per (copy, dimension): an orthogonal reflection
-    def flipSigns(d: DataFrame, k: Int): DataFrame = {
-      val dim = d.select(size(col("embedding"))).head().getInt(0)
-      val signs = array((0 until dim).map { i =>
-        val h = scala.util.hashing.MurmurHash3.productHash((k, i))
-        lit(if ((h & 1) == 0) 1.0f else -1.0f)
-      }: _*)
-      d.withColumn("embedding",
-        zip_with(col("embedding"), signs, (v, s) => v * s))
+    // Per-copy orthogonal sign reflections, with the generator VERIFYING
+    // its own scale model (r12 — found by the first sf1 oracle sweep):
+    // a diagonal ±1 reflection preserves every within-copy cosine
+    // exactly, but the SAME-BASE cross-copy cosine is Σ±v_i²/|v|² — a
+    // wide-tailed sum that, over 20 000 vectors × 45 copy-pairs in
+    // 64 dims, produced exactly one genuine ≥0.8 pair (vec 1758,
+    // copies 0×7, cos 0.8035), silently violating the stated
+    // "cluster sizes stay constant" model and poisoning the LSH
+    // families' empty-truth-set oracles. Copies are therefore chosen
+    // per VECTOR with rejection: copy k starts from seed k and bumps
+    // until its cosine against every previously chosen copy of the
+    // same vector is < 0.7 (margin under the 0.8 dedup threshold; the
+    // ≥0.5 exact-sweep queries compare exactly in both engines, so
+    // they tolerate cross-copy pairs either way). Each base row
+    // generates its own copies row-locally — one flatMap, no shuffle,
+    // no driver collect; expected rejections ≈ 1 in 10⁶, so the loop
+    // is one iteration essentially always, and the whole construction
+    // stays a pure deterministic function of the source table.
+    def inflateEmbeddings(d: DataFrame): DataFrame = {
+      import spark.implicits._
+      val strideL = stride
+      val nCopies = copies
+      d.select(col("vec_id"), col("embedding"), col("label"))
+        .as[(Long, Seq[Float], Int)]
+        .flatMap { case (id, emb, label) =>
+          val v = emb.toArray
+          def flip(seed: Int): Array[Float] = {
+            val out = new Array[Float](v.length)
+            var i = 0
+            while (i < v.length) {
+              val h = scala.util.hashing.MurmurHash3.productHash((seed, i))
+              out(i) = if ((h & 1) == 0) v(i) else -v(i)
+              i += 1
+            }
+            out
+          }
+          def cos(a: Array[Float], b: Array[Float]): Double = {
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var i = 0
+            while (i < a.length) {
+              dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+              nb += b(i).toDouble * b(i); i += 1
+            }
+            if (na == 0.0 || nb == 0.0) 0.0
+            else dot / math.sqrt(na * nb)
+          }
+          val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+          (0 until nCopies).map { k =>
+            var seed = k
+            var cand = if (k == 0) v else flip(seed)
+            while (chosen.exists(c => math.abs(cos(cand, c)) >= 0.7)) {
+              seed += nCopies
+              cand = flip(seed)
+            }
+            chosen += cand
+            (id + k * strideL, cand.toSeq, label)
+          }
+        }
+        .toDF("vec_id", "embedding", "label")
     }
 
     val plans: Seq[(String, DataFrame)] = Seq(
@@ -97,7 +150,7 @@ object ScaleGen {
         Seq("l_orderkey", "l_partkey", "l_suppkey")),
       "events" -> inflate(tbl("events"), Seq("event_id", "user_id")),
       "documents" -> inflate(tbl("documents"), Seq("doc_id"), suffixTokens),
-      "embeddings" -> inflate(tbl("embeddings"), Seq("vec_id"), flipSigns))
+      "embeddings" -> inflateEmbeddings(tbl("embeddings")))
     plans.foreach { case (name, df) =>
       df.repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$dst/$name.parquet")

@@ -825,9 +825,15 @@ object SparkEntry {
         |  ON p.user_id = d.user_id AND d.effective_from <= p.ts
         |  AND (d.effective_to > p.ts OR d.effective_to IS NULL)
         |ORDER BY p.event_id""".stripMargin,
-    // Outlier mirror notes: quantile_cont interpolates lower +
-    // (upper - lower) * frac exactly like Spark's exact percentile;
-    // the modified-z expression is left-associated identically.
+    // Outlier mirror notes: DuckDB quantile_cont interpolates
+    // lo*(1-frac) + hi*frac where Spark's exact percentile computes
+    // lo + frac*(hi-lo) — NOT bit-identical in general (the r12 sf1
+    // sweep measured a 1-ULP divergence under dense ties in
+    // q_score_deciles, whose oracle now spells out Spark's arithmetic
+    // over order statistics). The MEDIANS here are safe: p = 0.5 makes
+    // frac exactly 0 or 0.5, and the sf0.01/sf0.1/sf1 sweeps all
+    // measure agreement on this data; the modified-z expression is
+    // left-associated identically.
     // q_outliers_approx / q_score_deciles_approx: no oracle — GK
     // sketch estimates are engine-specific; each is spec-bounded
     // against its exact oracle-green sibling (med/MAD within 2%;
@@ -1475,6 +1481,12 @@ object SparkEntry {
     // Exact-regime contract (the GK-percentiles precedent): corpus
     // vocabulary ≪ sketch capacity, so Misra-Gries counters are exact
     // and the oracle's true top-20 is the required answer bit-for-bit.
+    // The regime is REAL, not decorative: the r12 sf1 sweep measured
+    // this row (and _by_lang) diverging once ScaleGen's token
+    // suffixing grew the vocabulary 10× past capacity — the expected
+    // MG undercount, recorded as contract-scoped in the sweep artifact;
+    // `q_heavy_hitters_verified` (exact at ANY vocabulary) stays green
+    // there, which is exactly the job it was added for.
     "q_heavy_hitters" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS est
         |FROM (SELECT unnest(string_split(text, ' ')) AS token
@@ -1779,19 +1791,31 @@ object SparkEntry {
         |      UNION ALL SELECT * FROM rate)
         |ORDER BY "check"""".stripMargin,
     // Decile mirror notes: the ttr score is integer-derived (one exact
-    // division), quantile_cont's interpolation is bit-identical to
-    // Spark's exact percentile, and bucketing is integer sums of
-    // identical comparisons.
+    // division) and bucketing is integer sums of identical comparisons.
     "q_score_deciles" ->
+      // The cutoffs replicate Spark's exact-percentile arithmetic
+      // EXPLICITLY (lo + frac*(hi-lo) over order statistics, pos =
+      // (n-1)*p) instead of quantile_cont: DuckDB interpolates
+      // lo*(1-frac) + hi*frac, which for lo == hi (tie-dense corpora —
+      // the r12 sf1 sweep's finding) rounds one ULP BELOW lo, flipping
+      // every tied score across the `>` boundary. The explicit form is
+      // the same IEEE ops in the same order as Spark's Percentile, so
+      // it is bit-identical at any tie density.
       """WITH s AS (
         |  SELECT doc_id,
         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
         |      / len(string_split(text, ' ')) AS score
         |  FROM documents),
+        |o AS (SELECT list(score ORDER BY score) AS ss, count(*) AS n
+        |      FROM s),
         |c AS (
-        |  SELECT quantile_cont(score,
-        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
-        |  FROM s)
+        |  SELECT [
+        |    ss[CAST(floor((n - 1) * (i / 10.0)) AS BIGINT) + 1]
+        |      + ((n - 1) * (i / 10.0) - floor((n - 1) * (i / 10.0)))
+        |        * (ss[CAST(floor((n - 1) * (i / 10.0)) AS BIGINT) + 2]
+        |           - ss[CAST(floor((n - 1) * (i / 10.0)) AS BIGINT) + 1])
+        |    for i in generate_series(1, 9)] AS cuts
+        |  FROM o)
         |SELECT doc_id, score,
         |  CAST((score > cuts[1])::INT + (score > cuts[2])::INT
         |    + (score > cuts[3])::INT + (score > cuts[4])::INT
