@@ -58,7 +58,7 @@ object Bench {
     }
 
     // calibration anchor (see scaladoc): fixed probes, medians of 5/3
-    import org.apache.spark.sql.functions.{col, sum, xxhash64}
+    import org.apache.spark.sql.functions.{col, max, xxhash64}
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -66,8 +66,10 @@ object Bench {
     def overheadProbe(): Double = time {
       spark.range(1).write.format("noop").mode("overwrite").save()
     }
+    // max, not sum: summing 200M full-range hashes overflows long
+    // under ANSI; max measures the same hash throughput
     def cpuProbe(): Double = time {
-      spark.range(200L * 1000 * 1000).select(sum(xxhash64(col("id"))))
+      spark.range(200L * 1000 * 1000).select(max(xxhash64(col("id"))))
         .write.format("noop").mode("overwrite").save()
     }
     overheadProbe(); cpuProbe() // anchor warm-up

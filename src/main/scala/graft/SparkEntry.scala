@@ -157,9 +157,11 @@ object SparkEntry {
     "q_bpe_encode"      -> (Bpe.qBpeEncode _),
     "q_bpe_checked"     -> (Bpe.qBpeChecked _),
     "q_bpe_vocab"       -> (Bpe.qBpeVocab _),
+    "q_bpe_fertility"   -> (Bpe.qBpeFertility _),
     // M5 — similarity search over embeddings
     "q_quantize_embed"  -> (Vectors.qQuantizeEmbed _),
     "q_cosine_topk"     -> (Vectors.qCosineTopk _),
+    "q_hard_negatives"  -> (Vectors.qHardNegatives _),
     "q_dedup_embed"     -> (Vectors.qDedupEmbed _),
     "q_dedup_embed_lsh" -> (Vectors.qDedupEmbedLsh _),
     "q_dedup_embed_clusters" -> (Vectors.qDedupEmbedClusters _),
@@ -829,11 +831,11 @@ object SparkEntry {
     // lo*(1-frac) + hi*frac where Spark's exact percentile computes
     // lo + frac*(hi-lo) — NOT bit-identical in general (the r12 sf1
     // sweep measured a 1-ULP divergence under dense ties in
-    // q_score_deciles, whose oracle now spells out Spark's arithmetic
-    // over order statistics). The MEDIANS here are safe: p = 0.5 makes
-    // frac exactly 0 or 0.5, and the sf0.01/sf0.1/sf1 sweeps all
-    // measure agreement on this data; the modified-z expression is
-    // left-associated identically.
+    // q_score_deciles). The medians here therefore ALSO spell out
+    // Spark's arithmetic over per-group order statistics (n odd: the
+    // exact middle; n even: lo + 0.5*(hi-lo)) instead of trusting
+    // quantile_cont's agreement on this data; the modified-z
+    // expression is left-associated identically.
     // q_outliers_approx / q_score_deciles_approx: no oracle — GK
     // sketch estimates are engine-specific; each is spec-bounded
     // against its exact oracle-green sibling (med/MAD within 2%;
@@ -842,15 +844,23 @@ object SparkEntry {
       """WITH ev AS (
         |  SELECT event_id, event_type, "value" FROM events),
         |med AS (
-        |  SELECT event_type, quantile_cont("value", 0.5) AS med
-        |  FROM ev GROUP BY event_type),
+        |  SELECT event_type,
+        |    CASE WHEN n % 2 = 1 THEN ss[(n + 1) // 2]
+        |         ELSE ss[n // 2] + 0.5 * (ss[n // 2 + 1] - ss[n // 2])
+        |    END AS med
+        |  FROM (SELECT event_type, list("value" ORDER BY "value") AS ss,
+        |               count(*) AS n FROM ev GROUP BY event_type)),
         |d AS (
         |  SELECT ev.event_id, ev.event_type, ev."value", med.med,
         |         abs(ev."value" - med.med) AS dev
         |  FROM ev JOIN med USING (event_type)),
         |mad AS (
-        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
-        |  FROM d GROUP BY event_type)
+        |  SELECT event_type,
+        |    CASE WHEN n % 2 = 1 THEN ss[(n + 1) // 2]
+        |         ELSE ss[n // 2] + 0.5 * (ss[n // 2 + 1] - ss[n // 2])
+        |    END AS mad
+        |  FROM (SELECT event_type, list(dev ORDER BY dev) AS ss,
+        |               count(*) AS n FROM d GROUP BY event_type))
         |SELECT d.event_id, d.event_type, d."value", d.med, mad.mad,
         |  0.6745 * (d."value" - d.med) / mad.mad AS m_score,
         |  abs(0.6745 * (d."value" - d.med) / mad.mad) > 3.5 AS is_outlier
@@ -982,6 +992,7 @@ object SparkEntry {
     // its merges are trained on the query's own corpus).
     "q_bpe_checked" -> Bpe.checkedOracleSql,
     "q_bpe_vocab" -> Bpe.vocabOracleSql,
+    "q_bpe_fertility" -> Bpe.fertilityOracleSql,
     "q_cube_counts" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
@@ -1767,15 +1778,23 @@ object SparkEntry {
         |    ON o.o_custkey = p.k),
         |ev AS (SELECT event_id, event_type, "value" FROM events),
         |med AS (
-        |  SELECT event_type, quantile_cont("value", 0.5) AS med
-        |  FROM ev GROUP BY event_type),
+        |  SELECT event_type,
+        |    CASE WHEN n % 2 = 1 THEN ss[(n + 1) // 2]
+        |         ELSE ss[n // 2] + 0.5 * (ss[n // 2 + 1] - ss[n // 2])
+        |    END AS med
+        |  FROM (SELECT event_type, list("value" ORDER BY "value") AS ss,
+        |               count(*) AS n FROM ev GROUP BY event_type)),
         |d AS (
         |  SELECT ev.event_type, ev."value", med.med,
         |         abs(ev."value" - med.med) AS dev
         |  FROM ev JOIN med USING (event_type)),
         |mad AS (
-        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
-        |  FROM d GROUP BY event_type),
+        |  SELECT event_type,
+        |    CASE WHEN n % 2 = 1 THEN ss[(n + 1) // 2]
+        |         ELSE ss[n // 2] + 0.5 * (ss[n // 2 + 1] - ss[n // 2])
+        |    END AS mad
+        |  FROM (SELECT event_type, list(dev ORDER BY dev) AS ss,
+        |               count(*) AS n FROM d GROUP BY event_type)),
         |rate AS (
         |  SELECT 'outlier_rate:' || f.event_type AS "check",
         |    CAST(sum(CASE WHEN f.is_outlier THEN 1 ELSE 0 END)
@@ -2171,6 +2190,37 @@ object SparkEntry {
         |                 - CAST(list_min(embedding) AS DOUBLE)))
         |         END AS INT)), ',') AS q_codes
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // q_hard_negatives: exact brute-force contrastive negative mining —
+    // unit-vector cosines (the bit-identical left-fold dot), label
+    // inequality in the pair predicate, (cosine desc, neighbor_id)
+    // total order.
+    "q_hard_negatives" ->
+      """WITH base AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x * x),
+        |         (a, b) -> a + b)) AS nrm
+        |  FROM base),
+        |un AS (
+        |  SELECT vec_id, label, list_transform(v, x -> x / nrm) AS u
+        |  FROM n),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |    c.vec_id AS neighbor_id, c.label AS neighbor_label,
+        |    list_reduce(list_transform(list_zip(q.u, c.u),
+        |        p -> p[1] * p[2]), (x, y) -> x + y) AS cosine
+        |  FROM un q, un c
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10
+        |    AND c.label <> q.label),
+        |ranked AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, q_label, rank, neighbor_id, neighbor_label, cosine
+        |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "q_cosine_topk" ->
       """WITH base AS (
         |  SELECT vec_id,

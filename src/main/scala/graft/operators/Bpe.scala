@@ -371,6 +371,51 @@ object Bpe {
       .orderBy(col("n").desc, col("tok").asc)
   }
 
+  /** `q_bpe_fertility` — per-language subword FERTILITY report under
+    * the fixed tokenizer: tokens-per-word is THE tokenizer-quality
+    * number a multilingual pipeline watches (a language whose
+    * fertility balloons is under-served by the merge table and pays
+    * its context budget in fragments — the SentencePiece/multilingual-
+    * BPE literature's standard diagnostic). Exact long counts per
+    * lang, ONE IEEE division per output row (house determinism rule),
+    * riding the [[checkedMerges]] replay so both engines tokenize
+    * identically. Scale shape: the encode is the scan-speed kernel,
+    * counts are row-local array lengths, and the aggregate exchanges
+    * two longs per lang — scan-bound at any corpus size. */
+  def qBpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val enc = BpeFunctions.bpeEncode(col("text"), checkedMerges)
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast("long").as("nw"),
+        tokenCount(enc).as("nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+        sum(col("nt")).as("n_tokens"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words").cast("double"))
+      .orderBy(col("lang"))
+  }
+
+  /** DuckDB SQL for [[qBpeFertility]]: the same encode-chain CTE,
+    * word/subword counts and ONE division per lang. */
+  def fertilityOracleSql: String =
+    s"""WITH enc AS (
+       |  SELECT d.lang,
+       |    CAST(len(list_filter(string_split(d.text, ' '),
+       |      w -> length(w) > 0)) AS BIGINT) AS nw,
+       |    CAST(CASE WHEN length(e.encoded) = 0 THEN 0
+       |              ELSE len(string_split(e.encoded, ' ')) END AS BIGINT)
+       |      AS nt
+       |  FROM documents d JOIN (${encodedCte("documents")}) e
+       |    USING (doc_id))
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(nw) AS BIGINT) AS n_words,
+       |       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |       CAST(sum(nt) AS DOUBLE) / CAST(sum(nw) AS DOUBLE)
+       |         AS fertility
+       |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
+
   /** DuckDB SQL for [[qBpeVocab]]: the [[checkedOracleSql]] encode
     * chain, unnested and counted. */
   def vocabOracleSql: String =

@@ -126,6 +126,47 @@ object Vectors {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Contrastive HARD-NEGATIVE MINING — the embedding-space op a
+    * representation-learning pipeline runs after dedup: for each
+    * anchor, the most similar vectors with a DIFFERENT label (the
+    * published in-batch/ANN hard-negative recipe — negatives near the
+    * decision boundary carry the gradient signal; random negatives are
+    * trivially separable). Declared as the exact brute-force baseline
+    * in the [[qCosineTopk]] posture: anchors broadcast (query-sized),
+    * the corpus streams, the label-inequality predicate rides the same
+    * broadcast join, and the bounded map-side top-k aggregate keeps
+    * ≤ k rows per anchor per partition before the single exchange —
+    * the DECLARED query is the verification oracle of the scale path,
+    * which is the IVF probe ([[pqProbeTopk]]'s machinery) with the
+    * label filter applied to the probed slice; at 100 TB one mines
+    * negatives from the probed nprobe/nlist fraction exactly as ANN
+    * serves neighbors, trading recall of the globally-hardest negative
+    * for a bounded scan the same way. Cosines on unit-normalized
+    * vectors (bit-reproducible left-fold dot); ties break on
+    * neighbor id — the family's total order. */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val u = unit(spark, dir)
+    val anchors = u.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("u").as("qu"))
+    u.filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("cosine", dot(col("qu"), col("u")))
+      .filter(col("cosine").isNotNull)
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(graft.functions.TopKCandidates.topk(3)(col("cosine"),
+        col("vec_id"), col("label")).as("top"))
+      .select(col("q_id"), col("q_label"),
+        posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), col("q_label"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("s.vec_id").as("neighbor_id"),
+        col("s.bucket").as("neighbor_label"),
+        col("s.score").as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** IVF approximate nearest neighbors over a PERSISTED trained index —
     * fit and probe split (r3 verdict item 2: round 3 ran 3 Lloyd's
     * passes plus per-iteration driver collects inside every declared

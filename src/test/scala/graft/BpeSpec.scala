@@ -157,6 +157,30 @@ class BpeSpec extends SparkTestBase {
       numMerges = 160))
   }
 
+  test("q_bpe_fertility: driver-side recount; fertility = tokens/words") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val enc = new BpeEncode(org.apache.spark.sql.catalyst.expressions
+      .Literal("x"), Bpe.checkedMerges)
+    def encode(t: String): String = enc.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t)).toString
+    val want = docs.groupBy(_._1).view.mapValues { ds =>
+      val nw = ds.map(_._2.split(" ").count(_.nonEmpty).toLong).sum
+      val nt = ds.map { case (_, t) =>
+        val e = encode(t)
+        if (e.isEmpty) 0L else e.split(" ").length.toLong
+      }.sum
+      (ds.length.toLong, nw, nt, nt.toDouble / nw.toDouble)
+    }.toMap
+    val got = Bpe.qBpeFertility(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == want)
+    assert(got.values.forall { case (_, _, _, f) => f >= 1.0 },
+      "subword fertility below 1 means the encoder dropped tokens")
+  }
+
   test("q_bpe_vocab: driver-side recount over the checked encodings") {
     val vocab = Bpe.qBpeVocab(spark, sfDir).collect()
     assert(vocab.nonEmpty && vocab.length <= 100)

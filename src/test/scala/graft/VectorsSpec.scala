@@ -103,6 +103,35 @@ class VectorsSpec extends SparkTestBase {
     }
   }
 
+  test("q_hard_negatives: label-excluded, matches a driver-side recompute") {
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+    val labels = rows.map(r => r._1 -> r._2).toMap
+    val vecs = rows.map(r => r._1 -> r._3).toMap
+    def unit(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(a.map(x => x * x).sum); a.map(_ / n)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val got = Vectors.qHardNegatives(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Int]("neighbor_label")))
+    // no mined negative ever shares its anchor's label
+    assert(got.forall { case (q, _, _, nl) => labels(q) != nl })
+    // exactly the brute-force hardest negatives, in order
+    val byQ = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    (0L until 10L).foreach { qid =>
+      val qu = unit(vecs(qid))
+      val want = vecs.keys.filter(id => id >= 10 &&
+          labels(id) != labels(qid)).toSeq
+        .map(id => (id, dot(qu, unit(vecs(id)))))
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1)
+      assert(byQ(qid) == want, s"anchor $qid")
+    }
+  }
+
   test("q_ann_ivf returns ranked rows per query on the driver corpus") {
     // the driver's embeddings are near-orthogonal noise (no cluster
     // structure), so recall there is bounded by the ~1/nlist random
