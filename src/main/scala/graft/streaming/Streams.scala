@@ -735,25 +735,37 @@ object Streams {
 
   def extendLabelsSink(baseStaged: DataFrame, labelsRoot: String,
     docs: DataFrame, checkpointDir: String,
-    baseHot: Option[DataFrame] = None)
+    baseHot: Option[DataFrame] = None, retainVersions: Int = 0)
     : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val pairs = graft.operators.TextOps
-          .intakePairs(baseStaged, batch, baseHot)
-          .select(col("doc_id").as("id_a"), col("dup_of").as("id_b"))
-        // materialize BEFORE publishing: the plan reads the current
-        // version's parquet, and lazy evaluation during the write of
-        // the NEXT version is safe (different directory), but eager
-        // materialization keeps the propagation's own actions off the
-        // publication path
-        val next = graft.operators.Components
-          .extendLabels(graft.operators.Components
-            .currentLabels(s, labelsRoot), pairs)
-          .localCheckpoint(true)
-        graft.operators.Components.publishLabels(s, next, labelsRoot,
-          s"b$batchId")
+        val version = s"b$batchId"
+        // post-flip crash-window short-circuit (the [[cdcApplySink]]
+        // discipline, r12): unlike the CDC sinks this one never
+        // wedged — the eager localCheckpoint below completes the read
+        // of the current version before the overwrite starts, and
+        // re-publishing is idempotent — but the replay would still
+        // re-pay the probe join and a full map rewrite for content the
+        // marker proves is already published.
+        if (!graft.sources.Markers.readOption(s, labelsRoot,
+            graft.operators.Components.labelsCurrentMarker)
+            .contains(version)) {
+          val pairs = graft.operators.TextOps
+            .intakePairs(baseStaged, batch, baseHot)
+            .select(col("doc_id").as("id_a"), col("dup_of").as("id_b"))
+          // materialize BEFORE publishing: the plan reads the current
+          // version's parquet, and lazy evaluation during the write of
+          // the NEXT version is safe (different directory), but eager
+          // materialization keeps the propagation's own actions off the
+          // publication path
+          val next = graft.operators.Components
+            .extendLabels(graft.operators.Components
+              .currentLabels(s, labelsRoot), pairs)
+            .localCheckpoint(true)
+          graft.operators.Components.publishLabels(s, next, labelsRoot,
+            version, retainVersions)
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .start()

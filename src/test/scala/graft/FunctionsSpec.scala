@@ -209,4 +209,43 @@ class FunctionsSpec extends SparkTestBase {
       }
     }
   }
+  test("ClassifyScore: plan size is O(1) in model size; argmax order kept") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the ADVICE-r11 claim behind the reference-object serving kernel:
+    // a typedlit-map formulation grows the analyzed plan linearly with
+    // vocabulary x classes; the kernel must NOT — a 30k-entry model's
+    // plan string stays the size of a 3-entry model's
+    def model(v: Int): Seq[(String, Map[String, Long], Long)] = {
+      val a = (0 until v).map(i => s"a$i" -> (i % 7 + 1).toLong).toMap
+      val b = (0 until v).map(i => s"b$i" -> (i % 5 + 1).toLong).toMap
+      Seq(("alpha", a, a.values.sum), ("beta", b, b.values.sum))
+    }
+    val docs = Seq((1L, "a0 a1 b0"), (2L, "b0 b1 b2"), (3L, "zzz"))
+      .toDF("doc_id", "text")
+    def planOf(v: Int) = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.classifyScore(
+          split(col("text"), " "), model(v)).as("r"))
+      .queryExecution.optimizedPlan.toString
+    val small = planOf(3).length
+    val large = planOf(30000).length
+    assert(large <= small + 64,
+      s"plan grew with model size: $small -> $large chars")
+    // and the large model still scores correctly, with the batch
+    // scorer's argmax/tie/fallback semantics
+    val got = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.classifyScore(
+          split(col("text"), " "), model(30000)).as("r"))
+      .select(col("doc_id"), col("r.predicted"), col("r.score"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) == "alpha" && got(2L) == "beta" && got(3L) == "none")
+    // greatest(struct) tie order: equal scores pick the
+    // lexicographically larger class
+    val tie = Seq(("x", Map("t" -> 1L), 2L), ("y", Map("t" -> 1L), 2L))
+    val t = Seq((1L, "t")).toDF("doc_id", "text")
+      .select(graft.functions.TextFunctions.classifyScore(
+        split(col("text"), " "), tie).as("r"))
+      .select(col("r.predicted")).head().getString(0)
+    assert(t == "y")
+  }
 }
