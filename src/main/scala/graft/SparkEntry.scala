@@ -162,6 +162,8 @@ object SparkEntry {
     "q_quantize_embed"  -> (Vectors.qQuantizeEmbed _),
     "q_cosine_topk"     -> (Vectors.qCosineTopk _),
     "q_hard_negatives"  -> (Vectors.qHardNegatives _),
+    "q_hard_negatives_ivf"  -> (Vectors.qHardNegativesIvf _),
+    "q_hard_negatives_full" -> (Vectors.qHardNegativesFull _),
     "q_dedup_embed"     -> (Vectors.qDedupEmbed _),
     "q_dedup_embed_lsh" -> (Vectors.qDedupEmbedLsh _),
     "q_dedup_embed_clusters" -> (Vectors.qDedupEmbedClusters _),
@@ -2193,8 +2195,39 @@ object SparkEntry {
     // q_hard_negatives: exact brute-force contrastive negative mining —
     // unit-vector cosines (the bit-identical left-fold dot), label
     // inequality in the pair predicate, (cosine desc, neighbor_id)
-    // total order.
+    // total order. q_hard_negatives_ivf: no oracle — approximate by
+    // design at nprobe=3 (the q_ann_ivf contract applied to mining);
+    // the probe plumbing earns its green row through
+    // q_hard_negatives_full (nprobe = nlist ⇒ exact), which rides this
+    // same SQL.
     "q_hard_negatives" ->
+      """WITH base AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x * x),
+        |         (a, b) -> a + b)) AS nrm
+        |  FROM base),
+        |un AS (
+        |  SELECT vec_id, label, list_transform(v, x -> x / nrm) AS u
+        |  FROM n),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |    c.vec_id AS neighbor_id, c.label AS neighbor_label,
+        |    list_reduce(list_transform(list_zip(q.u, c.u),
+        |        p -> p[1] * p[2]), (x, y) -> x + y) AS cosine
+        |  FROM un q, un c
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10
+        |    AND c.label <> q.label),
+        |ranked AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, q_label, rank, neighbor_id, neighbor_label, cosine
+        |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "q_hard_negatives_full" ->
       """WITH base AS (
         |  SELECT vec_id, label,
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

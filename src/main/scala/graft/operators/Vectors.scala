@@ -344,6 +344,61 @@ object Vectors {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Hard-negative mining SERVED FROM the fitted IVF index — the
+    * declared scale path of [[qHardNegatives]] (the q_ann_ivf /
+    * q_ann_ivf_full discipline applied to the mining op): per-anchor
+    * nprobe buckets via the quantizer expression, DPP-pruned
+    * bucket-partitioned corpus scan, label-inequality filter ON the
+    * probed slice, exact cosine, bounded top-3 with the label carried
+    * as payload. At 100 TB this mines negatives from the probed
+    * nprobe/nlist corpus fraction exactly as ANN serves neighbors —
+    * trading recall of the globally-hardest negative for a bounded
+    * scan, the published ANN-negative-mining recipe. Declared
+    * rows-only at nprobe=3 (approximate by design on this
+    * near-orthogonal corpus); the FULL-probe variant below degenerates
+    * to the exact brute force and earns the probe plumbing its
+    * hash-compared green row on the same oracle as the baseline. */
+  def qHardNegativesIvf(spark: SparkSession, dir: String): DataFrame = {
+    val model = ivfFit(spark, dir)
+    val anchors = unit(spark, dir).filter(col("vec_id") < 10)
+    hardNegativesProbe(spark, model, anchors)
+  }
+
+  /** Forced full-probe ride: nprobe = nlist ⇒ every bucket probed ⇒
+    * the IDENTICAL plan (quantizer, DPP boundary, label filter,
+    * bounded top-k) returns exact brute-force hard negatives —
+    * hash-compared against [[qHardNegatives]]'s oracle SQL. */
+  def qHardNegativesFull(spark: SparkSession, dir: String): DataFrame = {
+    val model = ivfFit(spark, dir)
+    val anchors = unit(spark, dir).filter(col("vec_id") < 10)
+    hardNegativesProbe(spark, model, anchors, nprobe = model.nlist)
+  }
+
+  private[graft] def hardNegativesProbe(spark: SparkSession,
+    model: IvfModel, anchors: DataFrame, nprobe: Int = 3): DataFrame = {
+    val probes = anchors.filter(col("u").isNotNull)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("u").as("qu"),
+        explode(graft.functions.VectorFunctions.topDotIdx(col("u"),
+          model.centroids, nprobe)).as("probe_bucket"))
+    spark.read.parquet(model.corpusPath)
+      .join(broadcast(probes), col("bucket") === col("probe_bucket") &&
+        col("label") =!= col("q_label"))
+      .withColumn("cosine", dot(col("qu"), col("u")))
+      .filter(col("cosine").isNotNull)
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(graft.functions.TopKCandidates.topk(3)(col("cosine"),
+        col("vec_id"), col("label")).as("top"))
+      .select(col("q_id"), col("q_label"),
+        posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), col("q_label"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("s.vec_id").as("neighbor_id"),
+        col("s.bucket").as("neighbor_label"),
+        col("s.score").as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // ------------------------------------------------ IVF + SQ8 (PQ-style)
 
   /** IVF probe over a QUANTIZED corpus with exact re-rank — the

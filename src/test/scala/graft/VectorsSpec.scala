@@ -132,6 +132,32 @@ class VectorsSpec extends SparkTestBase {
     }
   }
 
+  test("q_hard_negatives_full recovers the exact baseline; ivf bounded") {
+    // full probe (nprobe = nlist): the label-filtered probe pipeline
+    // degenerates to the brute-force baseline exactly — same rows,
+    // same order (what the shared oracle SQL certifies in DuckDB)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Int]("neighbor_label"),
+        r.getAs[Double]("cosine"))).toSeq
+    assert(key(Vectors.qHardNegativesFull(spark, sfDir)) ==
+      key(Vectors.qHardNegatives(spark, sfDir)))
+    // the declared nprobe=3 path: well-formed ranked rows, negatives
+    // never share the anchor's label, and candidates come only from
+    // probed buckets (a SUBSET of the full probe's candidate pool —
+    // each anchor's mined cosines are <= the exact hardest)
+    val ivf = Vectors.qHardNegativesIvf(spark, sfDir).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall(r =>
+      r.getAs[Int]("neighbor_label") != r.getAs[Int]("q_label")))
+    val exactBest = key(Vectors.qHardNegatives(spark, sfDir))
+      .filter(_._2 == 1).map(t => t._1 -> t._5).toMap
+    ivf.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      assert(r.getAs[Double]("cosine") <=
+        exactBest(r.getAs[Long]("q_id")) + 1e-12)
+    }
+  }
+
   test("q_ann_ivf returns ranked rows per query on the driver corpus") {
     // the driver's embeddings are near-orthogonal noise (no cluster
     // structure), so recall there is bounded by the ~1/nlist random
