@@ -703,4 +703,39 @@ class CurationSpec extends SparkTestBase {
         s"text column reached a join: $joinInputs")
     }
   }
+  test("collapseOps: randomized backlog == the sequential fold of its ops") {
+    import spark.implicits._
+    // the restart-backlog contract: a multi-op batch carrying a seq
+    // column must apply exactly like the one-op-at-a-time fold of its
+    // ops in seq order — swept over randomized op sequences so the
+    // last-op-wins total order is derived, not fixture-trusted
+    val rnd = new scala.util.Random(20260814)
+    (1 to 5).foreach { round =>
+      val base = (1L to 12L).map(i =>
+        (i, if (i % 2 == 0) "web" else "book", s"t$i"))
+        .toDF("doc_id", "source", "text")
+      val ops = (1 to 40).map { seq =>
+        val id = rnd.nextInt(18).toLong + 1L
+        if (rnd.nextInt(4) == 0) (id, "delete", null: String,
+          null: String, seq.toLong)
+        else (id, "upsert", if (rnd.nextBoolean()) "web" else "book",
+          s"v$round-$seq", seq.toLong)
+      }
+      val batch = ops.toDF("doc_id", "op", "source", "text", "seq")
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val collapsed = Curation.cdcMergeDocs(base,
+        Curation.collapseOps(batch))
+      val folded = ops.sortBy(_._5).foldLeft(base) { (snap, o) =>
+        Curation.cdcMergeDocs(snap,
+          Seq(o).toDF("doc_id", "op", "source", "text", "seq"))
+      }
+      assert(key(collapsed) == key(folded), s"round $round")
+      // and the collapsed batch is one-op-per-doc by construction
+      val c = Curation.collapseOps(batch)
+      assert(c.groupBy("doc_id").count()
+        .filter(org.apache.spark.sql.functions.col("count") > 1)
+        .count() == 0)
+    }
+  }
 }

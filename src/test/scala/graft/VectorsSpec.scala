@@ -146,10 +146,27 @@ class VectorsSpec extends SparkTestBase {
     // never share the anchor's label, and candidates come only from
     // probed buckets (a SUBSET of the full probe's candidate pool —
     // each anchor's mined cosines are <= the exact hardest)
-    val ivf = Vectors.qHardNegativesIvf(spark, sfDir).collect()
+    val ivfDf = Vectors.qHardNegativesIvf(spark, sfDir)
+    val ivf = ivfDf.collect()
     assert(ivf.nonEmpty)
     assert(ivf.forall(r =>
       r.getAs[Int]("neighbor_label") != r.getAs[Int]("q_label")))
+    // the mining probe keeps the family's DPP boundary: the bucketed
+    // corpus scan is dynamically pruned by the broadcast probe set
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec => fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans)
+    }
+    val corpusScan = fileScans(ivfDf.queryExecution.executedPlan)
+      .find(_.toString.contains("graft_ivf_index"))
+    assert(corpusScan.isDefined, "no persisted-index scan in the plan")
+    assert(corpusScan.get.toString.toLowerCase.contains("dynamicpruning"),
+      "hard-negative mining scan is not dynamically partition-pruned")
     val exactBest = key(Vectors.qHardNegatives(spark, sfDir))
       .filter(_._2 == 1).map(t => t._1 -> t._5).toMap
     ivf.filter(_.getAs[Int]("rank") == 1).foreach { r =>
