@@ -152,6 +152,8 @@ object SparkEntry {
     "q_lang_id"         -> (TextOps.qLangId _),
     "q_simhash"         -> (TextOps.qSimhash _),
     "q_simhash_checked" -> (TextOps.qSimhashChecked _),
+    "q_simhash_pairs"   -> (TextOps.qSimhashPairs _),
+    "q_simhash_clusters" -> (TextOps.qSimhashClusters _),
     "q_fingerprint"     -> (TextOps.qFingerprint _),
     "q_fingerprint_checked" -> (TextOps.qFingerprintChecked _),
     "q_bpe_encode"      -> (Bpe.qBpeEncode _),
@@ -988,6 +990,13 @@ object SparkEntry {
     // md5 SimHash ride: same tokenize/vote/tie/bit-order semantics as
     // q_simhash, DuckDB-shared bit planes (kept next to the query).
     "q_simhash_checked" -> TextOps.simhashCheckedOracle,
+    // q_simhash_pairs: EXACT (the 4-block pigeonhole is lossless for
+    // Hamming <= 3), so the oracle brute-forces the full Hamming sweep
+    // over the same md5-plane signatures.
+    "q_simhash_pairs" -> TextOps.simhashPairsOracle,
+    // q_simhash_clusters: true reachability over the exact Hamming <= 3
+    // pair graph, same recursive pattern as the other dedup families.
+    "q_simhash_clusters" -> TextOps.simhashClustersOracle,
     // fixed-merge-list BPE ride: DuckDB replays the delimiter-wrapped
     // replace chain generated from the SAME checkedMerges constant the
     // Spark kernel encodes with (q_bpe_encode itself is rows-only —

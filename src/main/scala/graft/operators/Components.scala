@@ -13,12 +13,27 @@ import org.apache.spark.sql.functions._
   *
   * Distributed min-label propagation WITH POINTER JUMPING: every node
   * starts as its own label; each round takes the min over {own label,
-  * direct neighbors' labels, label-of-own-label}. The shortcutting term
-  * makes label distances halve per round, and the loop runs TO THE
+  * direct neighbors' labels, label-of-own-label}. The loop runs TO THE
   * FIXED POINT (labels only decrease, so "no label changed" is
-  * convergence), checked with one dup-set-sized action per round —
-  * typically 3–4 rounds (⌈log₂ diameter⌉ + 1 confirm). The
-  * [[clusterMaxRounds]] backstop (covers diameter ~2¹¹) turns a
+  * convergence), checked with one dup-set-sized action per round.
+  * Round-count guarantee, stated honestly (r12 — the first corpus to
+  * exceed the old backstop taught the real bound): the neighbor-flow
+  * term alone delivers the min id across one hop per round, so
+  * convergence NEVER needs more rounds than the min node's
+  * eccentricity within its component (+1 to confirm); the
+  * label-of-label shortcut usually collapses that to a handful of
+  * rounds, but its doubling argument assumes a node's current label
+  * has itself learned a smaller label early, which ids placed
+  * adversarially relative to the topology can defeat (measured: the
+  * sf1 SimHash drift-chain component, min-eccentricity 21, ran the
+  * full ~eccentricity rounds — the published O(log) constructions,
+  * large-star/small-star of Kiveris et al., restructure the update
+  * precisely to avoid this; this loop instead keeps the simpler
+  * update and an eccentricity-sized backstop). [[clusterMaxRounds]]
+  * (64) covers any min-eccentricity ≤ 63 — near-dup components are
+  * cliques or short drift chains, an eccentricity-64 chain being 64
+  * successive documents each within threshold of the next but not of
+  * each other's neighbors — and beyond it the loop turns a
   * pathological graph into a LOUD IllegalStateException instead of a
   * silently split cluster. A propagation failure could only ever SPLIT
   * a component (labels always point inside it) — never merge two.
@@ -30,7 +45,7 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  private[graft] val clusterMaxRounds = 12
+  private[graft] val clusterMaxRounds = 64
 
   /** Label map (node_id, cluster_id) for every node of the (id_a, id_b)
     * pair graph — nodes NOT in any pair are absent (callers default
@@ -61,9 +76,10 @@ object Components {
       round += 1
       // one round = min over self ∪ direct neighbors ∪ label-of-label:
       // neighbor labels flow across edges; the pointer jump joins the
-      // label map with itself (cluster_id → that node's label), which
-      // halves label distances each round; union, min-agg — dup-set-
-      // sized shuffles only
+      // label map with itself (cluster_id → that node's label) —
+      // usually collapsing rounds to a handful, worst-case bounded by
+      // min-node eccentricity (see the object scaladoc); union,
+      // min-agg — dup-set-sized shuffles only
       val viaNbr = edges
         .join(labels.select(col("node_id").as("l_id"),
           col("cluster_id").as("l_cl")), col("dst") === col("l_id"))
@@ -88,7 +104,8 @@ object Components {
     if (!converged) {
       throw new IllegalStateException(
         s"labelComponents did not converge within $clusterMaxRounds " +
-          "pointer-jumping rounds — component diameter beyond ~2^11?")
+          "pointer-jumping rounds — a component whose min node has " +
+          "eccentricity beyond that is not a near-dup graph")
     }
     labels
   }

@@ -1980,8 +1980,14 @@ object TextOps {
     * pitfall), while the aggregate boundary here is exactly what keeps
     * md5 evaluated once per token half.
     */
-  def qSimhashChecked(spark: SparkSession, dir: String): DataFrame = {
-    val perTok = Tables.documents(spark, dir)
+  /** Per-document md5-plane SimHash signature as two 32-bit integer
+    * HALVES — the one vote aggregation [[qSimhashChecked]] (bitstring
+    * emission) and the Hamming-join family ([[qSimhashPairs]] /
+    * [[qSimhashClusters]]) share, so signature semantics cannot drift
+    * between the report and the join. Disjoint powers of two sum
+    * without carry, so the half assembly is exact long arithmetic. */
+  private[graft] def simhashMd5Halves(docs: DataFrame): DataFrame = {
+    val perTok = docs
       .select(col("doc_id"), explode(toks).as("t"))
       .select(col("doc_id"),
         conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("hi"),
@@ -1991,13 +1997,89 @@ object TextOps {
       val bit = shiftright(half, b % 32).bitwiseAND(lit(1L))
       sum(when(bit === 1L, 1).otherwise(-1)).as(s"c$b")
     }
+    def half(hiBits: Boolean): Column =
+      (0 until 32).map { i =>
+        val b = if (hiBits) 32 + i else i
+        when(col(s"c$b") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }.reduceLeft(_ + _)
     perTok.groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), half(hiBits = true).as("sig_hi"),
+        half(hiBits = false).as("sig_lo"))
+  }
+
+  def qSimhashChecked(spark: SparkSession, dir: String): DataFrame =
+    simhashMd5Halves(Tables.documents(spark, dir))
       .select(col("doc_id"),
-        concat((63 to 0 by -1).map(b =>
-          when(col(s"c$b") > 0, lit("1")).otherwise(lit("0"))): _*)
-          .as("simhash_md5"))
+        concat((63 to 0 by -1).map { b =>
+          val half = if (b >= 32) col("sig_hi") else col("sig_lo")
+          when(shiftright(half, b % 32).bitwiseAND(lit(1L)) === 1L,
+            lit("1")).otherwise(lit("0"))
+        }: _*).as("simhash_md5"))
       .orderBy(col("doc_id"))
+
+  /** SimHash near-duplicate JOIN — the family's missing pair member
+    * (MinHash, embedding, and edit distance each have one): all
+    * document pairs within Hamming distance ≤ 3 of their 64-bit
+    * signatures, via the published block-pigeonhole join (Manku, Jain
+    * & Das Sarma, "Detecting near-duplicates for web crawling",
+    * WWW 2007): split the signature into 4 disjoint 16-bit blocks —
+    * ≤ 3 differing bits can touch at most 3 blocks, so at least ONE
+    * block matches VERBATIM, and candidates meet through a
+    * (block idx, block value) equi-join instead of all pairs. The
+    * pigeonhole is LOSSLESS, so unlike the banded LSH families this
+    * query is EXACT and the DuckDB oracle brute-forces the full
+    * Hamming sweep against it.
+    *
+    * Scale shape: the join shuffles (idx, 16-bit block, doc_id,
+    * sig halves) — 4 fixed-width rows per document, never text; a
+    * 16-bit block over N documents buckets ~N/65k uncorrelated rows,
+    * and genuinely-shared blocks are the near-dups being hunted.
+    * Candidates dedup on the pair (multi-block collisions), then the
+    * two-`bit_count` Hamming verify runs per CANDIDATE. A boilerplate
+    * mega-cluster makes its blocks hot — the emission is then the true
+    * pair set, which is itself quadratic in a clique (any exact pair
+    * listing is); [[qSimhashClusters]] is the drop-decision form whose
+    * output stays linear. Signatures ride the md5 plane (the
+    * [[qSimhashChecked]] contract) so the oracle reproduces them
+    * bit-for-bit; the xxhash64 production signature has no DuckDB
+    * dual. */
+  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, dir))
+
+  private[graft] def simhashPairs(docs: DataFrame): DataFrame = {
+    val sig = simhashMd5Halves(docs)
+    val blocks = array((0 until 4).map { i =>
+      val half = if (i < 2) col("sig_hi") else col("sig_lo")
+      val shift = if (i % 2 == 0) 16 else 0
+      struct(lit(i).as("idx"),
+        shiftright(half, shift).bitwiseAND(lit(0xFFFFL)).as("blk"))
+    }: _*)
+    val keyed = sig.select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+      explode(blocks).as("k"))
+    val hamming =
+      (bit_count(col("a.sig_hi").bitwiseXOR(col("b.sig_hi"))) +
+        bit_count(col("a.sig_lo").bitwiseXOR(col("b.sig_lo"))))
+        .cast("int")
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.k") === col("b.k") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_a"),
+        col("b.doc_id").as("doc_id_b"), hamming.as("hamming"))
+      .dropDuplicates("doc_id_a", "doc_id_b")
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
+  /** SimHash dedup clusters — the family's drop-decision form: the
+    * same min-id connected-component labeling every other dedup family
+    * ends in, fed by the exact Hamming ≤ 3 pair set. */
+  def qSimhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Components.flagCorpus(docs, "doc_id",
+      Components.labelComponents(simhashPairs(docs)
+        .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))))
   }
 
   /** DuckDB dual of [[qSimhashChecked]], kept in lockstep here: the
@@ -2017,6 +2099,61 @@ object TextOps {
       |        END) & 1) = 1 THEN 1 ELSE -1 END)) > 0
       |    THEN '1' ELSE '0' END), '') AS simhash_md5
       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Shared sig CTE body for the Hamming-family oracles: the SAME
+    * md5-plane halves as [[simhashCheckedOracle]], assembled into two
+    * 32-bit BIGINTs (disjoint powers sum without carry — Spark's half
+    * assembly mirrored op-for-op). */
+  private val simhashSigCte: String =
+    """t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |      FROM documents),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(generate_series(0, 31), i ->
+      |      CASE WHEN list_sum(list_transform(toks, tok ->
+      |        CASE WHEN ((('0x' || substr(md5(tok), 1, 8))::BIGINT >> i)
+      |          & 1) = 1 THEN 1 ELSE -1 END)) > 0
+      |      THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sig_hi,
+      |    CAST(list_sum(list_transform(generate_series(0, 31), i ->
+      |      CASE WHEN list_sum(list_transform(toks, tok ->
+      |        CASE WHEN ((('0x' || substr(md5(tok), 9, 8))::BIGINT >> i)
+      |          & 1) = 1 THEN 1 ELSE -1 END)) > 0
+      |      THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sig_lo
+      |  FROM t)""".stripMargin
+
+  /** Brute-force Hamming ≤ 3 sweep — [[qSimhashPairs]]'s oracle: the
+    * block-pigeonhole join must be invisible. */
+  val simhashPairsOracle: String =
+    s"""WITH $simhashSigCte
+       |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       |  CAST(bit_count(xor(a.sig_hi, b.sig_hi)) +
+       |       bit_count(xor(a.sig_lo, b.sig_lo)) AS INTEGER) AS hamming
+       |FROM sig a, sig b
+       |WHERE a.doc_id < b.doc_id
+       |  AND bit_count(xor(a.sig_hi, b.sig_hi)) +
+       |      bit_count(xor(a.sig_lo, b.sig_lo)) <= 3
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
+  /** True reachability over the exact Hamming ≤ 3 pair graph —
+    * [[qSimhashClusters]]'s oracle, the dedup families' recursive
+    * pattern. */
+  val simhashClustersOracle: String =
+    s"""WITH RECURSIVE $simhashSigCte,
+       |jp AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sig a, sig b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND bit_count(xor(a.sig_hi, b.sig_hi)) +
+       |        bit_count(xor(a.sig_lo, b.sig_lo)) <= 3),
+       |e AS (SELECT id_a AS a, id_b AS b FROM jp
+       |      UNION ALL SELECT id_b, id_a FROM jp),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.a, reach.r FROM reach JOIN e ON reach.node = e.b)
+       |SELECT node AS doc_id, min(r) AS cluster_id,
+       |       (min(r) = node) AS is_kept
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   def qFingerprintChecked(spark: SparkSession, dir: String): DataFrame = {
     val k = 3

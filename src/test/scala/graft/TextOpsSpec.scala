@@ -1193,6 +1193,37 @@ class TextOpsSpec extends SparkTestBase {
     assert(hot == Seq(("xx", 100L)))
   }
 
+  test("simhash block join is lossless vs brute-force Hamming; exact family") {
+    import spark.implicits._
+    // randomized corpora with planted near-dups (a dup with one token
+    // changed flips few signature bits): the 4-block pigeonhole join
+    // must return EXACTLY the brute-force Hamming <= 3 sweep
+    val rnd = new scala.util.Random(20260814)
+    (1 to 3).foreach { round =>
+      val base = (1 to 60).map { i =>
+        (i.toLong, (1 to 30).map(_ => s"w${rnd.nextInt(300)}").mkString(" "))
+      }
+      val dups = (1 to 12).map { j =>
+        val (src, t) = base(rnd.nextInt(60))
+        (1000L + j, t.split(" ").updated(rnd.nextInt(30), s"q$j")
+          .mkString(" ") + (if (j % 3 == 0) "" else ""))
+      }
+      val docs = (base ++ dups).toDF("doc_id", "text")
+      val sigs = graft.operators.TextOps.simhashMd5Halves(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val want = (for {
+        (ia, ha, la) <- sigs; (ib, hb, lb) <- sigs if ia < ib
+        d = java.lang.Long.bitCount(ha ^ hb) +
+          java.lang.Long.bitCount(la ^ lb) if d <= 3
+      } yield (ia, ib, d)).toSet
+      val got = graft.operators.TextOps.simhashPairs(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want,
+        s"round $round: missing=${want -- got} spurious=${got -- want}")
+      assert(want.nonEmpty, s"round $round planted no near pairs")
+    }
+  }
+
   test("heavyHittersVerified is exact beyond the sketch's exact regime") {
     import spark.implicits._
     // vocabulary (902) ≫ capacity (1/support = 10) — the regime where
