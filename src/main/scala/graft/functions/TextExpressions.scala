@@ -517,16 +517,37 @@ case class ClassifyScore(child: Expression,
 
   override def prettyName: String = "graft_classify_score"
 
-  // classes ascending so an equal-score later index IS the
-  // lexicographically larger class — the greatest(struct) tie order
+  // A zero class total would make every score for that class 0/0 = NaN,
+  // and NaN ORDERS DIFFERENTLY in the two implementations this kernel
+  // must agree between: Spark's greatest(struct) sorts NaN above every
+  // value, while the kernel's `s >= bestScore` is false for NaN
+  // (ADVICE r12). A centroid fit over any nonempty source always has a
+  // positive total, so an offending model is a broken artifact —
+  // reject it at plan build instead of diverging row-by-row.
+  require(model.nonEmpty && model.forall(_._3 > 0L),
+    "graft_classify_score: every class total must be > 0 (a zero " +
+      "total scores NaN, which greatest(struct) and this kernel order " +
+      "differently)")
+
+  // classes in UTF8String BINARY order (UTF-8 bytes = code-point
+  // order), so an equal-score later index IS the struct-comparison-
+  // larger class — the greatest(struct(score, class)) tie order
+  // EXACTLY. Java's String sort orders UTF-16 code units, which
+  // disagrees beyond the BMP: a supplementary character (surrogate
+  // pair, 0xD800–0xDFFF units) sorts BELOW 0xE000+ BMP chars there but
+  // ABOVE all of them as UTF-8 bytes (0xF0 lead) — the order struct
+  // comparison actually uses (ADVICE r12).
+  @transient private lazy val sortedModel
+      : Seq[(String, Map[String, Long], Long)] =
+    model.sortWith((a, b) => UTF8String.fromString(a._1)
+      .compareTo(UTF8String.fromString(b._1)) < 0)
   @transient private lazy val classes: Array[UTF8String] =
-    model.map(_._1).sorted.map(UTF8String.fromString).toArray
+    sortedModel.map(m => UTF8String.fromString(m._1)).toArray
   @transient private lazy val totals: Array[Double] =
-    model.sortBy(_._1).map(_._3.toDouble).toArray
+    sortedModel.map(_._3.toDouble).toArray
   @transient private lazy val merged
       : java.util.HashMap[UTF8String, Array[Long]] = {
     val m = new java.util.HashMap[UTF8String, Array[Long]]()
-    val sortedModel = model.sortBy(_._1)
     for (((_, counts, _), i) <- sortedModel.zipWithIndex;
          (tok, n) <- counts) {
       val key = UTF8String.fromString(tok)

@@ -149,6 +149,32 @@ object Bpe {
     words.orderBy(col("n").desc, col("w").asc).limit(maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
+  /** Marker (inside the tokenizer directory) recording the
+    * [[trainSetFingerprint]] of the capped table the PUBLISHED merges
+    * were actually trained on — the refresh decision's ground truth
+    * (ADVICE r12): comparing before-vs-after capped tables across the
+    * word-table flip left a crash window, because a death between the
+    * flip and [[publishTokenizer]] made the NEXT refresh compute
+    * `before` from the already-updated table and silently skip the
+    * missed retrain. Comparing `after` against what the tokenizer
+    * artifact itself records is crash-window-proof: any published word
+    * table whose capped view differs from the tokenizer's recorded
+    * training set triggers the retrain, whoever died where. */
+  private[graft] val trainSetMarker = "_graft_bpe_trainset"
+
+  /** Canonical md5 of a capped training table (order-significant —
+    * the capped pull is already under the (count desc, word asc)
+    * total order, so equal fingerprints mean bit-identical tables). */
+  private[graft] def trainSetFingerprint(
+      capped: Seq[(String, Long)]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    capped.foreach { case (w, n) =>
+      md.update(w.getBytes("UTF-8")); md.update(0.toByte)
+      md.update(n.toString.getBytes("UTF-8")); md.update(1.toByte)
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Fit AND publish in the refreshable form: the corpus pass lands
     * the full word table as a versioned artifact sibling to the
     * tokenizer directory, the capped pull trains the merges, and both
@@ -160,10 +186,12 @@ object Bpe {
     val wordsRoot = wordsRootOf(path)
     wordCounts(docs).write.mode("overwrite").parquet(s"$wordsRoot/v0")
     graft.sources.Markers.write(spark, wordsRoot, wordsCurrentMarker, "v0")
-    val merges = trainBpe(
-      cappedWords(spark.read.parquet(s"$wordsRoot/v0"), maxVocab),
-      numMerges)
+    val capped = cappedWords(spark.read.parquet(s"$wordsRoot/v0"),
+      maxVocab)
+    val merges = trainBpe(capped, numMerges)
     publishTokenizer(spark, merges, path)
+    graft.sources.Markers.write(spark, path, trainSetMarker,
+      trainSetFingerprint(capped))
     merges
   }
 
@@ -186,8 +214,12 @@ object Bpe {
     *      bounded newest-2 retention via the shared
     *      [[Curation.retireVersions]]);
     *   2. refit decision: retrain iff the CAPPED training table
-    *      changed. Because the incremental count merge is exact, the
-    *      capped table after the update is bit-identical to what a
+    *      differs from the one the PUBLISHED tokenizer records having
+    *      been trained on ([[trainSetMarker]] — ADVICE r12: a
+    *      before-vs-after comparison across the word-table flip had a
+    *      crash window; the fingerprint is flip-order-independent).
+    *      Because the incremental count merge is exact, the capped
+    *      table after the update is bit-identical to what a
     *      from-scratch corpus pass over base ∪ delta would produce —
     *      so this is not a staleness heuristic but an exactness
     *      CONTRACT: the published tokenizer after a refresh IS the
@@ -195,7 +227,8 @@ object Bpe {
     *      retrain whose input did not change (and every path skipping
     *      the 100 TB corpus re-scan, which is the entire point).
     *      BpeSpec pins refresh == from-scratch refit on a planted
-    *      delta, and warm-path artifact untouchedness on an empty one.
+    *      delta, warm-path artifact untouchedness on an empty one, and
+    *      retrain-on-replay from the flip-then-die crash window.
     *
     * Contract: `delta` is APPENDED documents only — the nightly
     * new-crawl posture. A re-crawl that REPLACES text would need
@@ -210,7 +243,6 @@ object Bpe {
       maxVocab: Int = 50000): Boolean = {
     val wordsRoot = wordsRootOf(path)
     val (v, prev) = currentWords(spark, wordsRoot)
-    val before = cappedWords(prev, maxVocab)
     val updated = prev
       .join(wordCounts(delta).select(col("w"), col("n").as("dn")),
         Seq("w"), "full_outer")
@@ -224,10 +256,18 @@ object Bpe {
     Curation.retireVersions(spark, wordsRoot, next, retainVersions = 2)
     val after = cappedWords(
       spark.read.parquet(s"$wordsRoot/$next"), maxVocab)
-    if (after == before) false
+    val afterPrint = trainSetFingerprint(after)
+    // the tokenizer artifact's own record of its training set is the
+    // comparison baseline — an absent marker (pre-fingerprint artifact
+    // or a crash before the marker write) reads as "unknown" and
+    // retrains, self-healing instead of silently trusting staleness
+    if (graft.sources.Markers.readOption(spark, path, trainSetMarker)
+        .contains(afterPrint)) false
     else {
       refitInvocations.incrementAndGet()
       publishTokenizer(spark, trainBpe(after, numMerges), path)
+      graft.sources.Markers.write(spark, path, trainSetMarker,
+        afterPrint)
       true
     }
   }

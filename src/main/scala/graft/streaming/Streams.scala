@@ -611,8 +611,8 @@ object Streams {
     * cover — dying AFTER the marker flip but BEFORE the checkpoint
     * commit, where the replayed batch's "current" snapshot is its own
     * output directory — is closed at the artifact layer: the marker
-    * already naming `b<batchId>` short-circuits the replay to a no-op
-    * and the checkpoint simply commits.
+    * already naming this batch's [[sinkVersion]] short-circuits the
+    * replay to a no-op and the checkpoint simply commits.
     *
     * Within one micro-batch each doc_id must carry at most one op —
     * `snapshotDiff`-derived change batches satisfy it by construction,
@@ -640,13 +640,51 @@ object Streams {
     * executor memory; reading the CURRENT version while writing the
     * NEXT is safe because they are different directories and the flip
     * happens only after the write completes. */
+  /** The stream's DURABLE identity: the query id Spark persists in
+    * the checkpoint's `metadata` file — constant across every restart
+    * from the SAME checkpoint, fresh for a new one. Read per batch (a
+    * ~60-byte file against a full artifact publish — noise).
+    *
+    * Why the publish-version markers must carry it (ADVICE r12,
+    * medium): a version named `b<batchId>` ALONE survives a checkpoint
+    * swap — reuse a snapshot/epoch/labels root with a FRESH checkpoint
+    * (batch ids restart at 0) and the prior run's stale `b0` marker
+    * makes the new batch 0 "already published": the checkpoint commits
+    * and the batch's data silently vanishes, where the pre-r12 code at
+    * least wedged loudly on read-under-own-overwrite. Folding the
+    * checkpoint's own query id into the version makes the post-flip
+    * short-circuit fire only for THIS stream's replayed batch; any
+    * foreign marker — stale run, fat-fingered root sharing — reads as
+    * not-yet-published and the batch publishes normally (idempotent
+    * for a true replay, corrective for a stale root). */
+  private[graft] def checkpointQueryId(
+    spark: org.apache.spark.sql.SparkSession,
+    checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+    """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text)
+      .map(_.group(1))
+      .getOrElse(throw new IllegalStateException(
+        s"checkpoint $checkpointDir has no query id in its metadata — " +
+          "cannot bind publish versions to the stream instance"))
+  }
+
+  /** Version name for batch `batchId` of the stream running on
+    * `checkpointDir`: `b<batchId>-<first 8 of the query id>`. */
+  private def sinkVersion(spark: org.apache.spark.sql.SparkSession,
+    checkpointDir: String, batchId: Long): String =
+    s"b$batchId-${checkpointQueryId(spark, checkpointDir).take(8)}"
+
   def cdcApplySink(snapshotRoot: String, changes: DataFrame,
     checkpointDir: String, retainVersions: Int = 0)
     : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val version = s"b$batchId"
+        val version = sinkVersion(s, checkpointDir, batchId)
         // artifact-layer idempotence for the crash window BETWEEN the
         // marker flip and the checkpoint commit: the replayed batch's
         // "current" snapshot would resolve to its OWN output directory
@@ -712,7 +750,7 @@ object Streams {
     changes.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val version = s"b$batchId"
+        val version = sinkVersion(s, checkpointDir, batchId)
         // same artifact-layer idempotence as [[cdcApplySink]]: if the
         // marker already names this version, a predecessor crashed
         // AFTER the flip but BEFORE the checkpoint commit — the epoch
@@ -740,7 +778,7 @@ object Streams {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val version = s"b$batchId"
+        val version = sinkVersion(s, checkpointDir, batchId)
         // post-flip crash-window short-circuit (the [[cdcApplySink]]
         // discipline, r12): unlike the CDC sinks this one never
         // wedged — the eager localCheckpoint below completes the read

@@ -364,4 +364,48 @@ class BpeSpec extends SparkTestBase {
     assert(wroot.listFiles().count(_.isDirectory) <= 3)
     assert(refit2 || Bpe.loadTokenizer(spark, p) === fromScratch)
   }
+
+  test("refresh crash window: word table flipped but tokenizer not " +
+      "republished — the NEXT refresh retrains") {
+    // ADVICE r12: the pre-fix refresh compared before-vs-after capped
+    // tables, so a crash between the word-table flip and
+    // publishTokenizer made the next refresh's `before` reflect the
+    // already-updated table — no movement seen, stale tokenizer kept
+    // silently. The decision now compares against the fingerprint the
+    // TOKENIZER artifact records having been trained on.
+    val base = Seq((1L, "the table scan runs"), (2L, "the value table"))
+      .toDF("doc_id", "text")
+    val delta = (10L to 40L).map(i => (i, "zig zag zig zag zoom"))
+      .toDF("doc_id", "text")
+    val p = graft.sources.TempDirs.scratchDir("graft_bpe_crash").toString
+    val m0 = Bpe.publishFit(spark, base, p, numMerges = 24)
+    // the crashed refresh's completed first half, replayed faithfully:
+    // fold the delta into the word table, publish v1, flip the words
+    // marker — then "die" before the tokenizer republish
+    val wordsRoot = Bpe.wordsRootOf(p)
+    val updated = spark.read.parquet(s"$wordsRoot/v0")
+      .join(Bpe.wordCounts(delta).select(col("w"), col("n").as("dn")),
+        Seq("w"), "full_outer")
+      .select(col("w"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n"))
+    updated.write.mode("overwrite").parquet(s"$wordsRoot/v1")
+    graft.sources.Markers.write(spark, wordsRoot,
+      Bpe.wordsCurrentMarker, "v1")
+    assert(Bpe.loadTokenizer(spark, p) === m0, "tokenizer is stale")
+    // an EMPTY-delta refresh (the nightly tick with nothing new) must
+    // still notice the recorded training set no longer matches and
+    // retrain — exactly the refresh the old comparison skipped
+    val refit = Bpe.refreshTokenizer(spark, p,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), numMerges = 24)
+    assert(refit, "crash-window staleness went unnoticed")
+    val fromScratch = Bpe.trainBpe(
+      Bpe.cappedWords(Bpe.wordCounts(base.unionByName(delta))),
+      numMerges = 24)
+    assert(Bpe.loadTokenizer(spark, p) === fromScratch)
+    // and the repaired artifact is warm again on the next empty tick
+    val warm = Bpe.refreshTokenizer(spark, p,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), numMerges = 24)
+    assert(!warm)
+  }
 }

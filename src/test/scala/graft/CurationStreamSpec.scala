@@ -508,7 +508,51 @@ class CurationStreamSpec extends SparkTestBase {
     val dirs = new java.io.File(root).listFiles().filter(_.isDirectory)
       .map(_.getName).toSet
     assert(dirs.size <= 3, s"unretired versions: $dirs")
-    assert(dirs.contains("b2"), dirs.toString)
+    // versions are bound to the checkpoint's query id (ADVICE r12) —
+    // same checkpoint across the restarts here, so batch 2's version
+    // carries the one stable qid suffix
+    val qid = Streams.checkpointQueryId(spark, cp).take(8)
+    assert(dirs.contains(s"b2-$qid"), dirs.toString)
+  }
+
+  test("a fresh checkpoint over a reused root publishes its batch 0 " +
+      "despite the prior run's stale marker") {
+    // ADVICE r12 (medium): versions keyed on batchId alone survive a
+    // checkpoint swap — a reused snapshot root + fresh checkpoint
+    // restarts batch ids at 0, and the prior run's `b0…` marker would
+    // short-circuit the new batch 0 into silent data loss. The qid-
+    // bound version must read the stale marker as foreign and publish.
+    import spark.implicits._
+    val changeSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("op", StringType),
+      StructField("text", StringType)))
+    val root = tmp("graft_cdc_stale")
+    val base = Seq((1L, "a b")).toDF("doc_id", "text")
+    Curation.publishSnapshot(spark, base, root, "base")
+    def runOnce(cp: String, input: String): Unit = {
+      val q = Streams.cdcApplySink(root,
+        spark.readStream.schema(changeSchema).json(input), cp)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val in1 = tmp("graft_cdc_stale_in1")
+    Seq((2L, "upsert", "first run")).toDF("doc_id", "op", "text")
+      .coalesce(1).write.mode("append").json(in1)
+    runOnce(tmp("graft_cdc_stale_cp1"), in1)
+    def snapIds() = Curation.currentSnapshot(spark, root).collect()
+      .map(_.getLong(0)).toSet
+    assert(snapIds() == Set(1L, 2L))
+    // second stream instance: FRESH checkpoint, fresh input, same root
+    // — its batch 0 must land doc 3 even though a b0-prefixed marker
+    // from the first run's batch 0 is current
+    assert(graft.sources.Markers.read(spark, root,
+      Curation.snapshotCurrentMarker).startsWith("b0-"))
+    val in2 = tmp("graft_cdc_stale_in2")
+    Seq((3L, "upsert", "second run")).toDF("doc_id", "op", "text")
+      .coalesce(1).write.mode("append").json(in2)
+    runOnce(tmp("graft_cdc_stale_cp2"), in2)
+    assert(snapIds() == Set(1L, 2L, 3L),
+      "fresh-checkpoint batch 0 was silently skipped on a stale marker")
   }
 
   test("a multi-op batch without seq fails loudly; with seq it collapses") {

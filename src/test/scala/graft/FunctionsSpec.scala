@@ -248,4 +248,40 @@ class FunctionsSpec extends SparkTestBase {
       .select(col("r.predicted")).head().getString(0)
     assert(t == "y")
   }
+
+  test("ClassifyScore: struct tie order beyond the BMP; zero totals " +
+      "rejected at plan build") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ADVICE r12: the kernel's class sort must be UTF8String BINARY
+    // order (what greatest(struct(score, class)) compares), not Java's
+    // UTF-16 code-unit order. U+FFFD (EF BF BD) vs U+1F600 (F0 9F 98
+    // 80): Java sorts the emoji LOWER (its lead surrogate 0xD83D <
+    // 0xFFFD); UTF-8 bytes sort it HIGHER (F0 > EF) — a tie must go to
+    // the emoji, exactly as the batch struct comparison does.
+    val bmp = "\uFFFD"
+    val emoji = new String(Character.toChars(0x1F600))
+    val tie = Seq((bmp, Map("t" -> 1L), 2L), (emoji, Map("t" -> 1L), 2L))
+    val doc = Seq((1L, "t")).toDF("doc_id", "text")
+    val kernel = doc.select(graft.functions.TextFunctions.classifyScore(
+        split(col("text"), " "), tie).as("r"))
+      .select(col("r.predicted")).head().getString(0)
+    // the batch semantics this kernel claims verbatim, evaluated by
+    // Spark itself: greatest over (score, class) structs
+    val batch = doc.select(greatest(
+        struct(lit(0.5).as("score"), lit(bmp).as("c")),
+        struct(lit(0.5).as("score"), lit(emoji).as("c"))).as("g"))
+      .select(col("g.c")).head().getString(0)
+    assert(batch == emoji, "fixture assumption: struct order is UTF-8")
+    assert(kernel == batch,
+      s"kernel tie order diverged from greatest(struct): $kernel")
+    // zero class total => 0/0 = NaN scores, which the two orders rank
+    // differently — the expression must refuse the model loudly
+    val err = intercept[IllegalArgumentException] {
+      doc.select(graft.functions.TextFunctions.classifyScore(
+        split(col("text"), " "),
+        Seq(("a", Map("t" -> 1L), 2L), ("broken", Map.empty[String, Long], 0L))))
+    }
+    assert(err.getMessage.contains("total"))
+  }
 }

@@ -27,6 +27,31 @@ CONTRACT_SCOPED = {
 }
 
 
+def expected_divergence(line):
+    """Does a FAIL line match the Misra-Gries exact-regime contract's
+    predicted shape?  The sketch leaving its exact regime UNDERCOUNTS:
+    hitters drop below threshold (row-count mismatch), an `est` cell
+    comes in LOW on the spark side, or a different `token`/`lang`
+    surfaces at a rank the undercount reordered.  A schema (columns)
+    mismatch or an execution ERROR is never that contract — a real
+    regression must not hide behind the scoped label."""
+    if re.match(r"FAIL\s+\S+: row count spark=\d+ duck=\d+", line):
+        return True
+    m = re.match(
+        r"FAIL\s+\S+: row \d+ col (\w+): spark=(\S+) duck=(\S+)", line)
+    if not m:
+        return False
+    col, s, d = m.group(1), m.group(2), m.group(3)
+    if col in ("token", "lang"):
+        return True
+    if col == "est":
+        try:
+            return int(s) < int(d)  # undercount direction only
+        except ValueError:
+            return False
+    return False
+
+
 def main():
     log_path, out_path = sys.argv[1], sys.argv[2]
     results, unexplained = {}, []
@@ -39,9 +64,16 @@ def main():
         m = re.match(r"(FAIL|ERROR)\s+(\S+):", line)
         if m:
             name = m.group(2)
-            if name in CONTRACT_SCOPED:
+            if name in CONTRACT_SCOPED and expected_divergence(line):
+                # ADVICE r12: grant contract_scoped ONLY to the failure
+                # shape the contract predicts (an MG undercount moves
+                # row counts or est/token cells — never the schema, and
+                # never an execution ERROR), and keep the raw detail so
+                # the artifact shows WHAT diverged, not just that
+                # something did.
                 results[name] = {"status": "contract_scoped",
-                                 "reason": CONTRACT_SCOPED[name]}
+                                 "reason": CONTRACT_SCOPED[name],
+                                 "detail": line.strip()}
             else:
                 results[name] = {"status": "fail",
                                  "detail": line.strip()}
