@@ -11,32 +11,39 @@ import org.apache.spark.sql.functions._
   * [[graft.operators.TextOps.qDedupClusters]] and
   * [[graft.operators.Vectors.qDedupEmbedClusters]] call it verbatim).
   *
-  * Distributed min-label propagation WITH POINTER JUMPING: every node
-  * starts as its own label; each round takes the min over {own label,
-  * direct neighbors' labels, label-of-own-label}. The loop runs TO THE
-  * FIXED POINT (labels only decrease, so "no label changed" is
-  * convergence), checked with one dup-set-sized action per round.
-  * Round-count guarantee, stated honestly (r12 — the first corpus to
-  * exceed the old backstop taught the real bound): the neighbor-flow
-  * term alone delivers the min id across one hop per round, so
-  * convergence NEVER needs more rounds than the min node's
-  * eccentricity within its component (+1 to confirm); the
-  * label-of-label shortcut usually collapses that to a handful of
-  * rounds, but its doubling argument assumes a node's current label
-  * has itself learned a smaller label early, which ids placed
-  * adversarially relative to the topology can defeat (measured: the
-  * sf1 SimHash drift-chain component, min-eccentricity 21, ran the
-  * full ~eccentricity rounds — the published O(log) constructions,
-  * large-star/small-star of Kiveris et al., restructure the update
-  * precisely to avoid this; this loop instead keeps the simpler
-  * update and an eccentricity-sized backstop). [[clusterMaxRounds]]
-  * (64) covers any min-eccentricity ≤ 63 — near-dup components are
-  * cliques or short drift chains, an eccentricity-64 chain being 64
-  * successive documents each within threshold of the next but not of
-  * each other's neighbors — and beyond it the loop turns a
-  * pathological graph into a LOUD IllegalStateException instead of a
-  * silently split cluster. A propagation failure could only ever SPLIT
-  * a component (labels always point inside it) — never merge two.
+  * ALTERNATING LARGE-STAR / SMALL-STAR (Kiveris, Lattanzi, Mirrokni,
+  * Rastogi & Vassilvitskii, "Connected Components in MapReduce and
+  * Beyond", SoCC 2014 — r12 verdict item 2, replacing the
+  * min-label-propagation-with-pointer-jumping loop whose true
+  * worst-case round count was the min node's ECCENTRICITY, measured
+  * when the sf1 SimHash drift chain ran ~22 rounds). Each round
+  * rewrites the EDGE SET, not a label map:
+  *
+  *   - large-star(v): every neighbor LARGER than v re-attaches to the
+  *     minimum of v's closed neighborhood — long tails hook onto
+  *     local minima in parallel;
+  *   - small-star(v): v and all its SMALLER neighbors re-attach to the
+  *     smallest of them — stars of stars collapse one level.
+  *
+  * Both operations preserve connectivity exactly (every emitted edge
+  * connects two nodes of one input component, and every input edge's
+  * endpoints stay linked through the emitting node's new center), and
+  * the fixed point is a star forest rooted at each component's MINIMUM
+  * id — the min-id cluster label every caller already contracts on.
+  * The round count is O(log² n) REGARDLESS of how ids sit on the
+  * topology (the paper's potential argument charges each round a
+  * constant fraction of the tree heights, with no "my label already
+  * learned a smaller label" assumption for adversarial id placement to
+  * defeat — the precise failure the old pointer jump had);
+  * measured here: a 41-node min-eccentricity-40 drift chain with ids
+  * placed adversarially converges in ≤ 7 rounds (spec-pinned ≤ 10),
+  * where the old loop needed the full ~40. [[clusterMaxRounds]] (32)
+  * is therefore a true pathology backstop — log²-convergence would
+  * need a component of astronomically more than 2³² nodes to reach
+  * it — and beyond it the loop raises a LOUD IllegalStateException
+  * instead of publishing a silently split cluster. A propagation
+  * failure could only ever SPLIT a component (edges always stay
+  * inside one) — never merge two.
   *
   * Scale posture: the edge list (duplicate pairs only — orders of
   * magnitude smaller than the corpus) is the loop invariant; every
@@ -45,69 +52,91 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  private[graft] val clusterMaxRounds = 64
+  private[graft] val clusterMaxRounds = 32
 
   /** Label map (node_id, cluster_id) for every node of the (id_a, id_b)
     * pair graph — nodes NOT in any pair are absent (callers default
-    * singletons to themselves on the final corpus join).
+    * singletons to themselves on the final corpus join). */
+  private[graft] def labelComponents(pairs: DataFrame): DataFrame =
+    labelComponentsCounted(pairs)._1
+
+  /** [[labelComponents]] plus the number of alternating rounds the
+    * edge set took to reach its fixed point — the spec pin for the
+    * id-placement-independent convergence bound.
     *
-    * localCheckpoint(eager) per round is LOAD-BEARING: every round
-    * references the previous labels frame twice (neighbor flow +
-    * self-union), so without lineage truncation the logical plan tree
-    * DOUBLES per round — 2^rounds copies of the upstream pair pipeline
-    * to analyze and de-duplicate against the cache, measured at 35 s
-    * for 6 rounds at sf0.1 vs ~2 s truncated. Materializing the
-    * dup-set-sized label map each round is the standard Spark
-    * iterative-algorithm shape (GraphX/Pregel materializes per
-    * superstep for exactly this reason).
+    * localCheckpoint(eager) per round is LOAD-BEARING: each round's
+    * edge set feeds two derived frames (the star rewrite and the
+    * convergence diff), so without lineage truncation the logical plan
+    * tree doubles per round — the standard Spark iterative-algorithm
+    * shape (GraphX/Pregel materializes per superstep for exactly this
+    * reason); the materialized frame is dup-set-sized.
     */
-  private[graft] def labelComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"),
-        col("id_a").as("dst")))
+  private[graft] def labelComponentsCounted(
+    pairs: DataFrame): (DataFrame, Int) = {
+    // node universe first: the star rewrites retire edges, but every
+    // endpoint of the INPUT graph must appear in the label map
+    val nodes = pairs.select(col("id_a").as("node_id"))
+      .unionByName(pairs.select(col("id_b").as("node_id")))
+      .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node_id")).distinct()
-      .withColumn("cluster_id", col("node_id"))
+    // canonical directed edges (u > v), self-loops dropped, parallel
+    // edges merged — the representation both star operations emit
+    var edges = pairs
+      .filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .distinct()
       .localCheckpoint(true)
-    var converged = false
+    var converged = edges.isEmpty
     var round = 0
     while (!converged && round < clusterMaxRounds) {
       round += 1
-      // one round = min over self ∪ direct neighbors ∪ label-of-label:
-      // neighbor labels flow across edges; the pointer jump joins the
-      // label map with itself (cluster_id → that node's label) —
-      // usually collapsing rounds to a handful, worst-case bounded by
-      // min-node eccentricity (see the object scaladoc); union,
-      // min-agg — dup-set-sized shuffles only
-      val viaNbr = edges
-        .join(labels.select(col("node_id").as("l_id"),
-          col("cluster_id").as("l_cl")), col("dst") === col("l_id"))
-        .select(col("src").as("node_id"), col("l_cl").as("cluster_id"))
-      val viaJump = labels
-        .join(labels.select(col("node_id").as("j_id"),
-          col("cluster_id").as("j_cl")), col("cluster_id") === col("j_id"))
-        .select(col("node_id"), col("j_cl").as("cluster_id"))
-      val next = viaNbr
-        .unionByName(viaJump)
-        .unionByName(labels)
-        .groupBy(col("node_id"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
+      // large-star over the SYMMETRIC neighborhood: m = min(Γ⁺(u));
+      // each neighbor x > u re-attaches as (x, m). x > u ≥ m keeps the
+      // canonical orientation without a re-sort.
+      val sym = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u").as("cu"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, col("u") === col("cu"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
         .localCheckpoint(true)
-      // labels only decrease, so an unchanged round IS the fixed point
-      converged = next
-        .join(labels.withColumnRenamed("cluster_id", "prev"), "node_id")
-        .filter(col("cluster_id") =!= col("prev"))
+      // small-star on the downward edges: u and all its smaller
+      // neighbors re-attach to their minimum. Grouping the canonical
+      // orientation by u IS the smaller-neighborhood Γ⁻(u).
+      val mn2 = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(mn2, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mn2.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      // fixed point: the round rewrote the edge set to itself (both
+      // frames are distinct canonical sets, so symmetric difference
+      // empty ⇔ equal)
+      converged = small.exceptAll(edges)
+        .unionByName(edges.exceptAll(small))
         .isEmpty
-      labels = next
+      edges = small
     }
     if (!converged) {
       throw new IllegalStateException(
         s"labelComponents did not converge within $clusterMaxRounds " +
-          "pointer-jumping rounds — a component whose min node has " +
-          "eccentricity beyond that is not a near-dup graph")
+          "alternating large-star/small-star rounds — O(log² n) " +
+          "convergence makes that a data-corruption signal, not a " +
+          "big-component signal")
     }
-    labels
+    // the fixed point is a star forest rooted at component minima;
+    // roots carry no outgoing edge and default to themselves
+    val labels = nodes
+      .join(edges.groupBy(col("u")).agg(min(col("v")).as("root"))
+          .select(col("u").as("e_id"), col("root")),
+        col("node_id") === col("e_id"), "left")
+      .select(col("node_id"),
+        coalesce(col("root"), col("node_id")).as("cluster_id"))
+    (labels, round)
   }
 
   /** A finished label map re-expressed as edges: each non-representative

@@ -466,9 +466,9 @@ object TextOps {
     * keep/drop flag (`is_kept` = the canonical representative). This is
     * the row a corpus-curation job actually filters on.
     *
-    * The propagation core is [[graft.operators.Components]] (pointer-
-    * jumping min-label propagation to a checked fixed point with a loud
-    * backstop — shared with the embedding modality's
+    * The propagation core is [[graft.operators.Components]]
+    * (alternating large-star/small-star to a checked fixed point with
+    * a loud backstop — shared with the embedding modality's
     * [[graft.operators.Vectors.qDedupEmbedClusters]]); the spec plants a
     * diameter-9 drift chain that plain bounded neighbor propagation
     * would silently split. The DuckDB oracle computes TRUE reachability

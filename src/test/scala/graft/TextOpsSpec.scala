@@ -445,14 +445,14 @@ class TextOpsSpec extends SparkTestBase {
     pairs.foreach { case (a, b) => assert(clusters(a) == clusters(b)) }
   }
 
-  test("dedup clustering converges on a diameter-9 drift chain (pointer jumping)") {
+  test("dedup clustering converges on a diameter-9 drift chain") {
     import spark.implicits._
     // 10 documents drifting 10 words per step over a 190-word unique
     // vocabulary: adjacent docs share 90 contiguous words (3-gram
     // jaccard ~0.81 >= 0.8), distance-2 docs only 80 (~0.66 < 0.8) —
     // a PATH graph of diameter 9. Plain neighbor-only propagation
-    // needs 9 rounds; the pointer-jumping rounds (6) must still
-    // collapse the whole chain to one cluster.
+    // needs 9 rounds; the alternating star rounds must still collapse
+    // the whole chain to one cluster.
     val words = (0 until 190).map(k => f"w$k%03d")
     val docs = (0 until 10).map { i =>
       (i.toLong, words.slice(i * 10, i * 10 + 100).mkString(" "))
