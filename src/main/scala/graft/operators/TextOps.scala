@@ -2018,68 +2018,208 @@ object TextOps {
         }: _*).as("simhash_md5"))
       .orderBy(col("doc_id"))
 
-  /** SimHash near-duplicate JOIN — the family's missing pair member
-    * (MinHash, embedding, and edit distance each have one): all
-    * document pairs within Hamming distance ≤ 3 of their 64-bit
-    * signatures, via the published block-pigeonhole join (Manku, Jain
-    * & Das Sarma, "Detecting near-duplicates for web crawling",
-    * WWW 2007): split the signature into 4 disjoint 16-bit blocks —
-    * ≤ 3 differing bits can touch at most 3 blocks, so at least ONE
-    * block matches VERBATIM, and candidates meet through a
-    * (block idx, block value) equi-join instead of all pairs. The
+  /** Block plan for the Hamming-≤3 pigeonhole join (r12 verdict item
+    * 1a — the fixed 4×16-bit scheme's random collision floor was
+    * ~4·N²/2¹⁷ candidates, QUADRATIC in N with a fixed key space;
+    * every banded family obeys "key bits scale with log₂ n", so this
+    * one does too): split the 64-bit signature into B blocks and key
+    * each candidate table on a COMBINATION of B−3 blocks (Manku, Jain
+    * & Das Sarma, WWW 2007 §3 — the block-combination construction
+    * their web-scale system actually ran). ≤ 3 differing bits touch at
+    * most 3 blocks, so SOME B−3 blocks match verbatim and that
+    * combination's key matches — the pigeonhole stays LOSSLESS for
+    * every B. B is the smallest giving a combination key of at least
+    * log₂(n)+4 bits (expected uncorrelated bucket occupancy ≤ 1/16,
+    * i.e. O(1)): C(B,3) tables of (B−3)-block keys —
+    * B=4 → 4×16-bit, B=5 → 10×25-bit, B=6 → 20×≥31-bit,
+    * B=8 → 56×40-bit (sized through n ≈ 2^36 ≈ 7·10¹⁰ documents, the
+    * 100 TB web-corpus ceiling; past that, Manku's answer — and ours —
+    * is more tables of wider keys, the same trade priced here: rows
+    * per document grow C(B,3)-fold while per-bucket work stays O(1)).
+    */
+  private[graft] def simhashBlockPlan(n: Long): Int = {
+    val needed = math.log(math.max(n, 2L).toDouble) / math.log(2.0) + 4.0
+    if (needed <= 16.0) 4
+    else if (needed <= 25.0) 5
+    else if (needed <= 31.0) 6
+    else 8
+  }
+
+  /** Near-even 64-bit split: the first 64 mod B blocks get the extra
+    * bit. Block 0 is the most significant. */
+  private[graft] def simhashBlockWidths(b: Int): Seq[Int] = {
+    val base = 64 / b
+    val rem = 64 % b
+    Seq.tabulate(b)(i => if (i < rem) base + 1 else base)
+  }
+
+  /** Low bit position of each block (absolute: bit 63 = MSB of
+    * `sig_hi`, bit 0 = LSB of `sig_lo`). */
+  private def simhashBlockLos(widths: Seq[Int]): Seq[Int] =
+    widths.scanLeft(64)(_ - _).tail
+
+  /** The C(B,3) combinations of B−3 block indices, lexicographic —
+    * the table order every consumer (keys array, masks, emit-once
+    * index) shares. */
+  private[graft] def simhashCombos(b: Int): Seq[Seq[Int]] =
+    (0 until b).combinations(b - 3).map(_.toSeq).toSeq
+
+  /** Block value as a Column over the (sig_hi, sig_lo) halves; a block
+    * straddling the half boundary stitches its two spans. */
+  private def simhashBlockVal(lo: Int, len: Int): Column =
+    if (lo >= 32)
+      shiftright(col("sig_hi"), lo - 32).bitwiseAND(lit((1L << len) - 1))
+    else if (lo + len <= 32)
+      shiftright(col("sig_lo"), lo).bitwiseAND(lit((1L << len) - 1))
+    else
+      shiftleft(col("sig_hi").bitwiseAND(lit((1L << (lo + len - 32)) - 1)),
+        32 - lo).bitwiseOR(shiftright(col("sig_lo"), lo))
+
+  /** (maskHi, maskLo) literal pair per combination table: combination
+    * c matches a candidate iff the signature XOR is zero under BOTH
+    * masks — a row-local test over columns the candidate already
+    * carries, with the masks folded into the plan as constants. */
+  private[graft] def simhashComboMasks(b: Int): Seq[(Long, Long)] = {
+    val widths = simhashBlockWidths(b)
+    val los = simhashBlockLos(widths)
+    simhashCombos(b).map { idxs =>
+      var mh = 0L; var ml = 0L
+      idxs.foreach { bi =>
+        (los(bi) until los(bi) + widths(bi)).foreach { j =>
+          if (j >= 32) mh |= 1L << (j - 32) else ml |= 1L << j
+        }
+      }
+      (mh, ml)
+    }
+  }
+
+  /** Banded relation of a signature frame under the B-block plan: one
+    * row per (document, combination table) with the table index
+    * (`band`), the concatenated-blocks key (`key`, ≤ 40 bits — exact
+    * long arithmetic), and the full `keys` array for the emit-once
+    * predicate — the [[BandedJoins]] shape, so the SimHash join rides
+    * the family's shared candidate machinery. */
+  private[graft] def simhashKeyed(sig: DataFrame, b: Int): DataFrame = {
+    val widths = simhashBlockWidths(b)
+    val los = simhashBlockLos(widths)
+    val keys = array(simhashCombos(b).map(ix =>
+      ix.foldLeft(lit(0L)) { (acc, bi) =>
+        shiftleft(acc, widths(bi))
+          .bitwiseOR(simhashBlockVal(los(bi), widths(bi)))
+      }): _*)
+    sig.select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+        keys.as("keys"))
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"), col("keys"),
+        posexplode(col("keys")).as(Seq("band", "key")))
+  }
+
+  /** SimHash near-duplicate JOIN — all document pairs within Hamming
+    * distance ≤ 3 of their 64-bit signatures, via the Manku
+    * block-combination equi-join ([[simhashBlockPlan]]). The
     * pigeonhole is LOSSLESS, so unlike the banded LSH families this
     * query is EXACT and the DuckDB oracle brute-forces the full
     * Hamming sweep against it.
     *
-    * Scale shape: the join shuffles (idx, 16-bit block, doc_id,
-    * sig halves) — 4 fixed-width rows per document, never text; a
-    * 16-bit block over N documents buckets ~N/65k uncorrelated rows,
-    * and genuinely-shared blocks are the near-dups being hunted.
-    * Candidates dedup on the pair (multi-block collisions), then the
-    * two-`bit_count` Hamming verify runs per CANDIDATE. A boilerplate
-    * mega-cluster makes its blocks hot — the emission is then the true
-    * pair set, which is itself quadratic in a clique (any exact pair
-    * listing is); [[qSimhashClusters]] is the drop-decision form whose
-    * output stays linear. Signatures ride the md5 plane (the
-    * [[qSimhashChecked]] contract) so the oracle reproduces them
-    * bit-for-bit; the xxhash64 production signature has no DuckDB
-    * dual. */
+    * Scale shape: the join shuffles (table idx, key, doc_id, sig
+    * halves) — C(B,3) fixed-width rows per document, never text — and
+    * the key width grows with log₂ n so uncorrelated bucket occupancy
+    * stays O(1). A pair colliding in several tables emits ONCE, in its
+    * first matching table: the first-match index is recomputed
+    * row-locally from the signature XOR under the combination masks
+    * (r12 verdict item 1b — the old `dropDuplicates` re-shuffled the
+    * candidate set to decide something both rows already carried; the
+    * [[graft.functions.EarlierBandCollision]] precedent, with the
+    * masks as plan literals). The two-`bit_count` Hamming verify runs
+    * per candidate. CONTRACT: this is the exact PAIR LISTING, so a
+    * boilerplate clique's output is inherently quadratic — the work is
+    * output-bound, and [[qSimhashClusters]] is the drop-decision form
+    * whose cost stays linear on the same clique. Signatures ride the
+    * md5 plane (the [[qSimhashChecked]] contract) so the oracle
+    * reproduces them bit-for-bit; the xxhash64 production signature
+    * has no DuckDB dual. */
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(spark, dir))
 
-  private[graft] def simhashPairs(docs: DataFrame): DataFrame = {
-    val sig = simhashMd5Halves(docs)
-    val blocks = array((0 until 4).map { i =>
-      val half = if (i < 2) col("sig_hi") else col("sig_lo")
-      val shift = if (i % 2 == 0) 16 else 0
-      struct(lit(i).as("idx"),
-        shiftright(half, shift).bitwiseAND(lit(0xFFFFL)).as("blk"))
-    }: _*)
-    val keyed = sig.select(col("doc_id"), col("sig_hi"), col("sig_lo"),
-      explode(blocks).as("k"))
-    val hamming =
-      (bit_count(col("a.sig_hi").bitwiseXOR(col("b.sig_hi"))) +
-        bit_count(col("a.sig_lo").bitwiseXOR(col("b.sig_lo"))))
-        .cast("int")
+  private[graft] def simhashPairs(docs: DataFrame): DataFrame =
+    simhashPairsPlanned(docs, simhashBlockPlan(docs.count()))
+
+  private[graft] def simhashPairsPlanned(docs: DataFrame,
+      b: Int): DataFrame = {
+    val keyed = simhashKeyed(simhashMd5Halves(docs), b).drop("keys")
+    val masks = simhashComboMasks(b)
+    val xh = col("a.sig_hi").bitwiseXOR(col("b.sig_hi"))
+    val xl = col("a.sig_lo").bitwiseXOR(col("b.sig_lo"))
+    // smallest combination table this candidate pair matches in — the
+    // unique emission site (when-chain order = table order)
+    val firstIdx = masks.indices.foldRight(lit(-1): Column) { (c, rest) =>
+      when(xh.bitwiseAND(lit(masks(c)._1)) === 0L &&
+        xl.bitwiseAND(lit(masks(c)._2)) === 0L, lit(c)).otherwise(rest)
+    }
+    val hamming = (bit_count(xh) + bit_count(xl)).cast("int")
     keyed.as("a")
       .join(keyed.as("b"),
-        col("a.k") === col("b.k") &&
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.band") === firstIdx && hamming <= 3)
       .select(col("a.doc_id").as("doc_id_a"),
         col("b.doc_id").as("doc_id_b"), hamming.as("hamming"))
-      .dropDuplicates("doc_id_a", "doc_id_b")
-      .filter(col("hamming") <= 3)
       .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
+  /** The SimHash clusters' edge set, built for the linear-cost
+    * contract the pair listing cannot have (r12 verdict item 1c):
+    *
+    *   1. IDENTICAL signatures — the boilerplate mega-cluster, the
+    *      common case in crawl data — collapse LOSSLESSLY before the
+    *      join: every member attaches to its signature group's min-id
+    *      representative by an identity star (Hamming 0 edges preserve
+    *      connectivity EXACTLY, so this is not the capped-bucket
+    *      tradeoff — a k-clique of identical docs costs O(k) edges and
+    *      the cluster answer is still exact);
+    *   2. the DISTINCT-signature representatives ride the family's
+    *      [[BandedJoins.emitOnce]] — emit-once via the keys array,
+    *      plus the hot-bucket star-reduction for the residual
+    *      adversarial case (near-identical-but-distinct signatures
+    *      flooding one combination bucket), with the family's
+    *      documented connectivity-not-pair-completeness tradeoff above
+    *      the cap; healthy corpora have no hot buckets (spec-pinned),
+    *      so the oracle-checked regime is exact.
+    *
+    * Edges, not pairs: the Hamming verify runs per representative
+    * candidate, and the [[Components]] propagation consumes identity
+    * stars natively. */
+  private[graft] def simhashClusterEdges(docs: DataFrame): DataFrame = {
+    val sig = simhashMd5Halves(docs)
+    val withRep = sig.withColumn("rep",
+      min(col("doc_id")).over(Window.partitionBy(col("sig_hi"),
+        col("sig_lo"))))
+    val identity = withRep.filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("id_a"), col("rep").as("id_b"))
+    val reps = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"))
+    val banded = simhashKeyed(reps, simhashBlockPlan(docs.count()))
+    val hamming =
+      (bit_count(col("x.sig_hi").bitwiseXOR(col("y.sig_hi"))) +
+        bit_count(col("x.sig_lo").bitwiseXOR(col("y.sig_lo"))))
+        .cast("int")
+    val repPairs = BandedJoins.emitOnce(banded, banded, "band", "key",
+        "keys", "doc_id", col("x.doc_id") < col("y.doc_id"),
+        Seq(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          hamming.as("hamming")))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"))
+    identity.unionByName(repPairs)
   }
 
   /** SimHash dedup clusters — the family's drop-decision form: the
     * same min-id connected-component labeling every other dedup family
-    * ends in, fed by the exact Hamming ≤ 3 pair set. */
+    * ends in, fed by [[simhashClusterEdges]] (connectivity-exact on
+    * everything the oracle checks; see the edge builder for the
+    * above-cap contract). */
   def qSimhashClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     Components.flagCorpus(docs, "doc_id",
-      Components.labelComponents(simhashPairs(docs)
-        .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))))
+      Components.labelComponents(simhashClusterEdges(docs)))
   }
 
   /** DuckDB dual of [[qSimhashChecked]], kept in lockstep here: the

@@ -355,4 +355,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("simhash pair join: emit-once is row-local — no pair-keyed " +
+      "exchange after the block join") {
+    // r12 verdict item 1b: the old dropDuplicates(doc_id_a, doc_id_b)
+    // re-shuffled the candidate set to decide something both rows
+    // already carry; the first-matching-table predicate must leave NO
+    // exchange keyed on the emitted pair (the only post-join exchange
+    // is the result sort)
+    val p = plan(TextOps.qSimhashPairs(spark, sfDir))
+    assert(!p.contains("hashpartitioning(doc_id_a"),
+      s"pair-keyed exchange found:\n${p.take(3000)}")
+    // and the join really is the banded equi-join (hash/merge — tiny
+    // fixture SFs may broadcast it), never a nested-loop cross product
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join in the simhash pair plan:\n${p.take(3000)}")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
 }

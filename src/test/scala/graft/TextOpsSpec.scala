@@ -1196,8 +1196,11 @@ class TextOpsSpec extends SparkTestBase {
   test("simhash block join is lossless vs brute-force Hamming; exact family") {
     import spark.implicits._
     // randomized corpora with planted near-dups (a dup with one token
-    // changed flips few signature bits): the 4-block pigeonhole join
-    // must return EXACTLY the brute-force Hamming <= 3 sweep
+    // changed flips few signature bits): the block-combination
+    // pigeonhole join must return EXACTLY the brute-force Hamming <= 3
+    // sweep — for EVERY block plan the adaptive rule can pick (B=4 is
+    // what fixture-sized n selects; 5/6/8 are the log₂(n)-scaled
+    // plans, exercised here by forcing the plan)
     val rnd = new scala.util.Random(20260814)
     (1 to 3).foreach { round =>
       val base = (1 to 60).map { i =>
@@ -1216,11 +1219,74 @@ class TextOpsSpec extends SparkTestBase {
         d = java.lang.Long.bitCount(ha ^ hb) +
           java.lang.Long.bitCount(la ^ lb) if d <= 3
       } yield (ia, ib, d)).toSet
-      val got = graft.operators.TextOps.simhashPairs(docs).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-      assert(got == want,
-        s"round $round: missing=${want -- got} spurious=${got -- want}")
       assert(want.nonEmpty, s"round $round planted no near pairs")
+      val auto = graft.operators.TextOps.simhashPairs(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(auto == want,
+        s"round $round auto: missing=${want -- auto} spurious=${auto -- want}")
+      Seq(5, 6, 8).foreach { b =>
+        val got = graft.operators.TextOps.simhashPairsPlanned(docs, b)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(got == want,
+          s"round $round B=$b: missing=${want -- got} spurious=${got -- want}")
+      }
+    }
+    // the adaptive rule itself: key bits track log₂ n
+    assert(graft.operators.TextOps.simhashBlockPlan(1000L) == 4)
+    assert(graft.operators.TextOps.simhashBlockPlan(50000L) == 5)
+    assert(graft.operators.TextOps.simhashBlockPlan(10000000L) == 6)
+    assert(graft.operators.TextOps.simhashBlockPlan(1000000000L) == 8)
+    // and every plan's widths tile the 64 bits exactly
+    Seq(4, 5, 6, 8).foreach { b =>
+      assert(graft.operators.TextOps.simhashBlockWidths(b).sum == 64)
+      assert(graft.operators.TextOps.simhashCombos(b).size ==
+        (b * (b - 1) * (b - 2)) / 6)
+    }
+  }
+
+  test("simhash clusters: a 120-identical-doc mega-cluster costs O(k) " +
+      "edges and no pair-level shuffle work") {
+    import spark.implicits._
+    // r12 verdict item 1c — the clusters consumer must not pay the
+    // clique's O(k²): identical signatures collapse to identity stars
+    // BEFORE the block join, so the banded side sees one row per
+    // distinct signature and the emitted edge set is linear
+    val k = 120
+    val cluster = (0 until k).map(i =>
+      (i.toLong, "boilerplate cookie banner accept terms privacy " +
+        "policy contact about careers sitemap all rights reserved"))
+    val fillers = (0 until 8).map(i =>
+      (1000L + i, (0 until 40).map(j => s"w${i * 977 + j * 31}_$j")
+        .mkString(" ")))
+    val docs = (cluster ++ fillers).toDF("doc_id", "text")
+    val edges = graft.operators.TextOps.simhashClusterEdges(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.length == edges.toSet.size, "duplicate edges")
+    val clusterEdges = edges.filter(e => e._1 < 1000L && e._2 < 1000L)
+    // exactly the k-1 identity star edges — not C(k,2) pairs
+    assert(clusterEdges.toSet ==
+      (1 until k).map(i => (i.toLong, 0L)).toSet,
+      s"expected ${k - 1} identity edges, got ${clusterEdges.length}")
+    // and the distinct-signature banded side has no hot buckets to
+    // star-reduce — the collapse already absorbed the skew
+    val sig = graft.operators.TextOps.simhashMd5Halves(docs)
+    val reps = sig.groupBy(col("sig_hi"), col("sig_lo"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"))
+    val banded = graft.operators.TextOps.simhashKeyed(reps, 4)
+    assert(graft.operators.BandedJoins
+      .hotBuckets(banded, "band", "key").count() == 0)
+    // cluster answer stays exactly right
+    val got = graft.operators.Components.flagCorpus(docs, "doc_id",
+        graft.operators.Components.labelComponents(
+          graft.operators.TextOps.simhashClusterEdges(docs)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    (0 until k).foreach { i =>
+      assert(got(i) == ((i.toLong, 0L, i == 0)), s"doc $i: ${got(i)}")
+    }
+    fillers.indices.foreach { i =>
+      assert(got(k + i) == ((1000L + i, 1000L + i, true)))
     }
   }
 
