@@ -204,6 +204,62 @@ object StreamBench {
         tmp("graft_sb_mv_cp"), retainVersions = 2),
       ds => ds.toDF("doc_id", "op", "source", "text"))
 
+    // 8. CDC apply under a BACKLOG: three seq-ordered ops per doc
+    // coalesced into each micro-batch, so every batch exercises the
+    // r12 `collapseOps` last-op-wins collapse — this leg prices that
+    // hardening instead of only fixture-testing it
+    val cdc2Root = tmp("graft_sb_cdc2")
+    graft.operators.Curation.publishSnapshot(spark, cdcBase, cdc2Root,
+      "base")
+    val backlogOps: Seq[(Long, String, String, Long)] =
+      (0 until 1500).map { i =>
+        val doc = 3000L + i / 3 // doc-major: a doc's ops share a batch
+        if (i % 3 == 2 && doc % 7 == 0) (doc, "delete", null, i.toLong)
+        else (doc, "upsert", words(40, 700000 + i).mkString(" "),
+          i.toLong)
+      }
+    runSinkLeg[(Long, String, String, Long)]("cdc_backlog_collapse",
+      backlogOps,
+      df => graft.streaming.Streams.cdcApplySink(cdc2Root, df,
+        tmp("graft_sb_cdc2_cp"), retainVersions = 2),
+      ds => ds.toDF("doc_id", "op", "text", "seq"))
+
+    // 9. near-dup label-map extension with bounded retention: each
+    // batch probes the published index, extends the label map over
+    // star edges ∪ new pairs, and republishes versioned-then-flip
+    // (retainVersions = 2 — the retention cost rides in the number)
+    val labelsRoot = tmp("graft_sb_labels")
+    graft.operators.Components.publishLabels(spark,
+      graft.operators.Components.labelComponents(
+        graft.operators.TextOps.pairsCarriedStaged(staged)
+          .select(col("id_a"), col("id_b"))),
+      labelsRoot, "base")
+    val labelRows: Seq[(Long, String)] = (0 until 1000).map { i =>
+      val id = 50000L + i
+      if (i % 8 == 0) {
+        val b = (i / 8) % 64
+        (id, (baseTexts(b).take(114) ++ words(6, 400000 + i).map("r" + _))
+          .mkString(" "))
+      } else (id, words(120, 500000 + i).map("y" + _).mkString(" "))
+    }
+    runSinkLeg[(Long, String)]("labels_extend", labelRows,
+      df => graft.streaming.Streams.extendLabelsSink(staged, labelsRoot,
+        df, tmp("graft_sb_labels_cp"), retainVersions = 2),
+      ds => ds.toDF("doc_id", "text"))
+
+    // 10. nightly BPE tokenizer refresh on the streaming clock (r13):
+    // delta-sized word-count fold + versioned word-table publish per
+    // batch; retrain fires only when the capped table moves
+    val tok2 = tmp("graft_sb_tok2")
+    graft.operators.Bpe.publishFit(spark,
+      docRows.take(500).toDF("doc_id", "text"), tok2)
+    val refreshRows: Seq[(Long, String)] = (0 until 2000).map(i =>
+      (20000L + i, words(40, 300000 + i).mkString(" ")))
+    runSinkLeg[(Long, String)]("bpe_refresh", refreshRows,
+      df => graft.streaming.Streams.bpeRefreshSink(tok2, df,
+        tmp("graft_sb_bpe_cp")),
+      ds => ds.toDF("doc_id", "text"))
+
     val legs = results.map { case (k, (_, rps)) =>
       "\"" + k + "\":" + f"$rps%.1f"
     }.mkString("{", ",", "}")

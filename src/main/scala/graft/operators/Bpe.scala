@@ -237,10 +237,18 @@ object Bpe {
     * delta type routes through a full [[publishFit]] today and the
     * requirement is documented here rather than silently mishandled.
     *
+    * @param version explicit name for the updated word-table version —
+    *   the streaming refresh sink passes its qid-bound batch version
+    *   ([[graft.streaming.Streams.bpeRefreshSink]]) so a checkpoint
+    *   replay can recognize its own already-published fold; the batch
+    *   default keeps the `v<n>` sequence. One artifact root is managed
+    *   by ONE cadence — mixing named and sequential versions on the
+    *   same root is unsupported (the sequential path parses its own
+    *   `v<n>` names).
     * @return true iff the merges were retrained and republished. */
   private[graft] def refreshTokenizer(spark: SparkSession, path: String,
       delta: DataFrame, numMerges: Int = 160,
-      maxVocab: Int = 50000): Boolean = {
+      maxVocab: Int = 50000, version: Option[String] = None): Boolean = {
     val wordsRoot = wordsRootOf(path)
     val (v, prev) = currentWords(spark, wordsRoot)
     val updated = prev
@@ -249,13 +257,26 @@ object Bpe {
       .select(col("w"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
           .as("n"))
-    val next = s"v${v.stripPrefix("v").toLong + 1L}"
+    val next = version.getOrElse(s"v${v.stripPrefix("v").toLong + 1L}")
     updated.write.mode("overwrite").parquet(s"$wordsRoot/$next")
     graft.sources.Markers.write(spark, wordsRoot, wordsCurrentMarker,
       next)
     Curation.retireVersions(spark, wordsRoot, next, retainVersions = 2)
-    val after = cappedWords(
-      spark.read.parquet(s"$wordsRoot/$next"), maxVocab)
+    retrainIfStale(spark, path, numMerges, maxVocab)
+  }
+
+  /** The refresh's RETRAIN HALF alone: cap the CURRENT word table and
+    * retrain iff its fingerprint differs from the one the published
+    * tokenizer records having been trained on. Exposed separately
+    * because it is what a replayed streaming batch runs when the word
+    * fold itself already published (marker names the batch's own
+    * version): the fold is a no-op, but a predecessor may still have
+    * died between the flip and the tokenizer republish.
+    * @return true iff the merges were retrained and republished. */
+  private[graft] def retrainIfStale(spark: SparkSession, path: String,
+      numMerges: Int = 160, maxVocab: Int = 50000): Boolean = {
+    val after = cappedWords(currentWords(spark, wordsRootOf(path))._2,
+      maxVocab)
     val afterPrint = trainSetFingerprint(after)
     // the tokenizer artifact's own record of its training set is the
     // comparison baseline — an absent marker (pre-fingerprint artifact

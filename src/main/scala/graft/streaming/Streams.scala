@@ -807,4 +807,49 @@ object Streams {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** Nightly-cadence BPE tokenizer refresh as a STREAMING leg (r12
+    * verdict item 7): each micro-batch of newly-crawled documents is
+    * the append delta [[graft.operators.Bpe.refreshTokenizer]] folds —
+    * delta-sized word counts merged exactly onto the versioned word
+    * table, retrain only when the capped training input moved, every
+    * path skipping the corpus re-scan. CDC/MV got `mvApplySink`; this
+    * closes the same lifecycle for the tokenizer artifact.
+    *
+    * Exactly-once WITHOUT idempotent application: unlike the CDC
+    * merge, re-folding a replayed delta would DOUBLE its counts — so
+    * the word-table version is the qid-bound batch version
+    * ([[sinkVersion]]) and a replay whose version is already current
+    * skips the fold. It still runs the RETRAIN HALF
+    * ([[graft.operators.Bpe.retrainIfStale]]): the predecessor may
+    * have died between the word-table flip and the tokenizer
+    * republish, and the train-set fingerprint the tokenizer artifact
+    * records is exactly the crash-window-proof decision (ADVICE r12).
+    * Every publish in the chain is versioned-then-flip, so no crash
+    * point corrupts a served artifact.
+    *
+    * Cost posture: per batch, one delta-sized count pass + a
+    * vocabulary-sized merge + (rarely) a capped-table retrain — the
+    * batch refresh's exact cost on a streaming clock; trigger interval
+    * is the nightly knob run faster. */
+  def bpeRefreshSink(tokenizerPath: String, docs: DataFrame,
+    checkpointDir: String, numMerges: Int = 160, maxVocab: Int = 50000)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val version = sinkVersion(s, checkpointDir, batchId)
+        if (graft.sources.Markers.readOption(s,
+            graft.operators.Bpe.wordsRootOf(tokenizerPath),
+            graft.operators.Bpe.wordsCurrentMarker).contains(version)) {
+          graft.operators.Bpe.retrainIfStale(s, tokenizerPath,
+            numMerges, maxVocab)
+        } else {
+          graft.operators.Bpe.refreshTokenizer(s, tokenizerPath, batch,
+            numMerges, maxVocab, version = Some(version))
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }

@@ -515,6 +515,64 @@ class CurationStreamSpec extends SparkTestBase {
     assert(dirs.contains(s"b2-$qid"), dirs.toString)
   }
 
+  test("bpe refresh sink: kill + replay never double-folds a delta; " +
+      "tokenizer stays the exact full refit") {
+    // r12 verdict item 7 — the nightly tokenizer refresh under the
+    // streaming posture, with the lifecycle guarantee the CDC/MV sinks
+    // have: a checkpoint-replayed batch must NOT re-add its word
+    // counts (the fold is NOT idempotent, so the qid-bound version
+    // short-circuit carries exactly-once), and the refresh == full
+    // refit exactness contract must hold across the crash.
+    import spark.implicits._
+    import graft.operators.Bpe
+    val base = Seq((1L, "the table scan runs"), (2L, "the value table"),
+      (3L, "scan the stream")).toDF("doc_id", "text")
+    val d1 = (10L to 40L).map(i => (i, "zig zag zig zag zoom"))
+    val p = graft.sources.TempDirs.scratchDir("graft_bpe_sink").toString
+    Bpe.publishFit(spark, base, p, numMerges = 24)
+    val input = tmp("graft_bpe_sink_in")
+    val cp = tmp("graft_bpe_sink_cp")
+    def run(): Unit = {
+      val q = Streams.bpeRefreshSink(p,
+        spark.readStream.schema(docSchema).json(input), cp,
+        numMerges = 24)
+      try q.processAllAvailable() finally q.stop()
+    }
+    d1.toDF("doc_id", "text").coalesce(1).write.mode("append").json(input)
+    run()
+    def refit(dfs: org.apache.spark.sql.DataFrame*) = Bpe.trainBpe(
+      Bpe.cappedWords(Bpe.wordCounts(dfs.reduce(_ unionByName _))),
+      numMerges = 24)
+    val wantD1 = refit(base, d1.toDF("doc_id", "text"))
+    assert(Bpe.loadTokenizer(spark, p) === wantD1)
+    // crash window: batch 0's artifacts are fully published but its
+    // checkpoint commit is lost — the replay must fold NOTHING
+    val refitsBefore = Bpe.refitInvocations.get()
+    val commit = new java.io.File(s"$cp/commits/0")
+    assert(commit.exists() && commit.delete())
+    new java.io.File(s"$cp/commits/.0.crc").delete()
+    run()
+    assert(Bpe.loadTokenizer(spark, p) === wantD1,
+      "replayed delta was folded twice")
+    assert(Bpe.refitInvocations.get() == refitsBefore,
+      "replay retrained on an unchanged training set")
+    // exact word table: fold happened exactly once
+    val words = spark.read.parquet(Bpe.wordsRootOf(p) + "/" +
+        graft.sources.Markers.read(spark, Bpe.wordsRootOf(p),
+          Bpe.wordsCurrentMarker))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = Bpe.wordCounts(base.unionByName(d1.toDF("doc_id", "text")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(words == want)
+    // and the stream keeps rolling: a second delta refreshes to the
+    // doubly-grown exact refit
+    val d2 = (50L to 90L).map(i => (i, "quark boson lepton quark"))
+    d2.toDF("doc_id", "text").coalesce(1).write.mode("append").json(input)
+    run()
+    assert(Bpe.loadTokenizer(spark, p) ===
+      refit(base, d1.toDF("doc_id", "text"), d2.toDF("doc_id", "text")))
+  }
+
   test("a fresh checkpoint over a reused root publishes its batch 0 " +
       "despite the prior run's stale marker") {
     // ADVICE r12 (medium): versions keyed on batchId alone survive a
