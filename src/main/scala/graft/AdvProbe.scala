@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BandedJoins, TextOps}
+import graft.sources.Tables
+
+/** Guard-counter probe over the ADVERSARIAL ScaleGen dataset (r12
+  * verdict item 3): the hot-bucket star-reductions and AQE skew
+  * handling exist for data shaped like this; this main measures each
+  * guard actually FIRING on artifact-scale volume and prints one JSON
+  * line for `SCALE.md`. Companion to the oracle sweep
+  * (`CORRECTNESS_ADV_r13.json`), which proves the ANSWERS stay
+  * right — this proves the COST posture (O(k) candidate emission on a
+  * k-clique, split skewed partitions) held while they did.
+  *
+  * The skew probe forces the plan shape a 1000-executor corpus join
+  * would have: the 15k-row customer dim broadcasts at test scale,
+  * which makes key skew invisible by construction (a broadcast join
+  * has no shuffle partitions to skew) — THAT is the first guard, and
+  * it is asserted. Disabling broadcast then plans the real shuffled
+  * join, where AQE's skew-join rule must split the ~25%-of-orders hot
+  * key; the thresholds are lowered to artifact scale (the hot
+  * partition is ~10 MB here, not the default 256 MB) and the probe
+  * reports the `skew=true` plan marker plus the partition multiple.
+  */
+object AdvProbe {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/repo/tmp/sfadv")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, dir)
+    val clique = col("doc_id") >= ScaleGen.megaClusterBase
+    val k = docs.filter(clique).count()
+
+    // --- MinHash banded family: hot buckets detected, star-reduced ---
+    val staged = TextOps.stageDocs(docs).localCheckpoint(true)
+    val banded = staged
+      .select(col("doc_id"), posexplode(col("bsigs")).as(Seq("band", "bhash")))
+    val hotMinhash = BandedJoins.hotBuckets(banded, "band", "bhash").count()
+    val cands = TextOps.minhashCandidates(docs)
+      .filter(col("id_a") >= ScaleGen.megaClusterBase &&
+        col("id_b") >= ScaleGen.megaClusterBase)
+      .count()
+
+    // --- SimHash clusters: identical-signature collapse ---
+    val sig = TextOps.simhashMd5Halves(docs.filter(clique))
+    val identityEdges = TextOps.simhashClusterEdges(docs)
+      .filter(col("id_a") >= ScaleGen.megaClusterBase &&
+        col("id_b") >= ScaleGen.megaClusterBase)
+      .count()
+    val distinctCliqueSigs = sig.select(col("sig_hi"), col("sig_lo"))
+      .distinct().count()
+
+    // --- AQE skew join on the planted hot o_custkey ---
+    val orders = Tables.orders(spark, dir)
+    val hotKeyOrders = orders.filter(col("o_custkey") === 42L).count()
+    val customer = Tables.customer(spark, dir)
+    def joinPlan(): String = {
+      val j = orders.join(customer,
+          col("o_custkey") === col("c_custkey"))
+        .agg(sum(col("o_totalprice")).as("s"))
+      j.collect()
+      j.queryExecution.executedPlan.toString
+    }
+    // guard 1: at dim scale the join BROADCASTS — skew cannot exist
+    val broadcastPlan = joinPlan()
+    val broadcastImmune = broadcastPlan.contains("BroadcastHashJoin")
+    // guard 2: force the 100 TB shape (no broadcast) and let AQE split
+    // the skewed partition; thresholds lowered to artifact scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "512k")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "2")
+    val shuffledPlan = joinPlan()
+    val skewSplit = shuffledPlan.contains("skew=true")
+
+    println(Seq(
+      s""""mega_cluster_docs":$k""",
+      s""""minhash_hot_buckets":$hotMinhash""",
+      s""""minhash_clique_candidates":$cands""",
+      s""""minhash_clique_all_pairs":${k * (k - 1) / 2}""",
+      s""""simhash_identity_edges":$identityEdges""",
+      s""""simhash_distinct_clique_sigs":$distinctCliqueSigs""",
+      s""""skewed_key_orders":$hotKeyOrders""",
+      s""""broadcast_join_immune_to_skew":$broadcastImmune""",
+      s""""aqe_skew_join_split":$skewSplit""").mkString("{", ",", "}"))
+    spark.stop()
+  }
+}

@@ -55,10 +55,37 @@ import org.apache.spark.sql.functions._
 object ScaleGen {
   val stride = 10_000_000L
 
+  /** Adversarial-mode plants (4th arg `adversarial` — r12 verdict item
+    * 3: the hot-bucket guards, star-reductions, and AQE skew handling
+    * were pinned only by fixture-scale specs; this mode produces a
+    * committed-artifact-sized dataset that is deliberately UNHEALTHY):
+    *
+    *   - a [[megaClusterDocs]]-doc boilerplate cluster of IDENTICAL
+    *     text appended to `documents` (ids from [[megaClusterBase]],
+    *     disjoint bp-prefixed vocabulary so it perturbs no healthy
+    *     near-dup relation) — every banded dedup family's hot-bucket /
+    *     identity-collapse path fires on real volume, and the exact
+    *     pair-listing queries carry a genuine half-million-pair clique;
+    *   - a skewed join key: in every inflated copy k ≥ 1, 25% of
+    *     orders point at copy-0 customer 42 (~340k of 1.5M orders on
+    *     one key at 10×) — the broadcast-dim plans shrug it off by
+    *     construction, and `AdvProbe` forces the non-broadcast shape a
+    *     1000-executor corpus join would take to show AQE splitting
+    *     the skewed partition.
+    *
+    * Oracles still recompute on the same parquet, so the sweep stays
+    * hash-exact EXCEPT where a guard's documented contract trades pair
+    * completeness for connectivity above the hot-bucket cap —
+    * `tools/adv_artifact.py` whitelists exactly those, with their
+    * failure signatures. */
+  val megaClusterDocs = 1000
+  val megaClusterBase = 500_000_000L // far above copies*stride + any source id
+
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/root/repo/tmp/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val adversarial = args.lift(3).contains("adversarial")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -154,17 +181,44 @@ object ScaleGen {
         .toDF("vec_id", "embedding", "label")
     }
 
+    // adversarial plant 1: identical-text boilerplate mega-cluster,
+    // ids far above every shifted healthy id, vocabulary disjoint from
+    // the corpus so no unintended near-dup relation forms
+    val bpText = (0 until 45).map(i => s"bp$i").mkString(" ")
+    val megaCluster = spark.range(megaClusterDocs).select(
+      (col("id") + megaClusterBase).as("doc_id"),
+      lit(bpText).as("text"), lit("zh").as("lang"),
+      lit("src0").as("source"),
+      lit(bpText.length.toLong).as("n_chars"))
+    // adversarial plant 2: every copy k >= 1 points 25% of its orders
+    // at copy-0 customer 42 (mutate runs AFTER the key shift; the
+    // stride is divisible by 4, so the same source orders skew in
+    // every copy)
+    def skewCustkey(d: DataFrame, k: Int): DataFrame =
+      d.withColumn("o_custkey",
+        when(pmod(col("o_orderkey"), lit(4L)) === 0L, lit(42L))
+          .otherwise(col("o_custkey")))
+
+    val documentsPlan = {
+      val healthy = inflate(tbl("documents"), Seq("doc_id"), suffixTokens)
+      if (adversarial) healthy.unionByName(megaCluster) else healthy
+    }
+    val ordersPlan =
+      if (adversarial)
+        inflate(tbl("orders"), Seq("o_orderkey", "o_custkey"), skewCustkey)
+      else inflate(tbl("orders"), Seq("o_orderkey", "o_custkey"))
+
     val plans: Seq[(String, DataFrame)] = Seq(
       "region" -> tbl("region"),
       "nation" -> tbl("nation"),
       "customer" -> inflate(tbl("customer"), Seq("c_custkey")),
       "supplier" -> inflate(tbl("supplier"), Seq("s_suppkey")),
       "part" -> inflate(tbl("part"), Seq("p_partkey")),
-      "orders" -> inflate(tbl("orders"), Seq("o_orderkey", "o_custkey")),
+      "orders" -> ordersPlan,
       "lineitem" -> inflate(tbl("lineitem"),
         Seq("l_orderkey", "l_partkey", "l_suppkey")),
       "events" -> inflate(tbl("events"), Seq("event_id", "user_id")),
-      "documents" -> inflate(tbl("documents"), Seq("doc_id"), suffixTokens),
+      "documents" -> documentsPlan,
       "embeddings" -> inflateEmbeddings(tbl("embeddings")))
     plans.foreach { case (name, df) =>
       df.repartition(cpus.toInt)

@@ -2144,8 +2144,17 @@ object TextOps {
     simhashPairsPlanned(docs, simhashBlockPlan(docs.count()))
 
   private[graft] def simhashPairsPlanned(docs: DataFrame,
-      b: Int): DataFrame = {
-    val keyed = simhashKeyed(simhashMd5Halves(docs), b).drop("keys")
+      b: Int): DataFrame =
+    simhashSigPairs(simhashMd5Halves(docs), b)
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+
+  /** The exact block-combination Hamming ≤ 3 join over any
+    * (doc_id, sig_hi, sig_lo) frame — shared by the pair listing
+    * (whole corpus) and the clusters path (distinct-signature
+    * representatives). Emit-once is the row-local first-matching-table
+    * predicate; output (doc_id_a, doc_id_b, hamming), unordered. */
+  private[graft] def simhashSigPairs(sig: DataFrame, b: Int): DataFrame = {
+    val keyed = simhashKeyed(sig, b).drop("keys")
     val masks = simhashComboMasks(b)
     val xh = col("a.sig_hi").bitwiseXOR(col("b.sig_hi"))
     val xl = col("a.sig_lo").bitwiseXOR(col("b.sig_lo"))
@@ -2163,31 +2172,35 @@ object TextOps {
       .filter(col("a.band") === firstIdx && hamming <= 3)
       .select(col("a.doc_id").as("doc_id_a"),
         col("b.doc_id").as("doc_id_b"), hamming.as("hamming"))
-      .orderBy(col("doc_id_a"), col("doc_id_b"))
   }
 
   /** The SimHash clusters' edge set, built for the linear-cost
     * contract the pair listing cannot have (r12 verdict item 1c):
+    * IDENTICAL signatures — the boilerplate mega-cluster, the common
+    * case in crawl data — collapse LOSSLESSLY before the join: every
+    * member attaches to its signature group's min-id representative by
+    * an identity star (Hamming 0 edges preserve connectivity EXACTLY,
+    * so a k-clique of identical docs costs O(k) edges and the cluster
+    * answer is still exact), and only the DISTINCT-signature
+    * representatives enter the block-combination join — the same exact
+    * [[simhashSigPairs]] the pair listing uses.
     *
-    *   1. IDENTICAL signatures — the boilerplate mega-cluster, the
-    *      common case in crawl data — collapse LOSSLESSLY before the
-    *      join: every member attaches to its signature group's min-id
-    *      representative by an identity star (Hamming 0 edges preserve
-    *      connectivity EXACTLY, so this is not the capped-bucket
-    *      tradeoff — a k-clique of identical docs costs O(k) edges and
-    *      the cluster answer is still exact);
-    *   2. the DISTINCT-signature representatives ride the family's
-    *      [[BandedJoins.emitOnce]] — emit-once via the keys array,
-    *      plus the hot-bucket star-reduction for the residual
-    *      adversarial case (near-identical-but-distinct signatures
-    *      flooding one combination bucket), with the family's
-    *      documented connectivity-not-pair-completeness tradeoff above
-    *      the cap; healthy corpora have no hot buckets (spec-pinned),
-    *      so the oracle-checked regime is exact.
-    *
-    * Edges, not pairs: the Hamming verify runs per representative
-    * candidate, and the [[Components]] propagation consumes identity
-    * stars natively. */
+    * Deliberately NO capped-bucket star-reduction on the
+    * representative join, and the r13 adversarial sweep is why: this
+    * family is EXACT, and its hot buckets are CORRELATION, not
+    * duplication. The corpus's shared vocabulary correlates signature
+    * bits, so distinct-sig buckets go hot structurally (26 buckets of
+    * 66–184 reps at the adversarial 10×), and a star edge from such a
+    * bucket's min FAILS the Hamming verify against members the min is
+    * not itself near — measured: star-reducing them split 490
+    * documents off their true components. The approximate LSH
+    * families' tradeoff (verify prunes leaf pairs of a bucket whose
+    * members ARE all similar) does not transfer. What bounds the
+    * join instead: the identity collapse (duplication mass), the
+    * log₂(n)-scaled key width (random floor), and for correlated
+    * corpora the [[BandedJoins.hotBuckets]] metric stays the loud
+    * marker whose remedy is a LARGER block plan — more tables of wider
+    * keys split correlated mass losslessly; star reduction cannot. */
   private[graft] def simhashClusterEdges(docs: DataFrame): DataFrame = {
     val sig = simhashMd5Halves(docs)
     val withRep = sig.withColumn("rep",
@@ -2197,25 +2210,16 @@ object TextOps {
       .select(col("doc_id").as("id_a"), col("rep").as("id_b"))
     val reps = withRep.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("sig_hi"), col("sig_lo"))
-    val banded = simhashKeyed(reps, simhashBlockPlan(docs.count()))
-    val hamming =
-      (bit_count(col("x.sig_hi").bitwiseXOR(col("y.sig_hi"))) +
-        bit_count(col("x.sig_lo").bitwiseXOR(col("y.sig_lo"))))
-        .cast("int")
-    val repPairs = BandedJoins.emitOnce(banded, banded, "band", "key",
-        "keys", "doc_id", col("x.doc_id") < col("y.doc_id"),
-        Seq(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-          hamming.as("hamming")))
-      .filter(col("hamming") <= 3)
-      .select(col("id_a"), col("id_b"))
+    val repPairs = simhashSigPairs(reps, simhashBlockPlan(docs.count()))
+      .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
     identity.unionByName(repPairs)
   }
 
   /** SimHash dedup clusters — the family's drop-decision form: the
     * same min-id connected-component labeling every other dedup family
-    * ends in, fed by [[simhashClusterEdges]] (connectivity-exact on
-    * everything the oracle checks; see the edge builder for the
-    * above-cap contract). */
+    * ends in, fed by [[simhashClusterEdges]] — connectivity-exact
+    * (the edge builder documents why this family takes no capped-
+    * bucket star-reduction). */
   def qSimhashClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     Components.flagCorpus(docs, "doc_id",

@@ -1268,8 +1268,10 @@ class TextOpsSpec extends SparkTestBase {
     assert(clusterEdges.toSet ==
       (1 until k).map(i => (i.toLong, 0L)).toSet,
       s"expected ${k - 1} identity edges, got ${clusterEdges.length}")
-    // and the distinct-signature banded side has no hot buckets to
-    // star-reduce — the collapse already absorbed the skew
+    // and the distinct-signature banded side carries no hot bucket —
+    // the identity collapse already absorbed the duplication mass
+    // (correlated-corpus hot buckets are a different phenomenon the
+    // edge builder documents; this fixture has none)
     val sig = graft.operators.TextOps.simhashMd5Halves(docs)
     val reps = sig.groupBy(col("sig_hi"), col("sig_lo"))
       .agg(min(col("doc_id")).as("doc_id"))
