@@ -73,24 +73,39 @@ object Components {
     */
   private[graft] def labelComponentsCounted(
     pairs: DataFrame): (DataFrame, Int) = {
-    // node universe first: the star rewrites retire edges, but every
-    // endpoint of the INPUT graph must appear in the label map
-    val nodes = pairs.select(col("id_a").as("node_id"))
-      .unionByName(pairs.select(col("id_b").as("node_id")))
-      .distinct()
-      .localCheckpoint(true)
     // canonical directed edges (u > v), self-loops dropped, parallel
     // edges merged — the representation both star operations emit
-    var edges = pairs
+    val edges0 = pairs
       .filter(col("id_a") =!= col("id_b"))
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .distinct()
       .localCheckpoint(true)
+    var edges = edges0
+    // node universe: every endpoint of the input graph must appear in
+    // the label map even after the star rewrites retire its edges.
+    // Derived LAZILY from the materialized canonical frame — deriving
+    // it from `pairs` would re-execute the caller's entire
+    // pair-generation pipeline a second time at the final label join
+    // (measured: ~2 s per clusters query at sf0.1). A node appearing
+    // ONLY in degenerate self-pairs is absent, which is exactly the
+    // singleton case every caller already defaults to itself.
+    val nodes = edges0.select(col("u").as("node_id"))
+      .unionByName(edges0.select(col("v").as("node_id")))
+      .distinct()
     var converged = edges.isEmpty
     var round = 0
     while (!converged && round < clusterMaxRounds) {
       round += 1
+      // ONE materialization per round (cost parity with the loop this
+      // replaced — the first cut checkpointed large and small
+      // separately and benched ~1.5× slower at sf0.1, where per-round
+      // fixed cost dominates the tiny dup-set-sized frames):
+      // large-star and small-star compose into a single plan, and
+      // duplicate emissions ride to the round's final distinct — the
+      // min-aggregates are insensitive to them, and Spark's exchange
+      // reuse covers large's two consumers.
+      //
       // large-star over the SYMMETRIC neighborhood: m = min(Γ⁺(u));
       // each neighbor x > u re-attaches as (x, m). x > u ≥ m keeps the
       // canonical orientation without a re-sort.
@@ -101,8 +116,6 @@ object Components {
       val large = sym.join(mins, col("u") === col("cu"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
-        .localCheckpoint(true)
       // small-star on the downward edges: u and all its smaller
       // neighbors re-attach to their minimum. Grouping the canonical
       // orientation by u IS the smaller-neighborhood Γ⁻(u).
@@ -113,12 +126,13 @@ object Components {
         .unionByName(mn2.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint(true)
-      // fixed point: the round rewrote the edge set to itself (both
-      // frames are distinct canonical sets, so symmetric difference
-      // empty ⇔ equal)
-      converged = small.exceptAll(edges)
-        .unionByName(edges.exceptAll(small))
-        .isEmpty
+      // fixed point: the round rewrote the edge set to itself. Both
+      // frames are DISTINCT canonical sets and both are materialized,
+      // so equal counts + one empty anti-join ⇔ equality — two cheap
+      // in-memory actions (the exceptAll symmetric difference this
+      // replaces planned two aggregate-heavy scans per round)
+      converged = small.count() == edges.count() &&
+        small.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = small
     }
     if (!converged) {
