@@ -60,6 +60,20 @@ object AdvProbe {
       .count()
     val distinctCliqueSigs = sig.select(col("sig_hi"), col("sig_lo"))
       .distinct().count()
+    // correlated-corpus hot buckets vs block-plan width: the exact
+    // family's documented remedy is a WIDER plan (more combination
+    // tables of more shared bits), not star reduction — measure the
+    // hot mass actually shrinking as B grows
+    val allSig = TextOps.simhashMd5Halves(docs)
+    val repsAll = allSig.groupBy(col("sig_hi"), col("sig_lo"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"))
+      .localCheckpoint(true)
+    def hotAt(bPlan: Int): Long =
+      BandedJoins.hotBuckets(
+        TextOps.simhashKeyed(repsAll, bPlan), "band", "key").count()
+    val hotByPlan = Seq(4, 5, 6, 8).map(bp => s""""B$bp":${hotAt(bp)}""")
+      .mkString("{", ",", "}")
 
     // --- AQE skew join on the planted hot o_custkey ---
     val orders = Tables.orders(spark, dir)
@@ -72,9 +86,15 @@ object AdvProbe {
       j.collect()
       j.queryExecution.executedPlan.toString
     }
-    // guard 1: at dim scale the join BROADCASTS — skew cannot exist
+    // guard 1: at dim scale the join BROADCASTS — skew cannot exist.
+    // ASSERTED, not just recorded: a committed artifact claiming the
+    // guard while the plan silently stopped broadcasting would be
+    // worse than no artifact.
     val broadcastPlan = joinPlan()
     val broadcastImmune = broadcastPlan.contains("BroadcastHashJoin")
+    require(broadcastImmune,
+      "customer dim no longer broadcasts — the skew-immunity guard " +
+        "this probe documents has regressed:\n" + broadcastPlan.take(2000))
     // guard 2: force the 100 TB shape (no broadcast) and let AQE split
     // the skewed partition; thresholds lowered to artifact scale
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -94,6 +114,7 @@ object AdvProbe {
       s""""minhash_clique_all_pairs":${k * (k - 1) / 2}""",
       s""""simhash_identity_edges":$identityEdges""",
       s""""simhash_distinct_clique_sigs":$distinctCliqueSigs""",
+      s""""simhash_hot_buckets_by_plan":$hotByPlan""",
       s""""skewed_key_orders":$hotKeyOrders""",
       s""""broadcast_join_immune_to_skew":$broadcastImmune""",
       s""""aqe_skew_join_split":$skewSplit""").mkString("{", ",", "}"))

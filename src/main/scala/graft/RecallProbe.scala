@@ -43,7 +43,9 @@ object RecallProbe {
         .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
     val exact = topSets(model.nlist)
     val curve = Seq(3, 8, 16, 32, 64, model.nlist).distinct.map { np =>
-      val got = topSets(np)
+      // the nlist point IS the truth set — reuse it instead of paying
+      // the full probe (the run's costliest scan) a second time
+      val got = if (np == model.nlist) exact else topSets(np)
       val recall = exact.keys.toSeq.map(q =>
         got.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble /
           exact(q).size).sum / exact.size

@@ -86,6 +86,11 @@ object ScaleGen {
     val dst = args.lift(1).getOrElse("/root/repo/tmp/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     val adversarial = args.lift(3).contains("adversarial")
+    require(!adversarial ||
+      copies.toLong * stride + stride <= megaClusterBase,
+      s"adversarial mode with $copies copies would shift healthy ids " +
+        s"into the mega-cluster range at $megaClusterBase — raise " +
+        "megaClusterBase or lower copies")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -2140,6 +2140,8 @@ object TextOps {
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(spark, dir))
 
+  // the plan-picking count is a zero-column parquet count (row-group
+  // metadata speed — no text bytes are read), not a second corpus scan
   private[graft] def simhashPairs(docs: DataFrame): DataFrame =
     simhashPairsPlanned(docs, simhashBlockPlan(docs.count()))
 

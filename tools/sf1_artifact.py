@@ -35,8 +35,11 @@ def expected_divergence(line):
     surfaces at a rank the undercount reordered.  A schema (columns)
     mismatch or an execution ERROR is never that contract — a real
     regression must not hide behind the scoped label."""
-    if re.match(r"FAIL\s+\S+: row count spark=\d+ duck=\d+", line):
-        return True
+    m = re.match(r"FAIL\s+\S+: row count spark=(\d+) duck=(\d+)", line)
+    if m:
+        # the MG contract only ever DROPS hitters below threshold —
+        # a spark-side overcount is a regression, never the contract
+        return int(m.group(1)) < int(m.group(2))
     m = re.match(
         r"FAIL\s+\S+: row \d+ col (\w+): spark=(\S+) duck=(\S+)", line)
     if not m:
