@@ -154,6 +154,7 @@ object SparkEntry {
     "q_simhash_checked" -> (TextOps.qSimhashChecked _),
     "q_simhash_pairs"   -> (TextOps.qSimhashPairs _),
     "q_simhash_clusters" -> (TextOps.qSimhashClusters _),
+    "q_simhash_incremental" -> (TextOps.qSimhashIncremental _),
     "q_fingerprint"     -> (TextOps.qFingerprint _),
     "q_fingerprint_checked" -> (TextOps.qFingerprintChecked _),
     "q_bpe_encode"      -> (Bpe.qBpeEncode _),
@@ -990,10 +991,15 @@ object SparkEntry {
     // md5 SimHash ride: same tokenize/vote/tie/bit-order semantics as
     // q_simhash, DuckDB-shared bit planes (kept next to the query).
     "q_simhash_checked" -> TextOps.simhashCheckedOracle,
-    // q_simhash_pairs: EXACT (the 4-block pigeonhole is lossless for
-    // Hamming <= 3), so the oracle brute-forces the full Hamming sweep
-    // over the same md5-plane signatures.
+    // q_simhash_pairs: EXACT (the block-combination pigeonhole is
+    // lossless for Hamming <= 3 at every block plan), so the oracle
+    // brute-forces the full Hamming sweep over the same md5-plane
+    // signatures.
     "q_simhash_pairs" -> TextOps.simhashPairsOracle,
+    // q_simhash_incremental: the increment split probes the published
+    // rep index and extends the base label map — the result must equal
+    // the FULL recompute, so it rides the identical reachability oracle
+    "q_simhash_incremental" -> TextOps.simhashClustersOracle,
     // q_simhash_clusters: true reachability over the exact Hamming <= 3
     // pair graph, same recursive pattern as the other dedup families.
     "q_simhash_clusters" -> TextOps.simhashClustersOracle,

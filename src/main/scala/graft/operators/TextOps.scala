@@ -2228,6 +2228,103 @@ object TextOps {
       Components.labelComponents(simhashClusterEdges(docs)))
   }
 
+  /** The cross-relation block-combination Hamming ≤ 3 join —
+    * [[simhashSigPairs]]'s two-sided form for the incremental probe:
+    * `left` is the published index side (x), `right` the increment
+    * (y, the hash-join build side — pass the SMALLER relation there).
+    * The sides are DISJOINT id sets, so uniqueness needs no id
+    * ordering: a pair colliding in several tables still emits once,
+    * in its first matching table. Output (doc_id_a = increment id,
+    * doc_id_b = index id, hamming). */
+  private[graft] def simhashSigPairsBetween(left: DataFrame,
+      right: DataFrame, b: Int): DataFrame = {
+    val keyedL = simhashKeyed(left, b).drop("keys")
+    val keyedR = simhashKeyed(right, b).drop("keys")
+    val masks = simhashComboMasks(b)
+    val xh = col("x.sig_hi").bitwiseXOR(col("y.sig_hi"))
+    val xl = col("x.sig_lo").bitwiseXOR(col("y.sig_lo"))
+    val firstIdx = masks.indices.foldRight(lit(-1): Column) { (c, rest) =>
+      when(xh.bitwiseAND(lit(masks(c)._1)) === 0L &&
+        xl.bitwiseAND(lit(masks(c)._2)) === 0L, lit(c)).otherwise(rest)
+    }
+    val hamming = (bit_count(xh) + bit_count(xl)).cast("int")
+    keyedL.as("x")
+      .join(keyedR.as("y").hint("shuffle_hash"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .filter(col("x.band") === firstIdx && hamming <= 3)
+      .select(col("y.doc_id").as("doc_id_a"),
+        col("x.doc_id").as("doc_id_b"), hamming.as("hamming"))
+  }
+
+  /** Fitted incremental-SimHash state (the [[dedupStateFor]] posture
+    * applied to this family): yesterday's nightly job computed the
+    * base split's signatures ONCE, collapsed them to distinct-sig
+    * representatives, published the rep table + block plan as a
+    * parquet index, and persisted the finished base label map. */
+  private[graft] case class SimhashState(repsPath: String,
+    labelsPath: String, b: Int)
+
+  private[graft] val simhashFitInvocations =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val fittedSimhashState = new FitCache[SimhashState]((s, d) => {
+    simhashFitInvocations.incrementAndGet()
+    val base = Tables.documents(s, d).filter(!isIncrementDoc)
+    val b = simhashBlockPlan(base.count())
+    val sig = simhashMd5Halves(base)
+    val withRep = sig.withColumn("rep",
+      min(col("doc_id")).over(Window.partitionBy(col("sig_hi"),
+        col("sig_lo"))))
+    val rp = graft.sources.TempDirs
+      .scratchDir("graft_simhash_base_reps").toString
+    withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"))
+      .write.mode("overwrite").parquet(rp)
+    graft.sources.Markers.write(s, rp, "_graft_simhash_b", b.toString)
+    val reps = s.read.parquet(rp)
+    val edges = withRep.filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("id_a"), col("rep").as("id_b"))
+      .unionByName(simhashSigPairs(reps, b)
+        .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b")))
+    val lp = graft.sources.TempDirs
+      .scratchDir("graft_simhash_base_labels").toString
+    Components.labelComponents(edges)
+      .write.mode("overwrite").parquet(lp)
+    SimhashState(rp, lp, b)
+  })
+
+  /** Incremental SimHash clustering — the family's nightly member
+    * (MinHash and embedding dedup each have one; family symmetry was
+    * the r12 join's point): the ~20% increment split
+    * ([[isIncrementDoc]]) computes its signatures fresh (it IS the new
+    * data), probes the published distinct-sig REP index through the
+    * exact cross block join, self-joins within the increment, and the
+    * base label map extends through star edges — base signatures are
+    * never recomputed (fit-counter-pinned) and old-vs-old pairs never
+    * re-verified.
+    *
+    * Probing REPS is connectivity-EXACT, not an approximation: a new
+    * document within Hamming ≤ 3 of base member m is within the same
+    * distance of m's representative (identical signature), and the
+    * base map already connects m to that representative — so every
+    * cross component merge survives. The ORACLE is therefore the full
+    * recompute: the same recursive reachability that checks
+    * [[qSimhashClusters]] must hash-match this incremental path. */
+  def qSimhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val st = fittedSimhashState.get(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val incSig = simhashMd5Halves(docs.filter(isIncrementDoc))
+      .localCheckpoint(true)
+    val reps = spark.read.parquet(st.repsPath)
+    val cross = simhashSigPairsBetween(reps, incSig, st.b)
+    val within = simhashSigPairs(incSig, st.b)
+    val incPairs = cross.unionByName(within)
+      .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
+    Components.flagCorpus(docs, "doc_id",
+      Components.extendLabels(spark.read.parquet(st.labelsPath),
+        incPairs))
+  }
+
   /** DuckDB dual of [[qSimhashChecked]], kept in lockstep here: the
     * same md5-hex halves (`'0x…'::BIGINT` is DuckDB's exact 32-bit hex
     * parse, Spark's `conv(…,16,10)` the other side), the same ±1

@@ -1292,6 +1292,26 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("simhash incremental equals the full recompute; the base fit " +
+      "runs once across invocations") {
+    // the family's nightly member (r13): the increment probes the
+    // published rep index and extends the base label map — the result
+    // must be INDISTINGUISHABLE from recomputing the clusters over the
+    // whole corpus (the same contract q_dedup_incremental carries, and
+    // the same recursive-reachability oracle checks it at sf0.01)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val full = key(graft.operators.TextOps.qSimhashClusters(spark, sfDir))
+    val fitsBefore = graft.operators.TextOps.simhashFitInvocations.get()
+    val inc = key(graft.operators.TextOps.qSimhashIncremental(spark, sfDir))
+    assert(inc == full, "incremental path diverged from full recompute")
+    // a second invocation serves from the published artifacts — the
+    // base corpus is never re-signed (the minhash fitInvocations pin)
+    key(graft.operators.TextOps.qSimhashIncremental(spark, sfDir))
+    assert(graft.operators.TextOps.simhashFitInvocations.get() <=
+      fitsBefore + 1, "base simhash fit re-ran on a warm query")
+  }
+
   test("heavyHittersVerified is exact beyond the sketch's exact regime") {
     import spark.implicits._
     // vocabulary (902) ≫ capacity (1/support = 10) — the regime where
