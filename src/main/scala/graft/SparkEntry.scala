@@ -155,6 +155,7 @@ object SparkEntry {
     "q_simhash_pairs"   -> (TextOps.qSimhashPairs _),
     "q_simhash_clusters" -> (TextOps.qSimhashClusters _),
     "q_simhash_incremental" -> (TextOps.qSimhashIncremental _),
+    "q_simhash_compact" -> (TextOps.qSimhashCompact _),
     "q_fingerprint"     -> (TextOps.qFingerprint _),
     "q_fingerprint_checked" -> (TextOps.qFingerprintChecked _),
     "q_bpe_encode"      -> (Bpe.qBpeEncode _),
@@ -1000,6 +1001,9 @@ object SparkEntry {
     // rep index and extends the base label map — the result must equal
     // the FULL recompute, so it rides the identical reachability oracle
     "q_simhash_incremental" -> TextOps.simhashClustersOracle,
+    // q_simhash_compact: retirement + re-election + re-pairing of the
+    // stale-fitted artifacts must equal the same full recompute
+    "q_simhash_compact" -> TextOps.simhashClustersOracle,
     // q_simhash_clusters: true reachability over the exact Hamming <= 3
     // pair graph, same recursive pattern as the other dedup families.
     "q_simhash_clusters" -> TextOps.simhashClustersOracle,

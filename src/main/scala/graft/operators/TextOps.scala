@@ -2238,8 +2238,18 @@ object TextOps {
     * doc_id_b = index id, hamming). */
   private[graft] def simhashSigPairsBetween(left: DataFrame,
       right: DataFrame, b: Int): DataFrame = {
-    val keyedL = simhashKeyed(left, b).drop("keys")
+    // bloom prune (the [[incrementPairs]] posture): the index side
+    // pays the probe's dominant cost — a corpus-banded exchange whose
+    // rows almost all lack a partner; a driver bloom over the
+    // increment's (band, key) set drops them BEFORE the shuffle (false
+    // positives only add verify work, false negatives cannot exist)
+    // (callers pass a MATERIALIZED increment sig frame — qSimhash-
+    // Incremental checkpoints it — so the bloom build's two actions
+    // re-derive only a projection+posexplode, not the vote aggregation)
     val keyedR = simhashKeyed(right, b).drop("keys")
+    val keyedL = ProbeFilters.bloomSemi(
+      simhashKeyed(left, b).drop("keys"),
+      keyedR.select(col("band"), col("key")), Seq("band", "key"))
     val masks = simhashComboMasks(b)
     val xh = col("x.sig_hi").bitwiseXOR(col("y.sig_hi"))
     val xl = col("x.sig_lo").bitwiseXOR(col("y.sig_lo"))
@@ -2292,6 +2302,114 @@ object TextOps {
       .write.mode("overwrite").parquet(lp)
     SimhashState(rp, lp, b)
   })
+
+  /** Fitted SimHash compaction state — yesterday's artifacts fitted
+    * over the corpus WITH STALE TEXT for the re-crawl subset: the
+    * per-document signature table and the SIG-LEVEL verified pair set
+    * (hi_a, lo_a, hi_b, lo_b). Publishing pairs at SIGNATURE level —
+    * not rep-id level — is what makes retirement safe for this
+    * family: the clusters' identity-star edges hang off a
+    * representative, and retiring the representative would orphan its
+    * group if the edges were persisted as ids; signatures survive as
+    * long as ANY member does, and the compact job re-elects
+    * representatives over the RETAINED members (an aggregation, not a
+    * join recompute) and maps the surviving sig pairs onto them. */
+  private[graft] case class SimhashCompactState(sigsPath: String,
+    sigPairsPath: String, b: Int)
+
+  private val fittedSimhashCompact =
+    new FitCache[SimhashCompactState]((s, d) => {
+      val stale = Tables.documents(s, d).withColumn("text",
+        when(isRecrawlDoc,
+          concat(col("text"), lit(" legacyrev legacyrev stale marker")))
+          .otherwise(col("text")))
+      val b = simhashBlockPlan(stale.count())
+      val sp = graft.sources.TempDirs
+        .scratchDir("graft_simhash_compact_sigs").toString
+      simhashMd5Halves(stale).write.mode("overwrite").parquet(sp)
+      val sigs = s.read.parquet(sp)
+      val reps = sigs.groupBy(col("sig_hi"), col("sig_lo"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("sig_hi"), col("sig_lo"))
+        .localCheckpoint(true)
+      val pp = graft.sources.TempDirs
+        .scratchDir("graft_simhash_compact_pairs").toString
+      simhashSigPairs(reps, b)
+        .join(reps.select(col("doc_id").as("doc_id_a"),
+          col("sig_hi").as("hi_a"), col("sig_lo").as("lo_a")), "doc_id_a")
+        .join(reps.select(col("doc_id").as("doc_id_b"),
+          col("sig_hi").as("hi_b"), col("sig_lo").as("lo_b")), "doc_id_b")
+        .select(col("hi_a"), col("lo_a"), col("hi_b"), col("lo_b"))
+        .write.mode("overwrite").parquet(pp)
+      SimhashCompactState(sp, pp, b)
+    })
+  private[graft] def simhashCompactStateFor(spark: SparkSession,
+    dir: String): SimhashCompactState =
+    fittedSimhashCompact.get(spark, dir)
+
+  /** SimHash RE-CRAWL COMPACTION — the family's update member (the
+    * [[qDedupCompact]] posture): the base artifacts were fitted with
+    * STALE text for the ~14% re-crawl subset ([[isRecrawlDoc]]);
+    * tonight those documents arrive with their TRUE text. The job:
+    *
+    *   1. retire the re-crawled ids from the per-doc sig table
+    *      (broadcast anti-join — stale signature retirement);
+    *   2. RE-ELECT representatives over the retained members (one
+    *      sig-keyed aggregation) and rebuild the identity stars —
+    *      this, not an id-level pair map, is why a retired
+    *      representative cannot split its surviving group;
+    *   3. map the published SIG-level pair set onto the re-elected
+    *      reps (two sig-keyed joins — a signature with no surviving
+    *      member drops its pairs, exactly right: its only text left
+    *      with the re-crawl);
+    *   4. probe the re-crawled docs' NEW signatures against the
+    *      retained reps (the exact [[simhashSigPairsBetween]] cross
+    *      join, bloom-pruned, increment-sized) plus the within
+    *      self-join;
+    *   5. relabel the repaired graph — dup-set-sized, the incremental
+    *      path's propagation cost.
+    *
+    * Old-vs-old Hamming pairs are never recomputed (no block join
+    * touches retained-vs-retained), and the corpus never re-signs.
+    * ORACLE: the repaired flags must equal a FULL RECOMPUTE over the
+    * true corpus — the same reachability SQL as [[qSimhashClusters]];
+    * a leaked stale pair, a missed re-pair, or a split surviving
+    * group all fail the hash compare loudly. */
+  def qSimhashCompact(spark: SparkSession, dir: String): DataFrame = {
+    val st = simhashCompactStateFor(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val ids = docs.filter(isRecrawlDoc).select(col("doc_id"))
+    val retained = spark.read.parquet(st.sigsPath)
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+    val repMap = retained.groupBy(col("sig_hi"), col("sig_lo"))
+      .agg(min(col("doc_id")).as("rep"))
+      .localCheckpoint(true)
+    val identity = retained.join(repMap, Seq("sig_hi", "sig_lo"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("id_a"), col("rep").as("id_b"))
+    val kept = spark.read.parquet(st.sigPairsPath)
+      .join(repMap.select(col("sig_hi").as("hi_a"),
+        col("sig_lo").as("lo_a"), col("rep").as("id_a")),
+        Seq("hi_a", "lo_a"))
+      .join(repMap.select(col("sig_hi").as("hi_b"),
+        col("sig_lo").as("lo_b"), col("rep").as("id_b")),
+        Seq("hi_b", "lo_b"))
+      .select(col("id_a"), col("id_b"))
+    val newSigs = simhashMd5Halves(docs.filter(isRecrawlDoc))
+      .localCheckpoint(true)
+    val cross = simhashSigPairsBetween(
+      repMap.select(col("rep").as("doc_id"), col("sig_hi"),
+        col("sig_lo")), newSigs, st.b)
+    val within = simhashSigPairs(newSigs, st.b)
+    val edges = identity
+      .unionByName(kept)
+      .unionByName(cross.select(col("doc_id_a").as("id_a"),
+        col("doc_id_b").as("id_b")))
+      .unionByName(within.select(col("doc_id_a").as("id_a"),
+        col("doc_id_b").as("id_b")))
+    Components.flagCorpus(docs, "doc_id",
+      Components.labelComponents(edges))
+  }
 
   /** Incremental SimHash clustering — the family's nightly member
     * (MinHash and embedding dedup each have one; family symmetry was

@@ -1312,6 +1312,32 @@ class TextOpsSpec extends SparkTestBase {
       fitsBefore + 1, "base simhash fit re-ran on a warm query")
   }
 
+  test("simhash compaction repairs the stale-fitted artifacts to the " +
+      "exact full recompute; the fixture is genuinely stale") {
+    import spark.implicits._
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val full = key(graft.operators.TextOps.qSimhashClusters(spark, sfDir))
+    assert(key(graft.operators.TextOps.qSimhashCompact(spark, sfDir))
+      == full, "compaction diverged from the full recompute")
+    // non-vacuity: the published sig table really carries STALE
+    // signatures for the re-crawl subset (otherwise retirement +
+    // re-pairing tested nothing)
+    val st = graft.operators.TextOps.simhashCompactStateFor(spark, sfDir)
+    val trueSigs = graft.operators.TextOps.simhashMd5Halves(
+        graft.sources.Tables.documents(spark, sfDir)
+          .filter(graft.operators.TextOps.isRecrawlDoc))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val staleSigs = spark.read.parquet(st.sigsPath)
+      .filter(graft.operators.TextOps.isRecrawlDoc)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(trueSigs.nonEmpty && trueSigs.keySet == staleSigs.keySet)
+    assert(trueSigs.exists { case (id, s) => staleSigs(id) != s },
+      "stale fixture did not move any re-crawled signature")
+  }
+
   test("heavyHittersVerified is exact beyond the sketch's exact regime") {
     import spark.implicits._
     // vocabulary (902) ≫ capacity (1/support = 10) — the regime where
