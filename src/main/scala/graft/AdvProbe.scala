@@ -74,6 +74,13 @@ object AdvProbe {
         TextOps.simhashKeyed(repsAll, bPlan), "band", "key").count()
     val hotByPlan = Seq(4, 5, 6, 8).map(bp => s""""B$bp":${hotAt(bp)}""")
       .mkString("{", ",", "}")
+    // r14: the stats-driven plan selection must ACT on this corpus —
+    // the fit auto-widens past the count-derived B until the hot set
+    // empties (the r13 verdict's "done" pin: adversarial fit picks
+    // B >= 6 with zero hot buckets at the chosen plan)
+    val countB = TextOps.simhashBlockPlan(repsAll.count())
+    val autoB = TextOps.simhashAutoPlan(repsAll, repsAll.count())
+    val autoHot = hotAt(autoB)
 
     // --- AQE skew join on the planted hot o_custkey ---
     val orders = Tables.orders(spark, dir)
@@ -115,6 +122,9 @@ object AdvProbe {
       s""""simhash_identity_edges":$identityEdges""",
       s""""simhash_distinct_clique_sigs":$distinctCliqueSigs""",
       s""""simhash_hot_buckets_by_plan":$hotByPlan""",
+      s""""simhash_count_derived_B":$countB""",
+      s""""simhash_auto_plan_B":$autoB""",
+      s""""simhash_auto_plan_hot_buckets":$autoHot""",
       s""""skewed_key_orders":$hotKeyOrders""",
       s""""broadcast_join_immune_to_skew":$broadcastImmune""",
       s""""aqe_skew_join_split":$skewSplit""").mkString("{", ",", "}"))

@@ -257,7 +257,20 @@ object Bpe {
       .select(col("w"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
           .as("n"))
-    val next = version.getOrElse(s"v${v.stripPrefix("v").toLong + 1L}")
+    // ADVICE r13: a root whose current version is not `v<n>` is being
+    // managed by the STREAMING cadence (qid-bound `b<id>-<qid>` names);
+    // the sequential path must fail with the documented one-root-one-
+    // cadence contract as the message, not a bare NumberFormatException
+    // from the version parse
+    val next = version.getOrElse {
+      if (!v.matches("v\\d+"))
+        throw new IllegalStateException(
+          s"word-table root $wordsRoot is on non-sequential version " +
+            s"'$v' — one artifact root is managed by ONE cadence " +
+            "(batch 'v<n>' or streaming qid-bound versions); this " +
+            "batch refresh cannot extend a streaming-managed root")
+      s"v${v.stripPrefix("v").toLong + 1L}"
+    }
     updated.write.mode("overwrite").parquet(s"$wordsRoot/$next")
     graft.sources.Markers.write(spark, wordsRoot, wordsCurrentMarker,
       next)

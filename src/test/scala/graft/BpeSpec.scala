@@ -365,6 +365,24 @@ class BpeSpec extends SparkTestBase {
     assert(refit2 || Bpe.loadTokenizer(spark, p) === fromScratch)
   }
 
+  test("sequential refresh on a streaming-managed root fails with the " +
+      "one-root-one-cadence contract in the message") {
+    // ADVICE r13: the sequential path used to surface this documented
+    // restriction as an unexplained NumberFormatException from the
+    // version parse; the error must NAME the contract instead
+    val base = Seq((1L, "the table scan runs")).toDF("doc_id", "text")
+    val p = graft.sources.TempDirs.scratchDir("graft_bpe_cadence").toString
+    Bpe.publishFit(spark, base, p, numMerges = 8)
+    // simulate the streaming sink having published a qid-bound version
+    Bpe.refreshTokenizer(spark, p, base, numMerges = 8,
+      version = Some("b3-abcd1234"))
+    val e = intercept[IllegalStateException] {
+      Bpe.refreshTokenizer(spark, p, base, numMerges = 8)
+    }
+    assert(e.getMessage.contains("ONE cadence") &&
+      e.getMessage.contains("b3-abcd1234"))
+  }
+
   test("refresh crash window: word table flipped but tokenizer not " +
       "republished — the NEXT refresh retrains") {
     // ADVICE r12: the pre-fix refresh compared before-vs-after capped
