@@ -45,7 +45,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query subset for quick
+    // iteration (the committed artifacts always run the full surface)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     def runOne(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
       try {

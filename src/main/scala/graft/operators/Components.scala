@@ -52,17 +52,80 @@ import org.apache.spark.sql.functions._
   * Scale posture: the edge list (duplicate pairs only — orders of
   * magnitude smaller than the corpus) is the loop invariant; every
   * per-round shuffle is edge-sized with 8-byte keys, and callers join
-  * the finished label map against their corpus exactly once.
+  * the finished label map against their corpus exactly once. Graphs
+  * under [[localSolveMaxEdges]] skip the alternation entirely and are
+  * solved exactly on the driver (r13 verdict item 2 — the per-round
+  * fixed cost dominated fixture-scale graphs); the distributed loop is
+  * the path for everything larger.
   */
 object Components {
 
   private[graft] val clusterMaxRounds = 64
+
+  /** Edge-count bound under which the canonical pair graph is solved
+    * EXACTLY on the driver instead of by distributed alternation (r13
+    * verdict item 2: the large-star/small-star round pays two grouped
+    * aggregates + a join + union + distinct, and composed pipelines
+    * call the loop on fixture-scale pair sets where that per-round
+    * FIXED cost dominates — `q_pipeline_curation` regressed +0.4 s for
+    * graphs a single core solves in milliseconds). This is the
+    * standard last-mile of the MapReduce CC literature (Kiveris et al.
+    * SoCC'14 run their alternation only until the graph "fits on one
+    * machine"; GraphX's own examples finish small remainders locally)
+    * and the exact analogue of Spark's broadcast threshold: a
+    * SIZE-gated local strategy for a problem whose distributed form
+    * exists for data that no longer fits. 2M canonical edges ≈ 32 MB
+    * of longs (bounded DRIVER pull — the one `.collect()` class this
+    * repo allows is bounded model/stat pulls, and the bound here is
+    * explicit, documented, and far under driver memory); the dup-set
+    * graphs every caller feeds are orders of magnitude smaller than
+    * their corpus, so at 100 TB this path serves healthy dup graphs
+    * while anything larger takes the O(log² n) alternation unchanged.
+    * Union-find attaches the larger root under the smaller, so the
+    * final root of every tree is the component MINIMUM — bit-identical
+    * labels to the distributed fixed point (spec-pinned on randomized
+    * graphs). */
+  private[graft] val localSolveMaxEdges = 2_000_000L
 
   /** Label map (node_id, cluster_id) for every node of the (id_a, id_b)
     * pair graph — nodes NOT in any pair are absent (callers default
     * singletons to themselves on the final corpus join). */
   private[graft] def labelComponents(pairs: DataFrame): DataFrame =
     labelComponentsCounted(pairs)._1
+
+  /** Exact driver-side solve of a bounded canonical edge set:
+    * union-find with path compression and attach-larger-root-under-
+    * smaller union, so every final root is its component's minimum id
+    * — the same fixed point the alternation converges to. */
+  private def localLabels(edges0: DataFrame): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val es = edges0.select(col("u"), col("v")).as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long](es.length * 2)
+    es.foreach { case (u, v) =>
+      parent.putIfAbsent(u, u); parent.putIfAbsent(v, v)
+    }
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    es.foreach { case (u, v) =>
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) {
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    val out = new Array[(Long, Long)](parent.size)
+    var i = 0
+    val it = parent.keySet.iterator()
+    while (it.hasNext) {
+      val n = it.next(); out(i) = (n, find(n)); i += 1
+    }
+    spark.createDataset(out.toSeq).toDF("node_id", "cluster_id")
+  }
 
   /** [[labelComponents]] plus the number of alternating rounds the
     * edge set took to reach its fixed point — the spec pin for the
@@ -76,7 +139,8 @@ object Components {
     * reason); the materialized frame is dup-set-sized.
     */
   private[graft] def labelComponentsCounted(
-    pairs: DataFrame): (DataFrame, Int) = {
+    pairs: DataFrame,
+    localMaxEdges: Long = localSolveMaxEdges): (DataFrame, Int) = {
     // canonical directed edges (u > v), self-loops dropped, parallel
     // edges merged — the representation both star operations emit
     val edges0 = pairs
@@ -87,6 +151,15 @@ object Components {
       .localCheckpoint(true)
     var edges = edges0
     var edgeCount = edges0.count()
+    // SIZE-GATED LOCAL FAST PATH (see [[localSolveMaxEdges]]): a
+    // bounded long-keyed graph is solved exactly on the driver; pass
+    // localMaxEdges = 0 to force the alternation (round-count pins).
+    // Reported rounds = 0 means "solved locally".
+    if (edgeCount > 0 && edgeCount <= localMaxEdges &&
+        edges0.schema.fields.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType)) {
+      return (localLabels(edges0), 0)
+    }
     // node universe: every endpoint of the input graph must appear in
     // the label map even after the star rewrites retire its edges.
     // Derived LAZILY from the materialized canonical frame — deriving

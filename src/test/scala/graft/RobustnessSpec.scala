@@ -246,10 +246,18 @@ class RobustnessSpec extends SparkTestBase {
       val want = nodes.map(n => n -> find(n)).groupBy(_._2)
         .flatMap { case (_, ms) =>
           val ids = ms.map(_._1); val m = ids.min; ids.map(_ -> m) }
+      // BOTH strategies must match the oracle: the default call takes
+      // the r14 driver fast path at this scale; localMaxEdges = 0
+      // forces the distributed alternation — pinning that the two are
+      // bit-identical label maps, not merely both "valid" labelings
       val got = graft.operators.Components.labelComponents(
         edges.toDF("id_a", "id_b")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == want, s"edges=$edges")
+      assert(got == want, s"local path: edges=$edges")
+      val gotDist = graft.operators.Components.labelComponentsCounted(
+          edges.toDF("id_a", "id_b"), localMaxEdges = 0L)._1.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDist == want, s"distributed path: edges=$edges")
     }
   }
 
@@ -269,8 +277,12 @@ class RobustnessSpec extends SparkTestBase {
     assert(ids.distinct.size == 41 && ids.head == 0L)
     val chain = ids.sliding(2).map(p => (p(0), p(1))).toSeq
       .toDF("id_a", "id_b")
+    // localMaxEdges = 0 forces the DISTRIBUTED alternation — this pin
+    // measures the star rewrite's round count, which the r14 driver
+    // fast path would otherwise bypass at fixture scale
     val (labels, rounds) =
-      graft.operators.Components.labelComponentsCounted(chain)
+      graft.operators.Components.labelComponentsCounted(chain,
+        localMaxEdges = 0L)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(got.length == 41 && got.forall(_._2 == 0L),
       s"chain not fully collapsed: ${got.filter(_._2 != 0L).mkString(",")}")
