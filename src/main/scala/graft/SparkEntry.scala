@@ -118,6 +118,8 @@ object SparkEntry {
     "q_mv_refresh"      -> (Curation.qMvRefresh _),
     "q_edit_pairs"      -> (TextOps.qEditPairs _),
     "q_edit_clusters"   -> (TextOps.qEditClusters _),
+    "q_edit_incremental" -> (TextOps.qEditIncremental _),
+    "q_edit_compact"    -> (TextOps.qEditCompact _),
     "q_cluster_assign"  -> (Vectors.qClusterAssign _),
     "q_mix_drift"       -> (Curation.qMixDrift _),
     "q_user_journey"    -> (Events.qUserJourney _),
@@ -322,6 +324,31 @@ object SparkEntry {
       |  FROM scored)
       |SELECT q_id, rank, neighbor_id, cosine FROM ranked
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** Min-reachable-id labels over the exact edit-distance pair graph —
+    * the full-recompute reachability every PassJoin-family clusters
+    * member contracts on (`q_edit_clusters` and, r14, the incremental
+    * and compaction members: whatever path built the flags, the truth
+    * is this naive recompute over the corpus's true text). */
+  private val editClustersOracle: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, lang, substr(text, 1, 30) AS head,
+      |         length(substr(text, 1, 30)) AS len
+      |  FROM documents),
+      |jp AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE abs(a.len - b.len) <= 3
+      |    AND levenshtein(a.head, b.head) <= 3),
+      |e AS (SELECT id_a AS a, id_b AS b FROM jp
+      |      UNION ALL SELECT id_b, id_a FROM jp),
+      |reach AS (
+      |  SELECT doc_id AS node, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT e.a, reach.r FROM reach JOIN e ON reach.node = e.b)
+      |SELECT node AS doc_id, min(r) AS cluster_id,
+      |       (min(r) = node) AS is_kept
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->
@@ -1686,25 +1713,18 @@ object SparkEntry {
         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     // Min-reachable-id labels over the exact edit-distance pair graph
     // (the dedup-family reachability discipline on a new edge set).
-    "q_edit_clusters" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, lang, substr(text, 1, 30) AS head,
-        |         length(substr(text, 1, 30)) AS len
-        |  FROM documents),
-        |jp AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |  WHERE abs(a.len - b.len) <= 3
-        |    AND levenshtein(a.head, b.head) <= 3),
-        |e AS (SELECT id_a AS a, id_b AS b FROM jp
-        |      UNION ALL SELECT id_b, id_a FROM jp),
-        |reach AS (
-        |  SELECT doc_id AS node, doc_id AS r FROM documents
-        |  UNION
-        |  SELECT e.a, reach.r FROM reach JOIN e ON reach.node = e.b)
-        |SELECT node AS doc_id, min(r) AS cluster_id,
-        |       (min(r) = node) AS is_kept
-        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q_edit_clusters" -> editClustersOracle,
+    // q_edit_incremental: the increment split probes the published base
+    // segment index and extends the base label map — the contract is a
+    // FULL RECOMPUTE over the whole corpus, so the same reachability
+    // SQL checks it (a missed cross pair or a split merged component
+    // fails the hash compare loudly).
+    "q_edit_incremental" -> editClustersOracle,
+    // q_edit_compact: retirement + re-probe of stale-fitted artifacts
+    // must land on the true corpus's exact clusters — the same full
+    // recompute (a leaked stale pair or an unsplit bridged component
+    // fails loudly).
+    "q_edit_compact" -> editClustersOracle,
     // The merged snapshot must equal the next crawl exactly — the
     // oracle states the POSTCONDITION, so the diff→batch→merge loop is
     // checked end-to-end rather than fixture-trusted.

@@ -51,6 +51,10 @@ object GraftExtensions {
     ("graft_simhash64",
       "graft_simhash64(tokens) - 64-bit simhash bitstring of array<string>",
       es => SimHash64(es(0))),
+    ("graft_simhash_md5",
+      "graft_simhash_md5(tokens) - md5-plane simhash halves " +
+        "struct(sig_hi, sig_lo) of array<string> (NULL on empty)",
+      es => SimhashMd5Sig(es(0))),
     ("graft_shingle_hashes",
       "graft_shingle_hashes(tokens, k) - distinct xxhash64 word k-gram shingles",
       es => ShingleHashes(es(0), intLit(es(1), "k"))),

@@ -218,6 +218,100 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     newChild: Expression): SimHash64 = copy(child = newChild)
 }
 
+/** Per-ROW md5-plane SimHash signature halves — bit-for-bit the
+  * aggregate formulation `TextOps.simhashMd5Halves` computes with an
+  * explode → 64-sum shuffle, collapsed to one per-row loop:
+  * struct(sig_hi, sig_lo) where each token OCCURRENCE votes ±1 per
+  * bit of the top 16 hex chars of `md5(token)` (chars 1-8 → the high
+  * 32 signature bits, 9-16 → the low) and a signature bit is
+  * `vote count > 0` (ties vote 0).
+  *
+  * Why it exists (r13 verdict item 6): the STREAMING SimHash intake
+  * must sign arriving documents ROW-LOCALLY — the batch family's
+  * explode → groupBy vote aggregation is a streaming AGGREGATION
+  * (state, watermark, update mode), and serving wants none of that.
+  * This is the [[ClassifyScore]] posture applied to the signature: the
+  * same arithmetic, stateless, append-mode-legal, and inside
+  * whole-stage codegen. The batch family keeps the aggregate
+  * formulation (its one exchange ships 24-byte rows and the HOF
+  * md5-per-lambda blowup stays out of the plan); equality of the two
+  * is parity-pinned in TextOpsSpec over the sf corpus.
+  *
+  * Hash parity with the oracle plane: `java.security.MessageDigest`
+  * md5 over the token's UTF-8 bytes, first 8 bytes big-endian split
+  * into two unsigned 32-bit halves — exactly the
+  * `conv(substring(md5(t), 1|9, 8), 16, 10)` parse both engines run.
+  * An EMPTY token array returns NULL (the aggregate formulation emits
+  * no row for a doc the explode dropped; callers filter on it). */
+case class SimhashMd5Sig(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sig_hi", LongType, nullable = false),
+    StructField("sig_lo", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_simhash_md5"
+
+  def compute(w: ArrayData): InternalRow = {
+    val n = w.numElements()
+    if (n == 0) return null
+    val cnt = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      val t = w.getUTF8String(i)
+      md.reset()
+      val dg = md.digest(t.getBytes)
+      // chars 1-8 of the hex digest are bytes 0-3 big-endian (the
+      // unsigned 32-bit value conv() parses); chars 9-16 are bytes 4-7
+      val hi = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+        ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+      val lo = ((dg(4) & 0xffL) << 24) | ((dg(5) & 0xffL) << 16) |
+        ((dg(6) & 0xffL) << 8) | (dg(7) & 0xffL)
+      // aggregate-form bit map: signature bit b (63..32) reads bit
+      // b-32 of hi, bit b (31..0) reads bit b of lo
+      var b = 0
+      while (b < 32) {
+        if (((hi >>> b) & 1L) == 1L) cnt(32 + b) += 1 else cnt(32 + b) -= 1
+        if (((lo >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sigHi = 0L
+    var sigLo = 0L
+    var b = 0
+    while (b < 32) {
+      if (cnt(32 + b) > 0) sigHi |= (1L << b)
+      if (cnt(b) > 0) sigLo |= (1L << b)
+      b += 1
+    }
+    new GenericInternalRow(Array[Any](sigHi, sigLo))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+    ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhashmd5", this,
+      classOf[SimhashMd5Sig].getName)
+    nullSafeCodeGen(ctx, ev, w => s"""
+      ${ev.value} = $self.compute($w);
+      ${ev.isNull} = (${ev.value} == null);""")
+  }
+
+  override protected def withNewChildInternal(
+    newChild: Expression): SimhashMd5Sig = copy(child = newChild)
+}
+
 /** TRUE iff any band index strictly below `band` holds equal band
   * hashes in both signature arrays — the emit-once "a pair surfaces
   * only in its FIRST colliding band" predicate of the banded LSH joins
@@ -635,6 +729,12 @@ object TextFunctions {
   /** 64-bit frequency-weighted SimHash bitstring of a token array. */
   def simhash64(w: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(w)))
+
+  /** Per-row md5-plane SimHash halves struct(sig_hi, sig_lo) — the
+    * stateless streaming-intake dual of the batch vote aggregation
+    * (NULL on an empty token array, mirroring the explode drop). */
+  def simhashMd5Sig(w: Column): Column =
+    ColumnBridge.column(SimhashMd5Sig(ColumnBridge.expression(w)))
 
   /** Emit-once predicate: does any EARLIER band (index < `band`)
     * already collide for this pair? */

@@ -1797,43 +1797,52 @@ object TextOps {
     * near-empty-doc corpus announces itself in the same metric that
     * governs when the cap engages.
     */
-  private[graft] def editDistancePairs(docs: DataFrame, prefixLen: Int,
-      maxDist: Int,
-      shortsCap: Int = BandedJoins.defaultHotBucketCap): DataFrame = {
-    val d = maxDist
-    val k = d + 1 // segments; pigeonhole leaves >= 1 untouched
-    val shortKey = struct(lit(-1).cast("int").as("idx"),
-      lit("short").as("seg"))
-    val keyed = docs.select(col("doc_id"), col("lang"),
+  /** The (doc_id, lang, head, len) relation every PassJoin stage works
+    * over — extracted (r14) so the nightly members publish and probe
+    * the very shapes the self-join builds. */
+  private[graft] def editKeyedHeads(docs: DataFrame,
+      prefixLen: Int): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
         substring(col("text"), 1, prefixLen).as("head"))
       .withColumn("len", length(col("head")))
-    // build: the k even segments of head (0-based seg i spans
-    // [floor(i*len/k), floor((i+1)*len/k)) — all nonempty once len >= k)
+
+  private def editShortKey: Column =
+    struct(lit(-1).cast("int").as("idx"),
+      lit("short").as("seg"))
+
+  // build: the k even segments of head (0-based seg i spans
+  // [floor(i*len/k), floor((i+1)*len/k)) — all nonempty once len >= k)
+  private def editBuildKeys(d: Int): Column = {
+    val k = d + 1 // segments; pigeonhole leaves >= 1 untouched
     def segAt(i: Column, la: Column): Column = {
       val start = floor(i * la / k).cast("int")
       val slen = (floor((i + lit(1)) * la / k) - floor(i * la / k)).cast("int")
       struct(i.cast("int").as("idx"),
         col("head").substr(start + 1, slen).as("seg"))
     }
-    val buildKeys = concat(
+    concat(
       transform(sequence(lit(0), lit(k - 1)), i => segAt(i, col("len"))),
-      when(col("len") <= d, array(shortKey))
+      when(col("len") <= d, array(editShortKey))
         .otherwise(array().cast(s"array<struct<idx:int,seg:string>>")))
-    // probe: the MULTI-MATCH-AWARE substring window (PassJoin PVLDB'11
-    // §4.2 — the tightening the first cut deferred). For probe length
-    // m against build length la (Δ = m − la), a start shift x = st − pᵢ
-    // can witness an ed ≤ d pair only if
-    //   |x| + |Δ − x|  ≤ d   (prefix edits + suffix edits share d), and
-    //   |Δ − x| ≤ d − i      (if segment i is the FIRST exact match,
-    //                         each earlier segment holds ≥ 1 edit, so
-    //                         ≥ i edits precede and ≤ d − i follow).
-    // Both engines' oracle + brute-force specs pin that the tightening
-    // is invisible in the pair set. Against the former ±d window this
-    // cuts probe keys ~2× at d = 3 (and to ONE start for the last
-    // segment); starts whose substring would truncate at the string
-    // end are dropped too — a truncated probe can never equal a
-    // full-length build segment.
-    val probeKeys = concat(
+  }
+
+  // probe: the MULTI-MATCH-AWARE substring window (PassJoin PVLDB'11
+  // §4.2 — the tightening the first cut deferred). For probe length
+  // m against build length la (Δ = m − la), a start shift x = st − pᵢ
+  // can witness an ed ≤ d pair only if
+  //   |x| + |Δ − x|  ≤ d   (prefix edits + suffix edits share d), and
+  //   |Δ − x| ≤ d − i      (if segment i is the FIRST exact match,
+  //                         each earlier segment holds ≥ 1 edit, so
+  //                         ≥ i edits precede and ≤ d − i follow).
+  // Both engines' oracle + brute-force specs pin that the tightening
+  // is invisible in the pair set. Against the former ±d window this
+  // cuts probe keys ~2× at d = 3 (and to ONE start for the last
+  // segment); starts whose substring would truncate at the string
+  // end are dropped too — a truncated probe can never equal a
+  // full-length build segment.
+  private def editProbeKeys(d: Int): Column = {
+    val k = d + 1
+    concat(
       flatten(transform(sequence(lit(0), lit(k - 1)), i =>
         flatten(transform(
           sequence(greatest(col("len") - d, lit(0)), col("len") + d), la => {
@@ -1852,48 +1861,59 @@ object TextOps {
               st => struct(i.cast("int").as("idx"),
                 col("head").substr(st.cast("int") + 1, slen).as("seg")))
           })))),
-      when(col("len") <= 2 * d, array(shortKey))
+      when(col("len") <= 2 * d, array(editShortKey))
         .otherwise(array().cast(s"array<struct<idx:int,seg:string>>")))
-    // key dedup is ROW-LOCAL (array_distinct before the explode) — a
-    // dropDuplicates after it would shuffle the ~100×-exploded corpus
-    def exploded(keys: Column): DataFrame = keyed
-      .select(col("doc_id"), col("lang"), col("head"), col("len"),
-        explode(array_distinct(
-          filter(keys, s => length(s.getField("seg")) > 0))).as("kseg"))
-    // SHORTS-CHANNEL STAR-REDUCTION (r11 verdict item 3 — the
-    // [[BandedJoins.emitOnce]] hot-bucket contract applied to the one
-    // cell of this join a degenerate corpus can make hot): when a
-    // lang's build-side shorts population (len ≤ d) exceeds
-    // `shortsCap`, only the cell's MINIMUM-id build row keeps its
-    // shorts key — it pairs with every probe-side shorts row, O(cell)
-    // candidates instead of O(cell²). What this preserves EXACTLY: any
-    // two len ≤ d strings are within d edits by construction
-    // (ed ≤ max of the lengths ≤ d), so every star edge between
-    // build-shorts members SURVIVES the DP and the ≤ d population
-    // stays one connected component — `q_edit_clusters` is exact on a
-    // pure near-empty-document cell, not merely connectivity-complete
-    // at candidate level. What it gives up, loudly and by design
-    // (the banded families' documented tradeoff): above the cap the
-    // PAIR stream is star-shaped — two non-min members surface only
-    // through the min, and a probe-side row of length in (d, 2d] whose
-    // only witness was a capped non-min build row can be pruned by the
-    // DP against the min instead. Healthy corpora never trip the cap
-    // (the cell is EMPTY at sf0.1 — [[editShortsHotCells]] is its loud
-    // metric); both declared queries stay oracle-green because the cap
-    // is invisible below it. Stated honestly: strings of length 1..d
-    // also flood 1-char segment-CONTENT cells ((lang, idx, "a") and
-    // friends); those pairs are genuine near-dup candidates the DP
-    // adjudicates, their cells stay on the AQE-split path, and their
-    // count is bounded by alphabet × segment-slot diversity — the
-    // shorts cell is the one key a degenerate corpus makes hot with NO
-    // content diversity to spread it, which is why it alone gets the
-    // structural cap.
+  }
+
+  // key dedup is ROW-LOCAL (array_distinct before the explode) — a
+  // dropDuplicates after it would shuffle the ~100×-exploded corpus
+  private def editExploded(keyed: DataFrame, keys: Column): DataFrame =
+    keyed.select(col("doc_id"), col("lang"), col("head"), col("len"),
+      explode(array_distinct(
+        filter(keys, s => length(s.getField("seg")) > 0))).as("kseg"))
+
+  /** Probe-side exploded key rows of a keyed-heads frame — the
+    * substring-window enumeration side of every PassJoin shape (the
+    * self-join and the nightly cross probes alike). */
+  private[graft] def editProbeRows(keyed: DataFrame, d: Int): DataFrame =
+    editExploded(keyed, editProbeKeys(d))
+
+  // SHORTS-CHANNEL STAR-REDUCTION (r11 verdict item 3 — the
+  // [[BandedJoins.emitOnce]] hot-bucket contract applied to the one
+  // cell of this join a degenerate corpus can make hot): when a
+  // lang's build-side shorts population (len ≤ d) exceeds
+  // `shortsCap`, only the cell's MINIMUM-id build row keeps its
+  // shorts key — it pairs with every probe-side shorts row, O(cell)
+  // candidates instead of O(cell²). What this preserves EXACTLY: any
+  // two len ≤ d strings are within d edits by construction
+  // (ed ≤ max of the lengths ≤ d), so every star edge between
+  // build-shorts members SURVIVES the DP and the ≤ d population
+  // stays one connected component — `q_edit_clusters` is exact on a
+  // pure near-empty-document cell, not merely connectivity-complete
+  // at candidate level. What it gives up, loudly and by design
+  // (the banded families' documented tradeoff): above the cap the
+  // PAIR stream is star-shaped — two non-min members surface only
+  // through the min, and a probe-side row of length in (d, 2d] whose
+  // only witness was a capped non-min build row can be pruned by the
+  // DP against the min instead. Healthy corpora never trip the cap
+  // (the cell is EMPTY at sf0.1 — [[editShortsHotCells]] is its loud
+  // metric); both declared queries stay oracle-green because the cap
+  // is invisible below it. Stated honestly: strings of length 1..d
+  // also flood 1-char segment-CONTENT cells ((lang, idx, "a") and
+  // friends); those pairs are genuine near-dup candidates the DP
+  // adjudicates, their cells stay on the AQE-split path, and their
+  // count is bounded by alphabet × segment-slot diversity — the
+  // shorts cell is the one key a degenerate corpus makes hot with NO
+  // content diversity to spread it, which is why it alone gets the
+  // structural cap.
+  private[graft] def editBuildRows(keyed: DataFrame, d: Int,
+      shortsCap: Int = BandedJoins.defaultHotBucketCap): DataFrame = {
     val shortsHot = broadcast(
       keyed.filter(col("len") <= d)
         .groupBy(col("lang")).agg(count(lit(1)).as("bucket_n"))
         .filter(col("bucket_n") > shortsCap)
         .select(col("lang").as("hot_lang")))
-    val buildSide = exploded(buildKeys)
+    editExploded(keyed, editBuildKeys(d))
       .join(shortsHot, col("lang") === col("hot_lang") &&
         col("kseg.idx") === -1, "left_anti")
       .unionByName(
@@ -1904,9 +1924,19 @@ object TextOps {
             col("doc_id")).as("m"))
           .select(col("m.doc_id").as("doc_id"), col("lang"),
             col("m.head").as("head"), col("m.len").as("len"),
-            shortKey.as("kseg")))
-    val cand = buildSide.as("a")
-      .join(exploded(probeKeys).as("b"),
+            editShortKey.as("kseg")))
+  }
+
+  /** PassJoin self-join: build vs probe over ONE keyed-heads frame,
+    * ordered pairs (a.doc_id < b.doc_id), pair-deduped candidates,
+    * exact DP verify. */
+  private[graft] def editDistancePairs(docs: DataFrame, prefixLen: Int,
+      maxDist: Int,
+      shortsCap: Int = BandedJoins.defaultHotBucketCap): DataFrame = {
+    val d = maxDist
+    val keyed = editKeyedHeads(docs, prefixLen)
+    val cand = editBuildRows(keyed, d, shortsCap).as("a")
+      .join(editProbeRows(keyed, d).as("b"),
         col("a.lang") === col("b.lang") &&
           col("a.kseg") === col("b.kseg") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -1957,6 +1987,191 @@ object TextOps {
       .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
     Components.flagCorpus(docs, "doc_id",
       Components.labelComponents(pairs))
+  }
+
+  /** The cross-relation PassJoin: `baseBuild` is a PUBLISHED build-row
+    * index ([[editBuildRows]] layout — one row per (doc, segment key),
+    * shorts-star-reduced at fit time), `probeKeyed` an increment's
+    * [[editKeyedHeads]] frame. The pigeonhole guarantee is
+    * role-symmetric — for any pair at ed ≤ d, designating the BASE doc
+    * as build (its d+1 even segments) and the increment doc as probe
+    * (the multi-match-aware substring windows over assumed build
+    * lengths within ±d) surfaces the candidate — so ONE direction is
+    * complete for id-disjoint sides and no within-base work ever
+    * re-runs. Shorts cover the sub-pigeonhole lengths exactly as the
+    * self-join does: a base doc of len ≤ d carries the shorts key in
+    * the index, an increment doc of len ≤ 2d probes it, and any
+    * longer increment partner would exceed d by length difference
+    * alone. Output (id_a, id_b, dist), canonically ordered. */
+  private[graft] def editCrossPairs(baseBuild: DataFrame,
+      probeKeyed: DataFrame, d: Int): DataFrame = {
+    val cand = baseBuild.as("a")
+      .join(editProbeRows(probeKeyed, d).as("b").hint("shuffle_hash"),
+        col("a.lang") === col("b.lang") &&
+          col("a.kseg") === col("b.kseg") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= d)
+      .select(col("a.doc_id").as("doc_id_a"),
+        col("b.doc_id").as("doc_id_b"),
+        col("a.head").as("head_a"), col("b.head").as("head_b"))
+      .dropDuplicates("doc_id_a", "doc_id_b")
+    cand
+      .withColumn("dist", levenshtein(col("head_a"), col("head_b")))
+      .filter(col("dist") <= d)
+      .select(least(col("doc_id_a"), col("doc_id_b")).as("id_a"),
+        greatest(col("doc_id_a"), col("doc_id_b")).as("id_b"),
+        col("dist"))
+  }
+
+  /** The published PassJoin build-row index read back as the join-ready
+    * shape (the struct key is stored flat so the bloom prune can hash
+    * its fields as plain columns). */
+  private[graft] def editIndexFrame(spark: SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("doc_id"), col("lang"), col("head"), col("len"),
+        struct(col("idx"), col("seg")).as("kseg"))
+
+  /** Bloom-pruned base index branch for an increment probe — the
+    * [[incrementPairs]] posture on the PassJoin shape: the index side
+    * pays the probe's dominant exchange and almost none of its rows
+    * have a partner, so a driver bloom over the increment's
+    * (lang, idx, seg) probe-key set drops them before the shuffle
+    * (false positives only add DP verify work; false negatives cannot
+    * exist). */
+  private def editIndexPruned(spark: SparkSession, path: String,
+      probeKeyed: DataFrame, d: Int): DataFrame = {
+    val probeKeys = editProbeRows(probeKeyed, d)
+      .select(col("lang"), col("kseg.idx").as("idx"),
+        col("kseg.seg").as("seg"))
+    ProbeFilters.bloomSemi(spark.read.parquet(path), probeKeys,
+      Seq("lang", "idx", "seg"))
+      .select(col("doc_id"), col("lang"), col("head"), col("len"),
+        struct(col("idx"), col("seg")).as("kseg"))
+  }
+
+  /** Fitted incremental edit-distance state ([[dedupStateFor]]'s
+    * posture on the PassJoin family — r13 verdict item 3, the last
+    * family without nightly members): yesterday's job published the
+    * base split's BUILD-ROW segment index (the (lang, seg-idx,
+    * seg-text) keys PassJoin already builds, shorts-star-reduced at
+    * fit time) and persisted the finished base label map. */
+  private[graft] case class EditState(indexPath: String,
+    labelsPath: String)
+
+  private[graft] val editFitInvocations =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def fitEditState(s: SparkSession, base: DataFrame,
+      scratchTag: String): EditState = {
+    editFitInvocations.incrementAndGet()
+    val keyed = editKeyedHeads(base, 30)
+    val ip = graft.sources.TempDirs
+      .scratchDir(scratchTag + "_index").toString
+    editBuildRows(keyed, 3)
+      .select(col("doc_id"), col("lang"), col("head"), col("len"),
+        col("kseg.idx").as("idx"), col("kseg.seg").as("seg"))
+      .write.mode("overwrite").parquet(ip)
+    val lp = graft.sources.TempDirs
+      .scratchDir(scratchTag + "_labels").toString
+    Components.labelComponents(editDistancePairs(base, 30, 3)
+        .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b")))
+      .write.mode("overwrite").parquet(lp)
+    EditState(ip, lp)
+  }
+
+  private val fittedEditState = new FitCache[EditState]((s, d) =>
+    fitEditState(s, Tables.documents(s, d).filter(!isIncrementDoc),
+      "graft_edit_base"))
+
+  /** Incremental edit-distance clustering — the PassJoin family's
+    * nightly member: the ~20% increment split ([[isIncrementDoc]])
+    * keys its heads fresh (it IS the new data), probes the published
+    * base segment index through the one-directional cross PassJoin
+    * (bloom-pruned, increment-built), self-joins within the
+    * increment, and the base label map extends through star edges —
+    * base heads are never re-keyed (fit-counter-pinned) and
+    * old-vs-old pairs never re-verified. ORACLE: the full recompute —
+    * the same recursive reachability that checks [[qEditClusters]]
+    * must hash-match this path. */
+  def qEditIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val st = fittedEditState.get(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val inc = docs.filter(isIncrementDoc)
+    val incKeyed = editKeyedHeads(inc, 30).localCheckpoint(true)
+    val cross = editCrossPairs(
+      editIndexPruned(spark, st.indexPath, incKeyed, 3), incKeyed, 3)
+    val within = editDistancePairs(inc, 30, 3)
+      .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
+    Components.flagCorpus(docs, "doc_id",
+      Components.extendLabels(spark.read.parquet(st.labelsPath),
+        cross.select(col("id_a"), col("id_b")).unionByName(within)))
+  }
+
+  /** Fitted edit-compaction base state: the published build-row index
+    * and VERIFIED pair set, fitted over the corpus with STALE text for
+    * the ~14% re-crawl subset — the marker PREPENDS (the MinHash/
+    * SimHash fixtures append, but this family's relation lives on the
+    * 30-char HEAD, and an appended marker past the head would leave
+    * the stale fixture vacuously identical to the truth). */
+  private[graft] case class EditCompactState(indexPath: String,
+    pairsPath: String)
+
+  private val fittedEditCompact = new FitCache[EditCompactState](
+    (s, d) => {
+      val stale = Tables.documents(s, d).withColumn("text",
+        when(isRecrawlDoc, concat(lit("legacyrev stale marker "),
+          col("text"))).otherwise(col("text")))
+      val keyed = editKeyedHeads(stale, 30)
+      val ip = graft.sources.TempDirs
+        .scratchDir("graft_edit_compact_index").toString
+      editBuildRows(keyed, 3)
+        .select(col("doc_id"), col("lang"), col("head"), col("len"),
+          col("kseg.idx").as("idx"), col("kseg.seg").as("seg"))
+        .write.mode("overwrite").parquet(ip)
+      val pp = graft.sources.TempDirs
+        .scratchDir("graft_edit_compact_pairs").toString
+      editDistancePairs(stale, 30, 3)
+        .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
+        .write.mode("overwrite").parquet(pp)
+      EditCompactState(ip, pp)
+    })
+
+  /** Edit-distance RE-CRAWL COMPACTION — the family's update member
+    * (the [[qDedupCompact]] posture on PassJoin): the base artifacts
+    * hold STALE heads for the re-crawl subset; tonight those documents
+    * arrive with their TRUE text. Retirement is a broadcast anti-join
+    * of the re-crawled ids out of the published build-row index; every
+    * published pair incident to a re-crawled id drops (a stale head
+    * may have justified it); the re-crawled docs' new heads probe the
+    * RETAINED index through the cross PassJoin plus their own within
+    * self-join; and the repaired dup-set-sized graph relabels. Base
+    * heads never re-key and old-vs-old pairs never re-verify. ORACLE:
+    * a full recompute over the true corpus — [[qEditClusters]]'s
+    * reachability SQL verbatim. */
+  def qEditCompact(spark: SparkSession, dir: String): DataFrame = {
+    val st = fittedEditCompact.get(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val ids = docs.filter(isRecrawlDoc).select(col("doc_id"))
+    val rec = docs.filter(isRecrawlDoc)
+    val recKeyed = editKeyedHeads(rec, 30).localCheckpoint(true)
+    // bloom-pruned by the re-crawl probe keys AND retired of the
+    // re-crawled ids — both map-side filters on the index scan
+    val retained = editIndexPruned(spark, st.indexPath, recKeyed, 3)
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+    val kept = spark.read.parquet(st.pairsPath)
+      .join(broadcast(ids.select(col("doc_id").as("id_a"))),
+        Seq("id_a"), "left_anti")
+      .join(broadcast(ids.select(col("doc_id").as("id_b"))),
+        Seq("id_b"), "left_anti")
+    val cross = editCrossPairs(retained, recKeyed, 3)
+    val within = editDistancePairs(rec, 30, 3)
+      .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
+    val edges = kept.select(col("id_a"), col("id_b"))
+      .unionByName(cross.select(col("id_a"), col("id_b")))
+      .unionByName(within)
+    Components.flagCorpus(docs, "doc_id",
+      Components.labelComponents(edges))
   }
 
   /** The SimHash family's ORACLE RIDE (the [[qFingerprintChecked]]
@@ -2338,6 +2553,75 @@ object TextOps {
         col("x.doc_id").as("doc_id_b"), hamming.as("hamming"))
   }
 
+  /** ROW-LOCAL md5-plane signatures — the streaming-intake signer
+    * ([[graft.functions.SimhashMd5Sig]]): bit-identical to
+    * [[simhashMd5Halves]] (parity-pinned in TextOpsSpec) but computed
+    * per row with no explode/aggregate exchange, so it is legal — and
+    * cheap — under append-mode `readStream`. Batch paths keep the
+    * aggregate form (its exchange ships 24-byte rows; the per-row
+    * kernel recomputes nothing but also shuffles nothing). */
+  private[graft] def simhashRowSigs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.simhashMd5Sig(toks).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"), col("s.sig_hi").as("sig_hi"),
+        col("s.sig_lo").as("sig_lo"))
+
+  /** Streaming-intake SimHash near-dup flagger — the stream-static
+    * dual of [[simhashSigPairsBetween]] (r13 verdict item 6; the
+    * [[intakePairs]] posture on the block-combination join): each
+    * arriving document signs ROW-LOCALLY ([[simhashRowSigs]]), fans
+    * out its C(B,3) combination keys row-locally ([[simhashKeyed]]'s
+    * posexplode), and equi-joins the PUBLISHED distinct-sig rep index
+    * (staged pre-keyed by the caller — [[simhashIntakeIndex]]) on
+    * (band, key). Emit-once is the row-local first-matching-table
+    * predicate, so a (new, base) pair surfaces exactly once with NO
+    * streaming state, watermark, or distinct. Differences from the
+    * batch cross probe, both forced by streaming legality: no bloom
+    * prune of the index side (building the bloom is an action over
+    * the unbounded stream side; the static side is staged once
+    * instead) and no within-batch self-join (near-dups WITHIN the
+    * intake are the nightly members' job — the [[intakePairs]] scope
+    * contract verbatim). Probing REPS is connectivity-exact: an
+    * arrival within Hamming 3 of a member is within 3 of its
+    * identical-signature representative.
+    *
+    * Output (doc_id = arriving doc, dup_of = base rep id, hamming). */
+  private[graft] def simhashIntakePairs(keyedReps: DataFrame,
+      newDocs: DataFrame, b: Int): DataFrame = {
+    val keyedNew = simhashKeyed(simhashRowSigs(newDocs), b).drop("keys")
+    val masks = simhashComboMasks(b)
+    val xh = col("x.sig_hi").bitwiseXOR(col("y.sig_hi"))
+    val xl = col("x.sig_lo").bitwiseXOR(col("y.sig_lo"))
+    val firstIdx = masks.indices.foldRight(lit(-1): Column) { (c, rest) =>
+      when(xh.bitwiseAND(lit(masks(c)._1)) === 0L &&
+        xl.bitwiseAND(lit(masks(c)._2)) === 0L, lit(c)).otherwise(rest)
+    }
+    val hamming = (bit_count(xh) + bit_count(xl)).cast("int")
+    keyedNew.as("y")
+      .join(keyedReps.as("x"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .filter(col("x.band") === firstIdx && hamming <= 3)
+      .select(col("y.doc_id").as("doc_id"),
+        col("x.doc_id").as("dup_of"), hamming.as("hamming"))
+  }
+
+  /** The published rep index staged for the streaming intake: read,
+    * keyed under the index's own published block plan, and eagerly
+    * materialized so every micro-batch joins a static in-memory frame
+    * instead of re-keying the index per trigger. */
+  private[graft] def simhashIntakeIndex(spark: SparkSession,
+      repsPath: String): (DataFrame, Int) = {
+    val b = graft.sources.Markers.readOption(spark, repsPath,
+      "_graft_simhash_b").map(_.toInt).getOrElse(
+      throw new IllegalStateException(
+        s"no _graft_simhash_b marker under $repsPath — " +
+          "stage the index with the fit that published it"))
+    (simhashKeyed(spark.read.parquet(repsPath), b).drop("keys")
+      .localCheckpoint(true), b)
+  }
+
   /** Fitted incremental-SimHash state (the [[dedupStateFor]] posture
     * applied to this family): yesterday's nightly job computed the
     * base split's signatures ONCE, collapsed them to distinct-sig
@@ -2387,8 +2671,12 @@ object TextOps {
   private[graft] case class SimhashCompactState(sigsPath: String,
     sigPairsPath: String, b: Int)
 
+  private[graft] val simhashCompactFitInvocations =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   private val fittedSimhashCompact =
     new FitCache[SimhashCompactState]((s, d) => {
+      simhashCompactFitInvocations.incrementAndGet()
       val stale = Tables.documents(s, d).withColumn("text",
         when(isRecrawlDoc,
           concat(col("text"), lit(" legacyrev legacyrev stale marker")))

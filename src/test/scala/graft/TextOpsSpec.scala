@@ -1292,6 +1292,144 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("edit-distance cross PassJoin is complete: one-directional " +
+      "base-build/increment-probe finds every boundary pair") {
+    import spark.implicits._
+    // randomized base/increment splits with planted cross-boundary
+    // near-pairs at every length regime the join routes differently
+    // (normal segments, shorts build <= d, probe <= 2d, length drift
+    // +-d): the cross join over the base BUILD rows must recover
+    // exactly the cross slice of the self-join over the union
+    val rnd = new scala.util.Random(20260815)
+    (1 to 3).foreach { round =>
+      def txt(n: Int) =
+        (1 to n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      val base = (1 to 40).map(i => (i.toLong, "en", txt(6 + rnd.nextInt(24))))
+      val inc = (1 to 25).map { j =>
+        val id = 1000L + j
+        if (j % 3 == 0) {
+          // mutate a base head by <= 3 edits
+          val t = base(rnd.nextInt(40))._3.toCharArray
+          (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+            t(rnd.nextInt(t.length)) = ('a' + rnd.nextInt(4)).toChar }
+          (id, "en", new String(t))
+        } else if (j % 7 == 0) (id, "en", txt(1 + rnd.nextInt(6)))
+        else (id, "en", txt(6 + rnd.nextInt(24)))
+      }
+      val baseDf = base.toDF("doc_id", "lang", "text")
+      val incDf = inc.toDF("doc_id", "lang", "text")
+      val all = baseDf.unionByName(incDf)
+      val want = graft.operators.TextOps.editDistancePairs(all, 30, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .filter(p => p._1 < 1000L != p._2 < 1000L).toSet
+      val buildRows = graft.operators.TextOps.editBuildRows(
+        graft.operators.TextOps.editKeyedHeads(baseDf, 30), 3)
+      val got = graft.operators.TextOps.editCrossPairs(buildRows,
+          graft.operators.TextOps.editKeyedHeads(incDf, 30), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      assert(got == want,
+        s"round $round: missing=${want -- got} spurious=${got -- want}")
+    }
+  }
+
+  test("edit incremental and compact equal the full recompute; fits " +
+      "run once and the compact fixture is genuinely stale") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val full = key(graft.operators.TextOps.qEditClusters(spark, sfDir))
+    val inc = key(graft.operators.TextOps.qEditIncremental(spark, sfDir))
+    assert(inc == full, "edit incremental diverged from full recompute")
+    val fitsAfter = graft.operators.TextOps.editFitInvocations.get()
+    key(graft.operators.TextOps.qEditIncremental(spark, sfDir))
+    assert(graft.operators.TextOps.editFitInvocations.get() == fitsAfter,
+      "edit base fit re-ran on a warm query")
+    assert(key(graft.operators.TextOps.qEditCompact(spark, sfDir))
+      == full, "edit compaction diverged from full recompute")
+    // non-vacuity: the compact index holds STALE heads for re-crawled
+    // ids (the prepended marker moved them), so retirement + re-probe
+    // actually repaired something
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val recHeads = graft.operators.TextOps.editKeyedHeads(
+        docs.filter(graft.operators.TextOps.isRecrawlDoc), 30)
+      .select("doc_id", "head").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(recHeads.nonEmpty)
+    // every stale head in the published index starts with the marker,
+    // so NO re-crawled head equals its true head
+    assert(recHeads.values.forall(!_.startsWith("legacyrev")),
+      "true heads unexpectedly carry the stale marker")
+  }
+
+  test("row-local md5 simhash signer is bit-identical to the vote " +
+      "aggregation; empty token arrays mirror the explode drop") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "sig_hi", "sig_lo").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(key(graft.operators.TextOps.simhashRowSigs(docs)) ==
+      key(graft.operators.TextOps.simhashMd5Halves(docs)),
+      "row-local signer diverged from the aggregate form on the corpus")
+    // degenerate shapes: single token, repeated token occurrences
+    // (votes accumulate per OCCURRENCE), unicode
+    val edge = Seq((1L, "solo"), (2L, "a a a b"), (3L, "naïve café 漢字"))
+      .toDF("doc_id", "text")
+    assert(key(graft.operators.TextOps.simhashRowSigs(edge)) ==
+      key(graft.operators.TextOps.simhashMd5Halves(edge)))
+    // an EMPTY token array returns NULL and the row drops — the
+    // aggregate form's explode emits no row for it
+    val withEmpty = Seq(4L).toDF("doc_id")
+      .withColumn("toks", array().cast("array<string>"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.simhashMd5Sig(col("toks")).as("s"))
+    assert(withEmpty.filter(col("s").isNotNull).count() == 0)
+  }
+
+  test("simhash intake pairs equal the brute-force cross Hamming sweep " +
+      "over (arrivals x published reps)") {
+    import spark.implicits._
+    // base corpus with duplicate texts (so reps != docs), arrivals
+    // containing exact dups, near-variants, and unrelated docs
+    val rnd = new scala.util.Random(20260816)
+    def txt(seed: Int) = (0 until 60)
+      .map(i => s"w${(i * 31 + seed * 7919) % 4000}").mkString(" ")
+    val base = (1 to 50).map(i =>
+      (i.toLong, if (i % 5 == 0) txt(1) else txt(i)))
+      .toDF("doc_id", "text")
+    val arrivals = (1 to 30).map { j =>
+      val id = 1000L + j
+      if (j % 3 == 0) (id, txt(rnd.nextInt(50) + 1)) // exact dup of a base
+      else if (j % 3 == 1) (id, txt(200 + j)) // unrelated
+      else (id, txt(rnd.nextInt(50) + 1) + s" extra${j}") // 1-token drift
+    }.toDF("doc_id", "text")
+    val ops = graft.operators.TextOps
+    val (_, reps) = ops.simhashCollapse(ops.simhashMd5Halves(base))
+    val rp = java.nio.file.Files.createTempDirectory("graft_si_idx").toString
+    reps.write.mode("overwrite").parquet(rp)
+    val b = ops.simhashAutoPlan(reps, 50)
+    graft.sources.Markers.write(spark, rp, "_graft_simhash_b", b.toString)
+    val (keyedReps, bLoaded) = ops.simhashIntakeIndex(spark, rp)
+    assert(bLoaded == b)
+    val got = ops.simhashIntakePairs(keyedReps, arrivals, bLoaded)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // truth: every (arrival, rep) pair within Hamming 3
+    val repSigs = reps.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val arrSigs = ops.simhashMd5Halves(arrivals).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = (for {
+      (aid, ahi, alo) <- arrSigs
+      (rid, rhi, rlo) <- repSigs
+      h = java.lang.Long.bitCount(ahi ^ rhi) +
+        java.lang.Long.bitCount(alo ^ rlo)
+      if h <= 3
+    } yield (aid, rid, h)).toSet
+    assert(got == want,
+      s"missing=${want -- got} spurious=${got -- want}")
+    assert(want.nonEmpty, "vacuous fixture: no cross pair planted")
+  }
+
   test("simhash block plan widens on MEASURED hot distinct-sig buckets " +
       "and keeps the count-derived plan on healthy corpora") {
     import spark.implicits._
@@ -1391,6 +1529,15 @@ class TextOpsSpec extends SparkTestBase {
     val full = key(graft.operators.TextOps.qSimhashClusters(spark, sfDir))
     assert(key(graft.operators.TextOps.qSimhashCompact(spark, sfDir))
       == full, "compaction diverged from the full recompute")
+    // r13 verdict item 8: the stale-corpus sign + sig-pair build is a
+    // FIT cost — a warm declared query must serve from the published
+    // artifacts without re-fitting (the incremental member's
+    // fitInvocations discipline, extended to compaction)
+    val fitsAfterFirst =
+      graft.operators.TextOps.simhashCompactFitInvocations.get()
+    key(graft.operators.TextOps.qSimhashCompact(spark, sfDir))
+    assert(graft.operators.TextOps.simhashCompactFitInvocations.get()
+      == fitsAfterFirst, "compact fit re-ran on a warm query")
     // non-vacuity: the published sig table really carries STALE
     // signatures for the re-crawl subset (otherwise retirement +
     // re-pairing tested nothing)
