@@ -51,14 +51,66 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    def runOne(name: String): Either[String, Double] = {
+
+    // Per-query SHUFFLE BYTES (r13 verdict item 5 — SCALE.md's residual
+    // not-shown item): local[32] shuffles through memory/disk, so wall
+    // time cannot surface the one cost a 1000-executor cluster adds —
+    // NETWORK exchange volume. A stage-completion listener accumulates
+    // shuffle read/write bytes; each timed run samples the counters
+    // before and after (listener events are async, so the sample polls
+    // until the counters go quiet — the poll sits OUTSIDE the timed
+    // section and never touches the medians). The artifact then carries
+    // the engine's central exchange claims (digest-only shuffles,
+    // zero-exchange bucketed plans, delta-sized maintenance) as
+    // measured per-query columns; BASELINE.md states the reading rule.
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) {
+            shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
+    def settledShuffle(): (Long, Long) = {
+      var prev = (shuffleRead.get, shuffleWrite.get)
+      var tries = 0
+      while (tries < 40) {
+        Thread.sleep(50)
+        val cur = (shuffleRead.get, shuffleWrite.get)
+        if (cur == prev) return cur
+        prev = cur
+        tries += 1
+      }
+      prev
+    }
+
+    /** One timed run: (seconds, shuffle-read delta, shuffle-write
+      * delta). The byte deltas attribute every stage the query's
+      * actions complete during the run — warm runs only (the warm-up
+      * pass absorbs fit-time stages, so pass deltas are the steady
+      * probe cost, which is the 100 TB-relevant number). Runs settle
+      * back-to-back, so each run's post-settle doubles as the next
+      * run's pre-sample. */
+    var lastShuffle = settledShuffle()
+    def runOne(name: String): Either[String, (Double, Long, Long)] = {
+      val (r0, w0) = lastShuffle
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        Right((System.nanoTime() - t0) / 1e9)
+        val sec = (System.nanoTime() - t0) / 1e9
+        lastShuffle = settledShuffle()
+        Right((sec, lastShuffle._1 - r0, lastShuffle._2 - w0))
       } catch {
-        case e: Throwable => Left(e.getClass.getSimpleName)
+        case e: Throwable =>
+          lastShuffle = settledShuffle()
+          Left(e.getClass.getSimpleName)
       }
     }
 
@@ -84,32 +136,44 @@ object Bench {
 
     names.foreach(runOne) // discarded warm-up pass
     val passes = 3
-    val samples: Seq[Map[String, Either[String, Double]]] =
+    val samples: Seq[Map[String, Either[String, (Double, Long, Long)]]] =
       (1 to passes).map(_ => names.map(n => n -> runOne(n)).toMap)
     // per-query median of the successful samples; any failed sample
     // marks the query failed (a crash must never hide behind a median)
-    val results: Seq[(String, Either[String, (Double, Double)])] =
+    case class Agg(medianSec: Double, spreadSec: Double,
+      medianRead: Long, medianWrite: Long)
+    val results: Seq[(String, Either[String, Agg])] =
       names.map { n =>
         val s = samples.map(_(n))
         s.collectFirst { case Left(e) => e } match {
           case Some(e) => n -> Left(e)
           case None =>
-            val ds = s.collect { case Right(d) => d }.sorted
-            n -> Right((ds(ds.length / 2), ds.last - ds.head))
+            val ok = s.collect { case Right(t) => t }
+            val ds = ok.map(_._1).sorted
+            val rs = ok.map(_._2).sorted
+            val ws = ok.map(_._3).sorted
+            n -> Right(Agg(ds(ds.length / 2), ds.last - ds.head,
+              rs(rs.length / 2), ws(ws.length / 2)))
         }
       }
 
     val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + v.fold(_ => "-1", { case (med, _) => med.toString })
+      "\"" + k + "\":" + v.fold(_ => "-1", _.medianSec.toString)
     }.mkString("{", ",", "}")
-    val spread = results.collect { case (k, Right((_, sp))) =>
-      "\"" + k + "\":" + sp
+    val spread = results.collect { case (k, Right(a)) =>
+      "\"" + k + "\":" + a.spreadSec
+    }.mkString("{", ",", "}")
+    val shufRd = results.collect { case (k, Right(a)) =>
+      "\"" + k + "\":" + a.medianRead
+    }.mkString("{", ",", "}")
+    val shufWr = results.collect { case (k, Right(a)) =>
+      "\"" + k + "\":" + a.medianWrite
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(e)) =>
       "\"" + k + "\":\"" + e + "\""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, Right((med, _))) => med }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$passes,"spread_sec":$spread,"anchor":$anchor,"sf":"$sfDir"}"""
+    val total = results.collect { case (_, Right(a)) => a.medianSec }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$passes,"spread_sec":$spread,"shuffle_read_bytes":$shufRd,"shuffle_write_bytes":$shufWr,"anchor":$anchor,"sf":"$sfDir"}"""
     println(line)
     // Also land the line in a file (r4 verdict item 6: the driver's
     // tail capture once truncated the single long stdout line past the

@@ -81,11 +81,32 @@ object ScaleGen {
   val megaClusterDocs = 1000
   val megaClusterBase = 500_000_000L // far above copies*stride + any source id
 
+  /** CLUSTERED embedding mode (4th arg `clustered` — r13 verdict item
+    * 4): the sf1 embedding corpus is DELIBERATELY structure-free
+    * (near-orthogonal noise), so IVF recall there is ~the probed
+    * fraction BY CONTRACT and the committed recall curve cannot show
+    * the ≥0.9 regime the fixture spec pins. This mode generates a
+    * corpus with GENUINE cluster structure — [[clusterCount]] seed
+    * directions (hash-derived uniform components) with bounded angular
+    * noise ([[clusterNoise]] ⇒ within-cluster cosines ≳ 0.997, far
+    * above any cross-seed cosine at 64 dims) — sized like the inflated
+    * corpus (source rows × copies). Cluster count ≫ nlist is the
+    * realistic crawl shape (many small near-dup/topic clumps, not a
+    * handful of giant blobs): a tight cluster's members all share a
+    * nearest coarse centroid, so whole clusters land in one bucket and
+    * the shipped nprobe covers the neighbors — the regime where the
+    * published ≥0.9 recall spec applies, now measurable at artifact
+    * scale. Writes ONLY `embeddings.parquet` (the recall probe's one
+    * input; the oracle sweeps never run on this mode). */
+  val clusterCount = 2000
+  val clusterNoise = 0.05f
+
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/root/repo/tmp/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     val adversarial = args.lift(3).contains("adversarial")
+    val clustered = args.lift(3).contains("clustered")
     require(!adversarial ||
       copies.toLong * stride + stride <= megaClusterBase,
       s"adversarial mode with $copies copies would shift healthy ids " +
@@ -203,6 +224,42 @@ object ScaleGen {
       d.withColumn("o_custkey",
         when(pmod(col("o_orderkey"), lit(4L)) === 0L, lit(42L))
           .otherwise(col("o_custkey")))
+
+    // clustered mode: embeddings-only corpus with planted structure
+    // (see the [[clusterCount]] scaladoc); deterministic hash-derived
+    // draws, one map over a range — no source values consumed beyond
+    // the row count, no shuffle
+    if (clustered) {
+      import spark.implicits._
+      val nVec = tbl("embeddings").count() * copies
+      val dims = 64
+      val k = clusterCount
+      val eps = clusterNoise
+      def u(seedA: Long, seedB: Int): Float = {
+        // MurmurHash3 int → uniform [-1, 1)
+        val h = scala.util.hashing.MurmurHash3.productHash(
+          (seedA, seedB))
+        (h.toFloat / Int.MaxValue.toFloat)
+      }
+      val df = spark.range(nVec).map { id =>
+        val c = id % k
+        val v = new Array[Float](dims)
+        var j = 0
+        while (j < dims) {
+          // seed direction of cluster c, plus bounded per-vector noise
+          v(j) = u(-(c + 1), j) + eps * u(id + 1, j)
+          j += 1
+        }
+        (id, v.toSeq, (c % 10).toInt)
+      }.toDF("vec_id", "embedding", "label")
+      df.repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+      println(s"[scalegen] clustered embeddings: " +
+        s"${spark.read.parquet(s"$dst/embeddings.parquet").count()} rows " +
+        s"($k clusters, noise $eps)")
+      spark.stop()
+      return
+    }
 
     val documentsPlan = {
       val healthy = inflate(tbl("documents"), Seq("doc_id"), suffixTokens)

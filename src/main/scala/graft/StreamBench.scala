@@ -260,13 +260,113 @@ object StreamBench {
         tmp("graft_sb_bpe_cp")),
       ds => ds.toDF("doc_id", "text"))
 
+    // 11. SimHash intake against the published rep index (r13 item 6):
+    // row-local md5 signer + block-combination stream-static emit-once
+    // join; 1/8 of arrivals are EXACT dups of the 64-doc base (Hamming
+    // 0 vs the rep), so the flag path does real work each batch
+    val shBase = baseTexts.zipWithIndex.map { case (w, b) =>
+      (b.toLong, w.mkString(" ")) }.toDF("doc_id", "text")
+    val (shIdentity, shReps) = graft.operators.TextOps.simhashCollapse(
+      graft.operators.TextOps.simhashMd5Halves(shBase))
+    val shIdxPath = tmp("graft_sb_sh_idx")
+    shReps.write.mode("overwrite").parquet(shIdxPath)
+    val shB = graft.operators.TextOps.simhashAutoPlan(shReps, 64)
+    graft.sources.Markers.write(spark, shIdxPath, "_graft_simhash_b",
+      shB.toString)
+    val (shKeyed, shBLoaded) =
+      graft.operators.TextOps.simhashIntakeIndex(spark, shIdxPath)
+    val shRows: Seq[(Long, String)] = (0 until 2000).map { i =>
+      val id = 60000L + i
+      if (i % 8 == 0) (id, baseTexts((i / 8) % 64).mkString(" "))
+      else (id, words(120, 800000 + i).map("s" + _).mkString(" "))
+    }
+    runLeg[(Long, String)]("simhash_intake", shRows,
+      df => graft.streaming.Streams.simhashIntake(shKeyed, shBLoaded, df),
+      ds => ds.toDF("doc_id", "text"))
+
+    // ---- ADVERSARIAL streaming sweep (r13 item 7): the batch
+    // adversarial artifact's planted pathology — a 1000-doc
+    // IDENTICAL-TEXT boilerplate cluster — pushed through the intake
+    // legs as ONE hostile arrival wave. The stream-static joins are
+    // new-vs-base by construction, so the output must be O(k) flags
+    // (one per arrival), never the within-batch O(k²) clique; the
+    // `checks` map in the artifact records the verified post-conditions
+    // next to the throughput numbers.
+    val checks = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+    val bpText = (0 until 45).map(i => s"bp$i").mkString(" ")
+    val megaRows: Seq[(Long, String)] =
+      (0 until 1000).map(i => (500000000L + i, bpText))
+
+    // 12. the mega-batch through the MinHash near-dup intake: base
+    // holds ONE doc with the boilerplate text, so exactly 1000 flags
+    val advBase = (shBase.collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSeq :+ ((999L, bpText)))
+      .toDF("doc_id", "text")
+    val advStaged = graft.operators.TextOps.stageDocs(advBase)
+      .localCheckpoint(true)
+    val advOut = tmp("graft_sb_nd_adv_out")
+    runSinkLeg[(Long, String)]("neardup_intake_adversarial", megaRows,
+      df => graft.streaming.Streams.nearDupIntake(advStaged, df)
+        .writeStream.format("parquet").option("path", advOut)
+        .option("checkpointLocation", tmp("graft_sb_nd_adv_cp"))
+        .outputMode("append").start(),
+      ds => ds.toDF("doc_id", "text"))
+    checks("neardup_adv_flags_linear") =
+      spark.read.parquet(advOut).count() == 1000L
+
+    // 13. the mega-batch through the SimHash intake: every arrival
+    // signs to the SAME signature and flags its one rep at Hamming 0
+    val (advIdentity2, advReps) = graft.operators.TextOps.simhashCollapse(
+      graft.operators.TextOps.simhashMd5Halves(advBase))
+    val advIdxPath = tmp("graft_sb_sh_adv_idx")
+    advReps.write.mode("overwrite").parquet(advIdxPath)
+    val advB = graft.operators.TextOps.simhashAutoPlan(advReps, 65)
+    graft.sources.Markers.write(spark, advIdxPath, "_graft_simhash_b",
+      advB.toString)
+    val (advKeyed, advBLoaded) =
+      graft.operators.TextOps.simhashIntakeIndex(spark, advIdxPath)
+    val advShOut = tmp("graft_sb_sh_adv_out")
+    runSinkLeg[(Long, String)]("simhash_intake_adversarial", megaRows,
+      df => graft.streaming.Streams.simhashIntake(advKeyed, advBLoaded, df)
+        .writeStream.format("parquet").option("path", advShOut)
+        .option("checkpointLocation", tmp("graft_sb_sh_adv_cp"))
+        .outputMode("append").start(),
+      ds => ds.toDF("doc_id", "text"))
+    val advShFlags = spark.read.parquet(advShOut)
+    checks("simhash_adv_flags_linear") = advShFlags.count() == 1000L &&
+      advShFlags.filter(col("dup_of") === 999L && col("hamming") === 0)
+        .count() == 1000L
+
+    // 14. the mega-batch through the SimHash LABEL sink: per-batch
+    // probe + dup-set-sized extension + versioned publish under the
+    // hostile wave; the check pins the final map's exactly-once shape
+    // (every arrival labeled to the boilerplate component's min id)
+    val advLabelsRoot = tmp("graft_sb_sh_adv_labels")
+    graft.operators.Components.publishLabels(spark,
+      graft.operators.Components.labelComponents(advIdentity2),
+      advLabelsRoot, "base")
+    runSinkLeg[(Long, String)]("simhash_labels_adversarial", megaRows,
+      df => graft.streaming.Streams.simhashLabelsSink(advKeyed,
+        advBLoaded, advLabelsRoot, df, tmp("graft_sb_sh_adv_lcp"),
+        retainVersions = 2),
+      ds => ds.toDF("doc_id", "text"))
+    val advLabels = graft.operators.Components
+      .currentLabels(spark, advLabelsRoot)
+    checks("simhash_adv_labels_exactly_once") =
+      advLabels.filter(col("node_id") >= 500000000L).count() == 1000L &&
+        advLabels.filter(col("node_id") >= 500000000L)
+          .filter(col("cluster_id") =!= 999L).count() == 0L
+
     val legs = results.map { case (k, (_, rps)) =>
       "\"" + k + "\":" + f"$rps%.1f"
     }.mkString("{", ",", "}")
     val sizes = results.map { case (k, (n, _)) =>
       "\"" + k + "\":" + n
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"stream_rows_per_sec","legs":$legs,"rows":$sizes,"batches_per_leg":4,"anchor":{"overhead_sec":$anchorSecs},"cpus":"$cpus"}"""
+    val checksJson = checks.map { case (k, v) =>
+      "\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"stream_rows_per_sec","legs":$legs,"rows":$sizes,"batches_per_leg":4,"checks":$checksJson,"anchor":{"overhead_sec":$anchorSecs},"cpus":"$cpus"}"""
     println(line)
     try {
       val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_OUT",

@@ -194,6 +194,12 @@ object Vectors {
     * noise (intra/inter-label mean cosine 0.0016/0.0003), so no
     * bucketing beats the ~1/nlist baseline there — the test asserts
     * shape, bounded probing, and fit/probe equivalence instead.
+    * MEASURED at artifact scale in `RECALL_SF1_r14.json` (graft
+    * .RecallProbe over BOTH regimes): the structure-free inflated
+    * corpus's curve tracks the probed fraction and hits 1.0 at full
+    * probe (the contract above), and the CLUSTERED ScaleGen corpus
+    * (`ScaleGen … clustered` — the regime this query's ≥0.9 spec
+    * governs) shows recall ≥0.9 at the shipped nprobe = 3.
     */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val model = ivfFit(spark, dir)

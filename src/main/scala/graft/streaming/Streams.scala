@@ -513,6 +513,25 @@ object Streams {
     baseHot: Option[DataFrame] = None): DataFrame =
     graft.operators.TextOps.intakePairs(baseStaged, docs, baseHot)
 
+  /** Streaming SimHash near-dup flagging (r13 verdict item 6 — the
+    * family's stream dual, completing the [[nearDupIntake]] symmetry):
+    * arriving documents sign ROW-LOCALLY
+    * ([[graft.functions.SimhashMd5Sig]] — the batch vote aggregation
+    * is a streaming aggregation, so the signer is re-expressed as one
+    * codegen'd kernel, the [[classifyIntake]] discipline), fan out
+    * their block-combination keys row-locally, and join the PUBLISHED
+    * distinct-sig rep index as a stream-static equi-join on
+    * (band, key) with the row-local first-matching-table emit-once
+    * predicate — each (new, base) pair surfaces exactly once with no
+    * streaming state, watermark, or distinct. `keyedReps` is the
+    * staged index from [[graft.operators.TextOps.simhashIntakeIndex]]
+    * (keyed once under the published block plan, materialized);
+    * within-stream near-dups are the nightly compaction's job, the
+    * [[nearDupIntake]] scope contract verbatim. */
+  def simhashIntake(keyedReps: DataFrame, b: Int,
+    docs: DataFrame): DataFrame =
+    graft.operators.TextOps.simhashIntakePairs(keyedReps, docs, b)
+
   /** Streaming LABEL EXTENSION (r8 verdict item 4): [[nearDupIntake]]
     * flags (new, base) pairs but never folds them into the published
     * label map — this sink does, per micro-batch, through
@@ -797,6 +816,44 @@ object Streams {
           // the NEXT version is safe (different directory), but eager
           // materialization keeps the propagation's own actions off the
           // publication path
+          val next = graft.operators.Components
+            .extendLabels(graft.operators.Components
+              .currentLabels(s, labelsRoot), pairs)
+            .localCheckpoint(true)
+          graft.operators.Components.publishLabels(s, next, labelsRoot,
+            version, retainVersions)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** SimHash label extension sink — [[extendLabelsSink]] on the
+    * block-combination probe instead of the banded MinHash one: each
+    * micro-batch signs row-locally, probes the staged rep index
+    * through the stateless emit-once join ([[simhashIntake]]'s exact
+    * pair path), extends the CURRENT label map with the flagged
+    * (arrival, rep) star edges, and publishes a new version. The
+    * exactly-once argument is [[extendLabelsSink]]'s verbatim:
+    * publication is versioned-then-flip (a crash mid-write leaves the
+    * previous version current) and extension is IDEMPOTENT (a
+    * replayed batch's pairs are a fixed point of the propagation), so
+    * no transactional storage is needed. Probing reps keeps the
+    * extension connectivity-exact — the property the batch
+    * incremental member's full-recompute oracle pins. */
+  def simhashLabelsSink(keyedReps: DataFrame, b: Int,
+    labelsRoot: String, docs: DataFrame, checkpointDir: String,
+    retainVersions: Int = 0)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val version = sinkVersion(s, checkpointDir, batchId)
+        if (!graft.sources.Markers.readOption(s, labelsRoot,
+            graft.operators.Components.labelsCurrentMarker)
+            .contains(version)) {
+          val pairs = graft.operators.TextOps
+            .simhashIntakePairs(keyedReps, batch, b)
+            .select(col("doc_id").as("id_a"), col("dup_of").as("id_b"))
           val next = graft.operators.Components
             .extendLabels(graft.operators.Components
               .currentLabels(s, labelsRoot), pairs)

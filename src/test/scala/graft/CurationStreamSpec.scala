@@ -219,6 +219,103 @@ class CurationStreamSpec extends SparkTestBase {
     assert(again == finalLabels)
   }
 
+  test("streaming simhash intake flags arrivals against the published " +
+      "rep index; equals the batch cross probe") {
+    import spark.implicits._
+    // base: a duplicate group (10, 11 identical) and a distinct doc 20,
+    // so the published index holds REPS {10, 20}, not all docs
+    val a = words(200, 31).mkString(" ")
+    val b = words(200, 32).map("u" + _).mkString(" ")
+    val base = Seq((10L, a), (11L, a), (20L, b)).toDF("doc_id", "text")
+    val ops = TextOps
+    val (_, reps) = ops.simhashCollapse(ops.simhashMd5Halves(base))
+    val rp = tmp("graft_si_stream_idx")
+    reps.write.mode("overwrite").parquet(rp)
+    val bPlan = ops.simhashAutoPlan(reps, 3)
+    graft.sources.Markers.write(spark, rp, "_graft_simhash_b",
+      bPlan.toString)
+    val (keyedReps, bLoaded) = ops.simhashIntakeIndex(spark, rp)
+    // two micro-batches: an exact dup of the group (Hamming 0 vs rep
+    // 10), an unrelated arrival, then an exact dup of 20
+    val input = tmp("graft_si_stream_in")
+    Seq((101L, a), (102L, words(200, 33).map("z" + _).mkString(" ")))
+      .toDF("doc_id", "text").write.mode("append").json(input)
+    Seq((201L, b)).toDF("doc_id", "text").write.mode("append").json(input)
+    val out = tmp("graft_si_stream_out")
+    runStream(Streams.simhashIntake(keyedReps, bLoaded, _), input, out)
+    val flagged = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(flagged == Set((101L, 10L, 0), (201L, 20L, 0)),
+      s"expected exactly the planted dup flags, got $flagged")
+    // micro-batched streaming equals one batch pass over all arrivals
+    val batchPairs = ops.simhashIntakePairs(keyedReps,
+      spark.read.schema(docSchema).json(input), bLoaded)
+    val streamedDf = spark.read.parquet(out)
+    assert(streamedDf.exceptAll(batchPairs).isEmpty &&
+      batchPairs.exceptAll(streamedDf).isEmpty)
+  }
+
+  test("simhash label sink survives kill+restart; an adversarial " +
+      "identical-text mega-batch extends O(k) and exactly-once") {
+    import spark.implicits._
+    val a = words(200, 41).mkString(" ")
+    val b = words(200, 42).map("v" + _).mkString(" ")
+    val base = Seq((10L, a), (11L, a), (20L, b)).toDF("doc_id", "text")
+    val ops = TextOps
+    val (identity, reps) = ops.simhashCollapse(ops.simhashMd5Halves(base))
+    val rp = tmp("graft_sl_idx")
+    reps.write.mode("overwrite").parquet(rp)
+    val bPlan = ops.simhashAutoPlan(reps, 3)
+    graft.sources.Markers.write(spark, rp, "_graft_simhash_b",
+      bPlan.toString)
+    val (keyedReps, bLoaded) = ops.simhashIntakeIndex(spark, rp)
+    val labelsRoot = tmp("graft_sl_labels")
+    Components.publishLabels(spark,
+      Components.labelComponents(identity), labelsRoot, "base")
+    val input = tmp("graft_sl_in")
+    val cp = tmp("graft_sl_cp")
+    def run(): Unit = {
+      val q = Streams.simhashLabelsSink(keyedReps, bLoaded, labelsRoot,
+        spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", 1).json(input), cp)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 1: one exact dup of the {10, 11} group
+    Seq((101L, a)).toDF("doc_id", "text").write.mode("append").json(input)
+    run() // then KILLED (stopped)
+    val afterB1 = Components.currentLabels(spark, labelsRoot).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterB1 == Set((10L, 10L), (11L, 10L), (101L, 10L)))
+    // batch 2 arrives while the query is down: the ADVERSARIAL shape —
+    // 300 IDENTICAL-text arrivals (a boilerplate cluster landing in one
+    // trigger); the stream-static probe emits exactly ONE flag per
+    // arrival (vs its rep), never the within-batch quadratic pair set
+    val mega = (0 until 300).map(i => (5000L + i, b))
+    mega.toDF("doc_id", "text").write.mode("append").json(input)
+    run() // restart from the checkpoint: processes ONLY batch 2
+    val finalLabels = Components.currentLabels(spark, labelsRoot)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantMega = mega.map { case (id, _) => (id, 20L) }.toSet
+    assert(finalLabels ==
+      afterB1 ++ Set((20L, 20L)) ++ wantMega)
+    // batch dual + idempotence (the exactly-once argument): one
+    // extension with ALL arrivals' pairs lands on the same map, and
+    // re-extending is a fixed point — a crash-replayed batch cannot
+    // move the published content
+    val allPairs = ops.simhashIntakePairs(keyedReps,
+        spark.read.schema(docSchema).json(input), bLoaded)
+      .select(col("doc_id").as("id_a"), col("dup_of").as("id_b"))
+    val dual = Components.extendLabels(
+        spark.read.parquet(s"$labelsRoot/base"), allPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(finalLabels == dual)
+    val again = Components.extendLabels(
+        Components.currentLabels(spark, labelsRoot), allPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == finalLabels)
+  }
+
   test("streaming IVF intake routes arrivals to fit buckets; probes serve the union") {
     import spark.implicits._
     import graft.operators.Vectors
