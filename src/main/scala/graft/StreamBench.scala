@@ -363,6 +363,53 @@ object StreamBench {
     val sizes = results.map { case (k, (n, _)) =>
       "\"" + k + "\":" + n
     }.mkString("{", ",", "}")
+    // 15. edit-distance intake against the published segment index
+    // (r14): row-local head keying + multi-match-aware probe substring
+    // enumeration + EditFirstMatch emit-once; 1/8 of arrivals share a
+    // base doc's exact 30-char head (dist 0 flags)
+    val editIdxPath = tmp("graft_sb_edit_idx")
+    graft.operators.TextOps.editBuildRows(
+        graft.operators.TextOps.editKeyedHeads(
+          shBase.withColumn("lang", lit("en")), 30), 3)
+      .select(col("doc_id"), col("lang"), col("head"), col("len"),
+        col("kseg.idx").as("idx"), col("kseg.seg").as("seg"))
+      .write.mode("overwrite").parquet(editIdxPath)
+    val editStaged = graft.operators.TextOps.editIntakeIndex(spark,
+      editIdxPath)
+    val editRows: Seq[(Long, String)] = (0 until 2000).map { i =>
+      val id = 70000L + i
+      if (i % 8 == 0) (id, baseTexts((i / 8) % 64).mkString(" "))
+      else (id, words(120, 900000 + i).map("e" + _).mkString(" "))
+    }
+    runLeg[(Long, String)]("edit_intake", editRows,
+      df => graft.streaming.Streams.editIntake(editStaged,
+        df.withColumn("lang", lit("en"))),
+      ds => ds.toDF("doc_id", "text"))
+
+    // 16. the adversarial wave through the edit intake: 1000 arrivals
+    // sharing ONE base head exactly — O(k) flags via emit-once
+    val advEditIdx = tmp("graft_sb_edit_adv_idx")
+    graft.operators.TextOps.editBuildRows(
+        graft.operators.TextOps.editKeyedHeads(
+          advBase.withColumn("lang", lit("en")), 30), 3)
+      .select(col("doc_id"), col("lang"), col("head"), col("len"),
+        col("kseg.idx").as("idx"), col("kseg.seg").as("seg"))
+      .write.mode("overwrite").parquet(advEditIdx)
+    val advEditStaged = graft.operators.TextOps.editIntakeIndex(spark,
+      advEditIdx)
+    val advEditOut = tmp("graft_sb_edit_adv_out")
+    runSinkLeg[(Long, String)]("edit_intake_adversarial", megaRows,
+      df => graft.streaming.Streams.editIntake(advEditStaged,
+          df.withColumn("lang", lit("en")))
+        .writeStream.format("parquet").option("path", advEditOut)
+        .option("checkpointLocation", tmp("graft_sb_edit_adv_cp"))
+        .outputMode("append").start(),
+      ds => ds.toDF("doc_id", "text"))
+    val advEditFlags = spark.read.parquet(advEditOut)
+    checks("edit_adv_flags_linear") = advEditFlags.count() == 1000L &&
+      advEditFlags.filter(col("dup_of") === 999L && col("dist") === 0)
+        .count() == 1000L
+
     val checksJson = checks.map { case (k, v) =>
       "\"" + k + "\":" + v
     }.mkString("{", ",", "}")

@@ -66,7 +66,11 @@ object GraftExtensions {
     ("graft_earlier_band_collision",
       "graft_earlier_band_collision(a, b, band) - TRUE iff a band index " +
         "below `band` holds equal hashes in both signatures (emit-once)",
-      es => EarlierBandCollision(es(0), es(1), es(2))))
+      es => EarlierBandCollision(es(0), es(1), es(2))),
+    ("graft_edit_first_match",
+      "graft_edit_first_match(build, probe, d) - first PassJoin key " +
+        "index (-1 shorts, -99 none) at which the head pair collides",
+      es => EditFirstMatch(es(0), es(1), intLit(es(2), "d"))))
 
   /** Install the same functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -312,6 +312,100 @@ case class SimhashMd5Sig(child: Expression) extends UnaryExpression {
     newChild: Expression): SimhashMd5Sig = copy(child = newChild)
 }
 
+/** The FIRST PassJoin key index at which a (build, probe) head pair
+  * collides under the multi-match-aware enumeration — the emit-once
+  * predicate of the edit-distance joins (r14: the [[SimhashMd5Sig]] /
+  * first-matching-table discipline applied to PassJoin, deleting the
+  * pair-keyed `dropDuplicates` exchange the candidate set previously
+  * paid, and making the cross probe STREAMING-LEGAL — a stateless
+  * row-local predicate instead of a stateful distinct).
+  *
+  * Returns −1 when the shorts channel collides first (build len ≤ d,
+  * probe len ≤ 2d, |Δ| ≤ d — the join's own length gate), else the
+  * smallest segment index i whose build segment `seg_i(build)` occurs
+  * in the probe head at a start inside the PVLDB'11 §4.2 window
+  * computed for the TRUE build length (lo/hi mirror `editProbeKeys`
+  * exactly: x = st − pᵢ must satisfy |x| + |Δ − x| ≤ d and
+  * |Δ − x| ≤ d − i, truncated starts dropped), else −99 (no admissible
+  * witness — for a pair at ed ≤ d this cannot happen, by the
+  * multi-match-aware completeness argument the batch join already
+  * relies on; candidates reachable ONLY through foreign assumed-length
+  * windows are exactly the ones the DP would reject, so dropping them
+  * pre-DP is free). A joined candidate row emits iff its key index
+  * equals this value: per pair, exactly one row survives — no
+  * exchange, no state.
+  *
+  * Capped-cell caveat (the family's documented shorts tradeoff,
+  * unchanged in direction): when a degenerate cell's shorts keys were
+  * star-reduced at index build, a non-min build row has no shorts key,
+  * and a pair this expression routes to −1 has no joined row to emit
+  * through — above the cap the pair stream is star-shaped exactly as
+  * the batch contract states (healthy corpora never trip it; the
+  * pure-star fixture is spec-pinned on both paths).
+  *
+  * Character semantics ride `UTF8String` (`numChars`/`substringSQL`),
+  * matching Spark's own `length`/`substr` — a Java-String mirror
+  * would count astral plane characters differently. */
+case class EditFirstMatch(left: Expression, right: Expression, d: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got " +
+          s"(${a.simpleString}, ${b.simpleString})")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_edit_first_match"
+
+  def compute(build: UTF8String, probe: UTF8String): Int = {
+    val k = d + 1
+    val la = build.numChars()
+    val lb = probe.numChars()
+    val dl = lb - la
+    if (math.abs(dl) > d) return -99 // outside the join's length gate
+    if (la <= d && lb <= 2 * d) return -1 // shorts channel wins
+    var i = 0
+    while (i < k) {
+      val start = i * la / k
+      val slen = (i + 1) * la / k - start
+      if (slen > 0) {
+        val seg = build.substringSQL(start + 1, slen)
+        val slack = (d - math.abs(dl)) / 2
+        val lo = math.max(math.min(dl, 0) - slack, dl - (k - 1 - i))
+        val hi = math.min(math.max(dl, 0) + slack, dl + (k - 1 - i))
+        var st = start + lo
+        val stHi = start + hi
+        while (st <= stHi) {
+          if (st >= 0 && st + slen <= lb &&
+              probe.substringSQL(st + 1, slen).equals(seg)) return i
+          st += 1
+        }
+      }
+      i += 1
+    }
+    -99
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+    ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("editFirstMatch", this,
+      classOf[EditFirstMatch].getName)
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = $self.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+    newRight: Expression): EditFirstMatch =
+    copy(left = newLeft, right = newRight)
+}
+
 /** TRUE iff any band index strictly below `band` holds equal band
   * hashes in both signature arrays — the emit-once "a pair surfaces
   * only in its FIRST colliding band" predicate of the banded LSH joins
@@ -741,4 +835,11 @@ object TextFunctions {
   def earlierBandCollision(a: Column, b: Column, band: Column): Column =
     ColumnBridge.column(EarlierBandCollision(ColumnBridge.expression(a),
       ColumnBridge.expression(b), ColumnBridge.expression(band)))
+
+  /** First PassJoin key index (−1 = shorts, −99 = none) at which a
+    * (build head, probe head) pair collides — the edit joins'
+    * emit-once site. */
+  def editFirstMatch(build: Column, probe: Column, d: Int): Column =
+    ColumnBridge.column(EditFirstMatch(ColumnBridge.expression(build),
+      ColumnBridge.expression(probe), d))
 }

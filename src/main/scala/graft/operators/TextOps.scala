@@ -1928,27 +1928,32 @@ object TextOps {
   }
 
   /** PassJoin self-join: build vs probe over ONE keyed-heads frame,
-    * ordered pairs (a.doc_id < b.doc_id), pair-deduped candidates,
-    * exact DP verify. */
+    * ordered pairs (a.doc_id < b.doc_id), candidates emitted ONCE at
+    * their first-matching key ([[graft.functions.EditFirstMatch]] —
+    * r14: the row-local predicate replaces the former pair-keyed
+    * `dropDuplicates`, deleting the candidate set's exchange exactly
+    * as the SimHash family's first-matching-table re-key did; the
+    * multi-match-aware completeness argument guarantees every true
+    * pair carries a same-length witness, and foreign-assumed-length
+    * candidates the predicate drops are exactly the ones the DP would
+    * reject), exact DP verify on the survivors. */
   private[graft] def editDistancePairs(docs: DataFrame, prefixLen: Int,
       maxDist: Int,
       shortsCap: Int = BandedJoins.defaultHotBucketCap): DataFrame = {
     val d = maxDist
     val keyed = editKeyedHeads(docs, prefixLen)
-    val cand = editBuildRows(keyed, d, shortsCap).as("a")
+    editBuildRows(keyed, d, shortsCap).as("a")
       .join(editProbeRows(keyed, d).as("b"),
         col("a.lang") === col("b.lang") &&
           col("a.kseg") === col("b.kseg") &&
           col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.len") - col("b.len")) <= d)
-      .select(col("a.doc_id").as("doc_id_a"),
-        col("b.doc_id").as("doc_id_b"),
-        col("a.head").as("head_a"), col("b.head").as("head_b"))
-      .dropDuplicates("doc_id_a", "doc_id_b")
-    cand
-      .withColumn("dist", levenshtein(col("head_a"), col("head_b")))
+      .filter(col("a.kseg.idx") === graft.functions.TextFunctions
+        .editFirstMatch(col("a.head"), col("b.head"), d))
+      .withColumn("dist", levenshtein(col("a.head"), col("b.head")))
       .filter(col("dist") <= d)
-      .select(col("doc_id_a"), col("doc_id_b"), col("dist"))
+      .select(col("a.doc_id").as("doc_id_a"),
+        col("b.doc_id").as("doc_id_b"), col("dist"))
       .orderBy(col("doc_id_a"), col("doc_id_b"))
   }
 
@@ -2004,24 +2009,33 @@ object TextOps {
     * longer increment partner would exceed d by length difference
     * alone. Output (id_a, id_b, dist), canonically ordered. */
   private[graft] def editCrossPairs(baseBuild: DataFrame,
-      probeKeyed: DataFrame, d: Int): DataFrame = {
-    val cand = baseBuild.as("a")
+      probeKeyed: DataFrame, d: Int): DataFrame =
+    editCrossFlags(baseBuild, probeKeyed, d)
+      .select(least(col("dup_of"), col("doc_id")).as("id_a"),
+        greatest(col("dup_of"), col("doc_id")).as("id_b"),
+        col("dist"))
+
+  /** The cross PassJoin in INTAKE shape — (arriving doc, base doc,
+    * dist), one row per flagged pair via the row-local
+    * [[graft.functions.EditFirstMatch]] emit-once predicate (r14: no
+    * pair-keyed distinct, so the IDENTICAL plan is legal under
+    * append-mode `readStream` — the streaming edit-distance intake
+    * rides this verbatim, completing the MinHash/SimHash intake
+    * symmetry). */
+  private[graft] def editCrossFlags(baseBuild: DataFrame,
+      probeKeyed: DataFrame, d: Int): DataFrame =
+    baseBuild.as("a")
       .join(editProbeRows(probeKeyed, d).as("b").hint("shuffle_hash"),
         col("a.lang") === col("b.lang") &&
           col("a.kseg") === col("b.kseg") &&
           col("a.doc_id") =!= col("b.doc_id") &&
           abs(col("a.len") - col("b.len")) <= d)
-      .select(col("a.doc_id").as("doc_id_a"),
-        col("b.doc_id").as("doc_id_b"),
-        col("a.head").as("head_a"), col("b.head").as("head_b"))
-      .dropDuplicates("doc_id_a", "doc_id_b")
-    cand
-      .withColumn("dist", levenshtein(col("head_a"), col("head_b")))
+      .filter(col("a.kseg.idx") === graft.functions.TextFunctions
+        .editFirstMatch(col("a.head"), col("b.head"), d))
+      .withColumn("dist", levenshtein(col("a.head"), col("b.head")))
       .filter(col("dist") <= d)
-      .select(least(col("doc_id_a"), col("doc_id_b")).as("id_a"),
-        greatest(col("doc_id_a"), col("doc_id_b")).as("id_b"),
-        col("dist"))
-  }
+      .select(col("b.doc_id").as("doc_id"),
+        col("a.doc_id").as("dup_of"), col("dist"))
 
   /** The published PassJoin build-row index read back as the join-ready
     * shape (the struct key is stored flat so the bloom prune can hash
@@ -2031,6 +2045,14 @@ object TextOps {
     spark.read.parquet(path)
       .select(col("doc_id"), col("lang"), col("head"), col("len"),
         struct(col("idx"), col("seg")).as("kseg"))
+
+  /** The published build-row index staged for the STREAMING intake:
+    * read once, join-ready, eagerly materialized so every micro-batch
+    * joins a static in-memory frame (the [[simhashIntakeIndex]]
+    * posture on this family's artifact). */
+  private[graft] def editIntakeIndex(spark: SparkSession,
+      path: String): DataFrame =
+    editIndexFrame(spark, path).localCheckpoint(true)
 
   /** Bloom-pruned base index branch for an increment probe — the
     * [[incrementPairs]] posture on the PassJoin shape: the index side

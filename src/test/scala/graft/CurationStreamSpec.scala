@@ -316,6 +316,102 @@ class CurationStreamSpec extends SparkTestBase {
     assert(again == finalLabels)
   }
 
+  test("streaming edit-distance intake flags arrivals against the " +
+      "published segment index; equals the batch cross probe") {
+    import spark.implicits._
+    // base heads are the first 30 chars; plant one arrival 2 edits off
+    // base 10's head, one exact dup of base 20, one unrelated
+    val t10 = "abcdefghij klmnopqrst uvwxyz" + " tail " + words(40, 51).mkString(" ")
+    val t20 = "zyxwvutsrq ponmlkjihg fedcba" + " tail " + words(40, 52).mkString(" ")
+    val base = Seq((10L, t10), (20L, t20)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val keyed = TextOps.editKeyedHeads(base, 30)
+    val ip = tmp("graft_ei_idx")
+    TextOps.editBuildRows(keyed, 3)
+      .select(col("doc_id"), col("lang"), col("head"), col("len"),
+        col("kseg.idx").as("idx"), col("kseg.seg").as("seg"))
+      .write.mode("overwrite").parquet(ip)
+    val staged = TextOps.editIntakeIndex(spark, ip)
+    val input = tmp("graft_ei_in")
+    Seq((101L, "abcXefghij klmnopQrst uvwxyz" + " tail etc"),
+      (102L, words(40, 53).map("q" + _).mkString(" ")))
+      .toDF("doc_id", "text").write.mode("append").json(input)
+    Seq((201L, t20)).toDF("doc_id", "text").write.mode("append").json(input)
+    val out = tmp("graft_ei_out")
+    runStream(df => Streams.editIntake(staged,
+      df.withColumn("lang", lit("en"))), input, out)
+    val flagged = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Int]("dist"))).toSet
+    assert(flagged == Set((101L, 10L, 2), (201L, 20L, 0)),
+      s"expected exactly the planted near-dup flags, got $flagged")
+    // micro-batched streaming equals one batch pass over all arrivals
+    val batchFlags = TextOps.editCrossFlags(staged,
+      TextOps.editKeyedHeads(spark.read.schema(docSchema).json(input)
+        .withColumn("lang", lit("en")), 30), 3)
+    val streamedDf = spark.read.parquet(out)
+    assert(streamedDf.exceptAll(batchFlags).isEmpty &&
+      batchFlags.exceptAll(streamedDf).isEmpty)
+  }
+
+  test("edit label sink survives kill+restart; an adversarial " +
+      "identical-head mega-batch extends O(k) and exactly-once") {
+    import spark.implicits._
+    val t10 = "abcdefghij klmnopqrst uvwxyz" + " x " + words(40, 61).mkString(" ")
+    val t20 = "zyxwvutsrq ponmlkjihg fedcba" + " x " + words(40, 62).mkString(" ")
+    val base = Seq((10L, t10), (20L, t20)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val ip = tmp("graft_el_idx")
+    TextOps.editBuildRows(TextOps.editKeyedHeads(base, 30), 3)
+      .select(col("doc_id"), col("lang"), col("head"), col("len"),
+        col("kseg.idx").as("idx"), col("kseg.seg").as("seg"))
+      .write.mode("overwrite").parquet(ip)
+    val staged = TextOps.editIntakeIndex(spark, ip)
+    val labelsRoot = tmp("graft_el_labels")
+    Components.publishLabels(spark,
+      Components.labelComponents(
+        spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")),
+      labelsRoot, "base")
+    val input = tmp("graft_el_in")
+    val cp = tmp("graft_el_cp")
+    def run(): Unit = {
+      val q = Streams.editLabelsSink(staged, labelsRoot,
+        spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", 1).json(input)
+          .withColumn("lang", lit("en")), cp)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 1: one near-dup of base 10 (2 edits inside the head)
+    Seq((101L, "abcXefghij klmnopQrst uvwxyz" + " y"))
+      .toDF("doc_id", "text").write.mode("append").json(input)
+    run() // then KILLED
+    val afterB1 = Components.currentLabels(spark, labelsRoot).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterB1 == Set((10L, 10L), (101L, 10L)))
+    // batch 2 while down: 200 arrivals sharing base 20's EXACT head
+    // (a re-crawled boilerplate wave) — one flag per arrival, O(k)
+    val mega = (0 until 200).map(i => (7000L + i, t20))
+    mega.toDF("doc_id", "text").write.mode("append").json(input)
+    run() // restart: processes ONLY batch 2
+    val finalLabels = Components.currentLabels(spark, labelsRoot)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(finalLabels == afterB1 ++ Set((20L, 20L)) ++
+      mega.map { case (id, _) => (id, 20L) }.toSet)
+    // batch dual + idempotent re-extension (exactly-once)
+    val allPairs = TextOps.editCrossFlags(staged,
+        TextOps.editKeyedHeads(spark.read.schema(docSchema).json(input)
+          .withColumn("lang", lit("en")), 30), 3)
+      .select(col("doc_id").as("id_a"), col("dup_of").as("id_b"))
+    val dual = Components.extendLabels(
+        spark.read.parquet(s"$labelsRoot/base"), allPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(finalLabels == dual)
+    val again = Components.extendLabels(
+        Components.currentLabels(spark, labelsRoot), allPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == finalLabels)
+  }
+
   test("streaming IVF intake routes arrivals to fit buckets; probes serve the union") {
     import spark.implicits._
     import graft.operators.Vectors

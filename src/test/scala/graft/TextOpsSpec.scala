@@ -1292,6 +1292,49 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("EditFirstMatch finds a witness for every true pair and the " +
+      "emit-once joins stay exact (randomized)") {
+    import spark.implicits._
+    // expression-level completeness mirror: any pair within the length
+    // gate at ed <= 3 must have a first-match key (the same
+    // multi-match-aware window theorem the join relies on); pairs
+    // outside the gate return -99
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    val rnd = new scala.util.Random(20260817)
+    val fm = graft.functions.EditFirstMatch(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"),
+      org.apache.spark.sql.catalyst.expressions.Literal("y"), 3)
+    def firstMatch(a: String, b: String): Int = fm.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    var truePairs = 0
+    (1 to 4000).foreach { _ =>
+      def s(): String = (0 until rnd.nextInt(10))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      val (a, b) = (s(), s())
+      val m = firstMatch(a, b)
+      if (math.abs(a.length - b.length) > 3)
+        assert(m == -99, s"('$a','$b') outside gate but matched $m")
+      else if (lev(a, b) <= 3) {
+        assert(m != -99, s"true pair ('$a','$b') found no witness")
+        truePairs += 1
+      }
+    }
+    assert(truePairs > 500, s"vacuous sweep: only $truePairs true pairs")
+  }
+
   test("edit-distance cross PassJoin is complete: one-directional " +
       "base-build/increment-probe finds every boundary pair") {
     import spark.implicits._
