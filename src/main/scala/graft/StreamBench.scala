@@ -357,12 +357,6 @@ object StreamBench {
         advLabels.filter(col("node_id") >= 500000000L)
           .filter(col("cluster_id") =!= 999L).count() == 0L
 
-    val legs = results.map { case (k, (_, rps)) =>
-      "\"" + k + "\":" + f"$rps%.1f"
-    }.mkString("{", ",", "}")
-    val sizes = results.map { case (k, (n, _)) =>
-      "\"" + k + "\":" + n
-    }.mkString("{", ",", "}")
     // 15. edit-distance intake against the published segment index
     // (r14): row-local head keying + multi-match-aware probe substring
     // enumeration + EditFirstMatch emit-once; 1/8 of arrivals share a
@@ -410,6 +404,15 @@ object StreamBench {
       advEditFlags.filter(col("dup_of") === 999L && col("dist") === 0)
         .count() == 1000L
 
+    // Serialize the artifact maps only AFTER the last leg has appended
+    // to `results` — building them earlier silently drops late legs
+    // from the published JSON (the r14 artifact bug).
+    val legs = results.map { case (k, (_, rps)) =>
+      "\"" + k + "\":" + f"$rps%.1f"
+    }.mkString("{", ",", "}")
+    val sizes = results.map { case (k, (n, _)) =>
+      "\"" + k + "\":" + n
+    }.mkString("{", ",", "}")
     val checksJson = checks.map { case (k, v) =>
       "\"" + k + "\":" + v
     }.mkString("{", ",", "}")

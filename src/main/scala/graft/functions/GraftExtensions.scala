@@ -70,7 +70,11 @@ object GraftExtensions {
     ("graft_edit_first_match",
       "graft_edit_first_match(build, probe, d) - first PassJoin key " +
         "index (-1 shorts, -99 none) at which the head pair collides",
-      es => EditFirstMatch(es(0), es(1), intLit(es(2), "d"))))
+      es => EditFirstMatch(es(0), es(1), intLit(es(2), "d"))),
+    ("graft_edit_emit_at",
+      "graft_edit_emit_at(build, probe, idx, d) - TRUE iff idx is the " +
+        "pair's first-matching PassJoin key (join-aware emit-once)",
+      es => EditEmitAt(es(0), es(1), es(2), intLit(es(3), "d"))))
 
   /** Install the same functions on an already-built session. */
   def register(spark: SparkSession): Unit =

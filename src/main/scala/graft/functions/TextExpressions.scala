@@ -370,21 +370,8 @@ case class EditFirstMatch(left: Expression, right: Expression, d: Int)
     if (la <= d && lb <= 2 * d) return -1 // shorts channel wins
     var i = 0
     while (i < k) {
-      val start = i * la / k
-      val slen = (i + 1) * la / k - start
-      if (slen > 0) {
-        val seg = build.substringSQL(start + 1, slen)
-        val slack = (d - math.abs(dl)) / 2
-        val lo = math.max(math.min(dl, 0) - slack, dl - (k - 1 - i))
-        val hi = math.min(math.max(dl, 0) + slack, dl + (k - 1 - i))
-        var st = start + lo
-        val stHi = start + hi
-        while (st <= stHi) {
-          if (st >= 0 && st + slen <= lb &&
-              probe.substringSQL(st + 1, slen).equals(seg)) return i
-          st += 1
-        }
-      }
+      if (EditFirstMatch.windowWitness(build, probe, la, lb, dl, i, k, d))
+        return i
       i += 1
     }
     -99
@@ -404,6 +391,117 @@ case class EditFirstMatch(left: Expression, right: Expression, d: Int)
   override protected def withNewChildrenInternal(newLeft: Expression,
     newRight: Expression): EditFirstMatch =
     copy(left = newLeft, right = newRight)
+}
+
+object EditFirstMatch {
+  /** Does PassJoin window `i` (of `k`, for TRUE build length `la`)
+    * witness this (build, probe) pair — i.e. does build's i-th even
+    * segment occur in the probe head at a start admissible under the
+    * PVLDB'11 §4.2 multi-match-aware window (|x| + |Δ − x| ≤ d and
+    * |Δ − x| ≤ d − i, truncated starts dropped)? Shared by
+    * [[EditFirstMatch]] (full first-match scan, the registered SQL
+    * surface) and [[EditEmitAt]] (the joins' hot path, which knows the
+    * colliding index and probes it first). */
+  def windowWitness(build: UTF8String, probe: UTF8String, la: Int,
+      lb: Int, dl: Int, i: Int, k: Int, d: Int): Boolean = {
+    val start = i * la / k
+    val slen = (i + 1) * la / k - start
+    if (slen <= 0) return false
+    val seg = build.substringSQL(start + 1, slen)
+    val slack = (d - math.abs(dl)) / 2
+    val lo = math.max(math.min(dl, 0) - slack, dl - (k - 1 - i))
+    val hi = math.min(math.max(dl, 0) + slack, dl + (k - 1 - i))
+    var st = start + lo
+    val stHi = start + hi
+    while (st <= stHi) {
+      if (st >= 0 && st + slen <= lb &&
+          probe.substringSQL(st + 1, slen).equals(seg)) return true
+      st += 1
+    }
+    false
+  }
+}
+
+/** Emit-once predicate of the edit-distance joins in its JOIN-AWARE
+  * form (r15, closing the r14 verdict's per-candidate-cost finding):
+  * TRUE iff `idx` — the PassJoin key index this candidate row actually
+  * collided on — equals [[EditFirstMatch]]'s first-match index for the
+  * pair. Decision-identical to
+  * `idx === graft_edit_first_match(build, probe, d)` (parity-pinned in
+  * FunctionsSpec over randomized corpora), but ordered for the join's
+  * cost profile:
+  *
+  *   1. probe window `idx` FIRST — a candidate reachable only through
+  *      a foreign assumed-length window (seg content collided under an
+  *      assumed build length ≠ the true one) has no true-length witness
+  *      at `idx`, and the old first-match scan paid all k·(2d+1)
+  *      substring probes to discover that (-99); this form pays ~one
+  *      window;
+  *   2. then scan windows < `idx` and reject on the first earlier
+  *      witness — emitted rows (first witness IS idx) pay exactly the
+  *      old cost, never more.
+  *
+  * Shorts routing is byte-identical to [[EditFirstMatch]]: pairs inside
+  * the shorts gate (build ≤ d, probe ≤ 2d) emit through the `idx = -1`
+  * shorts-keyed row only — a segment-keyed row of such a pair returns
+  * FALSE exactly as `firstMatch = -1 ≠ idx` did. Out-of-range `idx`
+  * (SQL surface only; the joins feed the key they built) returns FALSE
+  * like the old equality against −99. */
+case class EditEmitAt(left: Expression, right: Expression,
+    idx: Expression, d: Int) extends TernaryExpression {
+
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = idx
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType, idx.dataType) match {
+      case (StringType, StringType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string, int), got " +
+          s"(${a.simpleString}, ${b.simpleString}, ${c.simpleString})")
+    }
+
+  override def dataType: DataType = BooleanType
+
+  override def prettyName: String = "graft_edit_emit_at"
+
+  def compute(build: UTF8String, probe: UTF8String, idx: Int): Boolean = {
+    val k = d + 1
+    val la = build.numChars()
+    val lb = probe.numChars()
+    val dl = lb - la
+    if (math.abs(dl) > d) return false // outside the join's length gate
+    val shorts = la <= d && lb <= 2 * d
+    if (idx == -1) return shorts // shorts-keyed row emits iff gate holds
+    if (shorts || idx < 0 || idx >= k) return false
+    if (!EditFirstMatch.windowWitness(build, probe, la, lb, dl, idx, k, d))
+      return false // foreign assumed-length candidate: ~1 window, not k
+    var i = 0
+    while (i < idx) {
+      if (EditFirstMatch.windowWitness(build, probe, la, lb, dl, i, k, d))
+        return false // an earlier window owns the emit
+      i += 1
+    }
+    true
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String],
+      c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+    ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("editEmitAt", this,
+      classOf[EditEmitAt].getName)
+    nullSafeCodeGen(ctx, ev,
+      (a, b, c) => s"${ev.value} = $self.compute($a, $b, $c);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+    newSecond: Expression, newThird: Expression): EditEmitAt =
+    copy(left = newFirst, right = newSecond, idx = newThird)
 }
 
 /** TRUE iff any band index strictly below `band` holds equal band
@@ -842,4 +940,13 @@ object TextFunctions {
   def editFirstMatch(build: Column, probe: Column, d: Int): Column =
     ColumnBridge.column(EditFirstMatch(ColumnBridge.expression(build),
       ColumnBridge.expression(probe), d))
+
+  /** Join-aware emit-once predicate: TRUE iff `idx` (the key index
+    * this candidate row collided on) is the pair's first match —
+    * decision-identical to `idx === editFirstMatch(build, probe, d)`
+    * but probes the colliding window first. */
+  def editEmitAt(build: Column, probe: Column, idx: Column,
+      d: Int): Column =
+    ColumnBridge.column(EditEmitAt(ColumnBridge.expression(build),
+      ColumnBridge.expression(probe), ColumnBridge.expression(idx), d))
 }

@@ -538,7 +538,7 @@ object Streams {
     * their 30-char heads row-locally, enumerate the multi-match-aware
     * probe substrings row-locally, and stream-static join the
     * published build-row segment index; the row-local
-    * [[graft.functions.EditFirstMatch]] predicate makes each
+    * [[graft.functions.EditEmitAt]] predicate makes each
     * (arrival, base) pair surface exactly once — the same plan the
     * batch cross probe runs, with NO pair-keyed distinct, state, or
     * watermark (what made this leg possible; the bloom prune is the

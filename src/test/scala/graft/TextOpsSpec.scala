@@ -162,7 +162,7 @@ class TextOpsSpec extends SparkTestBase {
   test("minhash on long documents picks the join-back layout; same pairs") {
     import spark.implicits._
     // ~10k-token documents sit FAR past the carried-payload flip point
-    // (joinBackShingleThreshold = 512 avg shingles), so the adaptive
+    // (joinBackFlipShingles = 25 avg shingles), so the adaptive
     // chooser must route them to the join-back verify — and both
     // layouts must produce identical verified pairs regardless.
     // Docs 1 and 2 differ in 200 of ~10k trailing tokens -> J ~ 0.96;
@@ -192,17 +192,40 @@ class TextOpsSpec extends SparkTestBase {
     assert(carried == joined && joined.size == 1)
   }
 
-  test("minhash on short documents picks the carried layout; same pairs") {
-    // the driver corpus averages well under the 512-shingle flip point,
-    // so the chooser stays on the carried-payload plan there — and the
-    // join-back plan still produces the identical verified pairs
+  test("bytes-model layout flip: driver corpus joins back, tiny docs " +
+      "stay carried, and the boundary sits where the model says") {
+    import spark.implicits._
+    // r15 (r14 verdict item 3): the carried/joinback choice is now an
+    // exchange-BYTES model, not the r5 wall-time threshold. The driver
+    // corpus (~230 avg shingles) sits far past the 25-shingle flip —
+    // r14 measured its carried layout reading 149.3 MB of shuffle
+    // where joinback moved 38.3 MB at equal wall time — so the chooser
+    // must route it to joinback now; and both layouts must still
+    // produce the identical verified pairs.
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    assert(!TextOps.chooseJoinBack(docs), "short docs must stay carried")
+    assert(TextOps.chooseJoinBack(docs),
+      "driver corpus must join back under the bytes model")
     val carried = TextOps.minhashPairsCarried(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val joined = TextOps.minhashPairsJoinBack(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(carried == joined && carried.nonEmpty)
+    // genuinely tiny documents (~6 distinct shingles) stay carried:
+    // their banded rows are overhead-dominated either way, and carried
+    // saves two corpus-keyed stages for <2x the joinback bytes
+    val tiny = (0 until 200).map(i =>
+      (i.toLong, s"alpha beta gamma delta w$i v${i % 7}"))
+      .toDF("doc_id", "text")
+    assert(!TextOps.chooseJoinBack(tiny),
+      "tiny docs must stay carried under the bytes model")
+    // the exposed flip point IS the model's zero crossing: the
+    // projected carried bytes equal carriedLatencyFactor x joinback
+    // bytes exactly at joinBackFlipShingles
+    val s = TextOps.joinBackFlipShingles
+    assert(math.abs((2368.0 + 128.0 * s) -
+      TextOps.carriedLatencyFactor * (2384.0 + 16.0 * s)) < 1e-6)
+    assert(!TextOps.joinBackWinsOnBytes(s - 1) &&
+      TextOps.joinBackWinsOnBytes(s + 1))
   }
 
   test("declared dedup queries serve a fitted index: warm runs never re-fit or sample") {
@@ -1333,6 +1356,36 @@ class TextOpsSpec extends SparkTestBase {
       }
     }
     assert(truePairs > 500, s"vacuous sweep: only $truePairs true pairs")
+  }
+
+  test("EditEmitAt is decision-identical to idx == EditFirstMatch " +
+      "over randomized heads and every key index (incl. out-of-range)") {
+    // r15: the joins moved from `kseg.idx === firstMatch(a, b)` to the
+    // join-aware EditEmitAt (probes the colliding window first, scans
+    // only strictly-earlier windows). Emit decisions must be identical
+    // bit-for-bit across the whole input space: in-gate, out-of-gate,
+    // shorts-regime, and garbage idx values the SQL surface can feed.
+    val rnd = new scala.util.Random(20260815)
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal("x")
+    val d = 3
+    val fm = graft.functions.EditFirstMatch(lit, lit, d)
+    val ea = graft.functions.EditEmitAt(lit, lit, lit, d)
+    def u(s: String) =
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    var emits = 0
+    (1 to 4000).foreach { _ =>
+      def s(): String = (0 until rnd.nextInt(12))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      val (a, b) = (s(), s())
+      val first = fm.compute(u(a), u(b))
+      (-2 to d + 2).foreach { i =>
+        val want = first == i
+        assert(ea.compute(u(a), u(b), i) == want,
+          s"('$a','$b') idx=$i: firstMatch=$first")
+        if (want) emits += 1
+      }
+    }
+    assert(emits > 500, s"vacuous sweep: only $emits emitting rows")
   }
 
   test("edit-distance cross PassJoin is complete: one-directional " +
