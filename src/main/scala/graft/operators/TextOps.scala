@@ -2177,25 +2177,33 @@ object TextOps {
   private[graft] case class EditCompactState(indexPath: String,
     pairsPath: String)
 
+  /** Publish the edit-compaction base artifacts (build-row index +
+    * verified pair ids) over a corpus frame — the fit step of
+    * [[qEditCompact]], parameterized so the capped-shorts fixture can
+    * exercise the re-election path. */
+  private[graft] def editCompactFit(staleDocs: DataFrame, d: Int,
+      shortsCap: Int = BandedJoins.defaultHotBucketCap)
+      : EditCompactState = {
+    val keyed = editKeyedHeads(staleDocs, 30)
+    val ip = graft.sources.TempDirs
+      .scratchDir("graft_edit_compact_index").toString
+    editBuildRows(keyed, d, shortsCap)
+      .select(col("doc_id"), col("lang"), col("head"), col("len"),
+        col("kseg.idx").as("idx"), col("kseg.seg").as("seg"))
+      .write.mode("overwrite").parquet(ip)
+    val pp = graft.sources.TempDirs
+      .scratchDir("graft_edit_compact_pairs").toString
+    editDistancePairs(staleDocs, 30, d, shortsCap)
+      .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
+      .write.mode("overwrite").parquet(pp)
+    EditCompactState(ip, pp)
+  }
+
   private val fittedEditCompact = new FitCache[EditCompactState](
-    (s, d) => {
-      val stale = Tables.documents(s, d).withColumn("text",
+    (s, d) => editCompactFit(
+      Tables.documents(s, d).withColumn("text",
         when(isRecrawlDoc, concat(lit("legacyrev stale marker "),
-          col("text"))).otherwise(col("text")))
-      val keyed = editKeyedHeads(stale, 30)
-      val ip = graft.sources.TempDirs
-        .scratchDir("graft_edit_compact_index").toString
-      editBuildRows(keyed, 3)
-        .select(col("doc_id"), col("lang"), col("head"), col("len"),
-          col("kseg.idx").as("idx"), col("kseg.seg").as("seg"))
-        .write.mode("overwrite").parquet(ip)
-      val pp = graft.sources.TempDirs
-        .scratchDir("graft_edit_compact_pairs").toString
-      editDistancePairs(stale, 30, 3)
-        .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
-        .write.mode("overwrite").parquet(pp)
-      EditCompactState(ip, pp)
-    })
+          col("text"))).otherwise(col("text"))), 3))
 
   /** Edit-distance RE-CRAWL COMPACTION — the family's update member
     * (the [[qDedupCompact]] posture on PassJoin): the base artifacts
@@ -2208,28 +2216,81 @@ object TextOps {
     * self-join; and the repaired dup-set-sized graph relabels. Base
     * heads never re-key and old-vs-old pairs never re-verify. ORACLE:
     * a full recompute over the true corpus — [[qEditClusters]]'s
-    * reachability SQL verbatim. */
-  def qEditCompact(spark: SparkSession, dir: String): DataFrame = {
-    val st = fittedEditCompact.get(spark, dir)
-    val docs = Tables.documents(spark, dir)
-    val ids = docs.filter(isRecrawlDoc).select(col("doc_id"))
-    val rec = docs.filter(isRecrawlDoc)
+    * reachability SQL verbatim.
+    *
+    * SHORTS-CHANNEL RE-ELECTION (r15, ADVICE r14): above the shorts
+    * cap the fit publishes exactly ONE shorts-keyed build row per hot
+    * lang (the cell's min id). If that doc is itself re-crawled,
+    * plain retirement would empty the channel while retained len ≤ d
+    * docs remain: re-crawl probes would lose the only build row the
+    * shorts channel can pair them with, and the retained cell members
+    * — whose published pairs were all incident to the retired min
+    * (star shape) — would splinter into singletons. The repair is
+    * exact and probe-free, because any two len ≤ d heads of one lang
+    * are within d edits BY CONSTRUCTION (ed ≤ max length ≤ d, the
+    * same argument that makes fit-time star reduction
+    * connectivity-lossless): for each lang with retained len ≤ d
+    * index rows but no surviving shorts-keyed row, (a) the minimum
+    * retained id regains the shorts key so the cross probe reaches
+    * the channel, and (b) star edges (new min ↔ each retained cell
+    * member) are emitted directly into the edge set. Both frames are
+    * len ≤ d slivers behind pushed parquet filters — empty on any
+    * healthy corpus (capped-cell fixture spec-pinned). Scope: an
+    * EMPTY-head doc above the cap has no published row of any kind to
+    * re-elect from — the star contract already scopes zero-content
+    * docs out of the pair stream. */
+  def qEditCompact(spark: SparkSession, dir: String): DataFrame =
+    editCompactLabels(spark, fittedEditCompact.get(spark, dir),
+      Tables.documents(spark, dir), isRecrawlDoc, 3)
+
+  /** The compaction core behind [[qEditCompact]], parameterized over
+    * the corpus, re-crawl predicate, and distance bound. */
+  private[graft] def editCompactLabels(spark: SparkSession,
+      st: EditCompactState, docs: DataFrame, recrawl: Column,
+      d: Int): DataFrame = {
+    val ids = docs.filter(recrawl).select(col("doc_id"))
+    val rec = docs.filter(recrawl)
     val recKeyed = editKeyedHeads(rec, 30).localCheckpoint(true)
     // bloom-pruned by the re-crawl probe keys AND retired of the
     // re-crawled ids — both map-side filters on the index scan
-    val retained = editIndexPruned(spark, st.indexPath, recKeyed, 3)
+    val retained = editIndexPruned(spark, st.indexPath, recKeyed, d)
       .join(broadcast(ids), Seq("doc_id"), "left_anti")
     val kept = spark.read.parquet(st.pairsPath)
       .join(broadcast(ids.select(col("doc_id").as("id_a"))),
         Seq("id_a"), "left_anti")
       .join(broadcast(ids.select(col("doc_id").as("id_b"))),
         Seq("id_b"), "left_anti")
-    val cross = editCrossPairs(retained, recKeyed, 3)
-    val within = editDistancePairs(rec, 30, 3)
+    // shorts-channel re-election + star repair (scaladoc above): langs
+    // whose only shorts-keyed row was retired but whose cell still has
+    // retained members
+    val baseIdx = spark.read.parquet(st.indexPath)
+    val survivingShortLangs = baseIdx.filter(col("idx") === -1)
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .select(col("lang")).distinct()
+    val affectedShorts = baseIdx.filter(col("len") <= d)
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .join(survivingShortLangs, Seq("lang"), "left_anti")
+      .select(col("lang"), col("doc_id"), col("head"), col("len"))
+      .distinct()
+    val newMin = affectedShorts.groupBy(col("lang"))
+      .agg(min_by(struct(col("doc_id"), col("head"), col("len")),
+        col("doc_id")).as("m"))
+    val reElected = newMin.select(col("m.doc_id").as("doc_id"),
+      col("lang"), col("m.head").as("head"), col("m.len").as("len"),
+      editShortKey.as("kseg"))
+    val repairStars = affectedShorts
+      .join(newMin.select(col("lang"), col("m.doc_id").as("min_id")),
+        Seq("lang"))
+      .filter(col("doc_id") =!= col("min_id"))
+      .select(col("min_id").as("id_a"), col("doc_id").as("id_b"))
+    val cross = editCrossPairs(retained.unionByName(reElected),
+      recKeyed, d)
+    val within = editDistancePairs(rec, 30, d)
       .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
     val edges = kept.select(col("id_a"), col("id_b"))
       .unionByName(cross.select(col("id_a"), col("id_b")))
       .unionByName(within)
+      .unionByName(repairStars)
     Components.flagCorpus(docs, "doc_id",
       Components.labelComponents(edges))
   }

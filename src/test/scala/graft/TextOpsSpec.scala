@@ -1429,6 +1429,95 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("capped shorts cell: the pair stream is star-shaped around the " +
+      "elected min on both emit predicates (load-bearing narrowing)") {
+    import spark.implicits._
+    // ADVICE r14: above the shorts cap, a pair of two non-min shorts
+    // docs surfaces through NO channel — their shorts keys were
+    // star-reduced away and their 1-char segment-key rows are routed
+    // to the shorts channel by the emit predicate. That narrowing is
+    // the documented star contract; this spec makes it load-bearing by
+    // pinning the exact pair stream on a capped cell under BOTH the
+    // r14 first-match-equality filter and the r15 join-aware EditEmitAt.
+    val shorts = (1 to 12).map(i =>
+      (i.toLong, "en", ('a' + (i % 5)).toChar.toString * (1 + i % 3)))
+    val longs = Seq((100L, "en", "completely different long text body"),
+      (101L, "en", "another unrelated long document text"))
+    val docs = (shorts ++ longs).toDF("doc_id", "lang", "text")
+    val star = (2 to 12).map(i => (1L, i.toLong)).toSet
+    val newPath = graft.operators.TextOps
+      .editDistancePairs(docs, 30, 3, shortsCap = 8)
+      .select("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(newPath == star,
+      s"EditEmitAt path: missing=${star -- newPath} extra=${newPath -- star}")
+    // the r14 predicate (idx equality against the full first-match
+    // scan) over the same capped build/probe rows
+    val keyed = graft.operators.TextOps.editKeyedHeads(docs, 30)
+    val oldPath = graft.operators.TextOps
+      .editBuildRows(keyed, 3, shortsCap = 8).as("a")
+      .join(graft.operators.TextOps.editProbeRows(keyed, 3).as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.kseg") === col("b.kseg") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= 3)
+      .filter(col("a.kseg.idx") === graft.functions.TextFunctions
+        .editFirstMatch(col("a.head"), col("b.head"), 3))
+      .filter(levenshtein(col("a.head"), col("b.head")) <= 3)
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oldPath == star,
+      s"first-match path: missing=${star -- oldPath} extra=${oldPath -- star}")
+  }
+
+  test("compact re-elects the shorts channel when the capped cell's " +
+      "elected min is itself re-crawled") {
+    import spark.implicits._
+    // ADVICE r14 (qEditCompact loss mode): fit star-reduces the capped
+    // shorts cell to its min-id row; if THAT doc is in the re-crawl
+    // subset, plain retirement empties the channel and the retained
+    // cell members splinter. The re-election + star repair must make
+    // compact equal the full recompute on exactly this fixture.
+    val trueDocs = ((1 to 12).map(i =>
+      (i.toLong, "en", if (i == 1) "xy"
+        else ('a' + (i % 5)).toChar.toString * (1 + i % 3))) ++ Seq(
+      (100L, "en", "the quick brown fox jumps over the lazy dog tail"),
+      (101L, "en", "the quick brown fox jumps over the hazy dog tail")))
+      .toDF("doc_id", "lang", "text")
+    val recrawl = col("doc_id").isin(1L, 101L)
+    // stale fit: doc 1 had DIFFERENT short text (still len <= d, so it
+    // wins the fit-time shorts election), doc 101 a stale marker head
+    val stale = trueDocs.withColumn("text",
+      when(col("doc_id") === 1L, lit("ab"))
+        .when(col("doc_id") === 101L,
+          concat(lit("legacyrev stale marker "), col("text")))
+        .otherwise(col("text")))
+    val st = graft.operators.TextOps.editCompactFit(stale, 3,
+      shortsCap = 8)
+    // non-vacuity: the fit elected doc 1 as the ONLY shorts row, so
+    // retiring the re-crawl set leaves the channel empty
+    val shortRows = spark.read.parquet(st.indexPath)
+      .filter(col("idx") === -1).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(shortRows == Set(1L),
+      s"fixture must star-reduce to doc 1's shorts row, got $shortRows")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val compact = rows(graft.operators.TextOps.editCompactLabels(
+      spark, st, trueDocs, recrawl, 3))
+    val full = rows(graft.operators.Components.flagCorpus(trueDocs,
+      "doc_id", graft.operators.Components.labelComponents(
+        graft.operators.TextOps.editDistancePairs(trueDocs, 30, 3,
+          shortsCap = 8).select(col("doc_id_a").as("id_a"),
+          col("doc_id_b").as("id_b")))))
+    assert(compact == full,
+      s"compact=${compact.filter(t => t._1 != t._2 || !t._3)} " +
+        s"full=${full.filter(t => t._1 != t._2 || !t._3)}")
+    // and the repair actually connected the cell: docs 1..12 share one
+    // component labeled by the min id
+    assert(compact.filter(_._1 <= 12).map(_._2).toSet == Set(1L))
+  }
+
   test("edit incremental and compact equal the full recompute; fits " +
       "run once and the compact fixture is genuinely stale") {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
