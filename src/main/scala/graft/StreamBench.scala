@@ -404,6 +404,39 @@ object StreamBench {
       advEditFlags.filter(col("dup_of") === 999L && col("dist") === 0)
         .count() == 1000L
 
+    // 17. streaming RE-CRAWL COMPACTION (r15 — the nightly repair loop
+    // as a continuously-maintained artifact): seed a dedup root over a
+    // 1500-doc corpus, then stream 500 re-crawl waves; every 4th
+    // re-crawl becomes a copy of another base doc (fresh pair to
+    // verify), the rest turn unrelated (stale-row retirement). The
+    // rate prices retire + bloom-pruned probe + relabel + tri-artifact
+    // publish per micro-batch.
+    val compBase = (0 until 1500).map(i =>
+      (i.toLong, words(60, 300000 + i).mkString(" ")))
+      .toDF("doc_id", "text")
+    val compRoot = tmp("graft_sb_compact_root")
+    graft.operators.TextOps.seedDedupState(spark, compBase, compRoot)
+    val compRows: Seq[(Long, String)] = (0 until 500).map { i =>
+      if (i % 4 == 0)
+        (i.toLong, words(60, 300000 + 1000 + i).mkString(" "))
+      else (i.toLong, words(60, 400000 + i).map("x" + _).mkString(" "))
+    }
+    runSinkLeg[(Long, String)]("dedup_compact_sink", compRows,
+      df => graft.streaming.Streams.dedupCompactSink(compRoot, df,
+        tmp("graft_sb_compact_cp"), retainVersions = 2),
+      ds => ds.toDF("doc_id", "text"))
+    val compLabels = spark.read.parquet(compRoot + "/" +
+      graft.sources.Markers.read(spark, compRoot,
+        graft.operators.TextOps.dedupCurrentMarker) + "/labels")
+    // every copy re-crawl pairs (i, 1000+i) into a min-i component;
+    // every unrelated re-crawl stays a singleton (absent from labels)
+    checks("compact_sink_repairs_exact") =
+      compLabels.filter(col("node_id") >= 1000L &&
+        col("node_id") < 1500L &&
+        col("cluster_id") === col("node_id") - 1000L).count() == 125L &&
+        compLabels.filter(col("node_id") < 500L &&
+          col("node_id") % 4 =!= 0).count() == 0L
+
     // Serialize the artifact maps only AFTER the last leg has appended
     // to `results` — building them earlier silently drops late legs
     // from the published JSON (the r14 artifact bug).

@@ -732,13 +732,27 @@ object TextOps {
     * flag join). */
   private[graft] def compactPairs(baseStaged: DataFrame,
     basePairs: DataFrame, recrawledDocs: DataFrame,
-    joinBack: Boolean, baseHot: Option[DataFrame] = None): DataFrame = {
-    val ids = recrawledDocs.select(col("doc_id"))
+    joinBack: Boolean, baseHot: Option[DataFrame] = None): DataFrame =
+    compactState(baseStaged, basePairs,
+      recrawledDocs.select(col("doc_id")),
+      stageDocs(recrawledDocs).localCheckpoint(true), joinBack,
+      baseHot)._2
+
+  /** The retire + re-probe core shared by the batch compaction and the
+    * STREAMING wave sink: given the served (staged index, pair set)
+    * state, the re-crawl id set, and the re-crawled docs' staged
+    * signatures, returns (repaired staged index = retained ∪ fresh
+    * rows, repaired pair set = surviving pairs ∪ fresh probes). The
+    * fit-time hot set is a conservative SUPERSET after retirement for
+    * the probe at hand (buckets only shrink) — correct per the
+    * emitOnce contract; the streaming publication recomputes it over
+    * the repaired index so the NEXT wave probes an exact set. */
+  private[graft] def compactState(baseStaged: DataFrame,
+    basePairs: DataFrame, ids: DataFrame, newStaged: DataFrame,
+    joinBack: Boolean, baseHot: Option[DataFrame])
+    : (DataFrame, DataFrame) = {
     val retainedStaged = baseStaged
       .join(broadcast(ids), Seq("doc_id"), "left_anti")
-    val newStaged = stageDocs(recrawledDocs).localCheckpoint(true)
-    // the fit-time hot set is a conservative SUPERSET after retirement
-    // (buckets only shrink) — correct per the emitOnce contract
     val freshPairs = incrementPairs(retainedStaged, newStaged, joinBack,
       baseHot)
     val keptPairs = basePairs
@@ -746,8 +760,97 @@ object TextOps {
         Seq("id_a"), "left_anti")
       .join(broadcast(ids.select(col("doc_id").as("id_b"))),
         Seq("id_b"), "left_anti")
-    keptPairs.select(col("id_a"), col("id_b"))
-      .unionByName(freshPairs.select(col("id_a"), col("id_b")))
+    // keep the published index schema stable across waves: index rows
+    // carry the fit's n_sh stat column, freshly staged rows do not
+    val newAligned =
+      if (baseStaged.columns.contains("n_sh") &&
+          !newStaged.columns.contains("n_sh"))
+        newStaged.withColumn("n_sh", size(col("shash")))
+      else newStaged
+    (retainedStaged.unionByName(newAligned),
+      keptPairs.select(col("id_a"), col("id_b"))
+        .unionByName(freshPairs.select(col("id_a"), col("id_b"))))
+  }
+
+  // ── CONTINUOUSLY-MAINTAINED DEDUP ARTIFACT (r15, r14 verdict item
+  // 6 — the one streaming asymmetry left: every family had streaming
+  // intake but compaction ran batch-only) ──
+
+  /** Marker naming the current version of a [[publishDedupState]]
+    * root. */
+  private[graft] val dedupCurrentMarker = "_graft_dedup_current"
+
+  /** Transactional tri-artifact publication for the streaming
+    * compaction loop: the staged signature index (with its hot set
+    * recomputed over exactly the published rows — the next wave's
+    * probe set is exact, not the seed's drifting superset), the
+    * verified pair set, and the label map land under ONE version
+    * directory and ONE marker flip — the [[Curation.publishEpoch]]
+    * discipline; two flips would leave a crash window where the pair
+    * set reflects the wave but the index does not, and the NEXT
+    * wave's retirement would then anti-join against rows that were
+    * never republished.
+    *
+    * Cost posture, stated honestly: each wave rewrites the full index
+    * and label map (the [[Components.publishLabels]] per-batch price,
+    * one artifact over). At 100 TB the rewrite becomes a partitioned
+    * one — retire/union only the doc_id-range partitions the wave
+    * touches — and the hot-set recompute becomes a delta-maintained
+    * bucket-count table; both swaps change this publication function
+    * only, not the wave semantics. */
+  private[graft] def publishDedupState(spark: SparkSession,
+    root: String, version: String, staged: DataFrame, pairs: DataFrame,
+    labels: DataFrame, retainVersions: Int = 0): Unit = {
+    staged.write.mode("overwrite").parquet(s"$root/$version/staged")
+    BandedJoins.publishHotSet(spark,
+      spark.read.parquet(s"$root/$version/staged")
+        .select(posexplode(col("bsigs")).as(Seq("band", "bhash"))),
+      "band", "bhash", s"$root/$version/staged")
+    pairs.write.mode("overwrite").parquet(s"$root/$version/pairs")
+    labels.write.mode("overwrite").parquet(s"$root/$version/labels")
+    graft.sources.Markers.write(spark, root, dedupCurrentMarker, version)
+    Curation.retireVersions(spark, root, version, retainVersions)
+  }
+
+  /** Seed a streaming-compaction root from a corpus: one
+    * [[minhashFit]] (which also fixes the verify layout for the
+    * root's lifetime — waves replace content, they do not re-decide
+    * plans mid-stream), the fitted pairs, and the initial label map,
+    * published as version `seed`. */
+  private[graft] def seedDedupState(spark: SparkSession,
+    docs: DataFrame, root: String): Unit = {
+    val idx = minhashFit(spark, docs, s"$root/seed/staged")
+    graft.sources.Markers.write(spark, root, "_graft_layout",
+      if (idx.joinBack) "joinback" else "carried")
+    val staged = stagedFrame(spark, idx)
+    val hot = Some(hotSetOf(spark, idx))
+    (if (idx.joinBack) pairsJoinBackStaged(staged, hot)
+     else pairsCarriedStaged(staged, hot))
+      .select(col("id_a"), col("id_b"))
+      .write.mode("overwrite").parquet(s"$root/seed/pairs")
+    Components.labelComponents(
+        spark.read.parquet(s"$root/seed/pairs"))
+      .write.mode("overwrite").parquet(s"$root/seed/labels")
+    graft.sources.Markers.write(spark, root, dedupCurrentMarker, "seed")
+  }
+
+  /** One re-crawl wave applied to the CURRENT state of a dedup root —
+    * the batch [[compactState]] core reading its inputs from the
+    * served artifact: retire the wave's ids, probe their new text
+    * against the retained index, relabel the repaired pair graph.
+    * Returns the three frames for [[publishDedupState]]. */
+  private[graft] def compactWaveState(spark: SparkSession, root: String,
+    recrawled: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val v = graft.sources.Markers.read(spark, root, dedupCurrentMarker)
+    val joinBack = graft.sources.Markers.read(spark, root,
+      "_graft_layout") == "joinback"
+    val staged = spark.read.parquet(s"$root/$v/staged")
+    val hot = Some(BandedJoins.loadHotSet(spark, s"$root/$v/staged"))
+    val (staged2, pairs2) = compactState(staged,
+      spark.read.parquet(s"$root/$v/pairs"),
+      recrawled.select(col("doc_id")),
+      stageDocs(recrawled).localCheckpoint(true), joinBack, hot)
+    (staged2, pairs2, Components.labelComponents(pairs2))
   }
 
   /** The deterministic re-crawl subset the declared compaction query

@@ -916,6 +916,59 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming RE-CRAWL COMPACTION sink — the nightly repair loop as a
+    * continuously-maintained artifact (r14 verdict item 6, closing the
+    * one streaming asymmetry left: every dedup family had streaming
+    * INTAKE, but compaction — retire stale rows, re-probe new text,
+    * relabel — ran batch-only). Each micro-batch is a wave of
+    * RE-CRAWLED documents (doc_id, text): the wave retires its ids
+    * from the served index, probes the new text against the retained
+    * rows through the exact [[graft.operators.TextOps.incrementPairs]]
+    * shape, relabels the repaired dup-set-sized pair graph, and
+    * republishes index + pairs + labels under ONE version directory
+    * and ONE marker flip
+    * ([[graft.operators.TextOps.publishDedupState]]).
+    *
+    * Exactly-once is the [[cdcApplySink]] argument on a tri-artifact
+    * state: every read is from the CURRENT version's directories and
+    * every write lands in the new version's, so there is no
+    * read-under-overwrite window; a pre-flip crash leaves the old
+    * version current and the replay recomputes the identical wave from
+    * it; a post-flip replay is short-circuited by the marker already
+    * naming this batch's qid-bound version (re-deriving it would read
+    * directories `retireVersions` may since have deleted). Unlike the
+    * label-extension sinks, waves are NOT idempotent at the semantic
+    * layer — replaying a wave against the post-wave state would
+    * re-retire ids whose fresh rows were just published — so the
+    * marker short-circuit is load-bearing here, not merely a
+    * cost-saver (spec-pinned via kill + restart).
+    *
+    * What this buys at 100 TB: the nightly compaction job's semantics
+    * on a streaming clock — a curator reads `<root>/<current>/labels`
+    * and always sees a complete, never-torn repair of everything
+    * re-crawled so far, with per-wave probe cost increment-sized
+    * (bloom-pruned index branch, broadcast retirement) and only the
+    * publication layer paying the rewrite (its partitioned-rewrite
+    * swap is documented on the publisher). */
+  def dedupCompactSink(root: String, recrawls: DataFrame,
+    checkpointDir: String, retainVersions: Int = 0)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    recrawls.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val version = sinkVersion(s, checkpointDir, batchId)
+        if (!graft.sources.Markers.readOption(s, root,
+            graft.operators.TextOps.dedupCurrentMarker)
+            .contains(version)) {
+          val (staged2, pairs2, labels2) = graft.operators.TextOps
+            .compactWaveState(s, root, batch)
+          graft.operators.TextOps.publishDedupState(s, root, version,
+            staged2, pairs2, labels2, retainVersions)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Nightly-cadence BPE tokenizer refresh as a STREAMING leg (r12
     * verdict item 7): each micro-batch of newly-crawled documents is
     * the append delta [[graft.operators.Bpe.refreshTokenizer]] folds —

@@ -496,6 +496,88 @@ class CurationStreamSpec extends SparkTestBase {
       neighbors(q).exists(_ >= 300L)), neighbors.toString)
   }
 
+  test("streaming compaction sink survives kill + restart: waves " +
+      "retire, re-probe, split bridges, and equal the full recompute") {
+    import spark.implicits._
+    // Seed corpus (minhash family, carried-vs-joinback decided by the
+    // fit): docs 1,2 a true near-dup pair; doc 3 unrelated; doc 4's
+    // SEED text is a near-dup of 3 (stale crawl) while its TRUE text
+    // joins the {1,2} group; doc 5's SEED text bridges INTO doc 1
+    // while its TRUE text is unrelated — so wave 1 (doc 4) must retire
+    // stale pairs and re-join, and wave 2 (doc 5) must SPLIT a
+    // component by retiring a bridge (the failure mode plain label
+    // extension cannot express and compaction exists for).
+    val a = words(200, 31)
+    val c = words(200, 33).map("z" + _)
+    def doc(base: Seq[String], keep: Int, seed: Int, tag: String) =
+      (base.take(keep) ++ words(200 - keep, seed).map(tag + _))
+        .mkString(" ")
+    val seedDocs = Seq(
+      (1L, a.mkString(" ")),
+      (2L, doc(a, 190, 41, "q")),
+      (3L, c.mkString(" ")),
+      (4L, doc(c, 190, 42, "r")), // stale: near-dup of 3
+      (5L, doc(a, 185, 43, "s"))) // stale: near-dup of 1 (bridge-ish)
+      .toDF("doc_id", "text")
+    val trueDoc4 = doc(a, 188, 44, "t") // true: joins {1,2}
+    val trueDoc5 = words(200, 45).map("u" + _).mkString(" ") // unrelated
+    val root = tmp("graft_dedup_root")
+    TextOps.seedDedupState(spark, seedDocs, root)
+    // seed sanity: {1,2,5} one component, {3,4} another
+    def labels(): Set[(Long, Long)] =
+      spark.read.parquet(root + "/" + graft.sources.Markers.read(
+          spark, root, TextOps.dedupCurrentMarker) + "/labels")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels() ==
+      Set((1L, 1L), (2L, 1L), (5L, 1L), (3L, 3L), (4L, 3L)))
+
+    val input = tmp("graft_compact_in")
+    val cp = tmp("graft_compact_cp")
+    def run(): Unit = {
+      val q = Streams.dedupCompactSink(root,
+        spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", 1).json(input), cp,
+        retainVersions = 2)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // wave 1: doc 4 re-crawled with its true text
+    Seq((4L, trueDoc4)).toDF("doc_id", "text")
+      .write.mode("append").json(input)
+    run() // then KILLED
+    assert(labels() == Set((1L, 1L), (2L, 1L), (4L, 1L), (5L, 1L)),
+      s"wave 1 must move doc 4 from {3}'s component to {1,2}: ${labels()}")
+    // wave 2 arrives while the query is down: doc 5's true text is
+    // unrelated — its stale bridge pairs must retire and it becomes a
+    // singleton (absent from the sparse label map)
+    Seq((5L, trueDoc5)).toDF("doc_id", "text")
+      .write.mode("append").json(input)
+    run() // restart from the same checkpoint: processes ONLY wave 2
+    assert(labels() == Set((1L, 1L), (2L, 1L), (4L, 1L)),
+      s"wave 2 must retire doc 5's bridge pairs: ${labels()}")
+    // the continuously-maintained artifact equals the FULL RECOMPUTE
+    // over the true corpus — the batch compaction's own oracle claim
+    val trueCorpus = Seq(
+      (1L, a.mkString(" ")), (2L, doc(a, 190, 41, "q")),
+      (3L, c.mkString(" ")), (4L, trueDoc4), (5L, trueDoc5))
+      .toDF("doc_id", "text")
+    val full = Components.labelComponents(
+        TextOps.minhashPairs(trueCorpus).select(col("id_a"), col("id_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels() == full)
+    // and the published index itself is repaired: re-staging the true
+    // corpus from scratch pairs identically to probing the served index
+    val served = spark.read.parquet(root + "/" + graft.sources.Markers
+      .read(spark, root, TextOps.dedupCurrentMarker) + "/staged")
+    val servedPairs = TextOps.pairsJoinBackStaged(served)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scratchPairs = TextOps.pairsJoinBackStaged(
+        TextOps.stageDocs(trueCorpus).localCheckpoint(true))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(servedPairs == scratchPairs && servedPairs.nonEmpty)
+  }
+
   test("streaming CDC apply survives a kill + restart; equals the batch merge fold") {
     import spark.implicits._
     val changeSchema = StructType(Seq(
