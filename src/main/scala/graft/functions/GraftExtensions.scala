@@ -74,7 +74,11 @@ object GraftExtensions {
     ("graft_edit_emit_at",
       "graft_edit_emit_at(build, probe, idx, d) - TRUE iff idx is the " +
         "pair's first-matching PassJoin key (join-aware emit-once)",
-      es => EditEmitAt(es(0), es(1), es(2), intLit(es(3), "d"))))
+      es => EditEmitAt(es(0), es(1), es(2), intLit(es(3), "d"))),
+    ("graft_edit_probe_keys",
+      "graft_edit_probe_keys(head, d) - distinct PassJoin probe keys " +
+        "(idx, seg) under the multi-match-aware window, shorts included",
+      es => EditProbeKeys(es(0), intLit(es(1), "d"))))
 
   /** Install the same functions on an already-built session. */
   def register(spark: SparkSession): Unit =

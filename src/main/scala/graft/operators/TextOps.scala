@@ -1980,7 +1980,11 @@ object TextOps {
   // segment); starts whose substring would truncate at the string
   // end are dropped too — a truncated probe can never equal a
   // full-length build segment.
-  private def editProbeKeys(d: Int): Column = {
+  // Retained as the SPECIFICATION formulation: the fused
+  // [[graft.functions.EditProbeKeys]] expression that the probe rows
+  // actually run is parity-pinned against this HOF build (same key
+  // set, same first-occurrence order) over randomized heads.
+  private[graft] def editProbeKeysHof(d: Int): Column = {
     val k = d + 1
     concat(
       flatten(transform(sequence(lit(0), lit(k - 1)), i =>
@@ -2014,9 +2018,15 @@ object TextOps {
 
   /** Probe-side exploded key rows of a keyed-heads frame — the
     * substring-window enumeration side of every PassJoin shape (the
-    * self-join and the nightly cross probes alike). */
+    * self-join and the nightly cross probes alike). r15: the key array
+    * comes from the fused [[graft.functions.EditProbeKeys]] expression
+    * (one codegen'd loop, already distinct and empty-seg-free, shorts
+    * key included), so the HOF-era `filter` + `array_distinct`
+    * staging is gone with it. */
   private[graft] def editProbeRows(keyed: DataFrame, d: Int): DataFrame =
-    editExploded(keyed, editProbeKeys(d))
+    keyed.select(col("doc_id"), col("lang"), col("head"), col("len"),
+      explode(graft.functions.TextFunctions
+        .editProbeKeys(col("head"), d)).as("kseg"))
 
   // SHORTS-CHANNEL STAR-REDUCTION (r11 verdict item 3 — the
   // [[BandedJoins.emitOnce]] hot-bucket contract applied to the one

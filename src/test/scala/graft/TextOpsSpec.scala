@@ -1358,6 +1358,41 @@ class TextOpsSpec extends SparkTestBase {
     assert(truePairs > 500, s"vacuous sweep: only $truePairs true pairs")
   }
 
+  test("fused EditProbeKeys equals the HOF window enumeration: same " +
+      "key set, same first-occurrence order (randomized heads)") {
+    import spark.implicits._
+    // r15: the probe rows run the codegen'd expression; the HOF chain
+    // is retained as the specification formulation. Any divergence
+    // (a missed window, a duplicate key, a reordered array) changes
+    // the candidate stream, so this pins full equality — including
+    // empty heads (shorts only), shorts-boundary lengths, and heads
+    // longer than every assumed-length window.
+    val rnd = new scala.util.Random(20260816)
+    val heads = (Seq("", "a", "ab", "abc", "abcdef") ++
+      (1 to 300).map(_ => (0 until rnd.nextInt(40))
+        .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString))
+      .zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    val keyed = heads.toDF("doc_id", "head")
+      .withColumn("len", length(col("head")))
+    val fused = keyed.select(col("doc_id"),
+      graft.functions.TextFunctions.editProbeKeys(col("head"), 3)
+        .as("keys"))
+    val hof = keyed.select(col("doc_id"),
+      array_distinct(filter(
+        graft.operators.TextOps.editProbeKeysHof(3),
+        s => length(s.getField("seg")) > 0)).as("keys"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getInt(0), s.getString(1))).toList).toMap
+    val (f, h) = (rows(fused), rows(hof))
+    assert(f == h, heads.collectFirst {
+      case (id, head) if f(id) != h(id) =>
+        s"head '$head': fused=${f(id)} hof=${h(id)}"
+    }.getOrElse(""))
+    assert(f.values.map(_.size).sum > 3000, "vacuous sweep")
+  }
+
   test("EditEmitAt is decision-identical to idx == EditFirstMatch " +
       "over randomized heads and every key index (incl. out-of-range)") {
     // r15: the joins moved from `kseg.idx === firstMatch(a, b)` to the
