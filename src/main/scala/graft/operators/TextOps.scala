@@ -2519,14 +2519,44 @@ object TextOps {
     * join's bucket occupancy. COST: ≤ 3 aggregation passes over the
     * 16-byte-row distinct-sig frame (callers pass it MATERIALIZED),
     * each emitting C(B,3) fixed-width rows per signature — fit-time
-    * noise against the join it right-sizes. */
+    * noise against the join it right-sizes.
+    *
+    * MARGINAL-COST stopping rule (r15 — the r14 any-hot-bucket rule
+    * measured wrong at 10×: the sf1 corpus keeps 26 hot buckets at
+    * B=5 and exactly ONE at B=6, and widening to B=8 to delete that
+    * last bucket multiplied keyed rows 2.8× for a join that got 2–3 s
+    * SLOWER than the bucket it saved; `q_simhash_pairs` ran 9.8 s at
+    * sf1 where B=6 runs it in ~half): widening from B to B' pays
+    * (C(B′,3) − C(B,3)) · n extra keyed join rows to delete the
+    * residual hot buckets' in-bucket candidate mass Σ C(occupancy, 2)
+    * — so widen ONLY while that mass, weighted by
+    * [[simhashHotCandidateCost]] (a candidate row evaluates the
+    * mask when-chain + Hamming verify; a keyed row is one hash-join
+    * build/probe — 4× is deliberately widen-leaning), still exceeds
+    * the marginal fan-out. Correctness-neutral in every direction:
+    * this family never star-reduces, so a residual hot bucket is
+    * SLOW, never wrong, and the pigeonhole is lossless at every B. */
   private[graft] def simhashAutoPlan(distinctSigs: DataFrame,
       n: Long): Int = {
     val candidates = simhashPlans.dropWhile(_ < simhashBlockPlan(n))
-    candidates.find(b => b == candidates.last ||
-      BandedJoins.hotBuckets(simhashKeyed(distinctSigs, b),
-        "band", "key").isEmpty).get
+    def tables(b: Int): Long = (b.toLong * (b - 1) * (b - 2)) / 6
+    def hotMass(b: Int): Long = BandedJoins.hotBuckets(
+        simhashKeyed(distinctSigs, b), "band", "key")
+      .agg(coalesce(sum(
+        (col("bucket_n") * (col("bucket_n") - lit(1L)) / lit(2))
+          .cast("long")), lit(0L)))
+      .collect()(0).getLong(0)
+    candidates.zipAll(candidates.tail, candidates.last, candidates.last)
+      .collectFirst { case (b, next) if b == next ||
+        hotMass(b) * simhashHotCandidateCost <=
+          (tables(next) - tables(b)) * math.max(n, 1L) => b }
+      .getOrElse(candidates.last)
   }
+
+  /** Relative cost of one residual hot-bucket candidate pair (mask
+    * when-chain + Hamming verify) against one extra keyed join row
+    * (hash-join build/probe) in [[simhashAutoPlan]]'s stopping rule. */
+  private[graft] val simhashHotCandidateCost = 4L
 
   /** Lossless identical-signature collapse — the shared first stage of
     * every SimHash consumer that feeds a block join (batch clusters,

@@ -1684,6 +1684,37 @@ class TextOpsSpec extends SparkTestBase {
     assert(TextOps.simhashAutoPlan(degenerate, 200L) == 8)
   }
 
+  test("simhash block plan STOPS widening when the residual hot mass " +
+      "is marginal (the sf1 regime: one slow bucket beats 2.8x tables)") {
+    import spark.implicits._
+    // r15: the r14 any-hot-bucket rule widened sf1 to B=8 (56 tables)
+    // to delete ONE residual bucket, making q_simhash_pairs 2-3 s
+    // slower than the bucket it saved. The marginal-cost rule widens
+    // only while hot candidate mass x cost factor exceeds the next
+    // plan's extra keyed rows. Fixture: 3800 well-spread sigs plus 70
+    // sharing one 16-bit block value — one hot bucket at B=4 whose
+    // C(70,2) x 4 = 9660 candidate mass is under the (10-4) x 3870
+    // marginal fan-out of B=5, so the count-derived plan STAYS.
+    val spread = (0 until 3800).map { i =>
+      val h = (i + 10).toLong * -7046029254386353131L
+      (i.toLong, h >>> 32, h & 0xFFFFFFFFL)
+    }
+    // shared block 0 (top 16 bits of the 32-bit hi half), varying
+    // everywhere else
+    val hot = (0 until 70).map { i =>
+      val h = (i + 7).toLong * 2654435761L
+      (9000L + i, (0xABCDL << 16) | (h & 0xFFFFL),
+        (h * 17) & 0xFFFFFFFFL)
+    }
+    val sigs = (spread ++ hot).toDF("doc_id", "sig_hi", "sig_lo")
+    assert(TextOps.simhashBlockPlan(3870L) == 4)
+    val hotAt4 = graft.operators.BandedJoins.hotBuckets(
+      TextOps.simhashKeyed(sigs, 4), "band", "key").count()
+    assert(hotAt4 >= 1, "fixture must keep a hot bucket at B=4")
+    assert(TextOps.simhashAutoPlan(sigs, 3870L) == 4,
+      "marginal residual mass must not buy a 2.5x-fan-out widening")
+  }
+
   test("simhash nightly members collapse duplicate-heavy batches: " +
       "identity stars + rep-only joins, exact labels") {
     import spark.implicits._
