@@ -659,32 +659,59 @@ object Vectors {
   /** One row per (vector, band) with the band's bucket key, the full
     * signature array (for the emit-once predicate), and the unit
     * vector riding along for the verify stage. */
-  private def bandedVecs(staged: DataFrame): DataFrame =
-    staged.select(col("vec_id"), col("u"), col("sigs"),
-      posexplode(col("sigs")).as(Seq("band", "band_sig")))
+  /** Banded rows of a staged frame. `carry = false` (the r15 default
+    * everywhere) ships only (vec_id, sigs) — sigs must ride for the
+    * emit-once predicate; the unit vector does NOT. */
+  private def bandedVecs(staged: DataFrame,
+    carry: Boolean = true): DataFrame = {
+    val cols =
+      if (carry) Seq(col("vec_id"), col("u"), col("sigs"))
+      else Seq(col("vec_id"), col("sigs"))
+    staged.select(cols :+
+      posexplode(col("sigs")).as(Seq("band", "band_sig")): _*)
+  }
 
   private def lshCandidatePairs(u: DataFrame): DataFrame =
-    lshCandidatePairsStaged(stageVectors(u))
+    // materialized once: the joinback layout consumes the staged frame
+    // in three plan branches (banded rows + both vector join-backs)
+    lshCandidatePairsStaged(stageVectors(u).localCheckpoint(true))
 
   /** Candidates via the shared emit-once banded self-join (r5 verdict
     * item 3 — one construction for both LSH modalities; cost model
     * documented on [[graft.operators.BandedJoins.emitOnce]]): the
     * "first colliding band" predicate makes each pair's emission
     * unique by construction, so no global dropDuplicates shuffle is
-    * needed afterwards. Both unit vectors are CARRIED through the
-    * banded rows, so the verify stage needs no join-back to the
-    * corpus — the 16× vector replication through the shuffle is the
-    * standard LSH similarity-join layout (band count × vector bytes
-    * per row); the alternative — bare-id candidates then two corpus
-    * re-joins — costs two more stages and re-evaluates the normalized
-    * corpus. */
+    * needed afterwards.
+    *
+    * JOINBACK layout (r15 — the MinHash bytes model applied to this
+    * family's one remaining carried-payload exchange): banded rows
+    * carry only (vec_id, sigs); candidate id pairs join the unit
+    * vectors back for the exact-cosine verify. The former carried
+    * layout shipped each unit vector through every banded row —
+    * bands × 8·dim bytes per vector (measured 60.6 MB shuffle-read at
+    * sf0.1) — where the joinback pays 2 × 8·dim through the sparse
+    * candidate joins plus the thin banded rows. Unlike text, the
+    * payload is FIXED-size per corpus, so the comparison is
+    * dimension-independent: carried costs bands/2 ≈ 8× the joinback's
+    * vector bytes at 16 bands, and no runtime chooser is needed —
+    * joinback wins on bytes unconditionally. On the 1000-executor
+    * network the exchange is the cost (BASELINE.md's reading rule);
+    * on local[32] the candidate set is sparse by construction, so the
+    * two extra joins are noise (measured at equal wall). CALLER
+    * CONTRACT: `staged` must be cheap to re-read (index parquet, or
+    * localCheckpoint on the uncached path) — three plan branches
+    * consume it. */
   private def lshCandidatePairsStaged(staged: DataFrame,
     hot: Option[DataFrame] = None): DataFrame = {
-    val banded = bandedVecs(staged)
+    val banded = bandedVecs(staged, carry = false)
     BandedJoins.emitOnce(banded, banded, "band", "band_sig", "sigs",
       "vec_id", col("x.vec_id") < col("y.vec_id"),
-      Seq(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        col("x.u").as("ua"), col("y.u").as("ub")), hotOpt = hot)
+      Seq(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b")),
+      hotOpt = hot)
+      .join(staged.select(col("vec_id").as("id_a"), col("u").as("ua")),
+        "id_a")
+      .join(staged.select(col("vec_id").as("id_b"), col("u").as("ub")),
+        "id_b")
   }
 
   /** Candidate id pairs sharing ≥1 LSH band bucket (each pair exactly
@@ -751,20 +778,21 @@ object Vectors {
     * increment (new-vs-new); old-vs-old pairs are never recomputed.
     * The increment rides the SHUFFLE_HASH build side (emitOnce's
     * `right`); the corpus-sized index streams. Contract: increment
-    * vec_ids are disjoint from the base's; output orientation is
-    * normalized (id_a < id_b) to line up with the full-recompute path.
-    * Unit vectors are carried on both sides — an embedding row is a
-    * fixed 64 doubles, so unlike the text path there is no long-tail
-    * payload to justify a join-back layout. */
+    * vec_ids are disjoint from the base's, and BOTH staged inputs are
+    * cheap to re-read (index parquet / localCheckpoint) — the r15
+    * joinback layout (see [[lshCandidatePairsStaged]]) reads each in
+    * a banded branch and a vector join-back branch. Output
+    * orientation is normalized (id_a < id_b) to line up with the
+    * full-recompute path. */
   private[graft] def embedIncrementPairs(baseStaged: DataFrame,
     newStaged: DataFrame, baseHot: Option[DataFrame] = None,
     bloomPrune: Boolean = true): DataFrame = {
-    val newBanded = bandedVecs(newStaged)
+    val newBanded = bandedVecs(newStaged, carry = false)
     // same pre-shuffle bloom prune as the text probe (ProbeFilters):
     // the index branch sheds partnerless banded rows before its
     // exchange, keyed by the increment's (band, band_sig) set
     val baseBanded = {
-      val b = bandedVecs(baseStaged)
+      val b = bandedVecs(baseStaged, carry = false)
       if (bloomPrune)
         ProbeFilters.bloomSemi(b,
           newBanded.select(col("band"), col("band_sig")),
@@ -775,8 +803,12 @@ object Vectors {
       baseBanded, newBanded,
       "band", "band_sig", "sigs", "vec_id",
       col("x.vec_id") =!= col("y.vec_id"),
-      Seq(col("y.vec_id").as("id_a"), col("x.vec_id").as("id_b"),
-        col("y.u").as("ua"), col("x.u").as("ub")), hotOpt = baseHot)
+      Seq(col("y.vec_id").as("id_a"), col("x.vec_id").as("id_b")),
+      hotOpt = baseHot)
+      .join(newStaged.select(col("vec_id").as("id_a"),
+        col("u").as("ua")), "id_a")
+      .join(baseStaged.select(col("vec_id").as("id_b"),
+        col("u").as("ub")), "id_b")
     verifyCosine(cross).unionByName(lshVerifiedPairsStaged(newStaged))
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("cosine"))

@@ -101,6 +101,15 @@ class ShuffleBytesSpec extends SparkTestBase {
     assert(warmShuffleRead("q_edit_incremental") <= 512 * 1024L)
   }
 
+  test("embedding LSH stays on the joinback byte class") {
+    // r15: banded rows carry only (vec_id, sigs); a regression back to
+    // the carried layout ships bands x vector bytes (~8x the banded
+    // component, measured 60.6 vs 7.3 MB at sf0.1) through the banded
+    // exchange and jumps past this bound (measured joinback at fixture
+    // scale: ~0.9 MB, carried ~8x that).
+    assert(warmShuffleRead("q_dedup_embed_lsh") <= 2 * 1024 * 1024L)
+  }
+
   test("edit-distance pairs shuffle stays in the KB class (emit-once)") {
     // r14 deleted the candidate-set exchange; the only bytes left are
     // the final ordered-pair rows. sf0.1 measures 2.9 KB; a pair-keyed
