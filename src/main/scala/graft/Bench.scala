@@ -129,10 +129,32 @@ object Bench {
       spark.range(200L * 1000 * 1000).select(max(xxhash64(col("id"))))
         .write.format("noop").mode("overwrite").save()
     }
-    overheadProbe(); cpuProbe() // anchor warm-up
+    // MEMORY-BANDWIDTH anchor (r15 verdict item 4): cpu_sec generates
+    // its rows on the fly, so it prices ALU throughput only — queries
+    // that stream large materialized state (exact multi-column
+    // distinct, digest re-scans) drift with memory bandwidth, which a
+    // loaded machine degrades on a DIFFERENT axis than core
+    // throughput. This probe streams a fixed ~1 GiB of CACHED
+    // incompressible longs (xxhash64 of the range — sequential ids
+    // would RLE/delta-compress in the columnar cache and the scan
+    // would read far less than 1 GiB) through a minimal max()
+    // aggregate: one compare per 8 bytes, bandwidth-bound by
+    // construction. BASELINE.md's reading rule normalizes
+    // bandwidth-bound queries against mem_sec the way cpu-bound ones
+    // normalize against cpu_sec.
+    val memDf = spark.range(128L * 1000 * 1000)
+      .select(xxhash64(col("id")).as("h")).cache()
+    def memProbe(): Double = time {
+      memDf.select(max(col("h")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    overheadProbe(); cpuProbe(); memProbe() // warm-up; memProbe's
+    // first run also materializes the 1 GiB cache outside the medians
     val anchor =
       s"""{"overhead_sec":${medianOf((1 to 5).map(_ => overheadProbe()))},""" +
-        s""""cpu_sec":${medianOf((1 to 3).map(_ => cpuProbe()))}}"""
+        s""""cpu_sec":${medianOf((1 to 3).map(_ => cpuProbe()))},""" +
+        s""""mem_sec":${medianOf((1 to 3).map(_ => memProbe()))}}"""
+    memDf.unpersist(blocking = true)
 
     names.foreach(runOne) // discarded warm-up pass
     val passes = 3

@@ -575,6 +575,36 @@ object Pipelines {
   // ------------------------------------------------------- gated publish
 
   private[graft] val silverCurrentMarker = "_graft_silver_current"
+  private[graft] val shardSourcesMarker = "_graft_shard_sources"
+  private[graft] val shardDigestsMarker = "_graft_shard_digests"
+
+  private def parseShardMap(s: String): Map[Int, String] =
+    s.split("\n").filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('='); l.take(i).toInt -> l.drop(i + 1)
+    }.toMap
+
+  private def formatShardMap(m: Map[Int, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n")
+
+  /** Order-free per-shard content digest of a landed drop: row count
+    * plus the EXACT decimal sum of per-row xxhash64 over every column
+    * — a multiset digest, invariant under partitioning and row order
+    * (the determinism house rule: long/decimal accumulators, never an
+    * FP fold), equal iff shard content is equal up to 64-bit hash
+    * collisions (~2⁻⁶⁴ per comparison — the same class of risk every
+    * digest-based diff in this engine prices, [[graft.operators
+    * .Curation.snapshotDiff]]'s md5 included). ONE aggregate exchange
+    * of `shards` rows decides the whole copy-on-write plan. */
+  private[graft] def shardDigests(landed: DataFrame, key: String,
+      shards: Int): Map[Int, String] =
+    landed.groupBy(pmod(xxhash64(col(key)), lit(shards.toLong))
+        .cast("int").as("key_shard"))
+      .agg(count(lit(1)).as("n"),
+        sum(xxhash64(landed.columns.map(col): _*).cast("decimal(38,0)"))
+          .as("h"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        s"${r.getLong(1)}:${r.getDecimal(2).toBigInteger}").toMap
 
   /** EP11's gate threaded into an actual WRITE PATH (r10 verdict item
     * 7): publish the landed drop to the silver point layout ONLY when
@@ -599,14 +629,27 @@ object Pipelines {
     * upstream fix re-reads it), and the checklist records exactly which
     * checks sank it.
     *
+    * COPY-ON-WRITE (r16): publication rewrites only the shards whose
+    * [[shardDigests]] digest moved against the current version;
+    * unchanged shards carry forward by physical path in the new
+    * version's `_graft_shard_sources` manifest, so a mostly-unchanged
+    * nightly drop publishes delta-sized bytes instead of re-encoding
+    * the full layout (110.7 MB → digest-agg-only at sf1 on an
+    * unchanged orders drop). Readers ([[currentSilver]],
+    * [[Relational.pointLookupClustered]]) resolve the manifest;
+    * pre-manifest versions read exactly as before.
+    *
     * `retainVersions` bounds storage across nightly drops: after a
     * successful flip, all but the newest N non-current versions are
-    * deleted (0 = keep everything; quarantine and the current version
-    * are never touched). Retention runs strictly AFTER the flip, so a
-    * reader that resolved the marker before the publish always sees a
-    * complete (possibly previous) version, never a half-deleted one —
-    * readers of retention-expired versions need the same grace window
-    * any snapshot-expiry scheme (table-format VACUUM) documents.
+    * deleted (0 = keep everything; quarantine, the current version,
+    * and any version whose directories a SURVIVING manifest still
+    * references are never touched — manifest paths are terminal, so
+    * the reference closure needs no transitive walk). Retention runs
+    * strictly AFTER the flip, so a reader that resolved the marker
+    * before the publish always sees a complete (possibly previous)
+    * version, never a half-deleted one — readers of retention-expired
+    * versions need the same grace window any snapshot-expiry scheme
+    * (table-format VACUUM) documents.
     *
     * @return true iff the drop was published. */
   def landThenPublish(spark: SparkSession, landed: DataFrame,
@@ -615,22 +658,83 @@ object Pipelines {
     val checks = gate.collect()
     val failing = checks.filter(r => !r.getAs[Boolean]("pass"))
     if (failing.isEmpty) {
-      Relational.writePointLayout(landed, key, s"$root/$version", shards)
+      // COPY-ON-WRITE publish (r16, r15 verdict item 5): a nightly
+      // drop at 100 TB is mostly unchanged, and rewriting the full
+      // silver layout per publish made q_pipeline_publish the #2
+      // byte mover at sf1 (110.7 MB, linear in corpus). The
+      // [[shardDigests]] multiset digest of the landed drop is
+      // compared shard-by-shard against the CURRENT version's
+      // published digests; only changed shards repartition + sort +
+      // encode under the new version directory, and every unchanged
+      // shard's files carry forward by PHYSICAL PATH in the new
+      // version's `_graft_shard_sources` manifest (paths are
+      // terminal — a carried entry copies the previous manifest's
+      // path verbatim, so chains collapse and no reader ever walks
+      // version history). The crash discipline is unchanged: data,
+      // digests, then manifest land under `root/<version>`, and only
+      // the final marker flip makes any of it current.
+      val versionDir = s"$root/$version"
+      val prev = graft.sources.Markers.readOption(spark, root,
+        silverCurrentMarker)
+      val prevDir = prev.map(v => s"$root/$v")
+      // carry-forward is legal only against a same-shard-count layout
+      val prevComparable = prevDir.filter(d =>
+        graft.sources.Markers.readOption(spark, d, "_graft_shards")
+          .contains(shards.toString))
+      val prevDigests = prevComparable.flatMap(d =>
+        graft.sources.Markers.readOption(spark, d, shardDigestsMarker))
+        .map(parseShardMap).getOrElse(Map.empty)
+      // a pre-manifest version physically holds every shard it knows
+      val prevSources = prevComparable.map { d =>
+        graft.sources.Markers.readOption(spark, d, shardSourcesMarker)
+          .map(parseShardMap)
+          .getOrElse(prevDigests.keys.map(k =>
+            k -> s"$d/key_shard=$k").toMap)
+      }.getOrElse(Map.empty)
+      val digests = shardDigests(landed, key, shards)
+      val changed = digests.keySet.filter(k =>
+        !prevDigests.get(k).contains(digests(k)) ||
+          !prevSources.contains(k))
+      if (changed.nonEmpty)
+        Relational.writePointLayout(landed, key, versionDir, shards,
+          onlyShards = Some(changed))
+      val sources = digests.keys.map { k =>
+        k -> (if (changed(k)) s"$versionDir/key_shard=$k"
+              else prevSources(k))
+      }.toMap
+      graft.sources.Markers.write(spark, versionDir, "_graft_shards",
+        shards.toString)
+      graft.sources.Markers.write(spark, versionDir, shardDigestsMarker,
+        formatShardMap(digests))
+      graft.sources.Markers.write(spark, versionDir, shardSourcesMarker,
+        formatShardMap(sources))
       graft.sources.Markers.write(spark, root, silverCurrentMarker,
         version)
       if (retainVersions > 0) {
+        // retention is REFERENCE-AWARE: a surviving version's
+        // manifest may point into an older version's directories, so
+        // the keep set is (current + newest N) CLOSED over their
+        // manifests — physical paths are terminal, no transitive walk
         val rootPath = new org.apache.hadoop.fs.Path(root)
         val fs = rootPath.getFileSystem(
           spark.sessionState.newHadoopConf())
-        val stale = fs.listStatus(rootPath)
+        val others = fs.listStatus(rootPath)
           .filter(_.isDirectory)
           .map(st => st.getPath.getName -> st.getModificationTime)
-          .filter { case (n, _) =>
-            n != "quarantine" && n != version }
-          .sortBy(-_._2)
-          .drop(retainVersions)
-        stale.foreach { case (n, _) =>
-          fs.delete(new org.apache.hadoop.fs.Path(rootPath, n), true) }
+          .filter { case (n, _) => n != "quarantine" && n != version }
+        val kept = others.sortBy(-_._2).take(retainVersions).map(_._1)
+        val referenced = (version +: kept).toSet.flatMap { (v: String) =>
+          graft.sources.Markers.readOption(spark, s"$root/$v",
+              shardSourcesMarker)
+            .map(parseShardMap(_).values
+              .flatMap(p => p.stripPrefix(root + "/").split("/")
+                .headOption).toSet)
+            .getOrElse(Set.empty[String])
+        }
+        others.map(_._1)
+          .filterNot(kept.toSet).filterNot(referenced)
+          .foreach { n =>
+            fs.delete(new org.apache.hadoop.fs.Path(rootPath, n), true) }
       }
       true
     } else {
@@ -649,7 +753,25 @@ object Pipelines {
     * [[Relational.pointLookupClustered]]) serves from. */
   def currentSilver(spark: SparkSession, root: String): DataFrame = {
     val v = graft.sources.Markers.read(spark, root, silverCurrentMarker)
-    spark.read.parquet(s"$root/$v")
+    val dir = s"$root/$v"
+    graft.sources.Markers.readOption(spark, dir, shardSourcesMarker)
+      .map(parseShardMap) match {
+      case Some(srcs) if srcs.nonEmpty =>
+        // copy-on-write version: assemble the table from the shards'
+        // PHYSICAL directories, grouped by owning version so each
+        // source version is ONE partitioned parquet read (basePath =
+        // the version dir restores the key_shard partition column,
+        // so the schema is identical to a plain read and key_shard
+        // filters still prune partitions) — a per-shard union would
+        // pay 8 separate relations of planning and listing per read
+        val byVersion = srcs.values.toSeq.distinct
+          .groupBy(p => p.substring(0, p.lastIndexOf('/')))
+        byVersion.toSeq.sortBy(_._1).map { case (versionDir, paths) =>
+          spark.read.option("basePath", versionDir)
+            .parquet(paths.sorted: _*)
+        }.reduce(_ unionByName _)
+      case _ => spark.read.parquet(dir)
+    }
   }
 
   /** One publish root per (JVM, sf dir); every invocation publishes a

@@ -62,7 +62,13 @@ object Relational {
     * point read touches O(1) of the table.
     */
   def writePointLayout(df: DataFrame, key: String, path: String,
-    shards: Int, blockSize: Long = 128L * 1024 * 1024): Unit = {
+    shards: Int, blockSize: Long = 128L * 1024 * 1024,
+    onlyShards: Option[Set[Int]] = None): Unit = {
+    // `onlyShards` (r16, the copy-on-write publish): materialize only
+    // the named shards' partitions — the caller carries the rest
+    // forward by manifest ([[graft.operators.Pipelines
+    // .landThenPublish]]). The filter runs BEFORE the repartition, so
+    // the publish exchange is sized by the changed shards alone.
     // shard on xxhash64(key), not the raw key (r5 verdict item 2): the
     // reference's real point lookups are by UUID STRING
     // (/root/reference/src/coding_task_1.py:53-61), and hashing first
@@ -70,8 +76,10 @@ object Relational {
     // pruning works on sorted strings exactly as on sorted longs. It
     // also decouples shard balance from the key distribution (raw
     // pmod on a strided or clustered numeric key skews shards).
-    df.withColumn("key_shard",
-        pmod(xxhash64(col(key)), lit(shards.toLong)).cast("int"))
+    val sharded = df.withColumn("key_shard",
+      pmod(xxhash64(col(key)), lit(shards.toLong)).cast("int"))
+    onlyShards.fold(sharded)(ks =>
+        sharded.filter(col("key_shard").isin(ks.toSeq: _*)))
       .repartition(col("key_shard"))
       // key_shard leads the sort: one task can hold several shard
       // values (hash partitioning), and the dynamic-partition writer
@@ -108,18 +116,53 @@ object Relational {
     value: Any): DataFrame = {
     val shards =
       graft.sources.Markers.read(spark, path, "_graft_shards").toInt
-    val base = spark.read.parquet(path)
-    // xxhash64 is TYPE-sensitive (an int and a long with equal values
-    // hash differently), so the literal is cast to the stored column's
-    // exact type before hashing — a caller passing 42 (Int) against a
-    // bigint key must still land on the written shard. The cast of a
-    // literal is itself foldable, so static pruning is unaffected.
-    val keyLit = lit(value).cast(base.schema(key).dataType)
-    base
-      .filter(col("key_shard") ===
-          pmod(xxhash64(keyLit), lit(shards.toLong)).cast("int") &&
-        col(key) === keyLit)
-      .drop("key_shard")
+    // COPY-ON-WRITE versions (r16): a version published by
+    // [[graft.operators.Pipelines.landThenPublish]] may carry
+    // unchanged shards forward by manifest instead of holding their
+    // files — resolve the probed shard's PHYSICAL directory through
+    // `_graft_shard_sources`, computing the shard id driver-side with
+    // the very Catalyst expressions the layout writer used (zero jobs,
+    // and the hash can never drift from the write path).
+    graft.sources.Markers.readOption(spark, path,
+        "_graft_shard_sources") match {
+      case Some(manifest) =>
+        val srcs = manifest.split("\n").filter(_.nonEmpty).map { l =>
+          val i = l.indexOf('='); l.take(i).toInt -> l.drop(i + 1)
+        }.toMap
+        require(srcs.nonEmpty,
+          s"$path: empty shard manifest — nothing was ever published?")
+        val schema = spark.read.parquet(srcs.values.head).schema
+        import org.apache.spark.sql.catalyst.expressions.{
+          Cast, Literal => CLit, Pmod, XxHash64}
+        val shard = Pmod(
+          XxHash64(Seq(Cast(CLit.create(value), schema(key).dataType)),
+            42L),
+          CLit(shards.toLong)).eval(null).asInstanceOf[Long].toInt
+        val keyLit = lit(value).cast(schema(key).dataType)
+        srcs.get(shard) match {
+          case Some(p) =>
+            spark.read.parquet(p).filter(col(key) === keyLit)
+          case None => // the key hashes into an empty (never-written)
+            // shard: a definitive miss, typed like a hit
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              schema)
+        }
+      case None =>
+        val base = spark.read.parquet(path)
+        // xxhash64 is TYPE-sensitive (an int and a long with equal
+        // values hash differently), so the literal is cast to the
+        // stored column's exact type before hashing — a caller passing
+        // 42 (Int) against a bigint key must still land on the written
+        // shard. The cast of a literal is itself foldable, so static
+        // pruning is unaffected.
+        val keyLit = lit(value).cast(base.schema(key).dataType)
+        base
+          .filter(col("key_shard") ===
+              pmod(xxhash64(keyLit), lit(shards.toLong)).cast("int") &&
+            col(key) === keyLit)
+          .drop("key_shard")
+    }
   }
 
   /** S2 declared at its cluster-scale layout: the same point lookup as

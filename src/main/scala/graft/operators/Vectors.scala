@@ -656,20 +656,14 @@ object Vectors {
     u.select(col("vec_id"), col("u"), graft.functions.VectorFunctions
       .lshBandSigs(col("u"), lshPlanes(), lshBandBits).as("sigs"))
 
-  /** One row per (vector, band) with the band's bucket key, the full
-    * signature array (for the emit-once predicate), and the unit
-    * vector riding along for the verify stage. */
-  /** Banded rows of a staged frame. `carry = false` (the r15 default
-    * everywhere) ships only (vec_id, sigs) — sigs must ride for the
-    * emit-once predicate; the unit vector does NOT. */
-  private def bandedVecs(staged: DataFrame,
-    carry: Boolean = true): DataFrame = {
-    val cols =
-      if (carry) Seq(col("vec_id"), col("u"), col("sigs"))
-      else Seq(col("vec_id"), col("sigs"))
-    staged.select(cols :+
+  /** Banded rows of a staged frame: one row per (vector, band) with
+    * the band's bucket key and the full signature array — sigs must
+    * ride for the emit-once predicate; the unit vector does NOT (the
+    * r15 joinback layout: vectors join back once per verify side, so
+    * the banded exchange is dimension-independent). */
+  private def bandedVecs(staged: DataFrame): DataFrame =
+    staged.select(Seq(col("vec_id"), col("sigs")) :+
       posexplode(col("sigs")).as(Seq("band", "band_sig")): _*)
-  }
 
   private def lshCandidatePairs(u: DataFrame): DataFrame =
     // materialized once: the joinback layout consumes the staged frame
@@ -703,7 +697,7 @@ object Vectors {
     * consume it. */
   private def lshCandidatePairsStaged(staged: DataFrame,
     hot: Option[DataFrame] = None): DataFrame = {
-    val banded = bandedVecs(staged, carry = false)
+    val banded = bandedVecs(staged)
     BandedJoins.emitOnce(banded, banded, "band", "band_sig", "sigs",
       "vec_id", col("x.vec_id") < col("y.vec_id"),
       Seq(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b")),
@@ -787,12 +781,12 @@ object Vectors {
   private[graft] def embedIncrementPairs(baseStaged: DataFrame,
     newStaged: DataFrame, baseHot: Option[DataFrame] = None,
     bloomPrune: Boolean = true): DataFrame = {
-    val newBanded = bandedVecs(newStaged, carry = false)
+    val newBanded = bandedVecs(newStaged)
     // same pre-shuffle bloom prune as the text probe (ProbeFilters):
     // the index branch sheds partnerless banded rows before its
     // exchange, keyed by the increment's (band, band_sig) set
     val baseBanded = {
-      val b = bandedVecs(baseStaged, carry = false)
+      val b = bandedVecs(baseStaged)
       if (bloomPrune)
         ProbeFilters.bloomSemi(b,
           newBanded.select(col("band"), col("band_sig")),

@@ -50,8 +50,12 @@ class ShuffleBytesSpec extends SparkTestBase {
     prev
   }
 
-  /** Shuffle-read bytes of ONE WARM run of a declared query. */
-  private def warmShuffleRead(name: String): Long = {
+  /** Shuffle-read bytes of ONE WARM run of a declared query. The
+    * counter is suite-global (one listener on the shared session), so
+    * measurements serialize on a lock — ScalaTest runs this suite's
+    * tests sequentially today, and the lock keeps the counter honest
+    * if that ever changes (ADVICE r15). */
+  private def warmShuffleRead(name: String): Long = read.synchronized {
     listener // ensure registered
     def run(): Unit = SparkEntry.queries(name)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
@@ -98,7 +102,29 @@ class ShuffleBytesSpec extends SparkTestBase {
   }
 
   test("edit incremental stays delta-sized at fixture scale") {
+    // Absolute bound BY NECESSITY (ADVICE r15 asked for sibling
+    // ratios where they exist; here the ratio inverts): the
+    // full-recompute sibling q_edit_clusters is itself near-zero
+    // shuffle at fixture scale (~7 KB — emit-once deleted its
+    // candidate exchange), while the incremental pays fixed index/
+    // bloom/label-extension exchanges (~66 KB). The incremental's
+    // win is CPU (no base re-key, no old-vs-old re-verify), not
+    // bytes, so the byte claim here is only "stays KB-class"; the
+    // codec is pinned in SparkTestBase to keep the ceiling stable.
     assert(warmShuffleRead("q_edit_incremental") <= 512 * 1024L)
+  }
+
+  test("minhash carried counterfactual prices above the adaptive " +
+      "joinback layout") {
+    // The byte model's load-bearing inequality, measured same-run:
+    // the carried layout ships shingle sets through every banded row
+    // (149.3 vs 38.3 MB at sf0.1); if joinback ever regresses to
+    // carrying payloads, the two volumes converge and this trips.
+    val carried = warmShuffleRead("q_dedup_minhash_carried")
+    val joinback = warmShuffleRead("q_dedup_minhash_joinback")
+    assert(joinback * 3 <= carried * 2,
+      s"carried shuffled $carried B vs joinback's $joinback B " +
+        "(expected >= 1.5x)")
   }
 
   test("embedding LSH stays on the joinback byte class") {
@@ -108,6 +134,21 @@ class ShuffleBytesSpec extends SparkTestBase {
     // exchange and jumps past this bound (measured joinback at fixture
     // scale: ~0.9 MB, carried ~8x that).
     assert(warmShuffleRead("q_dedup_embed_lsh") <= 2 * 1024 * 1024L)
+  }
+
+  test("warm gated publish is copy-on-write: unchanged drop never " +
+      "rewrites the silver layout") {
+    // r16 (r15 verdict item 5): q_pipeline_publish republishes the
+    // SAME orders drop every warm run, so after the cold run's v1 the
+    // shard digests all match and the publish writes markers only —
+    // the bytes left are the GATE's checks plus the digest aggregate
+    // (shards rows). A regression back to full rewrite re-shuffles
+    // the whole drop through writePointLayout's repartition and
+    // blows past this bound (the sf0.001 orders drop alone is
+    // ~100 KB shuffled; at sf1 the difference is 110.7 MB vs KB).
+    val warm = warmShuffleRead("q_pipeline_publish")
+    assert(warm <= 256 * 1024L,
+      s"warm publish shuffled $warm B — copy-on-write regressed?")
   }
 
   test("edit-distance pairs shuffle stays in the KB class (emit-once)") {

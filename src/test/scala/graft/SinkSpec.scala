@@ -213,6 +213,14 @@ class SinkSpec extends SparkTestBase {
     assert(new java.io.File(s"$root/quarantine/v2/drop").exists())
   }
 
+  /** A drop whose every row differs per `tag` — every shard digest
+    * moves, so copy-on-write degenerates to a full rewrite and no
+    * version references an earlier one. */
+  private def taggedFrame(n: Int, tag: String) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"row-$i-$tag")).toDF("id", "payload")
+  }
+
   test("retention deletes only stale non-current versions, never quarantine") {
     import graft.operators.Pipelines
     val root = java.nio.file.Files
@@ -221,8 +229,11 @@ class SinkSpec extends SparkTestBase {
     // one failing drop first so a quarantine subtree exists
     assert(!Pipelines.landThenPublish(spark, landedFrame(5),
       gateFrame(Seq(("orphans:fk", 1.0, 0.0))), root, "q0", key = "id"))
+    // fully-changing drops: every version materializes all its shards,
+    // so retention's reference closure protects nothing extra and the
+    // pre-r16 count semantics hold exactly
     (1 to 4).foreach { i =>
-      assert(Pipelines.landThenPublish(spark, landedFrame(10 * i),
+      assert(Pipelines.landThenPublish(spark, taggedFrame(10 * i, s"t$i"),
         gate, root, s"v$i", key = "id", retainVersions = 2))
     }
     // newest two non-current versions (v2, v3) survive with current v4;
@@ -231,6 +242,62 @@ class SinkSpec extends SparkTestBase {
       "_graft_silver_current"), ls(root).toString)
     assert(Pipelines.currentSilver(spark, root).count() == 40)
     assert(new java.io.File(s"$root/quarantine/q0/drop").exists())
+  }
+
+  test("copy-on-write publish: unchanged shards carry forward by " +
+      "manifest; retention protects referenced versions") {
+    import graft.operators.Pipelines
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_publish_spec").toString
+    val gate = gateFrame(Seq(("nulls:id", 0.0, 0.0)))
+    val drop = landedFrame(57)
+    assert(Pipelines.landThenPublish(spark, drop, gate, root, "v1",
+      key = "id"))
+    // v2: the IDENTICAL drop — zero shards change, so v2 holds only
+    // markers (no key_shard directories) and every manifest entry
+    // points into v1
+    assert(Pipelines.landThenPublish(spark, drop, gate, root, "v2",
+      key = "id"))
+    val v2Files = ls(s"$root/v2")
+    assert(!v2Files.exists(_.startsWith("key_shard=")),
+      s"unchanged publish materialized shards: $v2Files")
+    val manifest = graft.sources.Markers.read(spark, s"$root/v2",
+      Pipelines.shardSourcesMarker)
+    assert(manifest.split("\n").forall(_.contains("/v1/key_shard=")),
+      manifest)
+    // read-back through the manifest is exact, and the clustered
+    // point lookup resolves the carried shard
+    val got = Pipelines.currentSilver(spark, root)
+      .drop("key_shard").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload")))
+      .sorted.toSeq
+    assert(got == (0 until 57).map(i => (i.toLong, s"row-$i")))
+    val hit = graft.operators.Relational.pointLookupClustered(spark,
+      s"$root/v2", "id", 13L).collect()
+    assert(hit.map(_.getAs[String]("payload")).toSeq == Seq("row-13"))
+    // v3: ONE row changes — only that row's shard materializes under
+    // v3; the rest still reference v1
+    import spark.implicits._
+    val drop3 = drop.filter(col("id") =!= 13L).unionByName(
+      Seq((13L, "row-13-recrawled")).toDF("id", "payload"))
+    assert(Pipelines.landThenPublish(spark, drop3, gate, root, "v3",
+      key = "id"))
+    val v3Shards = ls(s"$root/v3").filter(_.startsWith("key_shard="))
+    assert(v3Shards.size == 1, s"one changed row touched $v3Shards")
+    val hit3 = graft.operators.Relational.pointLookupClustered(spark,
+      s"$root/v3", "id", 13L).collect()
+    assert(hit3.map(_.getAs[String]("payload")).toSeq ==
+      Seq("row-13-recrawled"))
+    // retention with retainVersions=1 after two more no-change
+    // publishes: v1 is OLD but still referenced by the surviving
+    // manifests — it must survive; v2 (unreferenced, past the keep
+    // window) expires
+    assert(Pipelines.landThenPublish(spark, drop3, gate, root, "v4",
+      key = "id", retainVersions = 1))
+    val dirs = ls(root)
+    assert(dirs.contains("v1"), s"referenced v1 was deleted: $dirs")
+    assert(!dirs.contains("v2"), s"stale unreferenced v2 survived: $dirs")
+    assert(Pipelines.currentSilver(spark, root).count() == 57)
   }
 
   test("q_pipeline_publish publishes on driver data and reads back the drop") {

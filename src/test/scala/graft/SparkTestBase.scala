@@ -21,6 +21,11 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // pinned for ShuffleBytesSpec's absolute byte bounds (ADVICE
+      // r15): a Spark-default change to exchange compression would
+      // otherwise shift measured shuffle-read bytes under flat claims
+      .config("spark.shuffle.compress", "true")
+      .config("spark.io.compression.codec", "lz4")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

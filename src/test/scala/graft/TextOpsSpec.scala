@@ -220,10 +220,24 @@ class TextOpsSpec extends SparkTestBase {
       "tiny docs must stay carried under the bytes model")
     // the exposed flip point IS the model's zero crossing: the
     // projected carried bytes equal carriedLatencyFactor x joinback
-    // bytes exactly at joinBackFlipShingles
+    // bytes exactly at joinBackFlipShingles. Coefficients are READ
+    // from TextOps (ADVICE r15 — they derive from the band/signature
+    // config, so a width change re-prices model and spec together);
+    // the banded-row shape itself is pinned independently: at the
+    // current 16-band config the derived values must price a 16-long
+    // bsigs array + (band, bhash) + doc_id per row and an 8 B/shingle
+    // ride.
+    assert(TextOps.carriedFixedBytes ==
+      TextOps.minhashBandCount * (8.0 + 8.0 * TextOps.minhashBandCount
+        + 12.0))
+    assert(TextOps.carriedBytesPerShingle == 8.0 * TextOps.minhashBandCount)
+    assert(TextOps.joinbackFixedBytes == TextOps.carriedFixedBytes + 16.0)
+    assert(TextOps.joinbackBytesPerShingle == 16.0)
     val s = TextOps.joinBackFlipShingles
-    assert(math.abs((2368.0 + 128.0 * s) -
-      TextOps.carriedLatencyFactor * (2384.0 + 16.0 * s)) < 1e-6)
+    assert(math.abs(
+      (TextOps.carriedFixedBytes + TextOps.carriedBytesPerShingle * s) -
+        TextOps.carriedLatencyFactor * (TextOps.joinbackFixedBytes +
+          TextOps.joinbackBytesPerShingle * s)) < 1e-6)
     assert(!TextOps.joinBackWinsOnBytes(s - 1) &&
       TextOps.joinBackWinsOnBytes(s + 1))
   }
@@ -985,16 +999,47 @@ class TextOpsSpec extends SparkTestBase {
     assert(r2(2L) == 1L && r2(4L) == 0L)
   }
 
-  test("lm score plan: TakeOrdered fit, broadcast model probe") {
+  test("lm score plan: published-model serve, broadcast probe; fit " +
+      "runs once and the artifact matches the inline fit") {
+    // r16: the declared query serves the PUBLISHED bigram model — the
+    // fit's TakeOrderedAndProject no longer appears in the per-query
+    // plan (it ran once, at publish). Warm plan: parquet model scan
+    // broadcast into the scoring join, nothing else.
     val q = TextOps.qLmScore(spark, sfDir)
     q.collect()
-    val plan = q.queryExecution.executedPlan.toString
+    val fits = TextOps.lmFitInvocations.get()
+    val q2 = TextOps.qLmScore(spark, sfDir)
+    q2.collect()
+    assert(TextOps.lmFitInvocations.get() == fits,
+      "LM model fit re-ran on a warm query")
+    val plan = q2.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    // the K-row model comes from per-partition heaps, not a global sort
-    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
     // scoring probes the broadcast model — the corpus-side join never
-    // shuffles on bigram
+    // shuffles on bigram; the K-cut sort is NOT in the serving plan
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    // and the served scores equal the inline-fit formulation (the
+    // oracle's shape) bit-for-bit
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(key(q2) == key(TextOps.lmScore(
+      graft.sources.Tables.documents(spark, sfDir), 10000)))
+  }
+
+  test("classifier serve: fit runs once; served scores equal the " +
+      "inline-fit formulation") {
+    TextOps.qClassifySource(spark, sfDir).collect()
+    val fits = TextOps.classifierFitInvocations.get()
+    val served = TextOps.qClassifySource(spark, sfDir)
+    val rows = served.collect()
+    assert(TextOps.classifierFitInvocations.get() == fits,
+      "classifier fit re-ran on a warm query")
+    def key(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+    assert(key(rows) == key(TextOps.classifySource(
+      graft.sources.Tables.documents(spark, sfDir), 2000).collect()))
   }
 
   test("q_score_deciles_approx: >=99% agreement with exact, all buckets, sorted cuts") {
@@ -1419,6 +1464,14 @@ class TextOpsSpec extends SparkTestBase {
           s"('$a','$b') idx=$i: firstMatch=$first")
         if (want) emits += 1
       }
+      // ADVICE r15: pin the ONE documented deviation — at the
+      // no-witness sentinel idx = -99 the old equality predicate
+      // returned TRUE when firstMatch is also -99, while EditEmitAt
+      // returns FALSE for every out-of-range idx. The joins never
+      // feed -99; this makes the intentional divergence load-bearing
+      // instead of implicit.
+      assert(!ea.compute(u(a), u(b), -99),
+        s"('$a','$b'): idx=-99 must never emit (firstMatch=$first)")
     }
     assert(emits > 500, s"vacuous sweep: only $emits emitting rows")
   }
@@ -1551,6 +1604,90 @@ class TextOpsSpec extends SparkTestBase {
     // and the repair actually connected the cell: docs 1..12 share one
     // component labeled by the min id
     assert(compact.filter(_._1 <= 12).map(_._2).toSet == Set(1L))
+  }
+
+  test("compact (d,2d]-probe sliver: a re-crawled head reaches a " +
+      "star-reduced non-min member the shorts channel cannot route") {
+    import spark.implicits._
+    // ADVICE r15 (the residual loss mode after re-election): the
+    // emit-once shorts gate routes every (build <= d, probe <= 2d)
+    // pair through the BUILD doc's shorts row, which star reduction
+    // removed for non-min members — so a re-crawled head of length in
+    // (d, 2d] within d of a retained non-min member but NOT of the
+    // min splinters under compact while the full recompute connects
+    // it through the reverse build direction. editShortsSliverEdges
+    // must close exactly this mode.
+    val cell = (1 to 12).map(i => (i.toLong, "en",
+      if (i == 1) "zzz" // fit-time min (min_by doc_id) — ed to the
+      // probe "aaaa" is 4 > d, so the shorts channel CANNOT route it
+      else ('a' + (i % 5)).toChar.toString * (1 + i % 3)))
+    val trueDocs = (cell ++ Seq(
+      (50L, "en", "aaaa"), // re-crawl: len 4 in (d, 2d], ed 1 to the
+      // retained non-min member "aaa" (doc 5)
+      (100L, "en", "the quick brown fox jumps over the lazy dog")))
+      .toDF("doc_id", "lang", "text")
+    val recrawl = col("doc_id") === 50L
+    val stale = trueDocs.withColumn("text",
+      when(recrawl, lit("wholly unrelated stale placeholder body"))
+        .otherwise(col("text")))
+    val st = graft.operators.TextOps.editCompactFit(stale, 3,
+      shortsCap = 8)
+    // non-vacuity: the cell tripped the cap (only doc 1 keeps the
+    // shorts row) and the retained min survives retirement, so the
+    // r15 re-election path never fires — the sliver is the only
+    // channel that can connect doc 50
+    val shortRows = spark.read.parquet(st.indexPath)
+      .filter(col("idx") === -1).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(shortRows == Set(1L))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val compact = rows(graft.operators.TextOps.editCompactLabels(
+      spark, st, trueDocs, recrawl, 3))
+    // comparator: the UNCAPPED recompute (cap never trips -> exact
+    // PassJoin truth). Legal here because every (d, 2d] doc in the
+    // fixture is re-crawled — the capped base self-join's own star
+    // scope has nothing to hide.
+    val full = rows(graft.operators.Components.flagCorpus(trueDocs,
+      "doc_id", graft.operators.Components.labelComponents(
+        graft.operators.TextOps.editDistancePairs(trueDocs, 30, 3,
+          shortsCap = 1000).select(col("doc_id_a").as("id_a"),
+          col("doc_id_b").as("id_b")))))
+    assert(compact == full,
+      s"compact=${compact.filter(t => t._1 != t._2 || !t._3)} " +
+        s"full=${full.filter(t => t._1 != t._2 || !t._3)}")
+    // and the probe genuinely joined the cell component
+    assert(compact.find(_._1 == 50L).map(_._2).contains(1L))
+  }
+
+  test("incremental (d,2d]-probe sliver: an increment head reaches a " +
+      "star-reduced non-min member of the capped base cell") {
+    import spark.implicits._
+    // same loss mode as the compact sliver spec, through the nightly
+    // increment assembly: the base fit star-reduced its capped cell,
+    // and the increment doc's only true partner is a non-min member
+    val base = ((1 to 12).map(i => (i.toLong, "en",
+      if (i == 1) "zzz"
+      else ('a' + (i % 5)).toChar.toString * (1 + i % 3))) ++ Seq(
+      (100L, "en", "the quick brown fox jumps over the lazy dog")))
+      .toDF("doc_id", "lang", "text")
+    val st = graft.operators.TextOps.fitEditState(spark, base,
+      "graft_edit_sliver_inc", shortsCap = 8)
+    val docs = base.unionByName(
+      Seq((50L, "en", "aaaa")).toDF("doc_id", "lang", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val inc = rows(graft.operators.TextOps.editIncrementalLabels(
+      spark, st, docs, col("doc_id") === 50L, 3))
+    val full = rows(graft.operators.Components.flagCorpus(docs,
+      "doc_id", graft.operators.Components.labelComponents(
+        graft.operators.TextOps.editDistancePairs(docs, 30, 3,
+          shortsCap = 1000).select(col("doc_id_a").as("id_a"),
+          col("doc_id_b").as("id_b")))))
+    assert(inc == full,
+      s"inc=${inc.filter(t => t._1 != t._2 || !t._3)} " +
+        s"full=${full.filter(t => t._1 != t._2 || !t._3)}")
+    assert(inc.find(_._1 == 50L).map(_._2).contains(1L))
   }
 
   test("edit incremental and compact equal the full recompute; fits " +
