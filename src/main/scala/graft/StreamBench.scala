@@ -437,6 +437,95 @@ object StreamBench {
         compLabels.filter(col("node_id") < 500L &&
           col("node_id") % 4 =!= 0).count() == 0L
 
+    // 18-20. the r16 modality sweep of the streaming compaction
+    // lifecycle (r15 verdict item 3): the same seed → waves → verify
+    // shape as leg 17, through each family's own wave core. Every 4th
+    // re-crawl becomes an EXACT copy of a disjoint base doc (a fresh
+    // pair the wave must verify and label), the rest turn unrelated
+    // (stale-state retirement); the checks pin both outcomes.
+
+    // 18. SimHash compaction sink
+    val shcBase = (0 until 1500).map(i =>
+      (i.toLong, words(60, 500000 + i).mkString(" ")))
+      .toDF("doc_id", "text")
+    val shRoot = tmp("graft_sb_simhash_root")
+    graft.operators.TextOps.seedSimhashRoot(spark, shcBase, shRoot)
+    val shcRows: Seq[(Long, String)] = (0 until 400).map { i =>
+      if (i % 4 == 0) (i.toLong, words(60, 500000 + 1000 + i).mkString(" "))
+      else (i.toLong, words(60, 600000 + i).map("x" + _).mkString(" "))
+    }
+    runSinkLeg[(Long, String)]("simhash_compact_sink", shcRows,
+      df => graft.streaming.Streams.simhashCompactSink(shRoot, df,
+        tmp("graft_sb_simhash_cp"), retainVersions = 2),
+      ds => ds.toDF("doc_id", "text"))
+    val shLabels = spark.read.parquet(shRoot + "/" +
+      graft.sources.Markers.read(spark, shRoot,
+        graft.operators.TextOps.dedupCurrentMarker) + "/labels")
+    checks("simhash_compact_repairs_exact") =
+      shLabels.filter(col("node_id") >= 1000L &&
+        col("node_id") < 1400L &&
+        col("cluster_id") === col("node_id") - 1000L).count() == 100L &&
+        shLabels.filter(col("node_id") < 400L &&
+          col("node_id") % 4 =!= 0).count() == 0L
+
+    // 19. edit-distance compaction sink (heads of distinct random
+    // words sit far above distance 3 — only the copy waves pair)
+    val edBase = (0 until 1200).map(i =>
+      (i.toLong, "en", words(8, 700000 + i).mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val edRoot = tmp("graft_sb_editc_root")
+    graft.operators.TextOps.seedEditRoot(spark, edBase, edRoot)
+    val edCopy = (0 until 1200).map(i =>
+      words(8, 700000 + i).mkString(" "))
+    val edRows: Seq[(Long, String, String)] = (0 until 300).map { i =>
+      if (i % 4 == 0) (i.toLong, "en", edCopy(600 + i))
+      else (i.toLong, "en", words(8, 800000 + i).map("x" + _).mkString(" "))
+    }
+    runSinkLeg[(Long, String, String)]("edit_compact_sink", edRows,
+      df => graft.streaming.Streams.editCompactSink(edRoot, df,
+        tmp("graft_sb_editc_cp"), retainVersions = 2),
+      ds => ds.toDF("doc_id", "lang", "text"))
+    val edLabels = spark.read.parquet(edRoot + "/" +
+      graft.sources.Markers.read(spark, edRoot,
+        graft.operators.TextOps.dedupCurrentMarker) + "/labels")
+    checks("edit_compact_repairs_exact") =
+      edLabels.filter(col("node_id") >= 600L &&
+        col("node_id") < 900L &&
+        col("cluster_id") === col("node_id") - 600L).count() == 75L &&
+        edLabels.filter(col("node_id") < 300L &&
+          col("node_id") % 4 =!= 0).count() == 0L
+
+    // 20. embedding compaction sink (random 64-dim directions sit far
+    // below the 0.8 cosine threshold — only the copy waves pair)
+    // bit-mixed, not a shifted sawtooth: two ramp sequences offset by
+    // a small circular shift would correlate near 1 and fabricate
+    // cross-base pairs
+    def dvec(seed: Int): Seq[Float] = (0 until 64).map { j =>
+      val h = seed.toLong * 2654435761L + j.toLong * 0x9E3779B97F4A7C15L
+      (((h ^ (h >>> 31)) % 1000).abs / 1000.0f) - 0.5f
+    }
+    val emBase = (0 until 1200).map(i => (i.toLong, dvec(i)))
+      .toDF("vec_id", "embedding")
+    val emRoot = tmp("graft_sb_embedc_root")
+    graft.operators.Vectors.seedEmbedRoot(spark, emBase, emRoot)
+    val emRows: Seq[(Long, Seq[Float])] = (0 until 300).map { i =>
+      if (i % 4 == 0) (i.toLong, dvec(600 + i))
+      else (i.toLong, dvec(900000 + i))
+    }
+    runSinkLeg[(Long, Seq[Float])]("embed_compact_sink", emRows,
+      df => graft.streaming.Streams.embedCompactSink(emRoot, df,
+        tmp("graft_sb_embedc_cp"), retainVersions = 2),
+      ds => ds.toDF("vec_id", "embedding"))
+    val emLabels = spark.read.parquet(emRoot + "/" +
+      graft.sources.Markers.read(spark, emRoot,
+        graft.operators.TextOps.dedupCurrentMarker) + "/labels")
+    checks("embed_compact_repairs_exact") =
+      emLabels.filter(col("node_id") >= 600L &&
+        col("node_id") < 900L &&
+        col("cluster_id") === col("node_id") - 600L).count() == 75L &&
+        emLabels.filter(col("node_id") < 300L &&
+          col("node_id") % 4 =!= 0).count() == 0L
+
     // Serialize the artifact maps only AFTER the last leg has appended
     // to `results` — building them earlier silently drops late legs
     // from the published JSON (the r14 artifact bug).

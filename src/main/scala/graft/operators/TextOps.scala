@@ -875,6 +875,177 @@ object TextOps {
     (staged2, pairs2, Components.labelComponents(pairs2))
   }
 
+  // ── SIMHASH STREAMING COMPACTION ROOT (r16, r15 verdict item 3 —
+  // the [[seedDedupState]]/[[compactWaveState]] shape genericized
+  // over the SimHash compact core) ──
+
+  /** Map an id-level pair frame onto SIGNATURE level through the two
+    * sides' (doc_id, sig_hi, sig_lo) rep frames — the persistence
+    * transform of the SimHash compaction family ([[SimhashCompactState]]
+    * scaladoc: sig-level pairs survive representative retirement,
+    * id-level pairs would orphan groups). */
+  private def sigLevel(idPairs: DataFrame, aSide: DataFrame,
+      bSide: DataFrame): DataFrame =
+    idPairs
+      .join(aSide.select(col("doc_id").as("doc_id_a"),
+        col("sig_hi").as("hi_a"), col("sig_lo").as("lo_a")), "doc_id_a")
+      .join(bSide.select(col("doc_id").as("doc_id_b"),
+        col("sig_hi").as("hi_b"), col("sig_lo").as("lo_b")), "doc_id_b")
+      .select(col("hi_a"), col("lo_a"), col("hi_b"), col("lo_b"))
+
+  /** Seed a SimHash streaming-compaction root: per-doc signature
+    * table, SIG-level verified pair set, and label map under version
+    * `seed`, with the Hamming block plan `b` fixed at the root level
+    * for the root's lifetime (the [[seedDedupState]] rule: waves
+    * replace content, they do not re-decide plans mid-stream). */
+  private[graft] def seedSimhashRoot(spark: SparkSession,
+      docs: DataFrame, root: String): Unit = {
+    simhashMd5Halves(docs).write.mode("overwrite")
+      .parquet(s"$root/seed/sigs")
+    val sigs = spark.read.parquet(s"$root/seed/sigs")
+    val reps = sigs.groupBy(col("sig_hi"), col("sig_lo"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"))
+      .localCheckpoint(true)
+    val b = simhashAutoPlan(reps, reps.count())
+    graft.sources.Markers.write(spark, root, "_graft_simhash_b",
+      b.toString)
+    sigLevel(simhashSigPairs(reps, b), reps, reps)
+      .write.mode("overwrite").parquet(s"$root/seed/pairs")
+    val identity = sigs.join(reps
+        .select(col("sig_hi"), col("sig_lo"), col("doc_id").as("rep")),
+        Seq("sig_hi", "sig_lo"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("id_a"), col("rep").as("id_b"))
+    Components.labelComponents(identity.unionByName(
+        spark.read.parquet(s"$root/seed/pairs")
+          .join(reps.select(col("sig_hi").as("hi_a"),
+            col("sig_lo").as("lo_a"), col("doc_id").as("id_a")),
+            Seq("hi_a", "lo_a"))
+          .join(reps.select(col("sig_hi").as("hi_b"),
+            col("sig_lo").as("lo_b"), col("doc_id").as("id_b")),
+            Seq("hi_b", "lo_b"))
+          .select(col("id_a"), col("id_b"))))
+      .write.mode("overwrite").parquet(s"$root/seed/labels")
+    graft.sources.Markers.write(spark, root, dedupCurrentMarker, "seed")
+  }
+
+  /** One re-crawl wave applied to the CURRENT state of a SimHash
+    * root — [[qSimhashCompact]]'s retire → re-elect → map → probe →
+    * relabel steps reading the served artifact, returning the three
+    * frames to republish: (per-doc sigs, sig-level pairs, labels). */
+  private[graft] def simhashWaveState(spark: SparkSession, root: String,
+      batch: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val v = graft.sources.Markers.read(spark, root, dedupCurrentMarker)
+    val b = graft.sources.Markers.read(spark, root, "_graft_simhash_b")
+      .toInt
+    val ids = batch.select(col("doc_id"))
+    val retained = spark.read.parquet(s"$root/$v/sigs")
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+    val repMap = retained.groupBy(col("sig_hi"), col("sig_lo"))
+      .agg(min(col("doc_id")).as("rep")).localCheckpoint(true)
+    val identity = retained.join(repMap, Seq("sig_hi", "sig_lo"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("id_a"), col("rep").as("id_b"))
+    val keptSig = spark.read.parquet(s"$root/$v/pairs")
+      .join(repMap.select(col("sig_hi").as("hi_a"),
+        col("sig_lo").as("lo_a")), Seq("hi_a", "lo_a"), "left_semi")
+      .join(repMap.select(col("sig_hi").as("hi_b"),
+        col("sig_lo").as("lo_b")), Seq("hi_b", "lo_b"), "left_semi")
+      .localCheckpoint(true)
+    val keptIds = keptSig
+      .join(repMap.select(col("sig_hi").as("hi_a"),
+        col("sig_lo").as("lo_a"), col("rep").as("id_a")),
+        Seq("hi_a", "lo_a"))
+      .join(repMap.select(col("sig_hi").as("hi_b"),
+        col("sig_lo").as("lo_b"), col("rep").as("id_b")),
+        Seq("hi_b", "lo_b"))
+      .select(col("id_a"), col("id_b"))
+    val newSigs = simhashMd5Halves(batch).localCheckpoint(true)
+    val (newIdentity, newReps) = simhashCollapse(newSigs)
+    val retainedReps = repMap.select(col("rep").as("doc_id"),
+      col("sig_hi"), col("sig_lo"))
+    val cross = simhashSigPairsBetween(retainedReps, newReps, b)
+      .select(col("doc_id_a"), col("doc_id_b")).localCheckpoint(true)
+    val within = simhashSigPairs(newReps, b)
+      .select(col("doc_id_a"), col("doc_id_b")).localCheckpoint(true)
+    val edges = identity.unionByName(keptIds).unionByName(newIdentity)
+      .unionByName(cross.select(col("doc_id_a").as("id_a"),
+        col("doc_id_b").as("id_b")))
+      .unionByName(within.select(col("doc_id_a").as("id_a"),
+        col("doc_id_b").as("id_b")))
+    val sigs2 = retained.unionByName(newSigs)
+    // cross pairs: the a-side id is a RETAINED rep, the b-side a new
+    // rep; within pairs live wholly in the wave
+    val allReps = retainedReps.unionByName(newReps)
+    val pairs2 = keptSig.unionByName(
+      sigLevel(cross.select(col("doc_id_a"), col("doc_id_b")),
+        allReps, newReps))
+      .unionByName(sigLevel(
+        within.select(col("doc_id_a"), col("doc_id_b")),
+        newReps, newReps))
+    (sigs2, pairs2, Components.labelComponents(edges))
+  }
+
+  /** Tri-artifact one-flip publication for a SimHash streaming root
+    * ([[publishDedupState]]'s discipline — one version directory, one
+    * marker flip, no crash window between artifacts). */
+  private[graft] def publishSimhashState(spark: SparkSession,
+    root: String, version: String, sigs: DataFrame, pairs: DataFrame,
+    labels: DataFrame, retainVersions: Int = 0): Unit = {
+    sigs.write.mode("overwrite").parquet(s"$root/$version/sigs")
+    pairs.write.mode("overwrite").parquet(s"$root/$version/pairs")
+    labels.write.mode("overwrite").parquet(s"$root/$version/labels")
+    graft.sources.Markers.write(spark, root, dedupCurrentMarker, version)
+    Curation.retireVersions(spark, root, version, retainVersions)
+  }
+
+  // ── EDIT-DISTANCE STREAMING COMPACTION ROOT (r16 — the same shape
+  // over the PassJoin compact core [[editWaveRepair]]) ──
+
+  /** Seed an edit-distance streaming-compaction root: the FLAT
+    * build-row segment index, the verified (id_a, id_b) pair set, and
+    * the label map under version `seed`. */
+  private[graft] def seedEditRoot(spark: SparkSession, docs: DataFrame,
+      root: String, d: Int = 3): Unit = {
+    editBuildRows(editKeyedHeads(docs, 30), d)
+      .select(col("doc_id"), col("lang"), col("head"), col("len"),
+        col("kseg.idx").as("idx"), col("kseg.seg").as("seg"))
+      .write.mode("overwrite").parquet(s"$root/seed/index")
+    editDistancePairs(docs, 30, d)
+      .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
+      .write.mode("overwrite").parquet(s"$root/seed/pairs")
+    Components.labelComponents(
+        spark.read.parquet(s"$root/seed/pairs"))
+      .write.mode("overwrite").parquet(s"$root/seed/labels")
+    graft.sources.Markers.write(spark, root, dedupCurrentMarker, "seed")
+  }
+
+  /** One re-crawl wave applied to the CURRENT state of an
+    * edit-distance root — [[editWaveRepair]] reading the served
+    * artifact, returning (repaired index, repaired pairs, labels). */
+  private[graft] def editWaveState(spark: SparkSession, root: String,
+      batch: DataFrame, d: Int = 3)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val v = graft.sources.Markers.read(spark, root, dedupCurrentMarker)
+    val (edges, index2) = editWaveRepair(spark,
+      spark.read.parquet(s"$root/$v/index"),
+      spark.read.parquet(s"$root/$v/pairs"), batch, d)
+    (index2, edges, Components.labelComponents(edges))
+  }
+
+  /** Tri-artifact one-flip publication for an edit-distance streaming
+    * root. */
+  private[graft] def publishEditState(spark: SparkSession, root: String,
+    version: String, index: DataFrame, pairs: DataFrame,
+    labels: DataFrame, retainVersions: Int = 0): Unit = {
+    index.write.mode("overwrite").parquet(s"$root/$version/index")
+    pairs.write.mode("overwrite").parquet(s"$root/$version/pairs")
+    labels.write.mode("overwrite").parquet(s"$root/$version/labels")
+    graft.sources.Markers.write(spark, root, dedupCurrentMarker, version)
+    Curation.retireVersions(spark, root, version, retainVersions)
+  }
+
   /** The deterministic re-crawl subset the declared compaction query
     * simulates with (~14% of documents by id hash — disjoint in
     * DEFINITION from nothing: a re-crawl is any id that already exists
@@ -2340,11 +2511,19 @@ object TextOps {
     * (false positives only add DP verify work; false negatives cannot
     * exist). */
   private def editIndexPruned(spark: SparkSession, path: String,
+      probeKeyed: DataFrame, d: Int): DataFrame =
+    editIndexPrunedFrame(spark.read.parquet(path), probeKeyed, d)
+
+  /** [[editIndexPruned]] over an already-opened FLAT index frame (the
+    * streaming wave core reads the served version's parquet once and
+    * feeds every stage from it) — same bloom, same pushed filters
+    * when the frame is a parquet scan. */
+  private def editIndexPrunedFrame(idxFlat: DataFrame,
       probeKeyed: DataFrame, d: Int): DataFrame = {
     val probeKeys = editProbeRows(probeKeyed, d)
       .select(col("lang"), col("kseg.idx").as("idx"),
         col("kseg.seg").as("seg"))
-    ProbeFilters.bloomSemi(spark.read.parquet(path), probeKeys,
+    ProbeFilters.bloomSemi(idxFlat, probeKeys,
       Seq("lang", "idx", "seg"))
       .select(col("doc_id"), col("lang"), col("head"), col("len"),
         struct(col("idx"), col("seg")).as("kseg"))
@@ -2564,14 +2743,37 @@ object TextOps {
   private[graft] def editCompactLabels(spark: SparkSession,
       st: EditCompactState, docs: DataFrame, recrawl: Column,
       d: Int): DataFrame = {
-    val ids = docs.filter(recrawl).select(col("doc_id"))
-    val rec = docs.filter(recrawl)
-    val recKeyed = editKeyedHeads(rec, 30).localCheckpoint(true)
+    val (edges, _) = editWaveRepair(spark,
+      spark.read.parquet(st.indexPath),
+      spark.read.parquet(st.pairsPath), docs.filter(recrawl), d)
+    Components.flagCorpus(docs, "doc_id",
+      Components.labelComponents(edges))
+  }
+
+  /** ONE WAVE of the edit-distance compaction — the core shared by
+    * the batch [[editCompactLabels]] and the streaming
+    * [[editWaveState]] (r16): retirement, shorts-channel re-election
+    * + star repair, the cross PassJoin probe, the within self-join,
+    * and the (d, 2d] sliver, over a FLAT published index frame and a
+    * published (id_a, id_b) pair frame. Returns (repaired edge set,
+    * repaired FLAT index = retained rows ∪ re-elected shorts row ∪
+    * the wave's fresh build rows). Streaming-cap caveat, stated
+    * loudly: the fresh build rows apply the shorts cap to the WAVE's
+    * own population, so a capped lang accretes one extra shorts row
+    * per wave that re-crawls into it — candidates stay a DP-verified
+    * superset (labels exact), only the skew bound loosens until a
+    * reseed re-establishes the star; healthy corpora never populate
+    * the cell at all. */
+  private[graft] def editWaveRepair(spark: SparkSession,
+      baseIdx: DataFrame, basePairs: DataFrame, batch: DataFrame,
+      d: Int): (DataFrame, DataFrame) = {
+    val ids = batch.select(col("doc_id"))
+    val recKeyed = editKeyedHeads(batch, 30).localCheckpoint(true)
     // bloom-pruned by the re-crawl probe keys AND retired of the
     // re-crawled ids — both map-side filters on the index scan
-    val retained = editIndexPruned(spark, st.indexPath, recKeyed, d)
+    val retained = editIndexPrunedFrame(baseIdx, recKeyed, d)
       .join(broadcast(ids), Seq("doc_id"), "left_anti")
-    val kept = spark.read.parquet(st.pairsPath)
+    val kept = basePairs
       .join(broadcast(ids.select(col("doc_id").as("id_a"))),
         Seq("id_a"), "left_anti")
       .join(broadcast(ids.select(col("doc_id").as("id_b"))),
@@ -2579,7 +2781,6 @@ object TextOps {
     // shorts-channel re-election + star repair (scaladoc above): langs
     // whose only shorts-keyed row was retired but whose cell still has
     // retained members
-    val baseIdx = spark.read.parquet(st.indexPath)
     val survivingShortLangs = baseIdx.filter(col("idx") === -1)
       .join(broadcast(ids), Seq("doc_id"), "left_anti")
       .select(col("lang")).distinct()
@@ -2601,7 +2802,7 @@ object TextOps {
       .select(col("min_id").as("id_a"), col("doc_id").as("id_b"))
     val cross = editCrossPairs(retained.unionByName(reElected),
       recKeyed, d)
-    val within = editDistancePairs(rec, 30, d)
+    val within = editDistancePairs(batch, 30, d)
       .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
     // (d, 2d]-probe sliver (r16, ADVICE r15): re-crawled heads of
     // length in (d, 2d] vs RETAINED star-reduced capped-cell members
@@ -2614,8 +2815,13 @@ object TextOps {
       .unionByName(within)
       .unionByName(repairStars)
       .unionByName(sliver)
-    Components.flagCorpus(docs, "doc_id",
-      Components.labelComponents(edges))
+    val flat = Seq(col("doc_id"), col("lang"), col("head"), col("len"),
+      col("kseg.idx").as("idx"), col("kseg.seg").as("seg"))
+    val index2 = baseIdx
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .unionByName(reElected.select(flat: _*))
+      .unionByName(editBuildRows(recKeyed, d).select(flat: _*))
+    (edges, index2)
   }
 
   /** The SimHash family's ORACLE RIDE (the [[qFingerprintChecked]]

@@ -756,6 +756,14 @@ object Vectors {
     hot: Option[DataFrame] = None): DataFrame =
     verifyCosine(lshCandidatePairsStaged(staged, hot))
 
+  /** [[lshVerifiedPairsStaged]] over a raw (vec_id, …, embedding)
+    * frame — the full-recompute comparator the streaming-compaction
+    * specs assert against. */
+  private[graft] def lshVerifiedPairsOver(vectors: DataFrame): DataFrame =
+    lshVerifiedPairsStaged(stageVectors(
+      vectors.select(col("vec_id"), graft.functions.VectorFunctions
+        .unitv(col("embedding")).as("u"))).localCheckpoint(true))
+
   /** Verify stage shared by the batch and incremental paths: exact
     * cosine on the carried unit vectors, thresholded at
     * [[lshCosineThreshold]]. */
@@ -954,6 +962,82 @@ object Vectors {
     vectors.select(col("vec_id"), col("label"),
       graft.functions.VectorFunctions.unitv(col("embedding")).as("u"))
       .select(col("vec_id"), col("u"))
+
+  // ── EMBEDDING STREAMING COMPACTION ROOT (r16, r15 verdict item 3 —
+  // the [[graft.operators.TextOps.seedDedupState]] shape over the
+  // embedding compact core) ──
+
+  /** Seed an embedding streaming-compaction root from a raw
+    * (vec_id, …, embedding) frame: staged signatures (+ exact hot
+    * set), verified pairs, and labels under version `seed`. */
+  private[graft] def seedEmbedRoot(spark: SparkSession,
+      vectors: DataFrame, root: String): Unit = {
+    stageVectors(vectors
+        .select(col("vec_id"), graft.functions.VectorFunctions
+          .unitv(col("embedding")).as("u")))
+      .write.mode("overwrite").parquet(s"$root/seed/staged")
+    BandedJoins.publishHotSet(spark,
+      spark.read.parquet(s"$root/seed/staged")
+        .select(posexplode(col("sigs")).as(Seq("band", "band_sig"))),
+      "band", "band_sig", s"$root/seed/staged")
+    lshVerifiedPairsStaged(spark.read.parquet(s"$root/seed/staged"),
+        Some(BandedJoins.loadHotSet(spark, s"$root/seed/staged")))
+      .select(col("id_a"), col("id_b"))
+      .write.mode("overwrite").parquet(s"$root/seed/pairs")
+    graft.operators.Components.labelComponents(
+        spark.read.parquet(s"$root/seed/pairs"))
+      .write.mode("overwrite").parquet(s"$root/seed/labels")
+    graft.sources.Markers.write(spark, root,
+      graft.operators.TextOps.dedupCurrentMarker, "seed")
+  }
+
+  /** One re-embed wave applied to the CURRENT state of an embedding
+    * root — retire, probe ([[embedIncrementPairs]] against the served
+    * hot set), relabel; returns (staged, pairs, labels) for
+    * [[publishEmbedState]]. `batch` is raw (vec_id, embedding). */
+  private[graft] def embedWaveState(spark: SparkSession, root: String,
+      batch: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val v = graft.sources.Markers.read(spark, root,
+      graft.operators.TextOps.dedupCurrentMarker)
+    val staged = spark.read.parquet(s"$root/$v/staged")
+    val hot = Some(BandedJoins.loadHotSet(spark, s"$root/$v/staged"))
+    val ids = batch.select(col("vec_id"))
+    val retained = staged.join(broadcast(ids), Seq("vec_id"), "left_anti")
+    val newStaged = stageVectors(batch
+        .select(col("vec_id"), graft.functions.VectorFunctions
+          .unitv(col("embedding")).as("u")))
+      .localCheckpoint(true)
+    val fresh = embedIncrementPairs(retained, newStaged, hot)
+    val kept = spark.read.parquet(s"$root/$v/pairs")
+      .join(broadcast(ids.select(col("vec_id").as("id_a"))),
+        Seq("id_a"), "left_anti")
+      .join(broadcast(ids.select(col("vec_id").as("id_b"))),
+        Seq("id_b"), "left_anti")
+    val pairs2 = kept.select(col("id_a"), col("id_b"))
+      .unionByName(fresh.select(col("id_a"), col("id_b")))
+    (retained.unionByName(newStaged), pairs2,
+      graft.operators.Components.labelComponents(pairs2))
+  }
+
+  /** Tri-artifact one-flip publication for an embedding streaming
+    * root, recomputing the hot set over the repaired index so the
+    * next wave probes an EXACT set ([[graft.operators.TextOps
+    * .publishDedupState]]'s discipline). */
+  private[graft] def publishEmbedState(spark: SparkSession,
+    root: String, version: String, staged: DataFrame, pairs: DataFrame,
+    labels: DataFrame, retainVersions: Int = 0): Unit = {
+    staged.write.mode("overwrite").parquet(s"$root/$version/staged")
+    BandedJoins.publishHotSet(spark,
+      spark.read.parquet(s"$root/$version/staged")
+        .select(posexplode(col("sigs")).as(Seq("band", "band_sig"))),
+      "band", "band_sig", s"$root/$version/staged")
+    pairs.write.mode("overwrite").parquet(s"$root/$version/pairs")
+    labels.write.mode("overwrite").parquet(s"$root/$version/labels")
+    graft.sources.Markers.write(spark, root,
+      graft.operators.TextOps.dedupCurrentMarker, version)
+    graft.operators.Curation.retireVersions(spark, root, version,
+      retainVersions)
+  }
 
   /** Declared embedding compaction: the base index holds reversed
     * (stale-model) vectors for the ~14% re-embed subset; tonight they

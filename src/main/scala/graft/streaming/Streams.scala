@@ -953,21 +953,85 @@ object Streams {
   def dedupCompactSink(root: String, recrawls: DataFrame,
     checkpointDir: String, retainVersions: Int = 0)
     : org.apache.spark.sql.streaming.StreamingQuery =
-    recrawls.writeStream
+    compactWaveSink(root, recrawls, checkpointDir) { (s, batch, v) =>
+      val (staged2, pairs2, labels2) = graft.operators.TextOps
+        .compactWaveState(s, root, batch)
+      graft.operators.TextOps.publishDedupState(s, root, v,
+        staged2, pairs2, labels2, retainVersions)
+    }
+
+  /** The retire → probe → relabel → ONE-FLIP wave shape shared by
+    * every modality's streaming compaction sink (r16, r15 verdict
+    * item 3 — [[dedupCompactSink]]'s exactly-once argument
+    * genericized): each micro-batch derives a qid-bound version; a
+    * replay whose version is already current is short-circuited
+    * BEFORE any state is read (waves are not idempotent — re-retiring
+    * ids whose fresh rows were just published would corrupt the
+    * root), and `applyWave` must publish all artifacts under the
+    * version directory with the marker flip LAST. */
+  private def compactWaveSink(root: String, waves: DataFrame,
+      checkpointDir: String)(applyWave:
+        (org.apache.spark.sql.SparkSession, DataFrame, String) => Unit)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    waves.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val version = sinkVersion(s, checkpointDir, batchId)
         if (!graft.sources.Markers.readOption(s, root,
             graft.operators.TextOps.dedupCurrentMarker)
             .contains(version)) {
-          val (staged2, pairs2, labels2) = graft.operators.TextOps
-            .compactWaveState(s, root, batch)
-          graft.operators.TextOps.publishDedupState(s, root, version,
-            staged2, pairs2, labels2, retainVersions)
+          applyWave(s, batch, version)
         }
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** Streaming re-crawl compaction, SIMHASH modality: waves of
+    * (doc_id, text) retire their stale signatures, re-elect
+    * representatives, probe the served rep set through the fixed
+    * block plan, and republish sigs + sig-level pairs + labels under
+    * one flip — [[graft.operators.TextOps.simhashWaveState]] on the
+    * [[dedupCompactSink]] lifecycle. */
+  def simhashCompactSink(root: String, recrawls: DataFrame,
+    checkpointDir: String, retainVersions: Int = 0)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    compactWaveSink(root, recrawls, checkpointDir) { (s, batch, v) =>
+      val (sigs2, pairs2, labels2) = graft.operators.TextOps
+        .simhashWaveState(s, root, batch)
+      graft.operators.TextOps.publishSimhashState(s, root, v,
+        sigs2, pairs2, labels2, retainVersions)
+    }
+
+  /** Streaming re-crawl compaction, EDIT-DISTANCE modality: waves of
+    * (doc_id, lang, text) run the PassJoin wave core
+    * ([[graft.operators.TextOps.editWaveRepair]] — retirement,
+    * shorts re-election + star repair, cross probe, within self-join,
+    * (d, 2d] sliver) and republish index + pairs + labels under one
+    * flip. */
+  def editCompactSink(root: String, recrawls: DataFrame,
+    checkpointDir: String, retainVersions: Int = 0)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    compactWaveSink(root, recrawls, checkpointDir) { (s, batch, v) =>
+      val (index2, pairs2, labels2) = graft.operators.TextOps
+        .editWaveState(s, root, batch)
+      graft.operators.TextOps.publishEditState(s, root, v,
+        index2, pairs2, labels2, retainVersions)
+    }
+
+  /** Streaming re-embed compaction, EMBEDDING modality: waves of
+    * (vec_id, embedding) retire superseded vectors (the
+    * model-upgrade trigger), probe the served banded index, and
+    * republish staged (+ exact hot set) + pairs + labels under one
+    * flip. */
+  def embedCompactSink(root: String, waves: DataFrame,
+    checkpointDir: String, retainVersions: Int = 0)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    compactWaveSink(root, waves, checkpointDir) { (s, batch, v) =>
+      val (staged2, pairs2, labels2) = graft.operators.Vectors
+        .embedWaveState(s, root, batch)
+      graft.operators.Vectors.publishEmbedState(s, root, v,
+        staged2, pairs2, labels2, retainVersions)
+    }
 
   /** Nightly-cadence BPE tokenizer refresh as a STREAMING leg (r12
     * verdict item 7): each micro-batch of newly-crawled documents is

@@ -578,6 +578,195 @@ class CurationStreamSpec extends SparkTestBase {
     assert(servedPairs == scratchPairs && servedPairs.nonEmpty)
   }
 
+  test("simhash streaming compaction survives kill + restart and " +
+      "equals the full recompute after every wave") {
+    import spark.implicits._
+    // exact-duplicate texts pin connectivity through Hamming-0
+    // identity stars (immune to blocking subtleties): doc 4's stale
+    // text copies doc 3, its true text copies doc 1 — wave 1 must
+    // move it. doc 5's stale text copies doc 1 (a member of {1,2}),
+    // its true text is unique — wave 2 must retire the stale
+    // signature and let it fall out as a singleton.
+    val t1 = words(80, 61).mkString(" ")
+    val t3 = words(80, 63).map("z" + _).mkString(" ")
+    val seedDocs = Seq((1L, t1), (2L, t1), (3L, t3), (4L, t3), (5L, t1))
+      .toDF("doc_id", "text")
+    val root = tmp("graft_simhash_root")
+    TextOps.seedSimhashRoot(spark, seedDocs, root)
+    def labels(): Set[(Long, Long)] =
+      spark.read.parquet(root + "/" + graft.sources.Markers.read(
+          spark, root, TextOps.dedupCurrentMarker) + "/labels")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels() == Set((1L, 1L), (2L, 1L), (5L, 1L), (3L, 3L),
+      (4L, 3L)), labels().toString)
+    val b = graft.sources.Markers.read(spark, root,
+      "_graft_simhash_b").toInt
+    def fullRecompute(docs: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Long)] = {
+      val (identity, reps) =
+        TextOps.simhashCollapse(TextOps.simhashMd5Halves(docs))
+      Components.labelComponents(identity.unionByName(
+          TextOps.simhashSigPairs(reps, b)
+            .select(col("doc_id_a").as("id_a"),
+              col("doc_id_b").as("id_b"))))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val input = tmp("graft_simhash_in")
+    val cp = tmp("graft_simhash_cp")
+    def run(): Unit = {
+      val q = Streams.simhashCompactSink(root,
+        spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", 1).json(input), cp,
+        retainVersions = 2)
+      try q.processAllAvailable() finally q.stop()
+    }
+    Seq((4L, t1)).toDF("doc_id", "text")
+      .write.mode("append").json(input)
+    run() // then KILLED
+    val afterW1 = Seq((1L, t1), (2L, t1), (3L, t3), (4L, t1), (5L, t1))
+      .toDF("doc_id", "text")
+    assert(labels() == fullRecompute(afterW1), labels().toString)
+    assert(labels().contains((4L, 1L)), "wave 1 must move doc 4")
+    // wave 2 lands while the query is down
+    val t5true = words(80, 65).map("u" + _).mkString(" ")
+    Seq((5L, t5true)).toDF("doc_id", "text")
+      .write.mode("append").json(input)
+    run() // restart: processes ONLY wave 2
+    val trueCorpus = Seq((1L, t1), (2L, t1), (3L, t3), (4L, t1),
+      (5L, t5true)).toDF("doc_id", "text")
+    assert(labels() == fullRecompute(trueCorpus), labels().toString)
+    assert(!labels().exists(_._1 == 5L),
+      "wave 2 must retire doc 5's stale duplicate signature")
+  }
+
+  test("edit-distance streaming compaction survives kill + restart " +
+      "and equals the full recompute after every wave") {
+    import spark.implicits._
+    val editSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("text", StringType)))
+    // heads within edit distance 3 cluster; doc 4's stale head sits
+    // near doc 3, its true head near doc 1; doc 5's stale head is a
+    // member of {1,2} and its true head is unrelated (bridge retire)
+    val seedDocs = Seq(
+      (1L, "en", "kilimanjaro base station alpha"),
+      (2L, "en", "kilimanjaro base station alphx"),
+      (3L, "en", "zephyr quartz voltmeter jungle"),
+      (4L, "en", "zephyr quartz voltmeter jungly"),
+      (5L, "en", "kilimanjaro base station alphq"))
+      .toDF("doc_id", "lang", "text")
+    val root = tmp("graft_edit_root")
+    TextOps.seedEditRoot(spark, seedDocs, root)
+    def labels(): Set[(Long, Long)] =
+      spark.read.parquet(root + "/" + graft.sources.Markers.read(
+          spark, root, TextOps.dedupCurrentMarker) + "/labels")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels() == Set((1L, 1L), (2L, 1L), (5L, 1L), (3L, 3L),
+      (4L, 3L)), labels().toString)
+    def fullRecompute(docs: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Long)] =
+      Components.labelComponents(
+          TextOps.editDistancePairs(docs, 30, 3)
+            .select(col("doc_id_a").as("id_a"),
+              col("doc_id_b").as("id_b")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val input = tmp("graft_edit_in")
+    val cp = tmp("graft_edit_cp")
+    def run(): Unit = {
+      val q = Streams.editCompactSink(root,
+        spark.readStream.schema(editSchema)
+          .option("maxFilesPerTrigger", 1).json(input), cp,
+        retainVersions = 2)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // wave 1: doc 4 re-crawled, new head joins {1,2}
+    Seq((4L, "en", "kilimanjaro base station alpha"))
+      .toDF("doc_id", "lang", "text").write.mode("append").json(input)
+    run() // then KILLED
+    val afterW1 = Seq(
+      (1L, "en", "kilimanjaro base station alpha"),
+      (2L, "en", "kilimanjaro base station alphx"),
+      (3L, "en", "zephyr quartz voltmeter jungle"),
+      (4L, "en", "kilimanjaro base station alpha"),
+      (5L, "en", "kilimanjaro base station alphq"))
+      .toDF("doc_id", "lang", "text")
+    assert(labels() == fullRecompute(afterW1), labels().toString)
+    assert(labels().contains((4L, 1L)), "wave 1 must move doc 4")
+    // wave 2 lands while the query is down: doc 5 re-crawled away
+    Seq((5L, "en", "totally uncorrelated replacement"))
+      .toDF("doc_id", "lang", "text").write.mode("append").json(input)
+    run() // restart: processes ONLY wave 2
+    val trueCorpus = Seq(
+      (1L, "en", "kilimanjaro base station alpha"),
+      (2L, "en", "kilimanjaro base station alphx"),
+      (3L, "en", "zephyr quartz voltmeter jungle"),
+      (4L, "en", "kilimanjaro base station alpha"),
+      (5L, "en", "totally uncorrelated replacement"))
+      .toDF("doc_id", "lang", "text")
+    assert(labels() == fullRecompute(trueCorpus), labels().toString)
+    assert(!labels().exists(_._1 == 5L),
+      "wave 2 must retire doc 5's stale bridge pairs")
+  }
+
+  test("embedding streaming compaction survives kill + restart and " +
+      "equals the full recompute after every wave") {
+    import spark.implicits._
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def vec(hot: Int, mix: Int = -1, w: Float = 0.0f): Seq[Float] =
+      (0 until 64).map(i =>
+        if (i == hot) 1.0f else if (i == mix) w else 0.0f)
+    // {1,2} a >0.99-cosine pair on axis 0; {3,4} on axis 2 (doc 4
+    // stale); doc 5's stale vector rides axis 0 (member of {1,2});
+    // wave 1 re-embeds 4 onto axis 0, wave 2 re-embeds 5 onto axis 7
+    val seedVecs = Seq(
+      (1L, vec(0)), (2L, vec(0, 1, 0.1f)), (3L, vec(2)),
+      (4L, vec(2, 3, 0.1f)), (5L, vec(0, 4, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val root = tmp("graft_embed_root")
+    graft.operators.Vectors.seedEmbedRoot(spark, seedVecs, root)
+    def labels(): Set[(Long, Long)] =
+      spark.read.parquet(root + "/" + graft.sources.Markers.read(
+          spark, root, TextOps.dedupCurrentMarker) + "/labels")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels() == Set((1L, 1L), (2L, 1L), (5L, 1L), (3L, 3L),
+      (4L, 3L)), labels().toString)
+    def fullRecompute(vecs: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Long)] =
+      Components.labelComponents(
+          graft.operators.Vectors.lshVerifiedPairsOver(vecs)
+            .select(col("id_a"), col("id_b")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val input = tmp("graft_embed_in")
+    val cp = tmp("graft_embed_cp")
+    def run(): Unit = {
+      val q = Streams.embedCompactSink(root,
+        spark.readStream.schema(vecSchema)
+          .option("maxFilesPerTrigger", 1).json(input), cp,
+        retainVersions = 2)
+      try q.processAllAvailable() finally q.stop()
+    }
+    Seq((4L, vec(0, 5, 0.1f))).toDF("vec_id", "embedding")
+      .write.mode("append").json(input)
+    run() // then KILLED
+    val afterW1 = Seq((1L, vec(0)), (2L, vec(0, 1, 0.1f)), (3L, vec(2)),
+      (4L, vec(0, 5, 0.1f)), (5L, vec(0, 4, 0.1f)))
+      .toDF("vec_id", "embedding")
+    assert(labels() == fullRecompute(afterW1), labels().toString)
+    assert(labels().contains((4L, 1L)), "wave 1 must move vec 4")
+    Seq((5L, vec(7))).toDF("vec_id", "embedding")
+      .write.mode("append").json(input)
+    run() // restart: processes ONLY wave 2
+    val trueCorpus = Seq((1L, vec(0)), (2L, vec(0, 1, 0.1f)),
+      (3L, vec(2)), (4L, vec(0, 5, 0.1f)), (5L, vec(7)))
+      .toDF("vec_id", "embedding")
+    assert(labels() == fullRecompute(trueCorpus), labels().toString)
+    assert(!labels().exists(_._1 == 5L),
+      "wave 2 must retire vec 5's stale pairs")
+  }
+
   test("streaming CDC apply survives a kill + restart; equals the batch merge fold") {
     import spark.implicits._
     val changeSchema = StructType(Seq(
