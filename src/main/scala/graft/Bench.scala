@@ -157,7 +157,10 @@ object Bench {
     memDf.unpersist(blocking = true)
 
     names.foreach(runOne) // discarded warm-up pass
-    val passes = 3
+    // SPARK_GRAFT_BENCH_PASSES: timed-pass count (default 3 — the
+    // committed per-round artifacts keep medians-of-3; the sf10
+    // spot-sweep runs fewer passes and says so in its reading rule)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val samples: Seq[Map[String, Either[String, (Double, Long, Long)]]] =
       (1 to passes).map(_ => names.map(n => n -> runOne(n)).toMap)
     // per-query median of the successful samples; any failed sample

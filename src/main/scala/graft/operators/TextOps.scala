@@ -2375,6 +2375,75 @@ object TextOps {
             editShortKey.as("kseg")))
   }
 
+  /** Build-cell size above which a PassJoin segment cell SALTS (r16 —
+    * found by the sf10 sweep): segment-key diversity is bounded by the
+    * corpus's character distribution (a 7-char prefix segment has only
+    * so many likely values), so once the corpus outgrows it, cell
+    * populations — and the candidate mass Σ|build|·|probe| inside each
+    * cell — grow with corpus size SQUARED while the shuffle hash still
+    * routes each (lang, kseg) cell to ONE task: at sf10 the top cell
+    * held 7 800 build rows (Σ n² grew 2 293× for 100× data) and one
+    * task ran the family's whole DP tail for 35+ minutes. AQE cannot
+    * split it — the skew is CPU (DP per candidate), invisible to byte
+    * thresholds. */
+  private[graft] val editSaltCap = 256
+
+  /** Salt fan-out for hot cells — matches the local core count; at
+    * 1000 executors the constant rises with the cluster width. */
+  private[graft] val editSalts = 32
+
+  /** The candidate join all PassJoin shapes share (r16): build rows vs
+    * probe rows on (lang, kseg, salt), HOT build cells (> [[editSaltCap]]
+    * rows) replicated across [[editSalts]] salts while probe rows in
+    * hot cells take ONE hash-derived salt — each candidate pair still
+    * meets exactly once (at the probe row's salt), but a mega-cell's
+    * DP work spreads over `editSalts` tasks instead of serializing on
+    * one. Cold cells ride salt 0 — plan shape unchanged beyond the
+    * tiny broadcast hot-set probes. Survivors pass the emit-once
+    * predicate and a BANDED early-exit DP (`levenshtein(a, b, d)`
+    * walks a 2d+1 diagonal band and aborts at first overflow — the
+    * threshold form is exact for kept rows and ~O(d·n) instead of
+    * O(n²) on the far pairs that dominate a saturated cell). */
+  private def editCandidateJoin(build: DataFrame, probe: DataFrame,
+      d: Int, idPred: (Column, Column) => Column,
+      probeHint: Boolean): DataFrame = {
+    val hot = broadcast(build.groupBy(col("lang"), col("kseg"))
+      .agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") > editSaltCap)
+      .select(col("lang").as("h_lang"), col("kseg").as("h_kseg")))
+    val saltedBuild = build
+      .join(hot, col("lang") === col("h_lang") &&
+        col("kseg") === col("h_kseg"), "left")
+      .withColumn("salt", explode(
+        when(col("h_lang").isNotNull,
+          sequence(lit(0), lit(editSalts - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("h_lang", "h_kseg")
+    val saltedProbe0 = probe
+      .join(hot, col("lang") === col("h_lang") &&
+        col("kseg") === col("h_kseg"), "left")
+      .withColumn("salt",
+        when(col("h_lang").isNotNull,
+          pmod(xxhash64(col("doc_id")), lit(editSalts.toLong))
+            .cast("int"))
+          .otherwise(lit(0)))
+      .drop("h_lang", "h_kseg")
+    val saltedProbe =
+      if (probeHint) saltedProbe0.hint("shuffle_hash") else saltedProbe0
+    saltedBuild.as("a")
+      .join(saltedProbe.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.kseg") === col("b.kseg") &&
+          col("a.salt") === col("b.salt") &&
+          idPred(col("a.doc_id"), col("b.doc_id")) &&
+          abs(col("a.len") - col("b.len")) <= d)
+      .filter(graft.functions.TextFunctions.editEmitAt(
+        col("a.head"), col("b.head"), col("a.kseg.idx"), d))
+      .withColumn("dist",
+        levenshtein(col("a.head"), col("b.head"), d))
+      .filter(col("dist") >= 0)
+  }
+
   /** PassJoin self-join: build vs probe over ONE keyed-heads frame,
     * ordered pairs (a.doc_id < b.doc_id), candidates emitted ONCE at
     * their first-matching key ([[graft.functions.EditEmitAt]], the
@@ -2385,22 +2454,15 @@ object TextOps {
     * multi-match-aware completeness argument guarantees every true
     * pair carries a same-length witness, and foreign-assumed-length
     * candidates the predicate drops are exactly the ones the DP would
-    * reject), exact DP verify on the survivors. */
+    * reject), exact banded DP verify on the survivors, hot cells
+    * salted ([[editCandidateJoin]]). */
   private[graft] def editDistancePairs(docs: DataFrame, prefixLen: Int,
       maxDist: Int,
       shortsCap: Int = BandedJoins.defaultHotBucketCap): DataFrame = {
     val d = maxDist
     val keyed = editKeyedHeads(docs, prefixLen)
-    editBuildRows(keyed, d, shortsCap).as("a")
-      .join(editProbeRows(keyed, d).as("b"),
-        col("a.lang") === col("b.lang") &&
-          col("a.kseg") === col("b.kseg") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          abs(col("a.len") - col("b.len")) <= d)
-      .filter(graft.functions.TextFunctions.editEmitAt(
-        col("a.head"), col("b.head"), col("a.kseg.idx"), d))
-      .withColumn("dist", levenshtein(col("a.head"), col("b.head")))
-      .filter(col("dist") <= d)
+    editCandidateJoin(editBuildRows(keyed, d, shortsCap),
+      editProbeRows(keyed, d), d, _ < _, probeHint = false)
       .select(col("a.doc_id").as("doc_id_a"),
         col("b.doc_id").as("doc_id_b"), col("dist"))
       .orderBy(col("doc_id_a"), col("doc_id_b"))
@@ -2473,16 +2535,8 @@ object TextOps {
     * symmetry). */
   private[graft] def editCrossFlags(baseBuild: DataFrame,
       probeKeyed: DataFrame, d: Int): DataFrame =
-    baseBuild.as("a")
-      .join(editProbeRows(probeKeyed, d).as("b").hint("shuffle_hash"),
-        col("a.lang") === col("b.lang") &&
-          col("a.kseg") === col("b.kseg") &&
-          col("a.doc_id") =!= col("b.doc_id") &&
-          abs(col("a.len") - col("b.len")) <= d)
-      .filter(graft.functions.TextFunctions.editEmitAt(
-        col("a.head"), col("b.head"), col("a.kseg.idx"), d))
-      .withColumn("dist", levenshtein(col("a.head"), col("b.head")))
-      .filter(col("dist") <= d)
+    editCandidateJoin(baseBuild, editProbeRows(probeKeyed, d), d,
+      _ =!= _, probeHint = true)
       .select(col("b.doc_id").as("doc_id"),
         col("a.doc_id").as("dup_of"), col("dist"))
 

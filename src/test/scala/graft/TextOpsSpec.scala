@@ -1150,6 +1150,45 @@ class TextOpsSpec extends SparkTestBase {
       (2L, 3L, 3), (2L, 6L, 2), (2L, 7L, 3), (3L, 4L, 1), (6L, 7L, 2)))
   }
 
+  test("hot-cell salting is invisible in the pair set: a saturated " +
+      "segment cell equals brute force") {
+    import spark.implicits._
+    // r16 (found by the sf10 sweep): a corpus whose heads share a
+    // segment value floods one (lang, kseg) cell past editSaltCap —
+    // the join then salts that cell (build rows replicate, probe rows
+    // hash to one salt) so its DP spreads across tasks. The pair set
+    // must be IDENTICAL to an unsalted brute-force DP sweep: 300 docs
+    // share the idx-0 segment "commonaa" (> cap 256), tails make some
+    // pairs near (ed <= 3) and most far.
+    val rnd = new scala.util.Random(20260816)
+    val docs = (0 until 300).map { i =>
+      val tail = (0 until 12)
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      (i.toLong, "en", s"commonaacommonbbcommoncc$tail")
+    }.toDF("doc_id", "lang", "text")
+    assert(graft.operators.TextOps.editSaltCap < 300)
+    val got = TextOps.editDistancePairs(docs, 30, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val heads = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(2).take(30))
+    def ed(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i =>
+        Array.tabulate(b.length + 1)(j => if (i == 0) j
+          else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, ha) <- heads; (ib, hb) <- heads if ia < ib
+      d = ed(ha, hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got == want,
+      s"missing=${want -- got} extra=${got -- want}")
+    assert(want.nonEmpty, "vacuous fixture: no near pairs")
+  }
+
   test("multi-match probe window is lossless on randomized corpora") {
     import spark.implicits._
     // the r11 window tightening (|x| + |Δ−x| ≤ d, first-match |Δ−x| ≤
