@@ -2407,11 +2407,23 @@ object TextOps {
   private def editCandidateJoin(build: DataFrame, probe: DataFrame,
       d: Int, idPred: (Column, Column) => Column,
       probeHint: Boolean): DataFrame = {
-    val hot = broadcast(build.groupBy(col("lang"), col("kseg"))
+    val hotRows = build.groupBy(col("lang"), col("kseg"))
       .agg(count(lit(1)).as("cell_n"))
       .filter(col("cell_n") > editSaltCap)
-      .select(col("lang").as("h_lang"), col("kseg").as("h_kseg")))
-    val saltedBuild = build
+      .select(col("lang").as("h_lang"), col("kseg").as("h_kseg"))
+    // plan-time stats action (the chooseJoinBack/simhashAutoPlan
+    // posture): a saturated corpus ALSO needs the join's partitioning
+    // PINNED below — AQE's byte-based coalescing folded the
+    // increment-sized cross probes (KB of shuffle, minutes of DP) to
+    // ONE task at sf10, because a banded-DP stage's cost is CPU per
+    // candidate, which no byte threshold can see. An explicit
+    // repartition by the salted join keys (REPARTITION_BY_NUM) is
+    // exempt from coalescing, and hot-only gating keeps healthy
+    // corpora on the unchanged plan (broadcast-eligible, KB-class
+    // shuffle bounds intact).
+    val anyHot = !hotRows.isEmpty
+    val hot = broadcast(hotRows)
+    val saltedBuild0 = build
       .join(hot, col("lang") === col("h_lang") &&
         col("kseg") === col("h_kseg"), "left")
       .withColumn("salt", explode(
@@ -2419,7 +2431,7 @@ object TextOps {
           sequence(lit(0), lit(editSalts - 1)))
           .otherwise(array(lit(0)))))
       .drop("h_lang", "h_kseg")
-    val saltedProbe0 = probe
+    val saltedProbe1 = probe
       .join(hot, col("lang") === col("h_lang") &&
         col("kseg") === col("h_kseg"), "left")
       .withColumn("salt",
@@ -2428,6 +2440,15 @@ object TextOps {
             .cast("int"))
           .otherwise(lit(0)))
       .drop("h_lang", "h_kseg")
+    val parts = build.sparkSession.sessionState.conf.numShufflePartitions
+    val saltedBuild =
+      if (anyHot) saltedBuild0.repartition(parts,
+        col("lang"), col("kseg"), col("salt"))
+      else saltedBuild0
+    val saltedProbe0 =
+      if (anyHot) saltedProbe1.repartition(parts,
+        col("lang"), col("kseg"), col("salt"))
+      else saltedProbe1
     val saltedProbe =
       if (probeHint) saltedProbe0.hint("shuffle_hash") else saltedProbe0
     saltedBuild.as("a")
@@ -2731,11 +2752,29 @@ object TextOps {
     EditCompactState(ip, pp)
   }
 
+  /** The edit family's stale-text transform: a PER-DOC hash marker
+    * PREPENDED to the text (this family's relation lives on the
+    * 30-char head, so the marker must move the head; the MinHash/
+    * SimHash fixtures append). r16, found by the sf10 sweep: the
+    * original SHARED prefix ("legacyrev stale marker ") made every
+    * stale head open with the same 23 characters — at sf10 that is a
+    * 71 000-head near-clique whose candidate mass no exact engine can
+    * pay (the fixture, not the operator, went quadratic). The marker
+    * now LEADS with the doc's hash digits, so stale heads spread over
+    * ~100 000 distinct prefixes: still genuinely stale per doc
+    * (digits never open a true head — the corpus is alphabetic), and
+    * the fit's cell profile matches the real corpus at every scale. */
+  private[graft] def editStaleText: Column =
+    concat(pmod(xxhash64(col("doc_id")), lit(100000L)).cast("string"),
+      lit("legacyrev stale "), col("text"))
+
   private val fittedEditCompact = new FitCache[EditCompactState](
     (s, d) => editCompactFit(
       Tables.documents(s, d).withColumn("text",
-        when(isRecrawlDoc, concat(lit("legacyrev stale marker "),
-          col("text"))).otherwise(col("text"))), 3))
+        when(isRecrawlDoc, editStaleText).otherwise(col("text"))), 3))
+
+  private[graft] def editCompactStateFor(spark: SparkSession,
+    dir: String): EditCompactState = fittedEditCompact.get(spark, dir)
 
   /** Edit-distance RE-CRAWL COMPACTION — the family's update member
     * (the [[qDedupCompact]] posture on PassJoin): the base artifacts

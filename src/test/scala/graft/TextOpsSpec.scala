@@ -1751,10 +1751,20 @@ class TextOpsSpec extends SparkTestBase {
       .select("doc_id", "head").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(recHeads.nonEmpty)
-    // every stale head in the published index starts with the marker,
-    // so NO re-crawled head equals its true head
-    assert(recHeads.values.forall(!_.startsWith("legacyrev")),
-      "true heads unexpectedly carry the stale marker")
+    // every stale head in the published index opens with the per-doc
+    // hash digits (r16 marker — digits never open a true head on the
+    // alphabetic corpus), so NO re-crawled head equals its true head
+    assert(recHeads.values.forall(h => !h.headOption.exists(_.isDigit)),
+      "true heads unexpectedly open with the stale marker's digits")
+    // and the published index genuinely holds marked heads for them
+    val staleHeads = spark.read.parquet(
+        graft.operators.TextOps.editCompactStateFor(spark, sfDir)
+          .indexPath)
+      .select("doc_id", "head").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(recHeads.keys.forall(id =>
+      staleHeads.get(id).forall(_.headOption.exists(_.isDigit))),
+      "stale index heads missing the per-doc digit marker")
   }
 
   test("row-local md5 simhash signer is bit-identical to the vote " +
