@@ -2406,7 +2406,7 @@ object TextOps {
     * O(n²) on the far pairs that dominate a saturated cell). */
   private def editCandidateJoin(build: DataFrame, probe: DataFrame,
       d: Int, idPred: (Column, Column) => Column,
-      probeHint: Boolean): DataFrame = {
+      probeHint: Boolean, pinPartitions: Boolean = true): DataFrame = {
     val hotRows = build.groupBy(col("lang"), col("kseg"))
       .agg(count(lit(1)).as("cell_n"))
       .filter(col("cell_n") > editSaltCap)
@@ -2441,12 +2441,19 @@ object TextOps {
           .otherwise(lit(0)))
       .drop("h_lang", "h_kseg")
     val parts = build.sparkSession.sessionState.conf.numShufflePartitions
+    // `pinPartitions = false` on the STREAM-STATIC intake path: AQE
+    // does not run inside streaming plans (nothing to defend against)
+    // and the forced exchange would demote the per-batch broadcast
+    // stream-static join to a shuffle join — measured 2.4x throughput
+    // loss on the intake legs before this gate. The salt columns stay
+    // on either way (hot-cell candidates spread under whatever join
+    // strategy runs).
     val saltedBuild =
-      if (anyHot) saltedBuild0.repartition(parts,
+      if (anyHot && pinPartitions) saltedBuild0.repartition(parts,
         col("lang"), col("kseg"), col("salt"))
       else saltedBuild0
     val saltedProbe0 =
-      if (anyHot) saltedProbe1.repartition(parts,
+      if (anyHot && pinPartitions) saltedProbe1.repartition(parts,
         col("lang"), col("kseg"), col("salt"))
       else saltedProbe1
     val saltedProbe =
@@ -2555,9 +2562,10 @@ object TextOps {
     * rides this verbatim, completing the MinHash/SimHash intake
     * symmetry). */
   private[graft] def editCrossFlags(baseBuild: DataFrame,
-      probeKeyed: DataFrame, d: Int): DataFrame =
+      probeKeyed: DataFrame, d: Int,
+      pinPartitions: Boolean = true): DataFrame =
     editCandidateJoin(baseBuild, editProbeRows(probeKeyed, d), d,
-      _ =!= _, probeHint = true)
+      _ =!= _, probeHint = true, pinPartitions)
       .select(col("b.doc_id").as("doc_id"),
         col("a.doc_id").as("dup_of"), col("dist"))
 
