@@ -36,6 +36,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // r17 (ADVICE r16): validate the timed-pass count BEFORE the
+    // warm-up + anchor passes — a malformed value used to crash only
+    // after they ran, wasting the whole anchor cost; a non-positive
+    // one silently produced zero timed passes
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES") match {
+      case None => 3
+      case Some(v) => scala.util.Try(v.trim.toInt).toOption
+        .filter(_ >= 1).getOrElse(sys.error(
+          s"SPARK_GRAFT_BENCH_PASSES must be a positive int, got '$v'"))
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -157,10 +167,9 @@ object Bench {
     memDf.unpersist(blocking = true)
 
     names.foreach(runOne) // discarded warm-up pass
-    // SPARK_GRAFT_BENCH_PASSES: timed-pass count (default 3 — the
-    // committed per-round artifacts keep medians-of-3; the sf10
+    // `passes` (validated at entry): timed-pass count (default 3 —
+    // the committed per-round artifacts keep medians-of-3; the sf10
     // spot-sweep runs fewer passes and says so in its reading rule)
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val samples: Seq[Map[String, Either[String, (Double, Long, Long)]]] =
       (1 to passes).map(_ => names.map(n => n -> runOne(n)).toMap)
     // per-query median of the successful samples; any failed sample

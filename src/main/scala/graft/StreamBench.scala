@@ -88,16 +88,33 @@ object StreamBench {
       System.err.println(f"[stream-bench] $leg: ${rows.size / secs}%.0f rows/s")
     }
 
-    // anchor: the Bench calibration contract's overhead probe
-    spark.range(1).write.format("noop").mode("overwrite").save()
-    val anchorSecs = {
-      val ts = (1 to 5).map { _ =>
-        val t0 = System.nanoTime()
-        spark.range(1).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      ts(ts.length / 2)
+    // anchors: the full Bench calibration contract (r17 hygiene — the
+    // stream artifact carried only overhead_sec, so cross-round
+    // throughput comparisons had no cpu/bandwidth load signal to
+    // normalize against; probes duplicated from [[Bench]] verbatim)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    def medianOf(xs: Seq[Double]): Double =
+      { val s = xs.sorted; s(s.length / 2) }
+    def overheadProbe(): Double = time {
+      spark.range(1).write.format("noop").mode("overwrite").save()
+    }
+    def cpuProbe(): Double = time {
+      spark.range(200L * 1000 * 1000).select(max(xxhash64(col("id"))))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val memDf = spark.range(128L * 1000 * 1000)
+      .select(xxhash64(col("id")).as("h")).cache()
+    def memProbe(): Double = time {
+      memDf.select(max(col("h")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    overheadProbe(); cpuProbe(); memProbe() // warm-up + cache fill
+    val anchorSecs = medianOf((1 to 5).map(_ => overheadProbe()))
+    val cpuSecs = medianOf((1 to 3).map(_ => cpuProbe()))
+    val memSecs = medianOf((1 to 3).map(_ => memProbe()))
+    memDf.unpersist(blocking = true)
 
     // ---- synthetic corpora (deterministic) ----
     val nDocs = 4000
@@ -538,7 +555,7 @@ object StreamBench {
     val checksJson = checks.map { case (k, v) =>
       "\"" + k + "\":" + v
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"stream_rows_per_sec","legs":$legs,"rows":$sizes,"batches_per_leg":4,"checks":$checksJson,"anchor":{"overhead_sec":$anchorSecs},"cpus":"$cpus"}"""
+    val line = s"""{"metric":"stream_rows_per_sec","legs":$legs,"rows":$sizes,"batches_per_leg":4,"checks":$checksJson,"anchor":{"overhead_sec":$anchorSecs,"cpu_sec":$cpuSecs,"mem_sec":$memSecs},"cpus":"$cpus"}"""
     println(line)
     try {
       val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_OUT",

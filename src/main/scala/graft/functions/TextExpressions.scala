@@ -424,10 +424,10 @@ object EditFirstMatch {
 
 /** The PassJoin PROBE-side key enumeration fused to one codegen'd
   * per-row loop (r15 — the r14 verdict's q_edit_pairs cost finding,
-  * second half): the distinct (idx, seg) substring keys of a probe
-  * head under the multi-match-aware window (PVLDB'11 §4.2) across all
-  * assumed build lengths within ±d, plus the shorts key when
-  * len ≤ 2d. Replaces a nested HOF chain
+  * second half): the distinct (idx, seg, blen) substring keys of a
+  * probe head under the multi-match-aware window (PVLDB'11 §4.2)
+  * across all assumed build lengths within ±d, plus the shorts key
+  * when len ≤ 2d. Replaces a nested HOF chain
   * (`transform(sequence(...), la => transform(filter(sequence(...)),
   * st => struct(...)))` + `flatten` + `array_distinct`) that evaluated
   * INTERPRETED per element — the same lambda-cost motivation as every
@@ -436,6 +436,18 @@ object EditFirstMatch {
   * first-occurrence order are IDENTICAL to the HOF formulation
   * (parity-pinned in TextOpsSpec over randomized heads); the joins'
   * pair streams cannot move.
+  *
+  * `blen` is the ASSUMED build length `la` the window was computed
+  * for (r17 — PVLDB'11 §4's length-segmented inverted index, the
+  * structural fix for segment-key saturation: the build side's own
+  * length joins this field, so the former `|Δ| ≤ d` post-join filter
+  * becomes part of the equi-key, key diversity multiplies by ~(2d+1),
+  * and a saturated cell's candidate mass splits by length before any
+  * DP runs). The shorts key carries the `-1` sentinel — its channel
+  * is per-lang by construction and keeps the post-join length gate.
+  * Keys are distinct on the full (idx, la, seg) triple, so a segment
+  * value shared across assumed lengths now emits one key per length —
+  * a bounded ≤ (2d+1)× row-count trade for strictly smaller cells.
   *
   * Window math mirrors [[EditFirstMatch.windowWitness]] exactly with
   * roles swapped (this is the probe side: Δ = probe len − assumed
@@ -455,7 +467,8 @@ case class EditProbeKeys(child: Expression, d: Int)
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("idx", IntegerType, nullable = false),
-    StructField("seg", StringType, nullable = false))),
+    StructField("seg", StringType, nullable = false),
+    StructField("blen", IntegerType, nullable = false))),
     containsNull = false)
 
   override def prettyName: String = "graft_edit_probe_keys"
@@ -463,7 +476,7 @@ case class EditProbeKeys(child: Expression, d: Int)
   def compute(head: UTF8String): ArrayData = {
     val k = d + 1
     val m = head.numChars()
-    val seen = new java.util.LinkedHashSet[(Int, UTF8String)]()
+    val seen = new java.util.LinkedHashSet[(Int, Int, UTF8String)]()
     var i = 0
     while (i < k) {
       var la = math.max(m - d, 0)
@@ -480,7 +493,7 @@ case class EditProbeKeys(child: Expression, d: Int)
           val stHi = start + hi
           while (st <= stHi) {
             if (st >= 0 && st + slen <= m)
-              seen.add((i, head.substringSQL(st + 1, slen)))
+              seen.add((i, la, head.substringSQL(st + 1, slen)))
             st += 1
           }
         }
@@ -492,13 +505,13 @@ case class EditProbeKeys(child: Expression, d: Int)
     var j = 0
     val it = seen.iterator()
     while (it.hasNext) {
-      val (idx, seg) = it.next()
-      out(j) = new GenericInternalRow(Array[Any](idx, seg))
+      val (idx, la, seg) = it.next()
+      out(j) = new GenericInternalRow(Array[Any](idx, seg, la))
       j += 1
     }
     if (m <= 2 * d)
       out(j) = new GenericInternalRow(Array[Any](-1,
-        UTF8String.fromString("short")))
+        UTF8String.fromString("short"), -1))
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -586,25 +586,62 @@ object Pipelines {
   private def formatShardMap(m: Map[Int, String]): String =
     m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n")
 
+  /** A column made hash-eligible for [[shardDigests]] (r17, ADVICE
+    * r16): `xxhash64` rejects MapType — map entry order is not part
+    * of map equality, so a raw hash would be ambiguous. A TOP-LEVEL
+    * map canonicalizes to JSON over key-sorted entries (order-free,
+    * so a parquet round-trip that reorders entries cannot fake a
+    * changed shard); a nested map (inside a struct/array) falls back
+    * to plain `to_json`, which is order-faithful rather than
+    * canonical — conservative for copy-on-write: the worst case is a
+    * spurious rewrite of an unchanged shard, never a missed one. */
+  private def digestible(c: Column, t: org.apache.spark.sql.types
+      .DataType): Column = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType,
+      StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    t match {
+      case _: MapType =>
+        to_json(map_from_entries(array_sort(map_entries(c))))
+      case dt if hasMap(dt) => to_json(c)
+      case _ => c
+    }
+  }
+
   /** Order-free per-shard content digest of a landed drop: row count
-    * plus the EXACT decimal sum of per-row xxhash64 over every column
-    * — a multiset digest, invariant under partitioning and row order
-    * (the determinism house rule: long/decimal accumulators, never an
-    * FP fold), equal iff shard content is equal up to 64-bit hash
-    * collisions (~2⁻⁶⁴ per comparison — the same class of risk every
-    * digest-based diff in this engine prices, [[graft.operators
-    * .Curation.snapshotDiff]]'s md5 included). ONE aggregate exchange
-    * of `shards` rows decides the whole copy-on-write plan. */
+    * plus the EXACT decimal sums of per-row xxhash64 over every column
+    * under TWO domain-separated hash streams — multiset digests,
+    * invariant under partitioning and row order (the determinism house
+    * rule: long/decimal accumulators, never an FP fold). One linear
+    * sum admits engineered cancellations slightly beyond the 2⁻⁶⁴
+    * per-comparison bound (ADVICE r16); requiring BOTH independent
+    * sums plus the count to match pushes a forged unchanged-shard
+    * verdict to simultaneous collisions in two unrelated hash planes
+    * (~2⁻¹²⁸ — the same class of risk every digest-based diff in this
+    * engine prices, [[graft.operators.Curation.snapshotDiff]]'s md5
+    * included). Map-typed columns are canonicalized first
+    * ([[digestible]] — raw xxhash64 throws on MapType). ONE aggregate
+    * exchange of `shards` rows decides the whole copy-on-write plan. */
   private[graft] def shardDigests(landed: DataFrame, key: String,
-      shards: Int): Map[Int, String] =
+      shards: Int): Map[Int, String] = {
+    val cols = landed.schema.fields.map(f =>
+      digestible(col(f.name), f.dataType)).toSeq
     landed.groupBy(pmod(xxhash64(col(key)), lit(shards.toLong))
         .cast("int").as("key_shard"))
       .agg(count(lit(1)).as("n"),
-        sum(xxhash64(landed.columns.map(col): _*).cast("decimal(38,0)"))
-          .as("h"))
+        sum(xxhash64(cols: _*).cast("decimal(38,0)")).as("h"),
+        sum(xxhash64((lit("graft_digest_2") +: cols): _*)
+          .cast("decimal(38,0)")).as("h2"))
       .collect()
       .map(r => r.getInt(0) ->
-        s"${r.getLong(1)}:${r.getDecimal(2).toBigInteger}").toMap
+        s"${r.getLong(1)}:${r.getDecimal(2).toBigInteger}:${
+          r.getDecimal(3).toBigInteger}").toMap
+  }
 
   /** EP11's gate threaded into an actual WRITE PATH (r10 verdict item
     * 7): publish the landed drop to the silver point layout ONLY when
@@ -692,6 +729,17 @@ object Pipelines {
             k -> s"$d/key_shard=$k").toMap)
       }.getOrElse(Map.empty)
       val digests = shardDigests(landed, key, shards)
+      // r17 (ADVICE r16): a zero-row drop would publish a markers-only
+      // version with an EMPTY shard manifest, which currentSilver's
+      // nonEmpty guard then misreads as a pre-manifest version — a
+      // data-less plain read that fails schema inference AFTER the
+      // flip, i.e. the served table breaks. An empty landed drop is an
+      // upstream failure, never a publishable state: refuse loudly
+      // BEFORE any version byte lands, leaving the previous version
+      // current (the same no-partial-publish posture as the gate).
+      require(digests.nonEmpty,
+        s"landThenPublish($root, $version): landed drop has zero rows;" +
+          " refusing to publish a data-less version")
       val changed = digests.keySet.filter(k =>
         !prevDigests.get(k).contains(digests(k)) ||
           !prevSources.contains(k))

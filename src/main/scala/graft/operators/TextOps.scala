@@ -1012,6 +1012,7 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("head"), col("len"),
         col("kseg.idx").as("idx"), col("kseg.seg").as("seg"))
       .write.mode("overwrite").parquet(s"$root/seed/index")
+    publishEditHotSet(spark, s"$root/seed/index")
     editDistancePairs(docs, 30, d)
       .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
       .write.mode("overwrite").parquet(s"$root/seed/pairs")
@@ -1030,7 +1031,8 @@ object TextOps {
     val v = graft.sources.Markers.read(spark, root, dedupCurrentMarker)
     val (edges, index2) = editWaveRepair(spark,
       spark.read.parquet(s"$root/$v/index"),
-      spark.read.parquet(s"$root/$v/pairs"), batch, d)
+      spark.read.parquet(s"$root/$v/pairs"), batch, d,
+      loadEditHotSet(spark, s"$root/$v/index"))
     (index2, edges, Components.labelComponents(edges))
   }
 
@@ -1040,6 +1042,10 @@ object TextOps {
     version: String, index: DataFrame, pairs: DataFrame,
     labels: DataFrame, retainVersions: Int = 0): Unit = {
     index.write.mode("overwrite").parquet(s"$root/$version/index")
+    // each published version re-derives its own hot-cell sidecar —
+    // the wave's fresh build rows are folded in here, so the
+    // streaming-cap caveat never loosens the SALT bound across waves
+    publishEditHotSet(spark, s"$root/$version/index")
     pairs.write.mode("overwrite").parquet(s"$root/$version/pairs")
     labels.write.mode("overwrite").parquet(s"$root/$version/labels")
     graft.sources.Markers.write(spark, root, dedupCurrentMarker, version)
@@ -2246,22 +2252,33 @@ object TextOps {
 
   private def editShortKey: Column =
     struct(lit(-1).cast("int").as("idx"),
-      lit("short").as("seg"))
+      lit("short").as("seg"),
+      lit(-1).cast("int").as("blen"))
 
   // build: the k even segments of head (0-based seg i spans
-  // [floor(i*len/k), floor((i+1)*len/k)) — all nonempty once len >= k)
+  // [floor(i*len/k), floor((i+1)*len/k)) — all nonempty once len >= k).
+  // r17: the key carries the build row's OWN length as `blen` —
+  // PVLDB'11 §4's length-segmented inverted index. The probe side
+  // enumerates assumed build lengths within ±d anyway, so length
+  // equality rides the equi-join key: key diversity multiplies by
+  // ~(2d+1) and a saturated segment cell splits by length BEFORE the
+  // join (the structural fix for the sf10 segment-key saturation the
+  // r16 salting only parallelized). The shorts key keeps the -1
+  // sentinel: its channel is per-lang and keeps the post-join gate.
   private def editBuildKeys(d: Int): Column = {
     val k = d + 1 // segments; pigeonhole leaves >= 1 untouched
     def segAt(i: Column, la: Column): Column = {
       val start = floor(i * la / k).cast("int")
       val slen = (floor((i + lit(1)) * la / k) - floor(i * la / k)).cast("int")
       struct(i.cast("int").as("idx"),
-        col("head").substr(start + 1, slen).as("seg"))
+        col("head").substr(start + 1, slen).as("seg"),
+        la.cast("int").as("blen"))
     }
     concat(
       transform(sequence(lit(0), lit(k - 1)), i => segAt(i, col("len"))),
       when(col("len") <= d, array(editShortKey))
-        .otherwise(array().cast(s"array<struct<idx:int,seg:string>>")))
+        .otherwise(array()
+          .cast(s"array<struct<idx:int,seg:string,blen:int>>")))
   }
 
   // probe: the MULTI-MATCH-AWARE substring window (PassJoin PVLDB'11
@@ -2301,10 +2318,12 @@ object TextOps {
               filter(sequence(start + lo, start + hi), st =>
                 st >= 0 && st + slen <= col("len")),
               st => struct(i.cast("int").as("idx"),
-                col("head").substr(st.cast("int") + 1, slen).as("seg")))
+                col("head").substr(st.cast("int") + 1, slen).as("seg"),
+                la.cast("int").as("blen")))
           })))),
       when(col("len") <= 2 * d, array(editShortKey))
-        .otherwise(array().cast(s"array<struct<idx:int,seg:string>>")))
+        .otherwise(array()
+          .cast(s"array<struct<idx:int,seg:string,blen:int>>")))
   }
 
   // key dedup is ROW-LOCAL (array_distinct before the explode) — a
@@ -2388,9 +2407,42 @@ object TextOps {
     * thresholds. */
   private[graft] val editSaltCap = 256
 
-  /** Salt fan-out for hot cells — matches the local core count; at
-    * 1000 executors the constant rises with the cluster width. */
-  private[graft] val editSalts = 32
+  /** Salt fan-out for hot cells, derived from the session's shuffle
+    * parallelism (r17 hygiene — the r16 constant 32 matched the local
+    * core count by hand; at 1000 executors `spark.sql.shuffle
+    * .partitions` is sized to the cluster width and this rises with
+    * it, which is exactly what the constant's own scaladoc promised). */
+  private[graft] def editSalts(spark: SparkSession): Int =
+    math.max(spark.sessionState.conf.numShufflePartitions, 1)
+
+  /** The hot-cell set of a PassJoin build side — (lang, kseg) cells
+    * whose build population exceeds [[editSaltCap]]. Computed inline
+    * on cold self-join paths; PUBLISHED at fit time for the warm
+    * incremental/compact paths (r17, the
+    * [[BandedJoins.publishHotSet]] posture — the r16 verdict measured
+    * the inline aggregate as an extra full pass over the published
+    * index per warm query). */
+  private[graft] def editHotCells(build: DataFrame): DataFrame =
+    build.groupBy(col("lang"), col("kseg"))
+      .agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") > editSaltCap)
+      .select(col("lang").as("h_lang"), col("kseg").as("h_kseg"))
+
+  /** How [[editCandidateJoin]] obtains its hot-cell set. Correctness
+    * needs only that build and probe use ONE consistent set within a
+    * call — any superset of the true hot cells merely replicates more
+    * conservatively, any subset merely salts less — so a fit-time
+    * published set stays valid as retirement shrinks cells. */
+  private[graft] sealed trait EditHotCells
+  /** Aggregate the build side per call (cold/self-join paths: the
+    * build IS the query's fresh data, nothing is published). */
+  private[graft] case object ComputeHotCells extends EditHotCells
+  /** Fit-time count was zero: skip the aggregate, the probes, and the
+    * pinned repartition entirely — the healthy-corpus fast path. */
+  private[graft] case object NoHotCells extends EditHotCells
+  /** Fit-time published (lang, kseg) hot set, loaded KB-sized. */
+  private[graft] case class PublishedHotCells(frame: DataFrame)
+    extends EditHotCells
 
   /** The candidate join all PassJoin shapes share (r16): build rows vs
     * probe rows on (lang, kseg, salt), HOT build cells (> [[editSaltCap]]
@@ -2406,40 +2458,50 @@ object TextOps {
     * O(n²) on the far pairs that dominate a saturated cell). */
   private def editCandidateJoin(build: DataFrame, probe: DataFrame,
       d: Int, idPred: (Column, Column) => Column,
-      probeHint: Boolean, pinPartitions: Boolean = true): DataFrame = {
-    val hotRows = build.groupBy(col("lang"), col("kseg"))
-      .agg(count(lit(1)).as("cell_n"))
-      .filter(col("cell_n") > editSaltCap)
-      .select(col("lang").as("h_lang"), col("kseg").as("h_kseg"))
+      probeHint: Boolean, pinPartitions: Boolean = true,
+      hotCells: EditHotCells = ComputeHotCells): DataFrame = {
     // plan-time stats action (the chooseJoinBack/simhashAutoPlan
-    // posture): a saturated corpus ALSO needs the join's partitioning
-    // PINNED below — AQE's byte-based coalescing folded the
-    // increment-sized cross probes (KB of shuffle, minutes of DP) to
-    // ONE task at sf10, because a banded-DP stage's cost is CPU per
-    // candidate, which no byte threshold can see. An explicit
+    // posture), SKIPPED when the caller passes a fit-time published
+    // hot set (r17 — warm queries were paying a full index aggregate
+    // here per call): a saturated corpus ALSO needs the join's
+    // partitioning PINNED below — AQE's byte-based coalescing folded
+    // the increment-sized cross probes (KB of shuffle, minutes of DP)
+    // to ONE task at sf10, because a banded-DP stage's cost is CPU
+    // per candidate, which no byte threshold can see. An explicit
     // repartition by the salted join keys (REPARTITION_BY_NUM) is
     // exempt from coalescing, and hot-only gating keeps healthy
     // corpora on the unchanged plan (broadcast-eligible, KB-class
     // shuffle bounds intact).
-    val anyHot = !hotRows.isEmpty
+    val (anyHot, hotRows) = hotCells match {
+      case ComputeHotCells =>
+        val h = editHotCells(build); (!h.isEmpty, h)
+      case NoHotCells =>
+        (false, editHotCells(build.limit(0)))
+      case PublishedHotCells(f) => (true, f)
+    }
     val hot = broadcast(hotRows)
-    val saltedBuild0 = build
-      .join(hot, col("lang") === col("h_lang") &&
-        col("kseg") === col("h_kseg"), "left")
-      .withColumn("salt", explode(
-        when(col("h_lang").isNotNull,
-          sequence(lit(0), lit(editSalts - 1)))
-          .otherwise(array(lit(0)))))
-      .drop("h_lang", "h_kseg")
-    val saltedProbe1 = probe
-      .join(hot, col("lang") === col("h_lang") &&
-        col("kseg") === col("h_kseg"), "left")
-      .withColumn("salt",
-        when(col("h_lang").isNotNull,
-          pmod(xxhash64(col("doc_id")), lit(editSalts.toLong))
-            .cast("int"))
-          .otherwise(lit(0)))
-      .drop("h_lang", "h_kseg")
+    val salts = editSalts(build.sparkSession)
+    val saltedBuild0 =
+      if (!anyHot) build.withColumn("salt", lit(0))
+      else build
+        .join(hot, col("lang") === col("h_lang") &&
+          col("kseg") === col("h_kseg"), "left")
+        .withColumn("salt", explode(
+          when(col("h_lang").isNotNull,
+            sequence(lit(0), lit(salts - 1)))
+            .otherwise(array(lit(0)))))
+        .drop("h_lang", "h_kseg")
+    val saltedProbe1 =
+      if (!anyHot) probe.withColumn("salt", lit(0))
+      else probe
+        .join(hot, col("lang") === col("h_lang") &&
+          col("kseg") === col("h_kseg"), "left")
+        .withColumn("salt",
+          when(col("h_lang").isNotNull,
+            pmod(xxhash64(col("doc_id")), lit(salts.toLong))
+              .cast("int"))
+            .otherwise(lit(0)))
+        .drop("h_lang", "h_kseg")
     val parts = build.sparkSession.sessionState.conf.numShufflePartitions
     // `pinPartitions = false` on the STREAM-STATIC intake path: AQE
     // does not run inside streaming plans (nothing to defend against)
@@ -2548,8 +2610,9 @@ object TextOps {
     * longer increment partner would exceed d by length difference
     * alone. Output (id_a, id_b, dist), canonically ordered. */
   private[graft] def editCrossPairs(baseBuild: DataFrame,
-      probeKeyed: DataFrame, d: Int): DataFrame =
-    editCrossFlags(baseBuild, probeKeyed, d)
+      probeKeyed: DataFrame, d: Int,
+      hotCells: EditHotCells = ComputeHotCells): DataFrame =
+    editCrossFlags(baseBuild, probeKeyed, d, hotCells = hotCells)
       .select(least(col("dup_of"), col("doc_id")).as("id_a"),
         greatest(col("dup_of"), col("doc_id")).as("id_b"),
         col("dist"))
@@ -2563,20 +2626,78 @@ object TextOps {
     * symmetry). */
   private[graft] def editCrossFlags(baseBuild: DataFrame,
       probeKeyed: DataFrame, d: Int,
-      pinPartitions: Boolean = true): DataFrame =
+      pinPartitions: Boolean = true,
+      hotCells: EditHotCells = ComputeHotCells): DataFrame =
     editCandidateJoin(baseBuild, editProbeRows(probeKeyed, d), d,
-      _ =!= _, probeHint = true, pinPartitions)
+      _ =!= _, probeHint = true, pinPartitions, hotCells)
       .select(col("b.doc_id").as("doc_id"),
         col("a.doc_id").as("dup_of"), col("dist"))
 
+  /** A build row's key-length field reconstructed from the FLAT index
+    * layout (r17): build rows always key their OWN length, so `blen`
+    * is derivable — the published parquet schema is unchanged by the
+    * length-keyed join. Shorts rows (idx = -1) carry the sentinel. */
+  private def editFlatBlen: Column =
+    when(col("idx") === -1, lit(-1)).otherwise(col("len")).cast("int")
+
   /** The published PassJoin build-row index read back as the join-ready
     * shape (the struct key is stored flat so the bloom prune can hash
-    * its fields as plain columns). */
+    * its fields as plain columns; `blen` derives from `len`/`idx`). */
   private[graft] def editIndexFrame(spark: SparkSession,
       path: String): DataFrame =
     spark.read.parquet(path)
       .select(col("doc_id"), col("lang"), col("head"), col("len"),
-        struct(col("idx"), col("seg")).as("kseg"))
+        struct(col("idx"), col("seg"),
+          editFlatBlen.as("blen")).as("kseg"))
+
+  /** The hidden hot-cell sidecar of a published PassJoin index — the
+    * [[BandedJoins.hotSetDirName]] posture on this family (r17, r16
+    * verdict "what's wrong" #2): the `_` prefix keeps it invisible to
+    * parquet reads of the index directory itself. */
+  private[graft] val editHotSetDirName = "_graft_hotset"
+
+  /** Publish the hot-cell set of a just-written flat index INSIDE the
+    * index directory and return its row count (known at fit time, so
+    * warm queries pay ZERO stats actions — the count rides the fitted
+    * state and [[loadEditHotSet]] never re-aggregates the index). */
+  private[graft] def publishEditHotSet(spark: SparkSession,
+      indexPath: String): Long = {
+    editHotCells(editIndexFrame(spark, indexPath))
+      .select(col("h_lang"), col("h_kseg.idx").as("idx"),
+        col("h_kseg.seg").as("seg"), col("h_kseg.blen").as("blen"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexPath/$editHotSetDirName")
+    spark.read.parquet(s"$indexPath/$editHotSetDirName").count()
+  }
+
+  /** The published hot set of an index directory in join-ready shape
+    * (fit-time `hotCount` decides the variant without any action). */
+  private[graft] def loadEditHotSet(spark: SparkSession,
+      indexPath: String, hotCount: Long): EditHotCells =
+    if (hotCount == 0L) NoHotCells
+    else PublishedHotCells(
+      spark.read.parquet(s"$indexPath/$editHotSetDirName")
+        .select(col("h_lang"),
+          struct(col("idx"), col("seg"), col("blen")).as("h_kseg")))
+
+  /** Sidecar-probing variant for the streaming wave path, where no
+    * fitted state carries the count: the sidecar is KB-sized, so the
+    * emptiness probe is a single-file action — still never a full
+    * index aggregate. A root published before the sidecar existed
+    * falls back to the inline aggregate. */
+  private[graft] def loadEditHotSet(spark: SparkSession,
+      indexPath: String): EditHotCells = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$indexPath/$editHotSetDirName")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) ComputeHotCells
+    else {
+      val f = spark.read.parquet(p.toString)
+        .select(col("h_lang"),
+          struct(col("idx"), col("seg"), col("blen")).as("h_kseg"))
+      if (f.isEmpty) NoHotCells else PublishedHotCells(f)
+    }
+  }
 
   /** The published build-row index staged for the STREAMING intake:
     * read once, join-ready, eagerly materialized so every micro-batch
@@ -2605,11 +2726,14 @@ object TextOps {
       probeKeyed: DataFrame, d: Int): DataFrame = {
     val probeKeys = editProbeRows(probeKeyed, d)
       .select(col("lang"), col("kseg.idx").as("idx"),
-        col("kseg.seg").as("seg"))
-    ProbeFilters.bloomSemi(idxFlat, probeKeys,
-      Seq("lang", "idx", "seg"))
+        col("kseg.seg").as("seg"), col("kseg.blen").as("blen"))
+    // r17: the bloom hashes the length component too — an index row
+    // whose segment text collides but whose length is outside the
+    // probe's ±d window now drops at the scan, not after the shuffle
+    ProbeFilters.bloomSemi(idxFlat.withColumn("blen", editFlatBlen),
+      probeKeys, Seq("lang", "idx", "seg", "blen"))
       .select(col("doc_id"), col("lang"), col("head"), col("len"),
-        struct(col("idx"), col("seg")).as("kseg"))
+        struct(col("idx"), col("seg"), col("blen")).as("kseg"))
   }
 
   /** The (d, 2d]-PROBE SLIVER of the cross PassJoin (r16, ADVICE r15):
@@ -2650,7 +2774,7 @@ object TextOps {
             col("head").as("p_head")),
         Seq("lang"))
       .filter(col("doc_id") =!= col("p_id") &&
-        levenshtein(col("head"), col("p_head")) <= d)
+        levenshtein(col("head"), col("p_head"), d) >= 0)
       .groupBy(col("p_id")).agg(min(col("doc_id")).as("m_id"))
       .select(least(col("p_id"), col("m_id")).as("id_a"),
         greatest(col("p_id"), col("m_id")).as("id_b"))
@@ -2663,7 +2787,7 @@ object TextOps {
     * seg-text) keys PassJoin already builds, shorts-star-reduced at
     * fit time) and persisted the finished base label map. */
   private[graft] case class EditState(indexPath: String,
-    labelsPath: String)
+    labelsPath: String, hotCount: Long)
 
   private[graft] val editFitInvocations =
     new java.util.concurrent.atomic.AtomicInteger(0)
@@ -2679,12 +2803,15 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("head"), col("len"),
         col("kseg.idx").as("idx"), col("kseg.seg").as("seg"))
       .write.mode("overwrite").parquet(ip)
+    // r17: the hot-cell set is FIT output, not query work — warm
+    // probes read the KB sidecar instead of re-aggregating the index
+    val hotN = publishEditHotSet(s, ip)
     val lp = graft.sources.TempDirs
       .scratchDir(scratchTag + "_labels").toString
     Components.labelComponents(editDistancePairs(base, 30, 3, shortsCap)
         .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b")))
       .write.mode("overwrite").parquet(lp)
-    EditState(ip, lp)
+    EditState(ip, lp, hotN)
   }
 
   private val fittedEditState = new FitCache[EditState]((s, d) =>
@@ -2717,8 +2844,12 @@ object TextOps {
       d: Int): DataFrame = {
     val inc = docs.filter(increment)
     val incKeyed = editKeyedHeads(inc, 30).localCheckpoint(true)
+    // the cross probe's hot set is the FIT-published one (pruning only
+    // shrinks cells — a superset stays correct); the within self-join
+    // keeps the inline aggregate because its build IS the increment
     val cross = editCrossPairs(
-      editIndexPruned(spark, st.indexPath, incKeyed, d), incKeyed, d)
+      editIndexPruned(spark, st.indexPath, incKeyed, d), incKeyed, d,
+      loadEditHotSet(spark, st.indexPath, st.hotCount))
     val within = editDistancePairs(inc, 30, d)
       .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
     val sliver = editShortsSliverEdges(
@@ -2736,7 +2867,7 @@ object TextOps {
     * 30-char HEAD, and an appended marker past the head would leave
     * the stale fixture vacuously identical to the truth). */
   private[graft] case class EditCompactState(indexPath: String,
-    pairsPath: String)
+    pairsPath: String, hotCount: Long)
 
   /** Publish the edit-compaction base artifacts (build-row index +
     * verified pair ids) over a corpus frame — the fit step of
@@ -2752,12 +2883,13 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("head"), col("len"),
         col("kseg.idx").as("idx"), col("kseg.seg").as("seg"))
       .write.mode("overwrite").parquet(ip)
+    val hotN = publishEditHotSet(staleDocs.sparkSession, ip)
     val pp = graft.sources.TempDirs
       .scratchDir("graft_edit_compact_pairs").toString
     editDistancePairs(staleDocs, 30, d, shortsCap)
       .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
       .write.mode("overwrite").parquet(pp)
-    EditCompactState(ip, pp)
+    EditCompactState(ip, pp, hotN)
   }
 
   /** The edit family's stale-text transform: a PER-DOC hash marker
@@ -2846,7 +2978,8 @@ object TextOps {
       d: Int): DataFrame = {
     val (edges, _) = editWaveRepair(spark,
       spark.read.parquet(st.indexPath),
-      spark.read.parquet(st.pairsPath), docs.filter(recrawl), d)
+      spark.read.parquet(st.pairsPath), docs.filter(recrawl), d,
+      loadEditHotSet(spark, st.indexPath, st.hotCount))
     Components.flagCorpus(docs, "doc_id",
       Components.labelComponents(edges))
   }
@@ -2867,7 +3000,8 @@ object TextOps {
     * the cell at all. */
   private[graft] def editWaveRepair(spark: SparkSession,
       baseIdx: DataFrame, basePairs: DataFrame, batch: DataFrame,
-      d: Int): (DataFrame, DataFrame) = {
+      d: Int, hotCells: EditHotCells = ComputeHotCells)
+      : (DataFrame, DataFrame) = {
     val ids = batch.select(col("doc_id"))
     val recKeyed = editKeyedHeads(batch, 30).localCheckpoint(true)
     // bloom-pruned by the re-crawl probe keys AND retired of the
@@ -2901,8 +3035,11 @@ object TextOps {
         Seq("lang"))
       .filter(col("doc_id") =!= col("min_id"))
       .select(col("min_id").as("id_a"), col("doc_id").as("id_b"))
+    // the fit-published hot set stays valid here: retirement only
+    // shrinks cells, and the single re-elected shorts row per lang
+    // cannot create a hot cell (superset-correctness on the trait)
     val cross = editCrossPairs(retained.unionByName(reElected),
-      recKeyed, d)
+      recKeyed, d, hotCells)
     val within = editDistancePairs(batch, 30, d)
       .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
     // (d, 2d]-probe sliver (r16, ADVICE r15): re-crawled heads of

