@@ -1012,7 +1012,7 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("head"), col("len"),
         col("kseg.idx").as("idx"), col("kseg.seg").as("seg"))
       .write.mode("overwrite").parquet(s"$root/seed/index")
-    publishEditHotSet(spark, s"$root/seed/index")
+    publishEditIndexStats(spark, s"$root/seed/index")
     editDistancePairs(docs, 30, d)
       .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
       .write.mode("overwrite").parquet(s"$root/seed/pairs")
@@ -1032,7 +1032,8 @@ object TextOps {
     val (edges, index2) = editWaveRepair(spark,
       spark.read.parquet(s"$root/$v/index"),
       spark.read.parquet(s"$root/$v/pairs"), batch, d,
-      loadEditHotSet(spark, s"$root/$v/index"))
+      loadEditHotSet(spark, s"$root/$v/index"),
+      loadEditLens(spark, s"$root/$v/index"))
     (index2, edges, Components.labelComponents(edges))
   }
 
@@ -1045,7 +1046,7 @@ object TextOps {
     // each published version re-derives its own hot-cell sidecar —
     // the wave's fresh build rows are folded in here, so the
     // streaming-cap caveat never loosens the SALT bound across waves
-    publishEditHotSet(spark, s"$root/$version/index")
+    publishEditIndexStats(spark, s"$root/$version/index")
     pairs.write.mode("overwrite").parquet(s"$root/$version/pairs")
     labels.write.mode("overwrite").parquet(s"$root/$version/labels")
     graft.sources.Markers.write(spark, root, dedupCurrentMarker, version)
@@ -2444,6 +2445,22 @@ object TextOps {
   private[graft] case class PublishedHotCells(frame: DataFrame)
     extends EditHotCells
 
+  /** The distinct (lang, blen) key-length population of a PassJoin
+    * build side (shorts rows contribute the −1 sentinel) — the
+    * probe-key PRUNING set (r17, measured at sf10): the probe
+    * enumerates assumed build lengths la ∈ [m−d, m+d] blind, but
+    * ScaleGen heads clip UNIFORMLY at 30 chars, so 6 of 7 assumed-
+    * length keys shuffle into cells no build row can occupy — the
+    * length-keyed index alone grew `q_edit_pairs`' exchange 1.63 →
+    * 3.03 GB at sf10. A broadcast semi-join on this ≤ langs×(31+1)-row
+    * set kills dead keys MAP-SIDE. Exact by the witness argument:
+    * every true pair's emitting key carries la = its partner's real
+    * length, which is in this set by definition; a superset set (the
+    * fit-published sidecar after retirement) only prunes less. */
+  private[graft] def editBuildLens(build: DataFrame): DataFrame =
+    build.select(col("lang").as("l_lang"),
+      col("kseg.blen").as("l_blen")).distinct()
+
   /** The candidate join all PassJoin shapes share (r16): build rows vs
     * probe rows on (lang, kseg, salt), HOT build cells (> [[editSaltCap]]
     * rows) replicated across [[editSalts]] salts while probe rows in
@@ -2451,15 +2468,22 @@ object TextOps {
     * meets exactly once (at the probe row's salt), but a mega-cell's
     * DP work spreads over `editSalts` tasks instead of serializing on
     * one. Cold cells ride salt 0 — plan shape unchanged beyond the
-    * tiny broadcast hot-set probes. Survivors pass the emit-once
+    * tiny broadcast hot-set probes. Probe key rows prune against the
+    * build side's (lang, blen) population first ([[editBuildLens]]).
+    * Survivors pass the emit-once
     * predicate and a BANDED early-exit DP (`levenshtein(a, b, d)`
     * walks a 2d+1 diagonal band and aborts at first overflow — the
     * threshold form is exact for kept rows and ~O(d·n) instead of
     * O(n²) on the far pairs that dominate a saturated cell). */
-  private def editCandidateJoin(build: DataFrame, probe: DataFrame,
+  private def editCandidateJoin(build: DataFrame, probe0: DataFrame,
       d: Int, idPred: (Column, Column) => Column,
       probeHint: Boolean, pinPartitions: Boolean = true,
-      hotCells: EditHotCells = ComputeHotCells): DataFrame = {
+      hotCells: EditHotCells = ComputeHotCells,
+      buildLens: Option[DataFrame] = None): DataFrame = {
+    val lens = broadcast(buildLens.getOrElse(editBuildLens(build)))
+    val probe = probe0.join(lens,
+      col("lang") === col("l_lang") &&
+        col("kseg.blen") === col("l_blen"), "left_semi")
     // plan-time stats action (the chooseJoinBack/simhashAutoPlan
     // posture), SKIPPED when the caller passes a fit-time published
     // hot set (r17 — warm queries were paying a full index aggregate
@@ -2611,8 +2635,10 @@ object TextOps {
     * alone. Output (id_a, id_b, dist), canonically ordered. */
   private[graft] def editCrossPairs(baseBuild: DataFrame,
       probeKeyed: DataFrame, d: Int,
-      hotCells: EditHotCells = ComputeHotCells): DataFrame =
-    editCrossFlags(baseBuild, probeKeyed, d, hotCells = hotCells)
+      hotCells: EditHotCells = ComputeHotCells,
+      buildLens: Option[DataFrame] = None): DataFrame =
+    editCrossFlags(baseBuild, probeKeyed, d, hotCells = hotCells,
+      buildLens = buildLens)
       .select(least(col("dup_of"), col("doc_id")).as("id_a"),
         greatest(col("dup_of"), col("doc_id")).as("id_b"),
         col("dist"))
@@ -2627,9 +2653,10 @@ object TextOps {
   private[graft] def editCrossFlags(baseBuild: DataFrame,
       probeKeyed: DataFrame, d: Int,
       pinPartitions: Boolean = true,
-      hotCells: EditHotCells = ComputeHotCells): DataFrame =
+      hotCells: EditHotCells = ComputeHotCells,
+      buildLens: Option[DataFrame] = None): DataFrame =
     editCandidateJoin(baseBuild, editProbeRows(probeKeyed, d), d,
-      _ =!= _, probeHint = true, pinPartitions, hotCells)
+      _ =!= _, probeHint = true, pinPartitions, hotCells, buildLens)
       .select(col("b.doc_id").as("doc_id"),
         col("a.doc_id").as("dup_of"), col("dist"))
 
@@ -2656,18 +2683,37 @@ object TextOps {
     * parquet reads of the index directory itself. */
   private[graft] val editHotSetDirName = "_graft_hotset"
 
-  /** Publish the hot-cell set of a just-written flat index INSIDE the
-    * index directory and return its row count (known at fit time, so
-    * warm queries pay ZERO stats actions — the count rides the fitted
-    * state and [[loadEditHotSet]] never re-aggregates the index). */
-  private[graft] def publishEditHotSet(spark: SparkSession,
+  /** The hidden key-length-population sidecar (r17 — the probe-key
+    * pruning set, see [[editBuildLens]]). */
+  private[graft] val editLensDirName = "_graft_lens"
+
+  /** Publish the fit-time index statistics INSIDE the index directory
+    * — the hot-cell set (returning its row count, known at fit time so
+    * warm queries pay ZERO stats actions) and the (lang, blen)
+    * key-length population the probe side prunes against. */
+  private[graft] def publishEditIndexStats(spark: SparkSession,
       indexPath: String): Long = {
-    editHotCells(editIndexFrame(spark, indexPath))
+    val idx = editIndexFrame(spark, indexPath)
+    editBuildLens(idx).coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexPath/$editLensDirName")
+    editHotCells(idx)
       .select(col("h_lang"), col("h_kseg.idx").as("idx"),
         col("h_kseg.seg").as("seg"), col("h_kseg.blen").as("blen"))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$indexPath/$editHotSetDirName")
     spark.read.parquet(s"$indexPath/$editHotSetDirName").count()
+  }
+
+  /** The published key-length population of an index directory (None
+    * for a pre-sidecar root — callers fall back to the inline
+    * aggregate). Retirement only shrinks the true population, so the
+    * fit-time superset stays a correct pruning set. */
+  private[graft] def loadEditLens(spark: SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/$editLensDirName")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString))
   }
 
   /** The published hot set of an index directory in join-ready shape
@@ -2805,7 +2851,7 @@ object TextOps {
       .write.mode("overwrite").parquet(ip)
     // r17: the hot-cell set is FIT output, not query work — warm
     // probes read the KB sidecar instead of re-aggregating the index
-    val hotN = publishEditHotSet(s, ip)
+    val hotN = publishEditIndexStats(s, ip)
     val lp = graft.sources.TempDirs
       .scratchDir(scratchTag + "_labels").toString
     Components.labelComponents(editDistancePairs(base, 30, 3, shortsCap)
@@ -2849,7 +2895,8 @@ object TextOps {
     // keeps the inline aggregate because its build IS the increment
     val cross = editCrossPairs(
       editIndexPruned(spark, st.indexPath, incKeyed, d), incKeyed, d,
-      loadEditHotSet(spark, st.indexPath, st.hotCount))
+      loadEditHotSet(spark, st.indexPath, st.hotCount),
+      loadEditLens(spark, st.indexPath))
     val within = editDistancePairs(inc, 30, d)
       .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
     val sliver = editShortsSliverEdges(
@@ -2883,7 +2930,7 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("head"), col("len"),
         col("kseg.idx").as("idx"), col("kseg.seg").as("seg"))
       .write.mode("overwrite").parquet(ip)
-    val hotN = publishEditHotSet(staleDocs.sparkSession, ip)
+    val hotN = publishEditIndexStats(staleDocs.sparkSession, ip)
     val pp = graft.sources.TempDirs
       .scratchDir("graft_edit_compact_pairs").toString
     editDistancePairs(staleDocs, 30, d, shortsCap)
@@ -2979,7 +3026,8 @@ object TextOps {
     val (edges, _) = editWaveRepair(spark,
       spark.read.parquet(st.indexPath),
       spark.read.parquet(st.pairsPath), docs.filter(recrawl), d,
-      loadEditHotSet(spark, st.indexPath, st.hotCount))
+      loadEditHotSet(spark, st.indexPath, st.hotCount),
+      loadEditLens(spark, st.indexPath))
     Components.flagCorpus(docs, "doc_id",
       Components.labelComponents(edges))
   }
@@ -3000,7 +3048,8 @@ object TextOps {
     * the cell at all. */
   private[graft] def editWaveRepair(spark: SparkSession,
       baseIdx: DataFrame, basePairs: DataFrame, batch: DataFrame,
-      d: Int, hotCells: EditHotCells = ComputeHotCells)
+      d: Int, hotCells: EditHotCells = ComputeHotCells,
+      buildLens: Option[DataFrame] = None)
       : (DataFrame, DataFrame) = {
     val ids = batch.select(col("doc_id"))
     val recKeyed = editKeyedHeads(batch, 30).localCheckpoint(true)
@@ -3037,9 +3086,12 @@ object TextOps {
       .select(col("min_id").as("id_a"), col("doc_id").as("id_b"))
     // the fit-published hot set stays valid here: retirement only
     // shrinks cells, and the single re-elected shorts row per lang
-    // cannot create a hot cell (superset-correctness on the trait)
+    // cannot create a hot cell (superset-correctness on the trait);
+    // same argument for the lens set — a re-elected shorts row's
+    // (lang, -1) entry was in the fit population by precondition
+    // (re-election requires a retired shorts row for that lang)
     val cross = editCrossPairs(retained.unionByName(reElected),
-      recKeyed, d, hotCells)
+      recKeyed, d, hotCells, buildLens)
     val within = editDistancePairs(batch, 30, d)
       .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
     // (d, 2d]-probe sliver (r16, ADVICE r15): re-crawled heads of

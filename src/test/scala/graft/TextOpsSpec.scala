@@ -1730,6 +1730,63 @@ class TextOpsSpec extends SparkTestBase {
     assert(inc.find(_._1 == 50L).map(_._2).contains(1L))
   }
 
+  test("length-keyed candidate cells: a shared-segment cell across " +
+      "mixed head lengths splits below the salt cap; pairs stay exact") {
+    import spark.implicits._
+    // r17 (r16 verdict item 2, PVLDB'11 §4's length-segmented index):
+    // the candidate key carries the build length, so a cell that is
+    // hot under (lang, idx, seg) alone splits by length. Fixture: 600
+    // docs share their first 7 chars at head lengths 26..29 (floor
+    // boundaries put the idx-0 segment at chars 0..6 for lengths
+    // 26/27 and 0..7 for 28/29, so the CONTENT key alone pools each
+    // boundary class into one 300-row cell > editSaltCap) — with blen
+    // in the key each length's 150 rows sit far below the cap.
+    // Lengths stay under prefixLen = 30: a longer fixture would CLIP
+    // and collapse the length diversity this spec exists to exercise. ScaleGen corpora are length-
+    // UNIFORM (every sf10 head is exactly 30 chars — measured), so
+    // this split never fires there; this fixture is the length-diverse
+    // regime the key exists for.
+    val rnd = new scala.util.Random(20260818)
+    val docs = (0 until 600).map { i =>
+      val len = 26 + i % 4
+      val tail = (0 until (len - 7))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      (i.toLong, "en", s"commona$tail")
+    }.toDF("doc_id", "lang", "text")
+    val keyed = graft.operators.TextOps.editKeyedHeads(docs, 30)
+    val build = graft.operators.TextOps.editBuildRows(keyed, 3)
+    // content-only pooling (the pre-r17 key) would salt this cell
+    val contentOnly = build
+      .groupBy(col("lang"), col("kseg.idx"), col("kseg.seg"))
+      .count().filter(col("count") >
+        graft.operators.TextOps.editSaltCap)
+    assert(!contentOnly.isEmpty, "fixture failed to pool a hot cell")
+    // the length-keyed cells all sit below the cap
+    val hot = graft.operators.TextOps.editHotCells(build).collect()
+    assert(hot.isEmpty,
+      s"length-keyed cells still hot: ${hot.mkString("; ")}")
+    // and the pair set is exact against brute force
+    val got = graft.operators.TextOps.editDistancePairs(docs, 30, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def ed(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i =>
+        Array.tabulate(b.length + 1)(j => if (i == 0) j
+          else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val heads = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(2).take(30))
+    val want = (for {
+      (ia, ha) <- heads; (ib, hb) <- heads
+      if ia < ib && ed(ha, hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.nonEmpty, "vacuous fixture: no near pairs")
+  }
+
   test("published hot-cell sidecar: a saturated base salts the warm " +
       "cross probe from the fit-time set, labels equal full recompute") {
     import spark.implicits._
