@@ -132,8 +132,10 @@ private[graft] object Bucketed {
       .agg(
         count(lit(1)).as("n_lines"),
         sum(col("l_quantity")).as("sum_qty"),
-        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,6)")).cast("double"), 6).as("revenue"))
+        // exact decimal end-to-end (no double step): see qCountByKey's
+        // r17 note — round-on-double diverges across engines past 2^53
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("decimal(38,6)").as("revenue"))
 
   /** Third consumer of the layout (r11 verdict item 5 — widening the
     * amortization argument past one data point): the
@@ -183,7 +185,7 @@ private[graft] object Bucketed {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_items"),
-        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,6)")).cast("double"), 6).as("revenue"))
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("decimal(38,6)").as("revenue"))
       .orderBy(col("o_orderpriority"))
 }

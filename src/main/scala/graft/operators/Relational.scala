@@ -302,10 +302,13 @@ object Relational {
   /** A1 — grouped counts (`len(data['entry'])`,
     * /root/reference/src/coding_task_1.py:75). Hash aggregate with map-side
     * partials; the money sum goes through an exact DECIMAL accumulator so
-    * the result is independent of partition order (see object doc), and
-    * an explicit round(·, 6) on BOTH the Spark and oracle sides pins the
-    * final double instead of relying on the engines' decimal→double
-    * tie-rounding agreement (ADVICE round 2).
+    * the result is independent of partition order (see object doc) and
+    * STAYS decimal in the output. The earlier round(·,6)-on-double pin
+    * (ADVICE round 2) broke at the second decade: the r17 sf10 sweep
+    * caught the engines' double-rounding diverging in the last ulp once
+    * |revenue|·10⁶ passes 2⁵³ (~5·10¹¹ at 60M lineitem — any whole-corpus
+    * money rollup gets there). DECIMAL(38,6) end-to-end has no fp step to
+    * disagree on, at any corpus size.
     */
   def qCountByKey(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -313,8 +316,8 @@ object Relational {
       .agg(
         count(lit(1)).as("n"),
         sum(col("l_quantity")).as("sum_qty"),
-        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,6)")).cast("double"), 6).as("revenue"))
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("decimal(38,6)").as("revenue"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** F1/F2 — null imputation (`district` ← "Not found" when missing/blank,

@@ -62,8 +62,8 @@ class BucketedSpec extends SparkTestBase {
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
-        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,6)")).cast("double"), 6).as("revenue"))
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("decimal(38,6)").as("revenue"))
       .orderBy(col("o_orderpriority"))
       .collect().toSeq
     assert(out == plain)
