@@ -831,9 +831,21 @@ object SparkEntry {
         |    (SELECT DISTINCT c_custkey AS k FROM customer) p
         |    ON o.o_custkey = p.k)
         |SELECT * FROM rel ORDER BY relation""".stripMargin,
-    // The temporal-join oracle states the INTERVAL semantics directly
-    // (from <= ts < to with an open current version) over the same
-    // SCD2 CTE — the engine's union-window carry must reproduce it.
+    // The temporal-join oracle: same SCD2 CTE, INTERVAL semantics
+    // (from <= ts < to with an open current version) expressed as a
+    // union + carry-forward window rather than a range LEFT JOIN.
+    // r17: the range-join form was the sf10 sweep's one measured
+    // timeout — DuckDB executes the per-user inequality join
+    // quadratically within heavy users at 10M events — while this
+    // form is a sort + linear scan. They are equivalent because the
+    // SCD2 versions of a user tile [effective_from, next change) with
+    // no gaps or overlaps: the version in force at probe ts is
+    // exactly the LAST version row at or before it (dim rows sort
+    // before probes on ties, so a version starting AT the probe's ts
+    // wins — `from <= ts`; a zero-length version at the same ts is
+    // superseded by its same-ts successor, which the version-ordered
+    // carry also picks). Cell-exact-verified against the range-join
+    // form at sf0.01 and sf1.
     "q_temporal_join" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id, event_type AS status,
@@ -847,19 +859,31 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY user_id
         |                            ORDER BY ts, event_id) AS BIGINT)
         |      AS version,
-        |    status, ts AS effective_from,
-        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      AS effective_to
+        |    status, ts AS effective_from
         |  FROM changes),
-        |probes AS (
-        |  SELECT event_id, user_id, ts, "value" FROM events
-        |  WHERE event_type = 'purchase')
-        |SELECT p.event_id, p.user_id, p.ts, p."value",
-        |       d.version, d.status
-        |FROM probes p LEFT JOIN dim d
-        |  ON p.user_id = d.user_id AND d.effective_from <= p.ts
-        |  AND (d.effective_to > p.ts OR d.effective_to IS NULL)
-        |ORDER BY p.event_id""".stripMargin,
+        |tagged AS (
+        |  SELECT user_id, effective_from AS ts, 0 AS is_probe, version,
+        |         NULL::BIGINT AS event_id, NULL::DOUBLE AS "value",
+        |         status
+        |  FROM dim
+        |  UNION ALL
+        |  SELECT user_id, ts, 1 AS is_probe, NULL::BIGINT AS version,
+        |         event_id, "value", NULL::VARCHAR AS status
+        |  FROM events WHERE event_type = 'purchase'),
+        |filled AS (
+        |  SELECT *,
+        |    last_value(version IGNORE NULLS) OVER w AS cur_version,
+        |    last_value(CASE WHEN is_probe = 0 THEN status END
+        |               IGNORE NULLS) OVER w AS cur_status
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY ts, is_probe, version
+        |               ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND CURRENT ROW))
+        |SELECT event_id, user_id, ts, "value",
+        |       cur_version AS version, cur_status AS status
+        |FROM filled WHERE is_probe = 1
+        |ORDER BY event_id""".stripMargin,
     // Outlier mirror notes: DuckDB quantile_cont interpolates
     // lo*(1-frac) + hi*frac where Spark's exact percentile computes
     // lo + frac*(hi-lo) — NOT bit-identical in general (the r12 sf1
