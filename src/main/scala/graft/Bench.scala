@@ -164,14 +164,38 @@ object Bench {
       s"""{"overhead_sec":${medianOf((1 to 5).map(_ => overheadProbe()))},""" +
         s""""cpu_sec":${medianOf((1 to 3).map(_ => cpuProbe()))},""" +
         s""""mem_sec":${medianOf((1 to 3).map(_ => memProbe()))}}"""
-    memDf.unpersist(blocking = true)
 
     names.foreach(runOne) // discarded warm-up pass
     // `passes` (validated at entry): timed-pass count (default 3 —
     // the committed per-round artifacts keep medians-of-3; the sf10
-    // spot-sweep runs fewer passes and says so in its reading rule)
+    // spot-sweep runs fewer passes and says so in its reading rule).
+    // r17: PER-PASS anchor samples bracket every timed pass. The sf10
+    // sweeps hit minutes-scale host bandwidth bursts that the
+    // start-of-run anchor cannot see — runs disagreed 20-50% with flat
+    // anchors, and attributing that required out-of-band control
+    // experiments. A cpu+mem probe pair before each pass (and one
+    // after the last) lands the mid-run machine state IN the artifact:
+    // a burst shows as a spike in pass_anchors exactly where the
+    // inflated pass sits, so readers separate host from code per-pass
+    // instead of per-run. The probes cost ~1 s per pass; memDf stays
+    // cached until after the last pass (its ~1 GiB sits in storage
+    // memory — sized so even the sf10 queries keep full execution
+    // headroom).
+    val passCpu = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val passMem = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sampleAnchors(): Unit = {
+      passCpu += cpuProbe(); passMem += memProbe()
+    }
     val samples: Seq[Map[String, Either[String, (Double, Long, Long)]]] =
-      (1 to passes).map(_ => names.map(n => n -> runOne(n)).toMap)
+      (1 to passes).map { _ =>
+        sampleAnchors()
+        names.map(n => n -> runOne(n)).toMap
+      }
+    sampleAnchors() // closing bracket after the last pass
+    memDf.unpersist(blocking = true)
+    val passAnchors =
+      s"""{"cpu_sec":[${passCpu.mkString(",")}],""" +
+        s""""mem_sec":[${passMem.mkString(",")}]}"""
     // per-query median of the successful samples; any failed sample
     // marks the query failed (a crash must never hide behind a median)
     case class Agg(medianSec: Double, spreadSec: Double,
@@ -207,7 +231,17 @@ object Bench {
       "\"" + k + "\":\"" + e + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(a)) => a.medianSec }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$passes,"spread_sec":$spread,"shuffle_read_bytes":$shufRd,"shuffle_write_bytes":$shufWr,"anchor":$anchor,"sf":"$sfDir"}"""
+    // r17: record the run's environment in the artifact. The sf10
+    // sweeps discovered that the two memory-heaviest queries
+    // (q_profile's Expand, q_jaccard_pairs' shingle sweep) run 2-3×
+    // slower with GC-accumulating cross-pass spreads when the driver
+    // heap is undersized for the scale — a config effect that
+    // masqueraded as host noise for a full round because the artifact
+    // recorded neither heap nor core count. Now comparisons can check
+    // env equality first, same as anchors.
+    val env = s"""{"cpus":$cpus,"max_heap_gb":${
+      Runtime.getRuntime.maxMemory / (1L << 30)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$passes,"spread_sec":$spread,"shuffle_read_bytes":$shufRd,"shuffle_write_bytes":$shufWr,"anchor":$anchor,"pass_anchors":$passAnchors,"env":$env,"sf":"$sfDir"}"""
     println(line)
     // Also land the line in a file (r4 verdict item 6: the driver's
     // tail capture once truncated the single long stdout line past the
