@@ -35,7 +35,16 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // r18 (ADVICE r17): parse to Int at entry, fail fast — a
+    // non-integer value (local[*]'s "*") would otherwise both break
+    // shuffle.partitions below and land unquoted in the env JSON,
+    // making the artifact line invalid JSON
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS") match {
+      case None => 4
+      case Some(v) => scala.util.Try(v.trim.toInt).toOption
+        .filter(_ >= 1).getOrElse(sys.error(
+          s"SPARK_GRAFT_CPUS must be a positive int, got '$v'"))
+    }
     // r17 (ADVICE r16): validate the timed-pass count BEFORE the
     // warm-up + anchor passes — a malformed value used to crash only
     // after they ran, wasting the whole anchor cost; a non-positive
@@ -183,8 +192,19 @@ object Bench {
     // headroom).
     val passCpu = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passMem = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // r18 (ADVICE r17): record the probe cache's storage bytes at each
+    // sample, so an EVICTION-caused mem_sec spike (execution pressure
+    // pushing the ~1 GiB probe cache out under a small heap, forcing
+    // the probe to re-materialize) can't masquerade as host
+    // contention: a host burst shows mem_sec up with storage flat; an
+    // eviction shows storage dropping at the same sample.
+    val passStorageMb = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def storageUsedMb(): Long =
+      spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, remaining) => max - remaining }.sum / (1L << 20)
     def sampleAnchors(): Unit = {
       passCpu += cpuProbe(); passMem += memProbe()
+      passStorageMb += storageUsedMb()
     }
     val samples: Seq[Map[String, Either[String, (Double, Long, Long)]]] =
       (1 to passes).map { _ =>
@@ -195,7 +215,8 @@ object Bench {
     memDf.unpersist(blocking = true)
     val passAnchors =
       s"""{"cpu_sec":[${passCpu.mkString(",")}],""" +
-        s""""mem_sec":[${passMem.mkString(",")}]}"""
+        s""""mem_sec":[${passMem.mkString(",")}],""" +
+        s""""storage_mb":[${passStorageMb.mkString(",")}]}"""
     // per-query median of the successful samples; any failed sample
     // marks the query failed (a crash must never hide behind a median)
     case class Agg(medianSec: Double, spreadSec: Double,
@@ -239,8 +260,11 @@ object Bench {
     // masqueraded as host noise for a full round because the artifact
     // recorded neither heap nor core count. Now comparisons can check
     // env equality first, same as anchors.
+    // heap rounded to NEAREST GiB (ADVICE r17: truncating division
+    // reported 47 for -Xmx48g on collectors that reserve heap,
+    // defeating the env-equality check between runs)
     val env = s"""{"cpus":$cpus,"max_heap_gb":${
-      Runtime.getRuntime.maxMemory / (1L << 30)}}"""
+      (Runtime.getRuntime.maxMemory + (1L << 29)) / (1L << 30)}}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$passes,"spread_sec":$spread,"shuffle_read_bytes":$shufRd,"shuffle_write_bytes":$shufWr,"anchor":$anchor,"pass_anchors":$passAnchors,"env":$env,"sf":"$sfDir"}"""
     println(line)
     // Also land the line in a file (r4 verdict item 6: the driver's

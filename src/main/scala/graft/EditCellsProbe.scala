@@ -11,8 +11,13 @@ import graft.sources.Tables
   * structural quantity behind the edit family's scale ceiling is the
   * candidate mass Σ over join cells of |build rows| × |probe key rows|
   * — it is what the shuffle ships and what the banded DP walks, and it
-  * is the number that grew 88 k → 2.6 M → 202 M (76× for 10× data)
-  * when the index was keyed by segment content alone. This main
+  * is the number that grows ~quadratically once content saturates:
+  * under this probe's content keying, 113.8 k (sf0.1) → 3.59 M (sf1) →
+  * 303.2 M (sf10), 84× for the second 10× of data
+  * (`EDIT_CELLS_r17.json` — the committed artifact this main
+  * produces; the r16 sweep's in-flight estimate of the same effect,
+  * "88 k → 2.6 M → 202 M", used the pre-probe counting, before the
+  * probe-key dedup rules here were fixed as THE definition). This main
   * computes that mass over a scale directory's `documents` under BOTH
   * keyings of the SAME exploded row sets:
   *

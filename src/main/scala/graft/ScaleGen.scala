@@ -270,6 +270,13 @@ object ScaleGen {
         inflate(tbl("orders"), Seq("o_orderkey", "o_custkey"), skewCustkey)
       else inflate(tbl("orders"), Seq("o_orderkey", "o_custkey"))
 
+    // SPARK_GRAFT_SCALEGEN_TABLES (r18): comma-separated table subset
+    // for probe-only scale points — the decade-3 structural probes
+    // (LabelRoundsProbe, EditCellsProbe) read only `documents`, and a
+    // documents-only sf100 is ~600 MB where the full directory would
+    // be ~17 GB of unread lineitem. Default (unset) generates all.
+    val tableSubset = sys.env.get("SPARK_GRAFT_SCALEGEN_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val plans: Seq[(String, DataFrame)] = Seq(
       "region" -> tbl("region"),
       "nation" -> tbl("nation"),
@@ -282,6 +289,7 @@ object ScaleGen {
       "events" -> inflate(tbl("events"), Seq("event_id", "user_id")),
       "documents" -> documentsPlan,
       "embeddings" -> inflateEmbeddings(tbl("embeddings")))
+      .filter { case (name, _) => tableSubset.forall(_.contains(name)) }
     plans.foreach { case (name, df) =>
       df.repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$dst/$name.parquet")

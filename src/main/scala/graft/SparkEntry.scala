@@ -412,8 +412,8 @@ object SparkEntry {
     "q_count_by_key" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |       sum(l_quantity) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-        |           AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+        |       CAST(CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |           AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_null_impute" ->
@@ -605,14 +605,14 @@ object SparkEntry {
     "q_bucket_agg" ->
       """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
         |       sum(l_quantity) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-        |           AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+        |       CAST(CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |           AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY l_orderkey
         |ORDER BY l_orderkey""".stripMargin,
     "q_bucket_join" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
-        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-        |           AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+        |       CAST(CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |           AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,

@@ -103,8 +103,8 @@ private[graft] object Bucketed {
     * the join — the priority-keyed aggregate (map-side partials of a
     * 5-row group space) and the final sort; the two fact scans feed
     * the SMJ directly. Money sum through the exact DECIMAL accumulator
-    * with an explicit round(·, 6) on both engines ([[Relational
-    * .qCountByKey]] determinism discipline).
+    * emitted as a single decimal→double conversion on both engines
+    * ([[Relational.qCountByKey]] determinism discipline).
     */
   /** The layout's second dividend, declared: a grouped aggregate ON
     * the bucket key consumes the bucketed distribution directly — the
@@ -132,10 +132,11 @@ private[graft] object Bucketed {
       .agg(
         count(lit(1)).as("n_lines"),
         sum(col("l_quantity")).as("sum_qty"),
-        // exact decimal end-to-end (no double step): see qCountByKey's
-        // r17 note — round-on-double diverges across engines past 2^53
+        // exact decimal accumulator, emitted through a single
+        // decimal→double conversion: see qCountByKey's determinism note
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,6)")).cast("decimal(38,6)").as("revenue"))
+          .cast("decimal(18,6)")).cast("decimal(38,6)")
+          .cast("double").as("revenue"))
 
   /** Third consumer of the layout (r11 verdict item 5 — widening the
     * amortization argument past one data point): the
@@ -186,6 +187,7 @@ private[graft] object Bucketed {
       .agg(
         count(lit(1)).as("n_items"),
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,6)")).cast("decimal(38,6)").as("revenue"))
+          .cast("decimal(18,6)")).cast("decimal(38,6)")
+          .cast("double").as("revenue"))
       .orderBy(col("o_orderpriority"))
 }

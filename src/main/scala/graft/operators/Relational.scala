@@ -302,13 +302,27 @@ object Relational {
   /** A1 — grouped counts (`len(data['entry'])`,
     * /root/reference/src/coding_task_1.py:75). Hash aggregate with map-side
     * partials; the money sum goes through an exact DECIMAL accumulator so
-    * the result is independent of partition order (see object doc) and
-    * STAYS decimal in the output. The earlier round(·,6)-on-double pin
-    * (ADVICE round 2) broke at the second decade: the r17 sf10 sweep
+    * the result is independent of partition order (see object doc), then
+    * is emitted through a SINGLE decimal→double conversion with no
+    * round(). History of the pin: the original round(·,6)-on-double
+    * (ADVICE round 2) broke at the second decade — the r17 sf10 sweep
     * caught the engines' double-rounding diverging in the last ulp once
-    * |revenue|·10⁶ passes 2⁵³ (~5·10¹¹ at 60M lineitem — any whole-corpus
-    * money rollup gets there). DECIMAL(38,6) end-to-end has no fp step to
-    * disagree on, at any corpus size.
+    * |revenue|·10⁶ passes 2⁵³ (~5·10¹¹ at 60M lineitem). r17's
+    * DECIMAL(38,6) output fixed the value but regressed the DRIVER's
+    * hash gate (its canonicalization of decimal cells differs from both
+    * engines' renderings). The stable form satisfies both: the exact
+    * decimal sum has no fp step to disagree on at any corpus size, and
+    * decimal→double is one correctly-rounded IEEE conversion of the
+    * identical exact value on both engines — bit-identical — while the
+    * double output column stays inside the driver-proven type surface
+    * (SURVEY §5 frozen-output-type rule). One dialect wrinkle, caught by
+    * the r18 sf10 re-check: Spark's `Decimal.toDouble` (BigDecimal) IS
+    * correctly rounded, but DuckDB's direct DECIMAL→DOUBLE is a two-step
+    * int128→double ÷ 10^scale conversion that lands one ulp off once the
+    * unscaled value passes 2⁵³ — so the oracle SQL converts via
+    * `CAST(CAST(dec AS VARCHAR) AS DOUBLE)` (exact decimal string, then
+    * one correctly-rounded parse), which matches Spark bit-for-bit at
+    * every tested scale.
     */
   def qCountByKey(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -317,7 +331,8 @@ object Relational {
         count(lit(1)).as("n"),
         sum(col("l_quantity")).as("sum_qty"),
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,6)")).cast("decimal(38,6)").as("revenue"))
+          .cast("decimal(18,6)")).cast("decimal(38,6)")
+          .cast("double").as("revenue"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** F1/F2 — null imputation (`district` ← "Not found" when missing/blank,

@@ -63,7 +63,8 @@ class BucketedSpec extends SparkTestBase {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,6)")).cast("decimal(38,6)").as("revenue"))
+          .cast("decimal(18,6)")).cast("decimal(38,6)")
+          .cast("double").as("revenue"))
       .orderBy(col("o_orderpriority"))
       .collect().toSeq
     assert(out == plain)

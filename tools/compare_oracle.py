@@ -7,7 +7,13 @@ Runs after `graft.Verify <sfDir> <outDir>`: for each query result parquet in
 same testdata tables, sorts columns by name, and compares cell-by-cell
 (exact; NaN==NaN). Exits nonzero on any mismatch.
 
-Usage: python3 tools/compare_oracle.py <sfDir> <outDir> [query ...]
+Usage: python3 tools/compare_oracle.py [--strict] <sfDir> <outDir> [query ...]
+
+--strict additionally compares type(cell) and str(cell), catching
+representation drift (e.g. Decimal('1.50') vs Decimal('1.5'), or a
+decimal column where the oracle yields double) that value-equality
+hides but a stringify/serialize hasher — like the driver's — does not.
+See SURVEY.md §5's frozen-output-type rule (r17 lesson).
 """
 import json
 import math
@@ -15,10 +21,14 @@ import sys
 
 import duckdb
 
+STRICT = False
+
 
 def norm_cell(v):
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
+    if STRICT:
+        return (type(v).__name__, str(v), v)
     return v
 
 
@@ -29,15 +39,22 @@ def compare(name, spark_rows, duck_rows, cols):
     for i, (a, b) in enumerate(zip(spark_rows, duck_rows)):
         for c, (x, y) in zip(cols, zip(a, b)):
             if norm_cell(x) != norm_cell(y):
-                print(f"FAIL {name}: row {i} col {c}: spark={x!r} duck={y!r}")
+                print(f"FAIL {name}: row {i} col {c}: spark={x!r} duck={y!r}"
+                      f" (types {type(x).__name__}/{type(y).__name__})")
                 return False
     print(f"OK   {name}: {len(spark_rows)} rows")
     return True
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    global STRICT
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    STRICT = len(argv) != len(sys.argv) - 1
+    if len(argv) < 2:
+        print(__doc__)
+        sys.exit(2)
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     import os
     for t in ["region", "nation", "customer", "supplier", "part", "orders",

@@ -82,6 +82,10 @@ ORDER BY event_id"""
 
 
 def main():
+    if len(sys.argv) < 2:
+        print("usage: temporal_oracle_duals.py <sfDir> [--hash-only]",
+              file=sys.stderr)
+        sys.exit(2)
     sf_dir = sys.argv[1]
     hash_only = "--hash-only" in sys.argv[2:]
     import os
@@ -89,7 +93,11 @@ def main():
     path = f"{sf_dir}/events.parquet"
     if os.path.isdir(path):
         path = f"{path}/*.parquet"
-    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    # DuckDB cannot prepare CREATE VIEW, so escape single quotes in the
+    # interpolated path (a quote in the path would otherwise break the
+    # statement)
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{path.replace(chr(39), chr(39) * 2)}')")
     if hash_only:
         probe = ("SELECT count(*),"
                  " sum(hash(event_id, user_id, ts, \"value\","
