@@ -80,6 +80,33 @@ ENGINE_DUAL = {
     "q_dedup_embed_compact": "q_dedup_embed_clusters",
 }
 
+# r18 second half of the exclusion shrink: the clusters rows' FULL
+# independent oracle (re-derive pairs + recurse) stays cost-excluded,
+# but the half of it that matters most at scale -- did the distributed
+# alternating-star labeling compute TRUE connected components on a
+# 500k-node graph? -- is checkable in seconds: run DuckDB's recursive
+# reachability over the ENGINE'S OWN pair dump (the declared pair-list
+# query of the same family, no pair re-derivation) and compare the
+# result against the engine's clusters dump. Evidence chain: pair
+# parity engine==exact is hash-verified at sf0.01/sf1 (and
+# spec-asserted); this check extends the reachability half to the
+# second decade. Tuple: (pair dump, pair col a, pair col b, node
+# table, node col).
+CLUSTERS_REACH = {
+    "q_dedup_clusters":
+        ("q_dedup_minhash", "id_a", "id_b", "documents", "doc_id"),
+    "q_simhash_clusters":
+        ("q_simhash_pairs", "doc_id_a", "doc_id_b", "documents",
+         "doc_id"),
+    "q_edit_clusters":
+        ("q_edit_pairs", "doc_id_a", "doc_id_b", "documents", "doc_id"),
+    # the embed pair graph is empty on the healthy corpora (planted
+    # cosines sit below the 0.8 threshold), so this degenerates to the
+    # identity labeling -- still catches dropped or spurious rows
+    "q_dedup_embed_clusters":
+        ("q_dedup_embed_lsh", "id_a", "id_b", "embeddings", "vec_id"),
+}
+
 # The Misra-Gries exact-regime contract (same scoping as the sf1
 # artifact): ScaleGen token suffixing grows the vocabulary past the
 # sketch capacity, so the sketch UNDERCOUNTS by contract. The exact
@@ -170,6 +197,73 @@ def main():
                 n_fail += 1
                 print(f"ERROR {name}: {str(e)[:200]}", flush=True)
             continue
+        if name in CLUSTERS_REACH:
+            pairs, pa, pb, ntable, ncol = CLUSTERS_REACH[name]
+            if not (os.path.exists(f"{out_dir}/{name}")
+                    and os.path.exists(f"{out_dir}/{pairs}")):
+                results[name] = {"status": "excluded_by_cost",
+                                 "reason": HARD_EXCLUDED[name] +
+                                 f" (reach check skipped: missing dump"
+                                 f" of {name} or {pairs})"}
+                continue
+            try:
+                reach_sql = f"""WITH RECURSIVE jp AS (
+  SELECT "{pa}" AS pa, "{pb}" AS pb
+  FROM '{out_dir}/{pairs}/*.parquet'),
+e AS (SELECT pa AS a, pb AS b FROM jp UNION ALL SELECT pb, pa FROM jp),
+reach AS (
+  SELECT {ncol} AS node, {ncol} AS r FROM {ntable}
+  UNION
+  SELECT e.a, reach.r FROM reach JOIN e ON reach.node = e.b)
+SELECT node AS {ncol}, min(r) AS cluster_id, (min(r) = node) AS is_kept
+FROM reach GROUP BY node"""
+                cols_s = sorted(d[0] for d in con.execute(
+                    f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
+                    " LIMIT 0").description)
+                csv = ", ".join(f'"{c}"' for c in cols_s)
+                probe = (f"SELECT count(*), sum(hash({csv})::HUGEINT)"
+                         " FROM ")
+                dn, dh = run_with_timeout(
+                    con, probe + f"({reach_sql})", timeout).fetchone()
+                sn, sh = run_with_timeout(
+                    con, probe + f"'{out_dir}/{name}/*.parquet'",
+                    timeout).fetchone()
+                if dn == sn and dh == sh:
+                    results[name] = {
+                        "status": "reach_ok_given_engine_pairs",
+                        "rows": int(sn),
+                        "method": f"DuckDB recursive reachability over"
+                                  f" the engine's {pairs} dump =="
+                                  f" the engine's labels (pair parity"
+                                  f" is hash-verified at sf0.01/sf1;"
+                                  f" full pair re-derivation stays"
+                                  f" cost-excluded:"
+                                  f" {HARD_EXCLUDED[name]})"}
+                    print(f"OK   {name}: reach over {pairs}"
+                          f" ({sn} rows)", flush=True)
+                else:
+                    results[name] = {
+                        "status": "fail",
+                        "detail": f"reachability over {pairs} !="
+                                  f" engine labels: n={sn}/{dn}"
+                                  f" h={sh}/{dh}"}
+                    n_fail += 1
+                    print(f"FAIL {name}: reach mismatch", flush=True)
+            except Exception as e:
+                msg = str(e)
+                if "INTERRUPT" in msg.upper():
+                    results[name] = {
+                        "status": "excluded_by_cost",
+                        "reason": HARD_EXCLUDED[name] +
+                        f" (reach check also exceeded the"
+                        f" {timeout:.0f}s budget)"}
+                    print(f"TIMEOUT {name} (reach)", flush=True)
+                else:
+                    results[name] = {"status": "error",
+                                     "detail": msg[:400]}
+                    n_fail += 1
+                    print(f"ERROR {name}: {msg[:200]}", flush=True)
+            continue
         if name in HARD_EXCLUDED:
             results[name] = {"status": "excluded_by_cost",
                              "reason": HARD_EXCLUDED[name]}
@@ -239,6 +333,9 @@ def main():
             1 for r in results.values()
             if r["status"] == "ok"
             and r.get("method", "").startswith("engine_dual")),
+        "reach_ok_given_engine_pairs": sum(
+            1 for r in results.values()
+            if r["status"] == "reach_ok_given_engine_pairs"),
         "excluded_by_cost": sum(1 for r in results.values()
                                 if r["status"] == "excluded_by_cost"),
         "contract_scoped": sum(1 for r in results.values()
