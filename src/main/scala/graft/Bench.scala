@@ -55,9 +55,23 @@ object Bench {
         .filter(_ >= 1).getOrElse(sys.error(
           s"SPARK_GRAFT_BENCH_PASSES must be a positive int, got '$v'"))
     }
+    // r19 (r18 verdict item 3): optional shuffle-partition override so
+    // the decade-3 scale probes can emulate cluster-width salt spread
+    // (sf100 runs raise this past the local core count — the salted
+    // operators derive their fan-out from this setting, so a 128-way
+    // value exercises the geometry a 1000-executor cluster would see).
+    // Default (unset) stays = cpus, the committed artifacts' setting.
+    val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      match {
+      case None => cpus
+      case Some(v) => scala.util.Try(v.trim.toInt).toOption
+        .filter(_ >= 1).getOrElse(sys.error(
+          s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be a positive int," +
+            s" got '$v'"))
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -169,6 +183,72 @@ object Bench {
     }
     overheadProbe(); cpuProbe(); memProbe() // warm-up; memProbe's
     // first run also materializes the 1 GiB cache outside the medians
+
+    // r19 (r18 verdict item 1): PROBE-GATED START. Two rounds of sf10
+    // medians-of-record landed on afternoons the host's memory
+    // bandwidth was degraded 1.7-2x (mem probes 0.36-0.51 s vs the
+    // 0.21 s clean floor) — the artifacts were honest (pass_anchors
+    // flagged it) but attributing the inflated rows consumed builder
+    // and judge time both rounds. This turns the manual "read the
+    // anchors, supersede the window" practice into tooling: sample the
+    // mem probe BEFORE committing to the warm-up + timed passes, and
+    // while it reads above factor x the committed clean floor, wait
+    // and resample. On exhaustion the default is PROCEED-AND-FLAG (the
+    // artifact carries gate.passed=false, so a degraded run is never
+    // mistaken for a clean one — and the round driver's artifact
+    // always exists); SPARK_GRAFT_GATE_STRICT=1 refuses instead (exit
+    // 3), for builder-side runs that must land on a clean window. The
+    // 0.21 s floor is calibrated at this host's 32-thread session, so
+    // with a different cpu count and no explicit floor the gate
+    // records itself uncalibrated and does not wait.
+    val gateFloorEnv = sys.env.get("SPARK_GRAFT_GATE_MEM_FLOOR")
+      .map(v => scala.util.Try(v.trim.toDouble).toOption
+        .filter(_ > 0).getOrElse(sys.error(
+          s"SPARK_GRAFT_GATE_MEM_FLOOR must be a positive double," +
+            s" got '$v'")))
+    val gateFactor = sys.env.get("SPARK_GRAFT_GATE_FACTOR")
+      .map(_.trim.toDouble).getOrElse(1.3)
+    val gateRetries = sys.env.get("SPARK_GRAFT_GATE_RETRIES")
+      .map(_.trim.toInt).getOrElse(5)
+    val gateWaitSec = sys.env.get("SPARK_GRAFT_GATE_WAIT_SEC")
+      .map(_.trim.toInt).getOrElse(60)
+    val gateStrict = sys.env.get("SPARK_GRAFT_GATE_STRICT").contains("1")
+    val gateCalibrated = gateFloorEnv.isDefined || cpus == 32
+    val gateFloor = gateFloorEnv.getOrElse(0.21)
+    val gateSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var gateWaits = 0
+    def gateSample(): Double = {
+      val m = medianOf((1 to 3).map(_ => memProbe()))
+      gateSamples += m
+      m
+    }
+    var gateMem = gateSample()
+    while (gateCalibrated && gateMem > gateFloor * gateFactor
+        && gateWaits < gateRetries) {
+      System.err.println(
+        f"[bench] gate: mem probe $gateMem%.3f s > " +
+          f"${gateFloor * gateFactor}%.3f s (${gateFloor}%.2f x " +
+          f"$gateFactor%.2f) — degraded window, waiting ${gateWaitSec}s " +
+          s"(retry ${gateWaits + 1}/$gateRetries)")
+      Thread.sleep(gateWaitSec * 1000L)
+      gateWaits += 1
+      gateMem = gateSample()
+    }
+    val gatePassed = !gateCalibrated || gateMem <= gateFloor * gateFactor
+    if (!gatePassed && gateStrict) {
+      System.err.println(
+        f"[bench] gate REFUSED (strict): mem probe $gateMem%.3f s still" +
+          f" > ${gateFloor * gateFactor}%.3f s after $gateWaits waits —" +
+          " not benching on a degraded window")
+      spark.stop()
+      sys.exit(3)
+    }
+    val gateJson =
+      s"""{"mem_floor_sec":$gateFloor,"factor":$gateFactor,""" +
+        s""""calibrated":$gateCalibrated,"waits":$gateWaits,""" +
+        s""""samples":[${gateSamples.mkString(",")}],""" +
+        s""""passed":$gatePassed}"""
+
     val anchor =
       s"""{"overhead_sec":${medianOf((1 to 5).map(_ => overheadProbe()))},""" +
         s""""cpu_sec":${medianOf((1 to 3).map(_ => cpuProbe()))},""" +
@@ -199,9 +279,20 @@ object Bench {
     // contention: a host burst shows mem_sec up with storage flat; an
     // eviction shows storage dropping at the same sample.
     val passStorageMb = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // r19 (ADVICE r18): track the PROBE CACHE's own blocks, not the
+    // aggregate storage pool — if a future bench query caches or
+    // broadcasts data, its blocks would alias into an aggregate number
+    // and could mask a probe-cache eviction (pool flat while the probe
+    // was evicted). memDf is the only cached dataset at this point, so
+    // the RDD ids in storage right now ARE the probe cache; summing
+    // memSize over exactly those ids keeps the eviction signal scoped
+    // to the probe no matter what later queries pin.
+    val probeRddIds: Set[Int] =
+      spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
     def storageUsedMb(): Long =
-      spark.sparkContext.getExecutorMemoryStatus.values
-        .map { case (max, remaining) => max - remaining }.sum / (1L << 20)
+      spark.sparkContext.getRDDStorageInfo
+        .filter(i => probeRddIds.contains(i.id))
+        .map(_.memSize).sum / (1L << 20)
     def sampleAnchors(): Unit = {
       passCpu += cpuProbe(); passMem += memProbe()
       passStorageMb += storageUsedMb()
@@ -263,9 +354,9 @@ object Bench {
     // heap rounded to NEAREST GiB (ADVICE r17: truncating division
     // reported 47 for -Xmx48g on collectors that reserve heap,
     // defeating the env-equality check between runs)
-    val env = s"""{"cpus":$cpus,"max_heap_gb":${
+    val env = s"""{"cpus":$cpus,"shuffle_partitions":$shufflePartitions,"max_heap_gb":${
       (Runtime.getRuntime.maxMemory + (1L << 29)) / (1L << 30)}}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$passes,"spread_sec":$spread,"shuffle_read_bytes":$shufRd,"shuffle_write_bytes":$shufWr,"anchor":$anchor,"pass_anchors":$passAnchors,"env":$env,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$passes,"spread_sec":$spread,"shuffle_read_bytes":$shufRd,"shuffle_write_bytes":$shufWr,"anchor":$anchor,"pass_anchors":$passAnchors,"gate":$gateJson,"env":$env,"sf":"$sfDir"}"""
     println(line)
     // Also land the line in a file (r4 verdict item 6: the driver's
     // tail capture once truncated the single long stdout line past the

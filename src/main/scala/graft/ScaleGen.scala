@@ -277,6 +277,19 @@ object ScaleGen {
     // be ~17 GB of unread lineitem. Default (unset) generates all.
     val tableSubset = sys.env.get("SPARK_GRAFT_SCALEGEN_TABLES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // r19 (ADVICE r18): fail fast on unrecognized names — a typo
+    // ('document') used to silently generate an empty or partial scale
+    // directory, surfacing only later as a missing-parquet failure in
+    // whichever probe read it.
+    val knownTables = Set("region", "nation", "customer", "supplier",
+      "part", "orders", "lineitem", "events", "documents", "embeddings")
+    tableSubset.foreach { s =>
+      val unknown = s -- knownTables
+      if (unknown.nonEmpty) sys.error(
+        s"SPARK_GRAFT_SCALEGEN_TABLES names unknown table(s) " +
+          s"${unknown.toSeq.sorted.mkString(", ")}; known: " +
+          knownTables.toSeq.sorted.mkString(", "))
+    }
     val plans: Seq[(String, DataFrame)] = Seq(
       "region" -> tbl("region"),
       "nation" -> tbl("nation"),

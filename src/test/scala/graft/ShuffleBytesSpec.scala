@@ -151,6 +151,25 @@ class ShuffleBytesSpec extends SparkTestBase {
       s"warm publish shuffled $warm B — copy-on-write regressed?")
   }
 
+  test("nightly and curation pipelines stay in their exchange byte " +
+      "class") {
+    // r19 (r18 verdict item 5): the publish/nightly/curation rows'
+    // sf10 exchanges were byte-identical across r17/r18
+    // (843/1352/2395 MB) while their sf10 wall medians wandered with
+    // the host — so the byte volume, not the local seconds, is the
+    // regression signal worth CI-pinning. Measured warm at fixture
+    // scale: nightly ~390 KB (delta-sized increment probe + label
+    // extension + digest-gated publish), curation ~740 KB (quality
+    // gates + near-dup pair graph + span scrub join-backs). A
+    // regression that re-keys the corpus through any of these stages
+    // (the claims' failure mode) costs corpus-scale MBs at sf0.001
+    // and blows past these bounds; ~2.5-2.8x headroom keeps
+    // partition-count jitter out. q_pipeline_publish's tighter CoW
+    // bound lives in its own test above.
+    assert(warmShuffleRead("q_pipeline_nightly") <= 1024 * 1024L)
+    assert(warmShuffleRead("q_pipeline_curation") <= 2 * 1024 * 1024L)
+  }
+
   test("edit-distance pairs shuffle stays in the KB class (emit-once)") {
     // r14 deleted the candidate-set exchange; the only bytes left are
     // the final ordered-pair rows. sf0.1 measures 2.9 KB; a pair-keyed

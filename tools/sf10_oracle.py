@@ -56,6 +56,66 @@ HARD_EXCLUDED = {
         "full hyperplane signature re-derivation + banded pair sweep",
 }
 
+# r19 (r18 verdict item 2): SAMPLED-ANCHOR verification for the
+# cost-excluded exact baselines. Every query here is ROW-LOCAL (the
+# output row depends only on its own document/vector) or PAIR-LOCAL
+# (the pair predicate depends only on the two endpoints -- shingles,
+# signatures, lengths, norms are all derived per item, never from
+# corpus statistics), so restricting the base table to a deterministic
+# id stratum and running the DECLARED oracle SQL VERBATIM yields
+# exactly the full output restricted to rows whose every id sits in
+# the stratum. That slice of the engine's ACTUAL sf10 dump is then
+# count+multiset-hash compared against the brute force -- bounded
+# evidence on the real second-decade run, where the full oracle is
+# hours-to-days of DuckDB. The stratum is ~2% by md5 of the id
+# (deterministic, value-independent: md5 prefix in 5 of 256 buckets
+# ~ 10k of 500k docs / 4k of 200k vectors), which keeps even the
+# levenshtein and cosine pair sweeps inside the DuckDB budget.
+# Tuple: (base table to restrict, base id col, dump id cols).
+SAMPLED_ANCHOR = {
+    "q_jaccard_pairs": ("documents", "doc_id", ["id_a", "id_b"]),
+    "q_dedup_minhash_carried":
+        ("documents", "doc_id", ["id_a", "id_b"]),
+    "q_dedup_minhash_joinback":
+        ("documents", "doc_id", ["id_a", "id_b"]),
+    "q_edit_pairs": ("documents", "doc_id", ["doc_id_a", "doc_id_b"]),
+    "q_simhash_pairs": ("documents", "doc_id", ["doc_id_a", "doc_id_b"]),
+    "q_simhash_checked": ("documents", "doc_id", ["doc_id"]),
+    "q_fingerprint_checked": ("documents", "doc_id", ["doc_id"]),
+    "q_dedup_embed": ("embeddings", "vec_id", ["id_a", "id_b"]),
+    "q_dedup_embed_lsh": ("embeddings", "vec_id", ["id_a", "id_b"]),
+}
+
+# The two rows sampling CANNOT reach: their outputs carry GLOBAL
+# connected-component labels (a doc's cluster id / kept flag can be
+# decided by a pair chain through docs outside any stratum), so
+# neither output-slicing nor corpus-restriction yields a checkable
+# identity. Their dedup cores are covered by the reach-verified
+# q_dedup_clusters row (same labeling machinery over the same pair
+# graph); the note below lands in the artifact so the exclusion is
+# never a bare cost class.
+SAMPLING_INAPPLICABLE = {
+    "q_pipeline_curation":
+        " (sampled anchor inapplicable: output rows carry global"
+        " connected-component labels reachable through out-of-stratum"
+        " docs; the labeling machinery is reach-verified on"
+        " q_dedup_clusters over the same pair graph)",
+    "q_pipeline_multimodal":
+        " (sampled anchor inapplicable: output rows carry global"
+        " connected-component labels reachable through out-of-stratum"
+        " docs; the labeling machinery is reach-verified on"
+        " q_dedup_clusters over the same pair graph)",
+}
+
+# 5/256 md5-prefix buckets ~ 1.95% of ids, deterministic and
+# value-independent (same expression on base ids and dump ids).
+STRATUM_PREFIXES = ("00", "01", "02", "03", "04")
+
+
+def stratum_pred(col):
+    inlist = ", ".join(f"'{p}'" for p in STRATUM_PREFIXES)
+    return f"substr(md5(CAST({col} AS VARCHAR)), 1, 2) IN ({inlist})"
+
 # r18 (r17 verdict item 6): the incremental/compact family members'
 # contract is "probing the base index + extending labels == a FULL
 # recompute over the true corpus" -- their declared oracle SQL is the
@@ -134,11 +194,13 @@ def main():
     timeout = float(sys.argv[4]) if len(sys.argv) > 4 else 300.0
     con = duckdb.connect()
     import os
+    table_path = {}
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"]:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
+        table_path[t] = path
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
@@ -177,12 +239,15 @@ def main():
                 (ca, (na, ha)) = probe_of(name)
                 (cb, (nb, hb)) = probe_of(dual)
                 if ca == cb and na == nb and ha == hb:
+                    # r19 (ADVICE r18): distinct status -- these are
+                    # engine-self-consistency checks, not independent
+                    # DuckDB verification; consumers filtering on
+                    # status=='ok' must not overstate the latter
                     results[name] = {
-                        "status": "ok", "rows": int(na),
+                        "status": "ok_engine_dual", "rows": int(na),
                         "method": f"engine_dual(multiset_hash == {dual};"
                                   " shared clusters oracle is"
                                   " cell-exact-verified at sf0.01/sf1)"}
-                    n_ok += 1
                     print(f"OK   {name}: {na} rows == {dual}", flush=True)
                 else:
                     results[name] = {
@@ -201,10 +266,17 @@ def main():
             pairs, pa, pb, ntable, ncol = CLUSTERS_REACH[name]
             if not (os.path.exists(f"{out_dir}/{name}")
                     and os.path.exists(f"{out_dir}/{pairs}")):
-                results[name] = {"status": "excluded_by_cost",
-                                 "reason": HARD_EXCLUDED[name] +
-                                 f" (reach check skipped: missing dump"
-                                 f" of {name} or {pairs})"}
+                # r19 (ADVICE r18): a missing dump must be LOUD, not a
+                # silent downgrade to excluded_by_cost -- a run that
+                # forgot to dump the pair query would otherwise lose
+                # the reachability check with exit 0 (asymmetric with
+                # the ENGINE_DUAL branch's no_dump failure)
+                results[name] = {"status": "reach_skipped_no_dump",
+                                 "detail": f"reach check needs dumps of"
+                                           f" both {name} and {pairs}"}
+                n_fail += 1
+                print(f"FAIL {name}: reach skipped, missing dump of"
+                      f" {name} or {pairs}", flush=True)
                 continue
             try:
                 reach_sql = f"""WITH RECURSIVE jp AS (
@@ -264,9 +336,96 @@ FROM reach GROUP BY node"""
                     n_fail += 1
                     print(f"ERROR {name}: {msg[:200]}", flush=True)
             continue
+        if name in SAMPLED_ANCHOR:
+            table, id_col, dump_ids = SAMPLED_ANCHOR[name]
+            if not os.path.exists(f"{out_dir}/{name}"):
+                results[name] = {
+                    "status": "sampled_skipped_no_dump",
+                    "detail": f"sampled-anchor check needs the sf10"
+                              f" dump of {name}"}
+                n_fail += 1
+                print(f"FAIL {name}: sampled anchor skipped, missing"
+                      f" dump", flush=True)
+                continue
+            try:
+                cols_s = sorted(d[0] for d in con.execute(
+                    f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
+                    " LIMIT 0").description)
+                csv = ", ".join(f'"{c}"' for c in cols_s)
+                probe = (f"SELECT count(*), sum(hash({csv})::HUGEINT)"
+                         " FROM ")
+                n_stratum = con.execute(
+                    f"SELECT count(*) FROM '{table_path[table]}'"
+                    f" WHERE {stratum_pred(id_col)}").fetchone()[0]
+                # restrict the base table to the stratum and run the
+                # DECLARED oracle SQL verbatim (row/pair-local:
+                # restrict-then-derive == derive-then-restrict);
+                # restore the view before anything else runs
+                con.execute(
+                    f"CREATE OR REPLACE VIEW {table} AS SELECT * FROM"
+                    f" '{table_path[table]}'"
+                    f" WHERE {stratum_pred(id_col)}")
+                try:
+                    dn, dh = run_with_timeout(
+                        con, probe + f"({sql})", timeout).fetchone()
+                finally:
+                    con.execute(
+                        f"CREATE OR REPLACE VIEW {table} AS SELECT *"
+                        f" FROM '{table_path[table]}'")
+                where = " AND ".join(
+                    stratum_pred(f'"{c}"') for c in dump_ids)
+                sn, sh = run_with_timeout(
+                    con, probe + f"(SELECT * FROM"
+                    f" '{out_dir}/{name}/*.parquet'"
+                    f" WHERE {where})", timeout).fetchone()
+                if dn == sn and dh == sh:
+                    results[name] = {
+                        "status": "ok_sampled_anchor",
+                        "stratum_rows": int(n_stratum),
+                        "slice_rows": int(sn),
+                        "method": f"engine sf10 dump sliced to the"
+                                  f" md5[:2] in {list(STRATUM_PREFIXES)}"
+                                  f" id stratum of {table}"
+                                  f" ({n_stratum} ids) == declared"
+                                  f" oracle SQL run verbatim on the"
+                                  f" stratum-restricted {table}"
+                                  f" (valid because the output is"
+                                  f" row/pair-local); the FULL oracle"
+                                  f" stays cost-excluded:"
+                                  f" {HARD_EXCLUDED[name]}"}
+                    print(f"OK   {name}: sampled anchor, {sn} slice"
+                          f" rows over {n_stratum} stratum ids",
+                          flush=True)
+                else:
+                    results[name] = {
+                        "status": "fail",
+                        "detail": f"sampled-anchor mismatch: engine"
+                                  f" slice n={sn} h={sh}; stratum"
+                                  f" brute force n={dn} h={dh}"
+                                  f" (stratum {n_stratum} ids)"}
+                    n_fail += 1
+                    print(f"FAIL {name}: sampled anchor n {sn} vs"
+                          f" {dn}", flush=True)
+            except Exception as e:
+                msg = str(e)
+                if "INTERRUPT" in msg.upper():
+                    results[name] = {
+                        "status": "excluded_by_cost",
+                        "reason": HARD_EXCLUDED[name] +
+                        f" (the ~2% sampled anchor also exceeded the"
+                        f" {timeout:.0f}s budget)"}
+                    print(f"TIMEOUT {name} (sampled anchor)",
+                          flush=True)
+                else:
+                    results[name] = {"status": "error",
+                                     "detail": msg[:400]}
+                    n_fail += 1
+                    print(f"ERROR {name}: {msg[:200]}", flush=True)
+            continue
         if name in HARD_EXCLUDED:
             results[name] = {"status": "excluded_by_cost",
-                             "reason": HARD_EXCLUDED[name]}
+                             "reason": HARD_EXCLUDED[name] +
+                             SAMPLING_INAPPLICABLE.get(name, "")}
             continue
         if name in CONTRACT_SCOPED:
             results[name] = {"status": "contract_scoped",
@@ -328,11 +487,16 @@ FROM reach GROUP BY node"""
         "sf": sf_dir, "method": "count + order-insensitive multiset "
         "hash in DuckDB (cell-exact compares live in the sf0.01/sf1 "
         "artifacts)", "timeout_sec": timeout,
+        # r19 (ADVICE r18): "ok" now counts ONLY independently
+        # DuckDB-verified queries; engine-dual passes carry their own
+        # status + counter instead of aliasing into ok
         "ok": n_ok, "fail_or_error": n_fail,
         "ok_engine_dual": sum(
             1 for r in results.values()
-            if r["status"] == "ok"
-            and r.get("method", "").startswith("engine_dual")),
+            if r["status"] == "ok_engine_dual"),
+        "ok_sampled_anchor": sum(
+            1 for r in results.values()
+            if r["status"] == "ok_sampled_anchor"),
         "reach_ok_given_engine_pairs": sum(
             1 for r in results.values()
             if r["status"] == "reach_ok_given_engine_pairs"),
