@@ -13,10 +13,30 @@ import json
 import sys
 
 
+def median(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2]
+
+
 def main():
     prev = json.load(open(sys.argv[1]))
     cur = json.load(open(sys.argv[2]))
-    pa, ca = prev["anchor"], cur["anchor"]
+    pa, ca = dict(prev["anchor"]), dict(cur["anchor"])
+    # r19 (r18 lesson, BASELINE.md "anchor-based r17->r18"): when BOTH
+    # artifacts carry pass_anchors, normalize by the PASS-median cpu
+    # probe, not the single start anchor -- r18's start anchors read
+    # 0.76x of clean while their own pass series sat flat higher, and
+    # start-vs-pass are systematically different measurements that must
+    # never be cross-normalized. Start anchors remain the fallback for
+    # links whose older side predates the instrument.
+    basis = "start anchor"
+    if prev.get("pass_anchors", {}).get("cpu_sec") \
+            and cur.get("pass_anchors", {}).get("cpu_sec"):
+        pa["cpu_sec"] = median(prev["pass_anchors"]["cpu_sec"])
+        ca["cpu_sec"] = median(cur["pass_anchors"]["cpu_sec"])
+        basis = "pass-anchor median"
+    print(f"_cpu normalization basis: {basis}_")
+    print()
     cpu_ratio = ca["cpu_sec"] / pa["cpu_sec"]
     ov_ratio = ca["overhead_sec"] / pa["overhead_sec"]
     common = sorted(set(prev["queries"]) & set(cur["queries"]))
