@@ -86,25 +86,33 @@ SAMPLED_ANCHOR = {
     "q_dedup_embed_lsh": ("embeddings", "vec_id", ["id_a", "id_b"]),
 }
 
-# The two rows sampling CANNOT reach: their outputs carry GLOBAL
-# connected-component labels (a doc's cluster id / kept flag can be
-# decided by a pair chain through docs outside any stratum), so
-# neither output-slicing nor corpus-restriction yields a checkable
-# identity. Their dedup cores are covered by the reach-verified
-# q_dedup_clusters row (same labeling machinery over the same pair
-# graph); the note below lands in the artifact so the exclusion is
-# never a bare cost class.
-SAMPLING_INAPPLICABLE = {
+# r19b (the last two exclusions): the composed pipelines' outputs
+# carry GLOBAL connected-component labels (a doc's cluster id / kept
+# flag can be decided by a pair chain through docs outside any
+# stratum), so the sampled anchor cannot reach them. But their ONLY
+# super-linear oracle stage is the pair-graph DERIVATION — the same
+# CTEs the CLUSTERS_REACH rows replace with the engine's
+# hash-verified pair dump. So the check here SPLICES the declared
+# oracle SQL: the pair-derivation CTEs (shingle/cosine sweeps) are
+# cut and replaced by `jp AS (SELECT ... FROM '<pair dump>')`, and
+# EVERYTHING from the `e AS (` edge-expansion CTE onward — the
+# recursion, every row-local stage, the gate composition, the final
+# projection — runs VERBATIM from the declared SQL. Evidence chain is
+# identical to CLUSTERS_REACH: full-output verification GIVEN engine
+# pairs, whose parity against the exact pair predicate is
+# hash-verified at sf0.01/sf1 every round. The splice is positional
+# on two unique markers; a marker that is missing or ambiguous (i.e.
+# the declared oracle drifted) fails LOUDLY as an error, never a
+# silent downgrade.
+# Tuple: (pair dump, dump col a, dump col b, cut-start marker,
+#         resume marker).
+PIPELINE_REACH = {
     "q_pipeline_curation":
-        " (sampled anchor inapplicable: output rows carry global"
-        " connected-component labels reachable through out-of-stratum"
-        " docs; the labeling machinery is reach-verified on"
-        " q_dedup_clusters over the same pair graph)",
+        ("q_dedup_minhash", "id_a", "id_b",
+         "sh AS (", "e AS (SELECT id_a AS a"),
     "q_pipeline_multimodal":
-        " (sampled anchor inapplicable: output rows carry global"
-        " connected-component labels reachable through out-of-stratum"
-        " docs; the labeling machinery is reach-verified on"
-        " q_dedup_clusters over the same pair graph)",
+        ("q_dedup_embed_lsh", "id_a", "id_b",
+         "base AS (", "e AS (SELECT id_a AS a"),
 }
 
 # 5/256 md5-prefix buckets ~ 1.95% of ids, deterministic and
@@ -422,10 +430,91 @@ FROM reach GROUP BY node"""
                     n_fail += 1
                     print(f"ERROR {name}: {msg[:200]}", flush=True)
             continue
+        if name in PIPELINE_REACH:
+            dump, pa, pb, cut_marker, resume_marker = PIPELINE_REACH[name]
+            if not (os.path.exists(f"{out_dir}/{name}")
+                    and os.path.exists(f"{out_dir}/{dump}")):
+                results[name] = {"status": "reach_skipped_no_dump",
+                                 "detail": f"pipeline reach check needs"
+                                           f" dumps of both {name} and"
+                                           f" {dump}"}
+                n_fail += 1
+                print(f"FAIL {name}: pipeline reach skipped, missing"
+                      f" dump of {name} or {dump}", flush=True)
+                continue
+            if (sql.count(cut_marker) != 1
+                    or sql.count(resume_marker) != 1
+                    or sql.index(cut_marker) >= sql.index(resume_marker)):
+                results[name] = {
+                    "status": "error",
+                    "detail": f"splice markers drifted in the declared"
+                              f" oracle SQL of {name}: need exactly one"
+                              f" '{cut_marker}' before one"
+                              f" '{resume_marker}'"}
+                n_fail += 1
+                print(f"ERROR {name}: splice marker drift", flush=True)
+                continue
+            spliced = (
+                sql[:sql.index(cut_marker)]
+                + f"jp AS (SELECT \"{pa}\" AS id_a, \"{pb}\" AS id_b"
+                  f" FROM '{out_dir}/{dump}/*.parquet'),\n"
+                + sql[sql.index(resume_marker):])
+            try:
+                cols_s = sorted(d[0] for d in con.execute(
+                    f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
+                    " LIMIT 0").description)
+                csv = ", ".join(f'"{c}"' for c in cols_s)
+                probe = (f"SELECT count(*), sum(hash({csv})::HUGEINT)"
+                         " FROM ")
+                dn, dh = run_with_timeout(
+                    con, probe + f"({spliced})", timeout).fetchone()
+                sn, sh = run_with_timeout(
+                    con, probe + f"'{out_dir}/{name}/*.parquet'",
+                    timeout).fetchone()
+                if dn == sn and dh == sh:
+                    results[name] = {
+                        "status": "reach_ok_given_engine_pairs",
+                        "rows": int(sn),
+                        "method": f"declared oracle SQL with the"
+                                  f" pair-derivation CTEs spliced out"
+                                  f" for the engine's {dump} dump"
+                                  f" (recursion + every row-local stage"
+                                  f" + gate composition run VERBATIM)"
+                                  f" == the engine's full output (pair"
+                                  f" parity is hash-verified at"
+                                  f" sf0.01/sf1; full pair"
+                                  f" re-derivation stays cost-excluded:"
+                                  f" {HARD_EXCLUDED[name]})"}
+                    print(f"OK   {name}: pipeline reach over {dump}"
+                          f" ({sn} rows)", flush=True)
+                else:
+                    results[name] = {
+                        "status": "fail",
+                        "detail": f"spliced oracle over {dump} !="
+                                  f" engine output: n={sn}/{dn}"
+                                  f" h={sh}/{dh}"}
+                    n_fail += 1
+                    print(f"FAIL {name}: pipeline reach mismatch",
+                          flush=True)
+            except Exception as e:
+                msg = str(e)
+                if "INTERRUPT" in msg.upper():
+                    results[name] = {
+                        "status": "excluded_by_cost",
+                        "reason": HARD_EXCLUDED[name] +
+                        f" (the pair-dump-spliced form also exceeded"
+                        f" the {timeout:.0f}s budget)"}
+                    print(f"TIMEOUT {name} (pipeline reach)",
+                          flush=True)
+                else:
+                    results[name] = {"status": "error",
+                                     "detail": msg[:400]}
+                    n_fail += 1
+                    print(f"ERROR {name}: {msg[:200]}", flush=True)
+            continue
         if name in HARD_EXCLUDED:
             results[name] = {"status": "excluded_by_cost",
-                             "reason": HARD_EXCLUDED[name] +
-                             SAMPLING_INAPPLICABLE.get(name, "")}
+                             "reason": HARD_EXCLUDED[name]}
             continue
         if name in CONTRACT_SCOPED:
             results[name] = {"status": "contract_scoped",
