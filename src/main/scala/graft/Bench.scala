@@ -69,9 +69,27 @@ object Bench {
           s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be a positive int," +
             s" got '$v'"))
     }
+    // r19 (optimization round, guide §2.2/§2.5): AQE's
+    // parallelism-first coalescing floors merged partitions at
+    // minPartitionSize (default 1 MB), which collapsed every
+    // small-byte exchange to ONE task — correct for byte-bound
+    // shuffles, but this engine's post-prune stages are CPU-dense at
+    // tiny byte counts (banded pair emission, DP verification,
+    // postings-list pair expansion), and the 1 MB floor serialized
+    // them: the round-start stage audit measured e.g. q_jaccard_pairs'
+    // 1.6 MB-input pair stage at 1.15 s on one task of a 32-core
+    // session. A 64 KB floor keeps such stages parallel while leaving
+    // real-scale shuffles untouched (at 100 TB coalesced partitions
+    // are 100s of MB and never near either floor). Parameterised, not
+    // a local constant: SPARK_GRAFT_AQE_MIN_PARTITION_SIZE overrides;
+    // production guidance in OPTIMIZATION_r19.md.
+    val aqeMinPartitionSize =
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        aqeMinPartitionSize)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -181,8 +199,35 @@ object Bench {
       memDf.select(max(col("h")))
         .write.format("noop").mode("overwrite").save()
     }
-    overheadProbe(); cpuProbe(); memProbe() // warm-up; memProbe's
-    // first run also materializes the 1 GiB cache outside the medians
+    // DISK-WRITE anchor (r19 optimization round): the write-heavy
+    // lifecycle rows (publish/compact/incremental/curation — every
+    // query that lands parquet per invocation) drifted 1.2-2x across
+    // one evening's runs while cpu/mem anchors stayed flat — the
+    // instrument had no axis for disk throughput, so a degraded-disk
+    // window on those rows was unattributable. This probe writes a
+    // fixed ~12 MB incompressible parquet (xxhash64 longs) to a fresh
+    // scratch subdir and deletes it; io_sec joins cpu_sec/mem_sec in
+    // anchor + pass_anchors with the same reading rule.
+    val ioDir = graft.sources.TempDirs.scratchDir("graft_bench_io")
+    val ioSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+    def ioProbe(): Double = {
+      val out = s"$ioDir/w${ioSeq.incrementAndGet()}"
+      val sec = time {
+        spark.range(1500L * 1000)
+          .select(xxhash64(col("id")).as("h"))
+          .coalesce(1).write.mode("overwrite").parquet(out)
+      }
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      } catch { case _: Exception => () }
+      sec
+    }
+    overheadProbe(); cpuProbe(); memProbe(); ioProbe() // warm-up;
+    // memProbe's first run also materializes the 1 GiB cache outside
+    // the medians
 
     // r19 (r18 verdict item 1): PROBE-GATED START. Two rounds of sf10
     // medians-of-record landed on afternoons the host's memory
@@ -252,7 +297,8 @@ object Bench {
     val anchor =
       s"""{"overhead_sec":${medianOf((1 to 5).map(_ => overheadProbe()))},""" +
         s""""cpu_sec":${medianOf((1 to 3).map(_ => cpuProbe()))},""" +
-        s""""mem_sec":${medianOf((1 to 3).map(_ => memProbe()))}}"""
+        s""""mem_sec":${medianOf((1 to 3).map(_ => memProbe()))},""" +
+        s""""io_sec":${medianOf((1 to 3).map(_ => ioProbe()))}}"""
 
     names.foreach(runOne) // discarded warm-up pass
     // `passes` (validated at entry): timed-pass count (default 3 —
@@ -272,6 +318,7 @@ object Bench {
     // headroom).
     val passCpu = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passMem = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val passIo = scala.collection.mutable.ArrayBuffer.empty[Double]
     // r18 (ADVICE r17): record the probe cache's storage bytes at each
     // sample, so an EVICTION-caused mem_sec spike (execution pressure
     // pushing the ~1 GiB probe cache out under a small heap, forcing
@@ -294,7 +341,7 @@ object Bench {
         .filter(i => probeRddIds.contains(i.id))
         .map(_.memSize).sum / (1L << 20)
     def sampleAnchors(): Unit = {
-      passCpu += cpuProbe(); passMem += memProbe()
+      passCpu += cpuProbe(); passMem += memProbe(); passIo += ioProbe()
       passStorageMb += storageUsedMb()
     }
     val samples: Seq[Map[String, Either[String, (Double, Long, Long)]]] =
@@ -307,6 +354,7 @@ object Bench {
     val passAnchors =
       s"""{"cpu_sec":[${passCpu.mkString(",")}],""" +
         s""""mem_sec":[${passMem.mkString(",")}],""" +
+        s""""io_sec":[${passIo.mkString(",")}],""" +
         s""""storage_mb":[${passStorageMb.mkString(",")}]}"""
     // per-query median of the successful samples; any failed sample
     // marks the query failed (a crash must never hide behind a median)
@@ -354,7 +402,7 @@ object Bench {
     // heap rounded to NEAREST GiB (ADVICE r17: truncating division
     // reported 47 for -Xmx48g on collectors that reserve heap,
     // defeating the env-equality check between runs)
-    val env = s"""{"cpus":$cpus,"shuffle_partitions":$shufflePartitions,"max_heap_gb":${
+    val env = s"""{"cpus":$cpus,"shuffle_partitions":$shufflePartitions,"aqe_min_partition_size":"$aqeMinPartitionSize","max_heap_gb":${
       (Runtime.getRuntime.maxMemory + (1L << 29)) / (1L << 30)}}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$passes,"spread_sec":$spread,"shuffle_read_bytes":$shufRd,"shuffle_write_bytes":$shufWr,"anchor":$anchor,"pass_anchors":$passAnchors,"gate":$gateJson,"env":$env,"sf":"$sfDir"}"""
     println(line)

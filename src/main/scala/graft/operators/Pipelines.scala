@@ -692,6 +692,15 @@ object Pipelines {
   def landThenPublish(spark: SparkSession, landed: DataFrame,
       gate: DataFrame, root: String, version: String, key: String,
       shards: Int = 8, retainVersions: Int = 0): Boolean = {
+    // r19 (guide §2.6 — overlap independent jobs): the shard digests
+    // depend only on the landed drop, not on the gate verdict, and
+    // computing them writes nothing — so they run CONCURRENTLY with
+    // the gate's checks instead of serially after them. The publish
+    // decision still strictly precedes the first published byte; a
+    // failing gate merely discards an in-flight read-only aggregate.
+    val digestsF = scala.concurrent.Future {
+      shardDigests(landed, key, shards)
+    }(scala.concurrent.ExecutionContext.global)
     val checks = gate.collect()
     val failing = checks.filter(r => !r.getAs[Boolean]("pass"))
     if (failing.isEmpty) {
@@ -728,7 +737,8 @@ object Pipelines {
           .getOrElse(prevDigests.keys.map(k =>
             k -> s"$d/key_shard=$k").toMap)
       }.getOrElse(Map.empty)
-      val digests = shardDigests(landed, key, shards)
+      val digests = scala.concurrent.Await.result(digestsF,
+        scala.concurrent.duration.Duration.Inf)
       // r17 (ADVICE r16): a zero-row drop would publish a markers-only
       // version with an EMPTY shard manifest, which currentSilver's
       // nonEmpty guard then misreads as a pre-manifest version — a

@@ -394,7 +394,7 @@ object Relational {
     * re-evaluates per profiled column.
     */
   def qProfile(spark: SparkSession, dir: String): DataFrame =
-    profile(Tables.orders(spark, dir), profiledOrderCols)
+    profile(spreadOrders(spark, dir), profiledOrderCols)
 
   /** The 100 TB profiling path as a DECLARED QUERY, not a scaladoc
     * remark (r10 verdict item 8): the same report as [[qProfile]] with
@@ -416,8 +416,21 @@ object Relational {
     * shape. The exact query remains the oracle-checked row.
     */
   def qProfileApprox(spark: SparkSession, dir: String): DataFrame =
+    // r19: deliberately NOT spread — the HLL-sketch partial aggregate
+    // measured +0.3 s under the spread (32 × 13 register-array merges
+    // replace one serial update pass that was already cheap), while
+    // the exact variant's spread wins 1.3 s. See OPTIMIZATION_r19.md.
     profile(Tables.orders(spark, dir), profiledOrderCols,
       approxDistinct = true)
+
+  /** orders with the scale-adaptive scan spread (r19): the profile
+    * family's multi-distinct partial aggregate (Expand ×7) was a
+    * 2.1 s single-task stage on the one-row-group testdata file;
+    * count/min/max/count-distinct are partition-order-free, so the
+    * spread changes nothing but where rows are processed. */
+  private def spreadOrders(spark: SparkSession, dir: String): DataFrame =
+    Spread.afterScan(Tables.orders(spark, dir), "o_orderkey",
+      s"$dir/orders")
 
   private val profiledOrderCols: Seq[(String, String)] = Seq(
     "o_orderkey" -> "num", "o_custkey" -> "num",

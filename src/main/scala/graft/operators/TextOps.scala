@@ -36,6 +36,18 @@ import graft.sources.Tables
   */
 object TextOps {
 
+  /** The documents corpus with the scale-adaptive scan spread
+    * ([[Spread.afterScan]], r19): every consumer below does heavy
+    * per-row work (shingle/hash/DP-segment/score) scan-side, and the
+    * testdata's single-row-group file otherwise serializes that stage
+    * on one core. Identity at real multi-split scale. The
+    * partition-order-SENSITIVE families (Misra–Gries heavy hitters, GK
+    * approx-percentile buckets) keep reading [[Tables.documents]]
+    * directly so their sketch merges see the unchanged partitioning. */
+  private[graft] def corpus(spark: SparkSession, dir: String): DataFrame =
+    Spread.afterScan(Tables.documents(spark, dir), "doc_id",
+      s"$dir/documents")
+
   private def toks: Column = split(lower(col("text")), " ")
 
   /** documents staged as (doc_id, shash: distinct xxhash64s of the word
@@ -87,7 +99,7 @@ object TextOps {
     * 100 TB plan and is property-tested against this query.
     */
   def qJaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(Tables.documents(spark, dir))
+    jaccardPairs(corpus(spark, dir))
 
   /** Core of [[qJaccardPairs]] over any (doc_id, text) frame.
     *
@@ -1301,7 +1313,7 @@ object TextOps {
     * string formulations agree up to 64-bit collisions.
     */
   def qSpanScrub(spark: SparkSession, dir: String): DataFrame =
-    spanScrub(Tables.documents(spark, dir))
+    spanScrub(corpus(spark, dir))
 
   /** Core of [[qSpanScrub]] over any (doc_id, text) frame. */
   private[graft] def spanScrub(docs: DataFrame, k: Int = 20): DataFrame = {
@@ -1763,7 +1775,7 @@ object TextOps {
     * most fingerprint components.
     */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
-    fingerprint(Tables.documents(spark, dir))
+    fingerprint(corpus(spark, dir))
 
   /** Core of [[qFingerprint]] over any (doc_id, text) frame. */
   private[graft] def fingerprint(docs: DataFrame): DataFrame =
@@ -1900,7 +1912,7 @@ object TextOps {
     */
   def qLmScore(spark: SparkSession, dir: String): DataFrame = {
     val st = fittedLmModel.get(spark, dir)
-    lmScoreWith(Tables.documents(spark, dir),
+    lmScoreWith(corpus(spark, dir),
       spark.read.parquet(st.modelPath),
       spark.range(1).select(lit(st.bigN).as("big_n")))
   }
@@ -2041,7 +2053,7 @@ object TextOps {
     */
   def qClassifySource(spark: SparkSession, dir: String): DataFrame = {
     val modelPath = fittedClassifierModel.get(spark, dir)
-    classifyWith(Tables.documents(spark, dir),
+    classifyWith(corpus(spark, dir),
       spark.read.parquet(modelPath))
   }
 
@@ -3164,7 +3176,7 @@ object TextOps {
   }
 
   def qSimhashChecked(spark: SparkSession, dir: String): DataFrame =
-    simhashMd5Halves(Tables.documents(spark, dir))
+    simhashMd5Halves(corpus(spark, dir))
       .select(col("doc_id"),
         concat((63 to 0 by -1).map { b =>
           val half = if (b >= 32) col("sig_hi") else col("sig_lo")
@@ -3384,7 +3396,7 @@ object TextOps {
     * reproduces them bit-for-bit; the xxhash64 production signature
     * has no DuckDB dual. */
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    simhashPairs(Tables.documents(spark, dir))
+    simhashPairs(corpus(spark, dir))
 
   // plan choice runs on the MATERIALIZED signature frame the join
   // needs anyway (ADVICE r13: the former docs.count() was only cheap
@@ -3480,7 +3492,7 @@ object TextOps {
     * (the edge builder documents why this family takes no capped-
     * bucket star-reduction). */
   def qSimhashClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = corpus(spark, dir)
     Components.flagCorpus(docs, "doc_id",
       Components.labelComponents(simhashClusterEdges(docs)))
   }
@@ -3866,7 +3878,7 @@ object TextOps {
       (a, bc) => concat(a, lit(" "), bc))
     val sh = when(size(toks) < k, array(concat_ws(" ", toks)))
       .otherwise(array_distinct(gram3))
-    Tables.documents(spark, dir)
+    corpus(spark, dir)
       .select(col("doc_id"),
         concat_ws("-", slice(array_sort(transform(sh, s => md5(s))),
           1, 4)).as("fingerprint"))

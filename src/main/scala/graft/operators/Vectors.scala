@@ -226,9 +226,17 @@ object Vectors {
   }
 
   /** Trained IVF index: the centroid model plus the bucket-partitioned
-    * corpus location (both also persisted as parquet under `path`). */
+    * corpus location (both also persisted as parquet under `path`).
+    * `corpusRows` is the fit-time corpus row count (r19: the exact-ride
+    * query sized its corpus-wide shortlist with a per-call `count()`
+    * job on the warm path; the count is a property of the published
+    * index, known when it is built — the
+    * [[graft.operators.TextOps.publishEditIndexStats]] posture). −1
+    * means "not carried" (a hand-built model); readers fall back to
+    * counting. */
   private[graft] case class IvfModel(nlist: Int,
-    centroids: Seq[Seq[Double]], corpusPath: String)
+    centroids: Seq[Seq[Double]], corpusPath: String,
+    corpusRows: Long = -1L)
 
   /** One fitted index per (JVM, corpus dir): the declared query must
     * never pay the training passes — in production the fit is an
@@ -268,7 +276,7 @@ object Vectors {
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.DoubleType)))))
         .coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
-      IvfModel(nlist, cents, s"$out/corpus")
+      IvfModel(nlist, cents, s"$out/corpus", n)
     })
 
   /** Load a fitted index back from its persisted artifacts — the
@@ -467,7 +475,10 @@ object Vectors {
     val model = ivfFit(spark, dir)
     val codes = pqFit(spark, dir)
     val queries = unit(spark, dir).filter(col("vec_id") < 10)
-    val n = spark.read.parquet(model.corpusPath).count().toInt
+    // r19: the shortlist bound is the fit-time corpus row count — use
+    // the model's carried stat instead of a per-call count() job
+    val n = (if (model.corpusRows >= 0) model.corpusRows
+             else spark.read.parquet(model.corpusPath).count()).toInt
     pqProbeTopk(spark, model, codes, queries, nprobe = model.nlist,
       shortlist = n)
   }
