@@ -104,13 +104,13 @@ private[graft] object BandedJoins {
     hotBuckets(banded, bandCol, keyCol)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$indexPath/$hotSetDirName")
-    spark.read.parquet(s"$indexPath/$hotSetDirName").count()
+    graft.sources.Pq.read(spark, s"$indexPath/$hotSetDirName").count()
   }
 
   /** The published hot set of an index directory. */
   def loadHotSet(spark: org.apache.spark.sql.SparkSession,
     indexPath: String): DataFrame =
-    spark.read.parquet(s"$indexPath/$hotSetDirName")
+    graft.sources.Pq.read(spark, s"$indexPath/$hotSetDirName")
       .select(col("hot_band"), col("hot_key"))
 
   /** Emit-once join of banded relations `left` (aliased `x`) and

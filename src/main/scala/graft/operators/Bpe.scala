@@ -186,7 +186,7 @@ object Bpe {
     val wordsRoot = wordsRootOf(path)
     wordCounts(docs).write.mode("overwrite").parquet(s"$wordsRoot/v0")
     graft.sources.Markers.write(spark, wordsRoot, wordsCurrentMarker, "v0")
-    val capped = cappedWords(spark.read.parquet(s"$wordsRoot/v0"),
+    val capped = cappedWords(graft.sources.Pq.read(spark, s"$wordsRoot/v0"),
       maxVocab)
     val merges = trainBpe(capped, numMerges)
     publishTokenizer(spark, merges, path)
@@ -199,7 +199,7 @@ object Bpe {
       wordsRoot: String): (String, DataFrame) = {
     val v = graft.sources.Markers.read(spark, wordsRoot,
       wordsCurrentMarker)
-    (v, spark.read.parquet(s"$wordsRoot/$v"))
+    (v, graft.sources.Pq.read(spark, s"$wordsRoot/$v"))
   }
 
   /** NIGHTLY TOKENIZER REFRESH (r11 verdict item 8): fold an APPEND
@@ -333,7 +333,7 @@ object Bpe {
   private[graft] def loadTokenizer(spark: SparkSession,
       path: String): Seq[(String, String)] = {
     val n = graft.sources.Markers.read(spark, path, "_graft_bpe").toInt
-    val rows = spark.read.parquet(path)
+    val rows = graft.sources.Pq.read(spark, path)
       .orderBy(col("rank")).collect()
     require(rows.length == n,
       s"$path holds ${rows.length} merge rules, marker says $n — " +

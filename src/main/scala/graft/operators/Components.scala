@@ -284,7 +284,7 @@ object Components {
   /** The currently-published label map of a [[publishLabels]] root. */
   private[graft] def currentLabels(spark: org.apache.spark.sql.SparkSession,
     root: String): DataFrame =
-    spark.read.parquet(root + "/" +
+    graft.sources.Pq.read(spark, root + "/" +
       graft.sources.Markers.read(spark, root, labelsCurrentMarker))
 
   /** Join a finished label map against the full corpus id set: every id

@@ -887,7 +887,7 @@ object Curation {
   /** The currently-published snapshot of a [[publishSnapshot]] root. */
   private[graft] def currentSnapshot(spark: SparkSession,
       root: String): DataFrame =
-    spark.read.parquet(root + "/" +
+    graft.sources.Pq.read(spark, root + "/" +
       graft.sources.Markers.read(spark, root, snapshotCurrentMarker))
 
   /** [[cdcMerge]] widened to the full document row (doc_id, source,
@@ -939,8 +939,8 @@ object Curation {
   private[graft] def currentEpoch(spark: SparkSession,
       root: String): (DataFrame, DataFrame) = {
     val v = graft.sources.Markers.read(spark, root, epochCurrentMarker)
-    (spark.read.parquet(s"$root/$v/snapshot"),
-      spark.read.parquet(s"$root/$v/mv"))
+    (graft.sources.Pq.read(spark, s"$root/$v/snapshot"),
+      graft.sources.Pq.read(spark, s"$root/$v/mv"))
   }
 
   /** Declared CDC-merge query: the change batch is the

@@ -173,7 +173,7 @@ object Documents {
     Tables.supplier(spark, dir)
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
       .write.mode("overwrite").parquet(Documents.sinkRoundtripDir)
-    spark.read.parquet(Documents.sinkRoundtripDir).orderBy(col("s_suppkey"))
+    graft.sources.Pq.read(spark, Documents.sinkRoundtripDir).orderBy(col("s_suppkey"))
   }
 
   /** S6 (external form) — partition-batched REST-style sink roundtrip

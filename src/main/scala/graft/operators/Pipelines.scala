@@ -397,7 +397,7 @@ object Pipelines {
     * partition column resolves to directory pruning at plan time. */
   def readManifestSplit(spark: SparkSession, path: String,
       split: String): DataFrame =
-    spark.read.parquet(path).filter(col("split_name") === split)
+    graft.sources.Pq.read(spark, path).filter(col("split_name") === split)
 
   /** EP8 — the composed LONG-DOCUMENT SEQUENCE PREP: the other
     * sequence-shaping lane next to EP4's short-document packing —
@@ -828,7 +828,7 @@ object Pipelines {
           spark.read.option("basePath", versionDir)
             .parquet(paths.sorted: _*)
         }.reduce(_ unionByName _)
-      case _ => spark.read.parquet(dir)
+      case _ => graft.sources.Pq.read(spark, dir)
     }
   }
 

@@ -131,7 +131,7 @@ object Relational {
         }.toMap
         require(srcs.nonEmpty,
           s"$path: empty shard manifest — nothing was ever published?")
-        val schema = spark.read.parquet(srcs.values.head).schema
+        val schema = graft.sources.Pq.read(spark, srcs.values.head).schema
         import org.apache.spark.sql.catalyst.expressions.{
           Cast, Literal => CLit, Pmod, XxHash64}
         val shard = Pmod(
@@ -141,7 +141,7 @@ object Relational {
         val keyLit = lit(value).cast(schema(key).dataType)
         srcs.get(shard) match {
           case Some(p) =>
-            spark.read.parquet(p).filter(col(key) === keyLit)
+            graft.sources.Pq.read(spark, p).filter(col(key) === keyLit)
           case None => // the key hashes into an empty (never-written)
             // shard: a definitive miss, typed like a hit
             spark.createDataFrame(
@@ -149,7 +149,7 @@ object Relational {
               schema)
         }
       case None =>
-        val base = spark.read.parquet(path)
+        val base = graft.sources.Pq.read(spark, path)
         // xxhash64 is TYPE-sensitive (an int and a long with equal
         // values hash differently), so the literal is cast to the
         // stored column's exact type before hashing — a caller passing
@@ -470,27 +470,51 @@ object Relational {
     def nd(c: String): Column =
       if (approxDistinct) approx_count_distinct(col(c), rsd = 0.02)
       else countDistinct(col(c))
+    def minMax(c: String, k: String): Seq[Column] = k match {
+      case "num" => Seq(
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+      // parquet NTZ timestamps cast through LTZ under the session's
+      // fixed UTC zone — the same treat-as-UTC reading DuckDB's
+      // epoch_us applies to naive timestamps
+      case "ts" => Seq(
+        unix_micros(min(col(c)).cast("timestamp")).cast("double")
+          .as(s"${c}__min"),
+        unix_micros(max(col(c)).cast("timestamp")).cast("double")
+          .as(s"${c}__max"))
+      case "str" => Seq(
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max"))
+    }
+    // r19 (exact variant only): a min/max over a STRING column puts a
+    // string in the aggregation buffer, which disqualifies
+    // HashAggregate — and because ALL slots share one aggregate, the
+    // multi-distinct Expand pass was running as SortAggregate (a sort
+    // of #cols+1 × rows per partition; measured 1.7 s of the exact
+    // profile's 2.0 s at sf0.1). Moving the string min/max into a
+    // tiny side aggregate (its own pass has no Expand and a 2-column
+    // buffer) lets the Expand pass hash-aggregate; both branches
+    // consume the same spread exchange, so the scan still runs once
+    // (exchange reuse, plan-pinned in RelationalSpec). Values are
+    // unchanged — the crossJoin just re-assembles the same wide row.
+    // The approx variant keeps its pinned one-aggregate no-Expand
+    // plan: it has no Expand to rescue and its consumers pin one scan
+    // over the UNSPREAD read.
+    val strCols = cols.filter(_._2 == "str")
+    val splitStrings = !approxDistinct && strCols.nonEmpty
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, k) =>
       Seq(
         count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
-        nd(c).as(s"${c}__nd")) ++ (k match {
-        case "num" => Seq(
-          min(col(c)).cast("double").as(s"${c}__min"),
-          max(col(c)).cast("double").as(s"${c}__max"))
-        // parquet NTZ timestamps cast through LTZ under the session's
-        // fixed UTC zone — the same treat-as-UTC reading DuckDB's
-        // epoch_us applies to naive timestamps
-        case "ts" => Seq(
-          unix_micros(min(col(c)).cast("timestamp")).cast("double")
-            .as(s"${c}__min"),
-          unix_micros(max(col(c)).cast("timestamp")).cast("double")
-            .as(s"${c}__max"))
-        case "str" => Seq(
-          min(col(c)).as(s"${c}__min"),
-          max(col(c)).as(s"${c}__max"))
-      })
+        nd(c).as(s"${c}__nd")) ++
+        (if (splitStrings && k == "str") Nil else minMax(c, k))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wide0 = df.agg(aggs.head, aggs.tail: _*)
+    val wide =
+      if (!splitStrings) wide0
+      else {
+        val strAggs = strCols.flatMap { case (c, k) => minMax(c, k) }
+        wide0.crossJoin(df.agg(strAggs.head, strAggs.tail: _*))
+      }
     val entries = cols.map { case (c, k) =>
       val (minN, maxN, minS, maxS) =
         if (k == "str")

@@ -236,7 +236,7 @@ object TextOps {
     withSigs(shingled(docs))
       .withColumn("n_sh", size(col("shash")))
       .write.mode("overwrite").parquet(outPath)
-    val r = spark.read.parquet(outPath).agg(avg(col("n_sh"))).collect()(0)
+    val r = graft.sources.Pq.read(spark, outPath).agg(avg(col("n_sh"))).collect()(0)
     val jb = !r.isNullAt(0) && joinBackWinsOnBytes(r.getDouble(0))
     graft.sources.Markers.write(spark, outPath, "_graft_layout",
       if (jb) "joinback" else "carried")
@@ -249,7 +249,7 @@ object TextOps {
     // as a marker so a curator sees a boilerplate mega-cluster at fit
     // time, not as a mystery skew at probe time
     val nHot = BandedJoins.publishHotSet(spark,
-      spark.read.parquet(outPath)
+      graft.sources.Pq.read(spark, outPath)
         .select(posexplode(col("bsigs")).as(Seq("band", "bhash"))),
       "band", "bhash", outPath)
     graft.sources.Markers.write(spark, outPath, "_graft_hot_buckets",
@@ -292,7 +292,7 @@ object TextOps {
     * (doc_id, shash, bsigs, n_sh). */
   private[graft] def stagedFrame(spark: SparkSession,
     index: MinHashIndex): DataFrame =
-    spark.read.parquet(index.stagedPath)
+    graft.sources.Pq.read(spark, index.stagedPath)
 
   /** Near-dup pairs served from the fitted index: signatures come off
     * the index parquet (column-pruned scans, no re-shingle), the verify
@@ -720,7 +720,7 @@ object TextOps {
     val inc = incrementPairs(stagedFrame(spark, st.index), newStaged,
       st.index.joinBack, baseHot = Some(hotSetOf(spark, st.index)))
     Components.flagCorpus(docs, "doc_id",
-      Components.extendLabels(spark.read.parquet(st.labelsPath), inc))
+      Components.extendLabels(graft.sources.Pq.read(spark, st.labelsPath), inc))
   }
 
   /** RE-CRAWL COMPACTION — the update half of the nightly posture that
@@ -837,7 +837,7 @@ object TextOps {
     labels: DataFrame, retainVersions: Int = 0): Unit = {
     staged.write.mode("overwrite").parquet(s"$root/$version/staged")
     BandedJoins.publishHotSet(spark,
-      spark.read.parquet(s"$root/$version/staged")
+      graft.sources.Pq.read(spark, s"$root/$version/staged")
         .select(posexplode(col("bsigs")).as(Seq("band", "bhash"))),
       "band", "bhash", s"$root/$version/staged")
     pairs.write.mode("overwrite").parquet(s"$root/$version/pairs")
@@ -863,7 +863,7 @@ object TextOps {
       .select(col("id_a"), col("id_b"))
       .write.mode("overwrite").parquet(s"$root/seed/pairs")
     Components.labelComponents(
-        spark.read.parquet(s"$root/seed/pairs"))
+        graft.sources.Pq.read(spark, s"$root/seed/pairs"))
       .write.mode("overwrite").parquet(s"$root/seed/labels")
     graft.sources.Markers.write(spark, root, dedupCurrentMarker, "seed")
   }
@@ -878,10 +878,10 @@ object TextOps {
     val v = graft.sources.Markers.read(spark, root, dedupCurrentMarker)
     val joinBack = graft.sources.Markers.read(spark, root,
       "_graft_layout") == "joinback"
-    val staged = spark.read.parquet(s"$root/$v/staged")
+    val staged = graft.sources.Pq.read(spark, s"$root/$v/staged")
     val hot = Some(BandedJoins.loadHotSet(spark, s"$root/$v/staged"))
     val (staged2, pairs2) = compactState(staged,
-      spark.read.parquet(s"$root/$v/pairs"),
+      graft.sources.Pq.read(spark, s"$root/$v/pairs"),
       recrawled.select(col("doc_id")),
       stageDocs(recrawled).localCheckpoint(true), joinBack, hot)
     (staged2, pairs2, Components.labelComponents(pairs2))
@@ -914,7 +914,7 @@ object TextOps {
       docs: DataFrame, root: String): Unit = {
     simhashMd5Halves(docs).write.mode("overwrite")
       .parquet(s"$root/seed/sigs")
-    val sigs = spark.read.parquet(s"$root/seed/sigs")
+    val sigs = graft.sources.Pq.read(spark, s"$root/seed/sigs")
     val reps = sigs.groupBy(col("sig_hi"), col("sig_lo"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("sig_hi"), col("sig_lo"))
@@ -930,7 +930,7 @@ object TextOps {
       .filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("id_a"), col("rep").as("id_b"))
     Components.labelComponents(identity.unionByName(
-        spark.read.parquet(s"$root/seed/pairs")
+        graft.sources.Pq.read(spark, s"$root/seed/pairs")
           .join(reps.select(col("sig_hi").as("hi_a"),
             col("sig_lo").as("lo_a"), col("doc_id").as("id_a")),
             Seq("hi_a", "lo_a"))
@@ -952,14 +952,14 @@ object TextOps {
     val b = graft.sources.Markers.read(spark, root, "_graft_simhash_b")
       .toInt
     val ids = batch.select(col("doc_id"))
-    val retained = spark.read.parquet(s"$root/$v/sigs")
+    val retained = graft.sources.Pq.read(spark, s"$root/$v/sigs")
       .join(broadcast(ids), Seq("doc_id"), "left_anti")
     val repMap = retained.groupBy(col("sig_hi"), col("sig_lo"))
       .agg(min(col("doc_id")).as("rep")).localCheckpoint(true)
     val identity = retained.join(repMap, Seq("sig_hi", "sig_lo"))
       .filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("id_a"), col("rep").as("id_b"))
-    val keptSig = spark.read.parquet(s"$root/$v/pairs")
+    val keptSig = graft.sources.Pq.read(spark, s"$root/$v/pairs")
       .join(repMap.select(col("sig_hi").as("hi_a"),
         col("sig_lo").as("lo_a")), Seq("hi_a", "lo_a"), "left_semi")
       .join(repMap.select(col("sig_hi").as("hi_b"),
@@ -1029,7 +1029,7 @@ object TextOps {
       .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
       .write.mode("overwrite").parquet(s"$root/seed/pairs")
     Components.labelComponents(
-        spark.read.parquet(s"$root/seed/pairs"))
+        graft.sources.Pq.read(spark, s"$root/seed/pairs"))
       .write.mode("overwrite").parquet(s"$root/seed/labels")
     graft.sources.Markers.write(spark, root, dedupCurrentMarker, "seed")
   }
@@ -1042,8 +1042,8 @@ object TextOps {
       : (DataFrame, DataFrame, DataFrame) = {
     val v = graft.sources.Markers.read(spark, root, dedupCurrentMarker)
     val (edges, index2) = editWaveRepair(spark,
-      spark.read.parquet(s"$root/$v/index"),
-      spark.read.parquet(s"$root/$v/pairs"), batch, d,
+      graft.sources.Pq.read(spark, s"$root/$v/index"),
+      graft.sources.Pq.read(spark, s"$root/$v/pairs"), batch, d,
       loadEditHotSet(spark, s"$root/$v/index"),
       loadEditLens(spark, s"$root/$v/index"))
     (index2, edges, Components.labelComponents(edges))
@@ -1112,7 +1112,7 @@ object TextOps {
     val st = compactStateFor(spark, dir)
     val docs = Tables.documents(spark, dir)
     compactClusters(stagedFrame(spark, st.index),
-      spark.read.parquet(st.pairsPath),
+      graft.sources.Pq.read(spark, st.pairsPath),
       docs.filter(isRecrawlDoc), docs, st.index.joinBack,
       baseHot = Some(hotSetOf(spark, st.index)))
   }
@@ -1138,7 +1138,7 @@ object TextOps {
     val crawl = docs.filter(isIncrementDoc ||
       (!isIncrementDoc && isRecrawlDoc))
     compactClusters(stagedFrame(spark, st.index),
-      spark.read.parquet(st.pairsPath), crawl, docs, st.index.joinBack,
+      graft.sources.Pq.read(spark, st.pairsPath), crawl, docs, st.index.joinBack,
       baseHot = Some(hotSetOf(spark, st.index)))
   }
 
@@ -1913,7 +1913,7 @@ object TextOps {
   def qLmScore(spark: SparkSession, dir: String): DataFrame = {
     val st = fittedLmModel.get(spark, dir)
     lmScoreWith(corpus(spark, dir),
-      spark.read.parquet(st.modelPath),
+      graft.sources.Pq.read(spark, st.modelPath),
       spark.range(1).select(lit(st.bigN).as("big_n")))
   }
 
@@ -1947,7 +1947,7 @@ object TextOps {
       // cut and the corpus total
     val model = counts.orderBy(col("n").desc, col("bigram").asc).limit(k)
     model.write.mode("overwrite").parquet(path)
-    val rows = spark.read.parquet(path).count()
+    val rows = graft.sources.Pq.read(spark, path).count()
     val bigN = counts.agg(coalesce(sum(col("n")), lit(0L)))
       .collect()(0).getLong(0)
     graft.sources.Markers.write(spark, path, "_graft_lm_model",
@@ -1961,7 +1961,7 @@ object TextOps {
       path: String): LmModelState = {
     val parts = graft.sources.Markers.read(spark, path, "_graft_lm_model")
       .split(" ")
-    val rows = spark.read.parquet(path).count()
+    val rows = graft.sources.Pq.read(spark, path).count()
     require(rows == parts(0).toLong,
       s"$path holds $rows model rows, marker says ${parts(0)} — " +
         "not a complete published LM model?")
@@ -2054,7 +2054,7 @@ object TextOps {
   def qClassifySource(spark: SparkSession, dir: String): DataFrame = {
     val modelPath = fittedClassifierModel.get(spark, dir)
     classifyWith(corpus(spark, dir),
-      spark.read.parquet(modelPath))
+      graft.sources.Pq.read(spark, modelPath))
   }
 
   private[graft] val classifierFitInvocations =
@@ -2072,7 +2072,7 @@ object TextOps {
     publishClassifier(s, Tables.documents(s, d), 2000, p)
     // marker round-trip: a partial publish must never serve
     val n = graft.sources.Markers.read(s, p, "_graft_classifier").toLong
-    require(s.read.parquet(p).count() == n,
+    require(graft.sources.Pq.read(s, p).count() == n,
       s"$p publish incomplete against its marker")
     p
   })
@@ -2123,7 +2123,7 @@ object TextOps {
       path: String): Seq[(String, Map[String, Long], Long)] = {
     val n = graft.sources.Markers.read(spark, path, "_graft_classifier")
       .toLong
-    val rows = spark.read.parquet(path).collect()
+    val rows = graft.sources.Pq.read(spark, path).collect()
     require(rows.length == n,
       s"$path holds ${rows.length} model rows, marker says $n — " +
         "not a complete published classifier?")
@@ -2684,7 +2684,7 @@ object TextOps {
     * its fields as plain columns; `blen` derives from `len`/`idx`). */
   private[graft] def editIndexFrame(spark: SparkSession,
       path: String): DataFrame =
-    spark.read.parquet(path)
+    graft.sources.Pq.read(spark, path)
       .select(col("doc_id"), col("lang"), col("head"), col("len"),
         struct(col("idx"), col("seg"),
           editFlatBlen.as("blen")).as("kseg"))
@@ -2713,7 +2713,7 @@ object TextOps {
         col("h_kseg.seg").as("seg"), col("h_kseg.blen").as("blen"))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$indexPath/$editHotSetDirName")
-    spark.read.parquet(s"$indexPath/$editHotSetDirName").count()
+    graft.sources.Pq.read(spark, s"$indexPath/$editHotSetDirName").count()
   }
 
   /** The published key-length population of an index directory (None
@@ -2725,7 +2725,7 @@ object TextOps {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/$editLensDirName")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else Some(spark.read.parquet(p.toString))
+    else Some(graft.sources.Pq.read(spark, p.toString))
   }
 
   /** The published hot set of an index directory in join-ready shape
@@ -2734,7 +2734,7 @@ object TextOps {
       indexPath: String, hotCount: Long): EditHotCells =
     if (hotCount == 0L) NoHotCells
     else PublishedHotCells(
-      spark.read.parquet(s"$indexPath/$editHotSetDirName")
+      graft.sources.Pq.read(spark, s"$indexPath/$editHotSetDirName")
         .select(col("h_lang"),
           struct(col("idx"), col("seg"), col("blen")).as("h_kseg")))
 
@@ -2750,7 +2750,7 @@ object TextOps {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) ComputeHotCells
     else {
-      val f = spark.read.parquet(p.toString)
+      val f = graft.sources.Pq.read(spark, p.toString)
         .select(col("h_lang"),
           struct(col("idx"), col("seg"), col("blen")).as("h_kseg"))
       if (f.isEmpty) NoHotCells else PublishedHotCells(f)
@@ -2774,7 +2774,7 @@ object TextOps {
     * exist). */
   private def editIndexPruned(spark: SparkSession, path: String,
       probeKeyed: DataFrame, d: Int): DataFrame =
-    editIndexPrunedFrame(spark.read.parquet(path), probeKeyed, d)
+    editIndexPrunedFrame(graft.sources.Pq.read(spark, path), probeKeyed, d)
 
   /** [[editIndexPruned]] over an already-opened FLAT index frame (the
     * streaming wave core reads the served version's parquet once and
@@ -2912,9 +2912,9 @@ object TextOps {
     val within = editDistancePairs(inc, 30, d)
       .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
     val sliver = editShortsSliverEdges(
-      spark.read.parquet(st.indexPath), incKeyed, d)
+      graft.sources.Pq.read(spark, st.indexPath), incKeyed, d)
     Components.flagCorpus(docs, "doc_id",
-      Components.extendLabels(spark.read.parquet(st.labelsPath),
+      Components.extendLabels(graft.sources.Pq.read(spark, st.labelsPath),
         cross.select(col("id_a"), col("id_b")).unionByName(within)
           .unionByName(sliver)))
   }
@@ -3036,8 +3036,8 @@ object TextOps {
       st: EditCompactState, docs: DataFrame, recrawl: Column,
       d: Int): DataFrame = {
     val (edges, _) = editWaveRepair(spark,
-      spark.read.parquet(st.indexPath),
-      spark.read.parquet(st.pairsPath), docs.filter(recrawl), d,
+      graft.sources.Pq.read(spark, st.indexPath),
+      graft.sources.Pq.read(spark, st.pairsPath), docs.filter(recrawl), d,
       loadEditHotSet(spark, st.indexPath, st.hotCount),
       loadEditLens(spark, st.indexPath))
     Components.flagCorpus(docs, "doc_id",
@@ -3600,7 +3600,7 @@ object TextOps {
       throw new IllegalStateException(
         s"no _graft_simhash_b marker under $repsPath — " +
           "stage the index with the fit that published it"))
-    (simhashKeyed(spark.read.parquet(repsPath), b).drop("keys")
+    (simhashKeyed(graft.sources.Pq.read(spark, repsPath), b).drop("keys")
       .localCheckpoint(true), b)
   }
 
@@ -3622,7 +3622,7 @@ object TextOps {
     val rp = graft.sources.TempDirs
       .scratchDir("graft_simhash_base_reps").toString
     reps0.write.mode("overwrite").parquet(rp)
-    val reps = s.read.parquet(rp)
+    val reps = graft.sources.Pq.read(s, rp)
     // the fit measures its own index: B widens past the count-derived
     // plan iff the published reps keep hot distinct-sig buckets there
     // (r13 verdict item 1 — the stats-driven choice every probe then
@@ -3666,7 +3666,7 @@ object TextOps {
       val sp = graft.sources.TempDirs
         .scratchDir("graft_simhash_compact_sigs").toString
       simhashMd5Halves(stale).write.mode("overwrite").parquet(sp)
-      val sigs = s.read.parquet(sp)
+      val sigs = graft.sources.Pq.read(s, sp)
       val reps = sigs.groupBy(col("sig_hi"), col("sig_lo"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"), col("sig_hi"), col("sig_lo"))
@@ -3721,7 +3721,7 @@ object TextOps {
     val st = simhashCompactStateFor(spark, dir)
     val docs = Tables.documents(spark, dir)
     val ids = docs.filter(isRecrawlDoc).select(col("doc_id"))
-    val retained = spark.read.parquet(st.sigsPath)
+    val retained = graft.sources.Pq.read(spark, st.sigsPath)
       .join(broadcast(ids), Seq("doc_id"), "left_anti")
     val repMap = retained.groupBy(col("sig_hi"), col("sig_lo"))
       .agg(min(col("doc_id")).as("rep"))
@@ -3729,7 +3729,7 @@ object TextOps {
     val identity = retained.join(repMap, Seq("sig_hi", "sig_lo"))
       .filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("id_a"), col("rep").as("id_b"))
-    val kept = spark.read.parquet(st.sigPairsPath)
+    val kept = graft.sources.Pq.read(spark, st.sigPairsPath)
       .join(repMap.select(col("sig_hi").as("hi_a"),
         col("sig_lo").as("lo_a"), col("rep").as("id_a")),
         Seq("hi_a", "lo_a"))
@@ -3784,14 +3784,14 @@ object TextOps {
     // candidates, and probing reps is connectivity-exact
     val (incIdentity, incReps) = simhashCollapse(
       simhashMd5Halves(docs.filter(isIncrementDoc)))
-    val reps = spark.read.parquet(st.repsPath)
+    val reps = graft.sources.Pq.read(spark, st.repsPath)
     val cross = simhashSigPairsBetween(reps, incReps, st.b)
     val within = simhashSigPairs(incReps, st.b)
     val incPairs = cross.unionByName(within)
       .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
       .unionByName(incIdentity)
     Components.flagCorpus(docs, "doc_id",
-      Components.extendLabels(spark.read.parquet(st.labelsPath),
+      Components.extendLabels(graft.sources.Pq.read(spark, st.labelsPath),
         incPairs))
   }
 

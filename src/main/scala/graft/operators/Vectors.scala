@@ -286,7 +286,7 @@ object Vectors {
     * fit-then-probe exactly. */
   private[graft] def loadIvfModel(spark: SparkSession,
     indexRoot: String): IvfModel = {
-    val cents = spark.read.parquet(s"$indexRoot/centroids")
+    val cents = graft.sources.Pq.read(spark, s"$indexRoot/centroids")
       .orderBy(col("centroid_id")).collect()
       .map(_.getSeq[Double](1).toSeq).toSeq
     IvfModel(cents.length, cents, s"$indexRoot/corpus")
@@ -312,7 +312,7 @@ object Vectors {
     * on bucket — still never a corpus-wide all-pairs scan). */
   private[graft] def probeTopk(spark: SparkSession, model: IvfModel,
     queries: DataFrame, nprobe: Int = 3): DataFrame =
-    probeJoinTopk(spark.read.parquet(model.corpusPath), queries,
+    probeJoinTopk(graft.sources.Pq.read(spark, model.corpusPath), queries,
       model.centroids, nprobe)
 
   /** Probe over the offline corpus PLUS a streaming intake layout
@@ -325,9 +325,9 @@ object Vectors {
   private[graft] def probeTopkWithIntake(spark: SparkSession,
     model: IvfModel, intakePath: String, queries: DataFrame,
     nprobe: Int = 3): DataFrame = {
-    val base = spark.read.parquet(model.corpusPath)
+    val base = graft.sources.Pq.read(spark, model.corpusPath)
       .select(col("vec_id"), col("label"), col("u"), col("bucket"))
-    val intake = spark.read.parquet(intakePath)
+    val intake = graft.sources.Pq.read(spark, intakePath)
       .select(col("vec_id"), col("label"), col("u"), col("bucket"))
     probeJoinTopk(base.unionByName(intake), queries,
       model.centroids, nprobe)
@@ -395,7 +395,7 @@ object Vectors {
         col("u").as("qu"),
         explode(graft.functions.VectorFunctions.topDotIdx(col("u"),
           model.centroids, nprobe)).as("probe_bucket"))
-    spark.read.parquet(model.corpusPath)
+    graft.sources.Pq.read(spark, model.corpusPath)
       .join(broadcast(probes), col("bucket") === col("probe_bucket") &&
         col("label") =!= col("q_label"))
       .withColumn("cosine", dot(col("qu"), col("u")))
@@ -478,7 +478,7 @@ object Vectors {
     // r19: the shortlist bound is the fit-time corpus row count — use
     // the model's carried stat instead of a per-call count() job
     val n = (if (model.corpusRows >= 0) model.corpusRows
-             else spark.read.parquet(model.corpusPath).count()).toInt
+             else graft.sources.Pq.read(spark, model.corpusPath).count()).toInt
     pqProbeTopk(spark, model, codes, queries, nprobe = model.nlist,
       shortlist = n)
   }
@@ -503,7 +503,7 @@ object Vectors {
       val model = ivfFit(spark, dir)
       val root = model.corpusPath.stripSuffix("/corpus")
       val out = s"$root/pq"
-      spark.read.parquet(model.corpusPath)
+      graft.sources.Pq.read(spark, model.corpusPath)
         .join(broadcast(centroidFrame(spark, model)), Seq("bucket"))
         .select(col("vec_id"), col("bucket"),
           zip_with(col("u"), col("centroid"), (a, b) => a - b).as("r"))
@@ -556,7 +556,7 @@ object Vectors {
       // scored corpus row
       .select(col("q_id"), col("qu"), col("probe_bucket"),
         dot(col("qu"), col("centroid")).as("dot_c"))
-    val scored = spark.read.parquet(codesPath)
+    val scored = graft.sources.Pq.read(spark, codesPath)
       .join(broadcast(probes), col("bucket") === col("probe_bucket"))
       .withColumn("scale",
         (col("r_max") - col("r_min")) / 255.0)
@@ -572,7 +572,7 @@ object Vectors {
         col("s.bucket").as("cand_bucket"))
     val qside = queries.filter(col("u").isNotNull)
       .select(col("vec_id").as("qq_id"), col("u").as("qu"))
-    spark.read.parquet(model.corpusPath)
+    graft.sources.Pq.read(spark, model.corpusPath)
       .join(broadcast(cands), col("bucket") === col("cand_bucket") &&
         col("vec_id") === col("cand_id"))
       .join(broadcast(qside), col("q_id") === col("qq_id"))
@@ -853,13 +853,13 @@ object Vectors {
     // index, count published as the loud marker, probes read it instead
     // of re-aggregating per query
     val nHot = BandedJoins.publishHotSet(s,
-      s.read.parquet(sp)
+      graft.sources.Pq.read(s, sp)
         .select(posexplode(col("sigs")).as(Seq("band", "band_sig"))),
       "band", "band_sig", sp)
     graft.sources.Markers.write(s, sp, "_graft_hot_buckets", nHot.toString)
     val lp = graft.sources.TempDirs
       .scratchDir("graft_embed_base_labels").toString
-    Components.labelComponents(lshVerifiedPairsStaged(s.read.parquet(sp),
+    Components.labelComponents(lshVerifiedPairsStaged(graft.sources.Pq.read(s, sp),
       Some(BandedJoins.loadHotSet(s, sp)))
       .select(col("id_a"), col("id_b")))
       .write.mode("overwrite").parquet(lp)
@@ -884,11 +884,11 @@ object Vectors {
     val all = unit(spark, dir)
     val newStaged = stageVectors(all.filter(isIncrementVec))
       .localCheckpoint(true)
-    val inc = embedIncrementPairs(spark.read.parquet(st.stagedPath),
+    val inc = embedIncrementPairs(graft.sources.Pq.read(spark, st.stagedPath),
       newStaged,
       baseHot = Some(BandedJoins.loadHotSet(spark, st.stagedPath)))
     Components.flagCorpus(all, "vec_id",
-      Components.extendLabels(spark.read.parquet(st.labelsPath), inc))
+      Components.extendLabels(graft.sources.Pq.read(spark, st.labelsPath), inc))
   }
 
   /** RE-CRAWL COMPACTION, embedding modality — the twin of
@@ -955,12 +955,12 @@ object Vectors {
         .scratchDir("graft_embed_compact_index").toString
       stageVectors(staleU).write.mode("overwrite").parquet(sp)
       BandedJoins.publishHotSet(s,
-        s.read.parquet(sp)
+        graft.sources.Pq.read(s, sp)
           .select(posexplode(col("sigs")).as(Seq("band", "band_sig"))),
         "band", "band_sig", sp)
       val pp = graft.sources.TempDirs
         .scratchDir("graft_embed_compact_pairs").toString
-      lshVerifiedPairsStaged(s.read.parquet(sp),
+      lshVerifiedPairsStaged(graft.sources.Pq.read(s, sp),
         Some(BandedJoins.loadHotSet(s, sp)))
         .write.mode("overwrite").parquet(pp)
       EmbedCompactState(sp, pp)
@@ -988,15 +988,15 @@ object Vectors {
           .unitv(col("embedding")).as("u")))
       .write.mode("overwrite").parquet(s"$root/seed/staged")
     BandedJoins.publishHotSet(spark,
-      spark.read.parquet(s"$root/seed/staged")
+      graft.sources.Pq.read(spark, s"$root/seed/staged")
         .select(posexplode(col("sigs")).as(Seq("band", "band_sig"))),
       "band", "band_sig", s"$root/seed/staged")
-    lshVerifiedPairsStaged(spark.read.parquet(s"$root/seed/staged"),
+    lshVerifiedPairsStaged(graft.sources.Pq.read(spark, s"$root/seed/staged"),
         Some(BandedJoins.loadHotSet(spark, s"$root/seed/staged")))
       .select(col("id_a"), col("id_b"))
       .write.mode("overwrite").parquet(s"$root/seed/pairs")
     graft.operators.Components.labelComponents(
-        spark.read.parquet(s"$root/seed/pairs"))
+        graft.sources.Pq.read(spark, s"$root/seed/pairs"))
       .write.mode("overwrite").parquet(s"$root/seed/labels")
     graft.sources.Markers.write(spark, root,
       graft.operators.TextOps.dedupCurrentMarker, "seed")
@@ -1010,7 +1010,7 @@ object Vectors {
       batch: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val v = graft.sources.Markers.read(spark, root,
       graft.operators.TextOps.dedupCurrentMarker)
-    val staged = spark.read.parquet(s"$root/$v/staged")
+    val staged = graft.sources.Pq.read(spark, s"$root/$v/staged")
     val hot = Some(BandedJoins.loadHotSet(spark, s"$root/$v/staged"))
     val ids = batch.select(col("vec_id"))
     val retained = staged.join(broadcast(ids), Seq("vec_id"), "left_anti")
@@ -1019,7 +1019,7 @@ object Vectors {
           .unitv(col("embedding")).as("u")))
       .localCheckpoint(true)
     val fresh = embedIncrementPairs(retained, newStaged, hot)
-    val kept = spark.read.parquet(s"$root/$v/pairs")
+    val kept = graft.sources.Pq.read(spark, s"$root/$v/pairs")
       .join(broadcast(ids.select(col("vec_id").as("id_a"))),
         Seq("id_a"), "left_anti")
       .join(broadcast(ids.select(col("vec_id").as("id_b"))),
@@ -1039,7 +1039,7 @@ object Vectors {
     labels: DataFrame, retainVersions: Int = 0): Unit = {
     staged.write.mode("overwrite").parquet(s"$root/$version/staged")
     BandedJoins.publishHotSet(spark,
-      spark.read.parquet(s"$root/$version/staged")
+      graft.sources.Pq.read(spark, s"$root/$version/staged")
         .select(posexplode(col("sigs")).as(Seq("band", "band_sig"))),
       "band", "band_sig", s"$root/$version/staged")
     pairs.write.mode("overwrite").parquet(s"$root/$version/pairs")
@@ -1060,8 +1060,8 @@ object Vectors {
   def qDedupEmbedCompact(spark: SparkSession, dir: String): DataFrame = {
     val st = embedCompactStateFor(spark, dir)
     val all = unit(spark, dir)
-    embedCompactClusters(spark.read.parquet(st.stagedPath),
-      spark.read.parquet(st.pairsPath),
+    embedCompactClusters(graft.sources.Pq.read(spark, st.stagedPath),
+      graft.sources.Pq.read(spark, st.pairsPath),
       all.filter(isRecrawlVec), all,
       baseHot = Some(BandedJoins.loadHotSet(spark, st.stagedPath)))
   }

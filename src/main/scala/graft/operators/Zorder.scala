@@ -105,7 +105,7 @@ object Zorder {
     * are ordered by the full projection so duplicate projected rows
     * hash stably. */
   def qZorderSearch(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(layoutFor(spark, dir))
+    graft.sources.Pq.read(spark, layoutFor(spark, dir))
       .filter(col("l_partkey").between(40L, 120L) &&
         col("l_suppkey").between(2L, 7L))
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),

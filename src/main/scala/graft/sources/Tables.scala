@@ -24,8 +24,29 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * `.explain("formatted")` — `PushedFilters`, `ReadSchema`).
   */
 object Tables {
-  def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred-schema cache per (immutable) table path (r19
+    * optimization round): every bare `spark.read.parquet` runs a
+    * driver-side footer-inference job at DataFrame CONSTRUCTION
+    * (~20–45 ms each, visible as `parquet at Tables.scala` stages —
+    * multi-table queries paid it up to 8× per invocation). The
+    * testdata paths are immutable for a session's lifetime, so the
+    * first read's inferred schema is passed explicitly to every later
+    * read of the same path — the same class of metadata caching as
+    * Spark's own FileStatusCache, never data or results; the planned
+    * scan is byte-identical. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val known = schemaCache.get(path)
+    if (known != null) spark.read.schema(known).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.put(path, df.schema)
+      df
+    }
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "nation")

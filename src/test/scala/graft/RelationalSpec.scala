@@ -217,17 +217,27 @@ class RelationalSpec extends SparkTestBase {
     assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
   }
 
-  test("profile plan: one scan, Expand-based exact distincts") {
+  test("profile plan: hash-aggregated Expand distincts, no per-column scans") {
     val q = Relational.qProfile(spark, sfDir)
     q.collect()
     // AQE's toString repeats the initial plan below the final one —
     // pin the FINAL section only
     val plan = q.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    // the exact multi-column distinct plans ONE Expand over ONE scan of
-    // the table — not a scan or aggregate per profiled column
+    // the exact multi-column distinct plans ONE Expand pass for ALL
+    // distinct columns — never a scan or aggregate per profiled column
     assert(plan.contains("Expand"), plan)
-    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    // r19: the string min/max live in a narrow 2-column side pass so
+    // the Expand pass HASH-aggregates (a string in the shared buffer
+    // used to force SortAggregate over #cols+1 × rows — measured
+    // 1.7 s of the 2.0 s sf0.1 profile). Hence ≤2 scans total: the
+    // wide Expand pass plus the strings pass (column pruning gives it
+    // its own narrow scan; exchange reuse cannot merge different
+    // ReadSchemas).
+    assert("Scan parquet".r.findAllIn(plan).size <= 2, plan)
+    val aboveExpand = plan.split("Expand").head
+    assert(aboveExpand.contains("HashAggregate"), plan)
+    assert(!aboveExpand.contains("SortAggregate"), plan)
   }
 
   test("entry flagship returns rows") {
